@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session bootstrap for the graft engine.
+  *
+  * Mirrors the session surface of the reference frontend
+  * (reference: src/frontend/src/session.rs:1168 `run_statement`) at Spark
+  * altitude: one `SparkSession` configured for deterministic UTC semantics
+  * and a shuffle layout sized for the local[32] test harness while staying
+  * valid on a large cluster (AQE coalesces / splits at runtime).
+  */
+object GraftSession {
+
+  /** Apply engine defaults to a builder. Kept small: everything else is
+    * Spark's own optimizer doing the work (SURVEY.md §4).
+    */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
+    .config("spark.sql.parquet.filterPushdown", "true")
+    // Driver testdata writes events.ts as TIMESTAMP(NANOS), which Spark's
+    // vectorized reader rejects; read as long and convert in Tables.df.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / tools. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName("graft")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
