@@ -14,7 +14,13 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(
     CoreBatch,
     Joins,
-    Aggregates
+    Aggregates,
+    Windows,
+    SetOps,
+    Functions,
+    TableFunctions,
+    Subqueries,
+    TimeWindows
   )
 
   private lazy val allQueries: Seq[GraftQuery] = packs.flatMap(_.queries)

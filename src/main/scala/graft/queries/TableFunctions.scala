@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table functions / ProjectSet — SURVEY.md §2.9: unnest (explode),
+  * ordinality (posexplode), generate_series (sequence), plus Expand-style
+  * word counting used by the LLM text pipeline.
+  * reference: src/expr/impl/src/table_function/ (26 registrations)
+  */
+object TableFunctions extends QueryPack {
+
+  val queries: Seq[GraftQuery] = Seq(
+    // unnest of a computed list (ProjectSet).
+    // reference: src/batch/executors/src/executor/project_set.rs:34
+    q("q_unnest",
+      """SELECT n_nationkey, unnest([n_nationkey, n_regionkey, 99]) AS v
+        |FROM nation WHERE n_nationkey < 5
+        |ORDER BY n_nationkey, v""".stripMargin) { s =>
+      s.table("nation").where(col("n_nationkey") < 5)
+        .select(col("n_nationkey"),
+          explode(array(col("n_nationkey"), col("n_regionkey"), lit(99))).as("v"))
+        .orderBy("n_nationkey", "v")
+    },
+
+    // unnest WITH ORDINALITY (posexplode).
+    q("q_unnest_ordinal",
+      """SELECT n_nationkey,
+        |  CAST(generate_subscripts([n_regionkey, n_nationkey], 1) - 1 AS INT) AS pos,
+        |  unnest([n_regionkey, n_nationkey]) AS v
+        |FROM nation WHERE n_nationkey < 5
+        |ORDER BY n_nationkey, pos""".stripMargin) { s =>
+      s.table("nation").where(col("n_nationkey") < 5)
+        .select(col("n_nationkey"),
+          posexplode(array(col("n_regionkey"), col("n_nationkey"))))
+        .toDF("n_nationkey", "pos", "v")
+        .orderBy("n_nationkey", "pos")
+    },
+
+    // generate_series as a table source.
+    // reference: src/expr/impl/src/table_function/generate_series.rs
+    q("q_generate_series",
+      """SELECT CAST(g AS INT) AS g, CAST(g * g AS INT) AS sq
+        |FROM generate_series(1, 20) t(g) ORDER BY g""".stripMargin) { s =>
+      s.range(1, 21)
+        .select(col("id").cast(IntegerType).as("g"),
+          (col("id") * col("id")).cast(IntegerType).as("sq"))
+        .orderBy("g")
+    },
+
+    // generate_series with step over timestamps.
+    q("q_generate_series_ts",
+      """SELECT ts FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |  TIMESTAMP '2024-01-02 00:00:00', INTERVAL 6 HOUR) t(ts)
+        |ORDER BY ts""".stripMargin) { s =>
+      s.sql(
+        """SELECT explode(sequence(TIMESTAMP '2024-01-01 00:00:00',
+          |  TIMESTAMP '2024-01-02 00:00:00', INTERVAL 6 HOUR)) AS ts
+          |ORDER BY ts""".stripMargin)
+    },
+
+    // explode(split(...)): word expansion — ProjectSet in a real pipeline
+    // (word frequency over the documents table).
+    q("q_word_explode",
+      """SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id < 100
+        |) WHERE w <> '' GROUP BY w
+        |ORDER BY n DESC, word LIMIT 20""".stripMargin) { s =>
+      s.table("documents").where(col("doc_id") < 100)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    }
+  )
+}
