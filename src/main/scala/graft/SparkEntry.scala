@@ -20,7 +20,10 @@ object SparkEntry {
     Functions,
     TableFunctions,
     Subqueries,
-    TimeWindows
+    TimeWindows,
+    LlmText,
+    LlmDedup,
+    LlmSimilarity
   )
 
   private lazy val allQueries: Seq[GraftQuery] = packs.flatMap(_.queries)

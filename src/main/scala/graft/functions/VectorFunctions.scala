@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-vector math over `array<float>` columns, as Catalyst
+  * expressions (codegen'd; no UDF boxing). All arithmetic is promoted to
+  * double and accumulated left-to-right, which keeps results bit-identical
+  * across engines that fold sequentially.
+  */
+object VectorFunctions {
+
+  /** Promote array<float> → array<double>. */
+  def toDoubleVec(v: Column): Column = transform(v, x => x.cast(DoubleType))
+
+  /** Dot product (sequential left fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDoubleVec(a), toDoubleVec(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (0 for zero vectors). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom > 0.0, dot(a, b) / denom).otherwise(0.0)
+  }
+
+  /** Euclidean (L2) distance. */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(toDoubleVec(a), toDoubleVec(b),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+
+  /** Sign bit (0/1) of the dot product with a deterministic pseudo-random
+    * hyperplane derived from `seed` — the random-hyperplane LSH primitive.
+    * Plane component i for seed s is ±1 from the parity of md5(s:i).
+    */
+  def hyperplaneSign(v: Column, seed: Int): Column = {
+    val planed = zip_with(toDoubleVec(v),
+      sequence(lit(0), size(v) - 1),
+      (x, i) => when(HashFunctions.md5Long(
+        concat(lit(seed.toString), lit(":"), i.cast(StringType))) % 2 === 0,
+        x).otherwise(-x))
+    when(aggregate(planed, lit(0.0), (acc, x) => acc + x) > 0.0, 1).otherwise(0)
+  }
+
+  /** LSH bucket id from `nBits` hyperplane sign bits. */
+  def lshBucket(v: Column, nBits: Int): Column =
+    (0 until nBits).map(b => hyperplaneSign(v, b) * (1 << b))
+      .reduce(_ + _).cast(IntegerType)
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Deduplication pipeline over `documents` — exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard (BASELINE.json north-star ops), all via graft.operators
+  * .Dedup with full-formula DuckDB oracles.
+  *
+  * The raw corpus has no duplicates, so each query builds a deterministic
+  * corpus with planted dups: exact copies (id+20000) and near-dups with a
+  * ' zz9' suffix (id+10000). The plant is identical SQL on both sides.
+  */
+object LlmDedup extends QueryPack {
+
+  /** Spark-side corpus with planted near-dups (id+10000, ' zz9' suffix). */
+  private def nearCorpus(s: SparkSession): DataFrame = {
+    val d = s.table("documents").select("doc_id", "text")
+    d.union(d.where(col("doc_id") < 30)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" zz9")).as("text")))
+  }
+
+  private val nearCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000 AS doc_id, text || ' zz9' AS text
+      |FROM documents WHERE doc_id < 30""".stripMargin
+
+  /** DuckDB 60-bit md5 hash (HashFunctions.md5Long). */
+  private def h60(e: String) = s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
+
+  /** DuckDB word-3-gram list (TextFunctions.wordNgrams(_, 3)). */
+  private val grams3Sql =
+    """(CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+      |                           t -> length(t) > 0)) >= 3
+      |  THEN list_transform(
+      |    range(1, len(list_filter(string_split_regex(text, '\s+'),
+      |                             t -> length(t) > 0)) - 1),
+      |    j -> array_to_string(list_slice(
+      |      list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0),
+      |      j, j + 2), ' '))
+      |  ELSE [] END)""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    // Exact dedup: planted exact copies (id+20000 for id<40) found by
+    // content fingerprint grouping.
+    q("q_dedup_exact",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM documents WHERE doc_id < 40
+        |)
+        |SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  list_sort(list(doc_id)) AS ids
+        |FROM corpus GROUP BY fp HAVING COUNT(*) > 1
+        |ORDER BY fp""".stripMargin) { s =>
+      val d = s.table("documents").select("doc_id", "text")
+      val corpus = d.union(d.where(col("doc_id") < 40)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      Dedup.exactDupGroups(corpus, "doc_id", "text")
+        .orderBy("fp")
+    },
+
+    // MinHash + LSH candidate pairs (12 hashes, 4 bands × 3 rows).
+    q("q_dedup_minhash",
+      s"""WITH corpus AS ($nearCorpusSql),
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 12), i ->
+         |      list_aggregate(list_transform($grams3Sql,
+         |        s -> ${h60("i::VARCHAR || ':' || s")}), 'min')) AS sg
+         |  FROM corpus WHERE len($grams3Sql) > 0
+         |),
+         |banded AS (
+         |  SELECT doc_id, b,
+         |    array_to_string(list_slice(sg, b * 3 + 1, b * 3 + 3), ',') AS key
+         |  FROM sig CROSS JOIN range(0, 4) r(b)
+         |)
+         |SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         |FROM banded a JOIN banded bb ON a.b = bb.b AND a.key = bb.key
+         |  AND a.doc_id < bb.doc_id
+         |ORDER BY id_a, id_b""".stripMargin) { s =>
+      Dedup.minhashCandidatePairs(nearCorpus(s), "doc_id", "text",
+        numHashes = 12, bands = 4, shingleLen = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Exact n-gram Jaccard verification of the planted near-dup pairs.
+    q("q_dedup_jaccard",
+      s"""WITH corpus AS ($nearCorpusSql),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_distinct($grams3Sql)) AS g FROM corpus
+         |),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+         |cands AS (SELECT doc_id AS id_a, doc_id + 10000 AS id_b
+         |          FROM documents WHERE doc_id < 30),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+         |  FROM cands c
+         |  JOIN grams ga ON ga.doc_id = c.id_a
+         |  JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+         |  GROUP BY c.id_a, c.id_b
+         |)
+         |SELECT i.id_a, i.id_b,
+         |  CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.id_a
+         |JOIN sizes sb ON sb.doc_id = i.id_b
+         |ORDER BY id_a, id_b""".stripMargin) { s =>
+      import s.implicits._
+      val cands = s.table("documents").where(col("doc_id") < 30)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 10000).as("id_b"))
+      Dedup.jaccardPairs(nearCorpus(s), "doc_id", "text", cands, shingleLen = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash fingerprints + Hamming distance between planted pairs:
+    // near-dups land within a few bits of each other.
+    q("q_dedup_simhash",
+      s"""WITH corpus AS ($nearCorpusSql),
+         |tok AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+         |      t -> length(t) > 0))) AS t
+         |  FROM corpus WHERE doc_id < 30 OR doc_id >= 10000
+         |),
+         |bits AS (
+         |  SELECT doc_id, b, CAST(pow(2, b) AS BIGINT) AS p,
+         |    SUM(CASE WHEN (${h60("t")} // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+         |             THEN 1 ELSE -1 END) AS sgn
+         |  FROM tok CROSS JOIN range(0, 16) r(b)
+         |  GROUP BY doc_id, b, p
+         |),
+         |sh AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN sgn > 0 THEN p ELSE 0 END) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |)
+         |SELECT a.doc_id, CAST(a.simhash AS BIGINT) AS simhash,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10000
+         |ORDER BY a.doc_id""".stripMargin) { s =>
+      val sub = nearCorpus(s)
+        .where(col("doc_id") < 30 || col("doc_id") >= 10000)
+      val sh = Dedup.simhash(sub, "doc_id", "text", bits = 16)
+      val a = sh.select(col("doc_id"), col("simhash"))
+      val b = sh.select(col("doc_id").as("doc_id_b"), col("simhash").as("simhash_b"))
+      a.join(b, col("doc_id_b") === col("doc_id") + 10000)
+        .select(col("doc_id"), col("simhash"),
+          Dedup.hammingDistance(col("simhash"), col("simhash_b"), 16).as("hamming"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.SimilaritySearch
+
+/** Similarity search over `embeddings` (array<float>, 64-dim) — exact
+  * brute-force top-k, LSH-bucketed ANN, and threshold near-dup pairs
+  * (BASELINE.json north-star ops). Oracle replicates the double-promoted
+  * sequential-fold vector math with DuckDB list lambdas.
+  */
+object LlmSimilarity extends QueryPack {
+
+  /** DuckDB dot product: index-driven, promoted to double, sequential sum
+    * (bit-matches VectorFunctions.dot's left fold).
+    */
+  private def dotSql(a: String, b: String) =
+    s"""list_sum(list_transform(range(1, 65),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+
+  private def normSql(a: String) = s"sqrt(${dotSql(a, a)})"
+
+  private def cosSql(a: String, b: String) =
+    s"""(CASE WHEN ${normSql(a)} * ${normSql(b)} > 0.0
+       |  THEN ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})
+       |  ELSE 0.0 END)""".stripMargin
+
+  /** DuckDB hyperplane-LSH bucket (VectorFunctions.lshBucket, 4 bits). */
+  private def bucketSql(v: String) =
+    (0 until 4).map { b =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, 65),
+         |  i -> CASE WHEN CAST(('0x' || substr(md5('$b:' || (i-1)::VARCHAR),1,15)) AS BIGINT) % 2 = 0
+         |       THEN CAST($v[i] AS DOUBLE) ELSE -CAST($v[i] AS DOUBLE) END)) > 0.0
+         |  THEN ${1 << b} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  val queries: Seq[GraftQuery] = Seq(
+    // Norms — sanity anchor for all downstream vector math.
+    q("q_embed_norm",
+      s"""SELECT vec_id, CAST(label AS INT) AS label,
+         |  round(${normSql("embedding")}, 6) AS nrm
+         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin) { s =>
+      s.table("embeddings").where(col("vec_id") < 100)
+        .select(col("vec_id"), col("label").cast("int").as("label"),
+          round(VectorFunctions.l2Norm(col("embedding")), 6).as("nrm"))
+        .orderBy("vec_id")
+    },
+
+    // Exact brute-force cosine top-3 for 5 query vectors.
+    q("q_embed_topk",
+      s"""SELECT qid, id, cos, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT q.vec_id AS qid, e.vec_id AS id,
+         |    round(${cosSql("q.embedding", "e.embedding")}, 6) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosSql("q.embedding", "e.embedding")}, 6) DESC,
+         |               e.vec_id) AS rank
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |  WHERE e.vec_id <> q.vec_id
+         |) WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { s =>
+      val e = s.table("embeddings")
+      val qs = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qvec_id"), col("embedding").as("qembedding"))
+      SimilaritySearch.bruteForceTopK(e, "vec_id", "embedding",
+        qs, "qvec_id", "qembedding", k = 3)
+        .select(col("qid"), col("id"), col("cos"), col("rank").cast("bigint").as("rank"))
+        .orderBy("qid", "rank")
+    },
+
+    // LSH bucket assignment (the ANN partitioning primitive).
+    q("q_embed_lsh_bucket",
+      s"""SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MIN(vec_id) AS BIGINT) AS min_id
+         |FROM (SELECT vec_id, ${bucketSql("embedding")} AS bucket FROM embeddings)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin) { s =>
+      s.table("embeddings")
+        .select(col("vec_id"),
+          VectorFunctions.lshBucket(col("embedding"), 4).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
+        .orderBy("bucket")
+    },
+
+    // LSH-bucketed approximate top-2: same ranking as q_embed_topk but
+    // only same-bucket pairs are scored (the 100 TB-scale path).
+    q("q_embed_lsh_topk",
+      s"""SELECT qid, id, cos, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT q.vec_id AS qid, e.vec_id AS id,
+         |    round(${cosSql("q.embedding", "e.embedding")}, 6) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosSql("q.embedding", "e.embedding")}, 6) DESC,
+         |               e.vec_id) AS rank
+         |  FROM (SELECT *, ${bucketSql("embedding")} AS bucket FROM embeddings) e
+         |  JOIN (SELECT *, ${bucketSql("embedding")} AS bucket FROM embeddings
+         |        WHERE vec_id < 8) q
+         |    ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+         |) WHERE rank <= 2 ORDER BY qid, rank""".stripMargin) { s =>
+      val e = s.table("embeddings")
+      val qs = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qvec_id"), col("embedding").as("qembedding"))
+      SimilaritySearch.lshTopK(e, "vec_id", "embedding",
+        qs, "qvec_id", "qembedding", k = 2, nBits = 4)
+        .select(col("qid"), col("id"), col("cos"), col("rank").cast("bigint").as("rank"))
+        .orderBy("qid", "rank")
+    },
+
+    // Embedding near-dup pairs above a cosine threshold, LSH-pruned.
+    q("q_embed_neardup",
+      s"""SELECT id_a, id_b, cos FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+         |  FROM (SELECT *, ${bucketSql("embedding")} AS bucket FROM embeddings) a
+         |  JOIN (SELECT *, ${bucketSql("embedding")} AS bucket FROM embeddings) b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |) WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin) { s =>
+      SimilaritySearch.nearDupPairs(s.table("embeddings"), "vec_id", "embedding",
+        threshold = 0.3, nBits = 4)
+        .orderBy("id_a", "id_b")
+    }
+  )
+}

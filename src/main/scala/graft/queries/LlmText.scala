@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Text-analysis pipeline over `documents` — token counting, quality
+  * scoring, language ID, fingerprinting (BASELINE.json north-star ops).
+  * Spark side uses the graft.functions.TextFunctions library; oracle side
+  * replicates the same formulas in DuckDB list-lambda SQL.
+  */
+object LlmText extends QueryPack {
+
+  /** DuckDB spelling of TextFunctions.tokens. */
+  private val toksSql =
+    """list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)"""
+
+  val queries: Seq[GraftQuery] = Seq(
+    q("q_text_stats",
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INT) AS n_tokens,
+         |  CAST(CASE WHEN length(text) > 0 THEN
+         |    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]]', '', 'g'))
+         |      / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS DOUBLE) AS punct_ratio,
+         |  CAST(CASE WHEN len($toksSql) > 0 THEN
+         |    CAST(list_sum(list_transform($toksSql, t -> length(t))) AS DOUBLE)
+         |      / len($toksSql) ELSE 0.0 END AS DOUBLE) AS mean_tok_len,
+         |  CAST(CASE WHEN len($toksSql) > 0 THEN
+         |    CAST(len(list_filter($toksSql, t -> list_contains(
+         |      ['the','a','of','and','to','in','is','that'], t))) AS DOUBLE)
+         |      / len($toksSql) ELSE 0.0 END AS DOUBLE) AS stop_ratio
+         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { s =>
+      s.table("documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+          TextFunctions.meanTokenLen(col("text")).as("mean_tok_len"),
+          TextFunctions.stopwordRatio(col("text")).as("stop_ratio"))
+        .orderBy("doc_id")
+    },
+
+    q("q_text_quality",
+      s"""SELECT doc_id, round((
+         |    least(length(text) / 500.0, 1.0)
+         |  + (CASE WHEN (CASE WHEN len($toksSql) > 0 THEN
+         |        CAST(list_sum(list_transform($toksSql, t -> length(t))) AS DOUBLE)
+         |          / len($toksSql) ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+         |      THEN 1.0 ELSE 0.5 END)
+         |  + least((CASE WHEN len($toksSql) > 0 THEN
+         |      CAST(len(list_filter($toksSql, t -> list_contains(
+         |        ['the','a','of','and','to','in','is','that'], t))) AS DOUBLE)
+         |        / len($toksSql) ELSE 0.0 END) * 5.0, 1.0)
+         |  + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN
+         |      length(regexp_replace(text, '[^.,;:!?''"()\\[\\]]', '', 'g'))
+         |        / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 5.0)
+         |) / 4.0, 6) AS quality
+         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { s =>
+      s.table("documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    q("q_text_langid",
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(list_transform($toksSql, t -> lower(t)),
+         |      t -> list_contains(['the','a','of','and','to','in','is','that'], t))) AS s_en,
+         |    len(list_filter(list_transform($toksSql, t -> lower(t)),
+         |      t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS s_de,
+         |    len(list_filter(list_transform($toksSql, t -> lower(t)),
+         |      t -> list_contains(['le','la','les','et','est','un','une','du'], t))) AS s_fr,
+         |    len(list_filter(list_transform($toksSql, t -> lower(t)),
+         |      t -> list_contains(['el','la','los','las','es','un','una','del'], t))) AS s_es
+         |  FROM documents
+         |), labeled AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         |         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         |         ELSE 'es' END AS detected
+         |  FROM scored
+         |)
+         |SELECT detected, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(*) FILTER (WHERE detected = lang) AS BIGINT) AS n_label_match
+         |FROM labeled GROUP BY detected ORDER BY detected""".stripMargin) { s =>
+      s.table("documents")
+        .withColumn("detected", TextFunctions.langId(col("text")))
+        .groupBy("detected")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("detected") === col("lang"), 1)).as("n_label_match"))
+        .orderBy("detected")
+    },
+
+    q("q_text_fingerprint",
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+        |         t -> length(t) > 0))
+        |     + list_sum(list_transform(
+        |         list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+        |           t -> length(t) > 0),
+        |         t -> length(t) // 5)) AS BIGINT) AS tok_est
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { s =>
+      s.table("documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"),
+          TextFunctions.tokenEstimate(col("text")).as("tok_est"))
+        .orderBy("doc_id")
+    }
+  )
+}
