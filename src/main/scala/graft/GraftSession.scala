@@ -28,6 +28,8 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    // MV merge rewrites only the hash buckets a delta touches.
+    .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests / tools. */
