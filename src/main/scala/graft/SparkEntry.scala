@@ -21,6 +21,8 @@ object SparkEntry {
     TableFunctions,
     Subqueries,
     TimeWindows,
+    OrderedAggs,
+    Advanced,
     LlmText,
     LlmDedup,
     LlmSimilarity

@@ -44,18 +44,55 @@ object Dedup {
       .agg(count(lit(1)).as("n"), array_sort(collect_list(col(idCol))).as("ids"))
       .where(col("n") > 1)
 
-  /** MinHash signature column: for each of `numHashes` seeded hash
-    * functions, the min hash over the document's word `shingleLen`-grams.
+  /** Universal-hash prime for MinHash mixing (2^31 − 1). */
+  val MinhashP = 2147483647L
+
+  /** MinHash signature column: ONE md5 per shingle, then `numHashes`
+    * independent values from a universal hash family
+    * h_i(x) = ((x mod P)·(2i+1) + 409·i + 7) mod P — 12× cheaper than
+    * hashing per (seed, shingle) and still engine-portable (exact int64
+    * arithmetic, no overflow: (2^31)·(2k+1) stays far below 2^63).
     * Null-safe: docs with fewer than `shingleLen` words get an empty
     * signature and never produce candidates.
     */
   def minhashSignature(text: Column, numHashes: Int, shingleLen: Int): Column = {
     val shingles = TextFunctions.wordNgrams(text, shingleLen)
+    val bases = transform(shingles, s => HashFunctions.md5Long(s) % MinhashP)
     when(size(shingles) > 0,
       transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(shingles,
-          s => HashFunctions.md5LongSeeded(s, i)))))
+        i => array_min(transform(bases,
+          h => (h * (i * 2 + 1) + i * 409 + 7) % MinhashP))))
       .otherwise(array().cast(ArrayType(LongType)))
+  }
+
+  /** Add a MinHash signature column via STAGED projections. A single
+    * nested expression would inline the shingle/md5 sub-trees into every
+    * hash lambda (Catalyst expressions are trees, not DAGs) and evaluate
+    * md5 `numHashes` times per shingle; separate projections evaluate each
+    * stage once per row (CollapseProject keeps non-cheap expressions
+    * un-merged).
+    */
+  def withMinhashSignature(
+      df: DataFrame, textCol: String, outCol: String,
+      numHashes: Int, shingleLen: Int): DataFrame = {
+    val toks = "__mh_toks"
+    val bases = "__mh_bases"
+    df
+      .withColumn(toks, TextFunctions.tokens(col(textCol)))
+      .withColumn(bases,
+        when(size(col(toks)) >= shingleLen,
+          transform(
+            transform(sequence(lit(1), size(col(toks)) - (shingleLen - 1)),
+              j => concat_ws(" ", slice(col(toks), j, lit(shingleLen)))),
+            s => HashFunctions.md5Long(s) % MinhashP))
+          .otherwise(array().cast(ArrayType(LongType))))
+      .withColumn(outCol,
+        when(size(col(bases)) > 0,
+          transform(sequence(lit(0), lit(numHashes - 1)),
+            i => array_min(transform(col(bases),
+              h => (h * (i * 2 + 1) + i * 409 + 7) % MinhashP))))
+          .otherwise(array().cast(ArrayType(LongType))))
+      .drop(toks, bases)
   }
 
   /** LSH candidate pairs: split the signature into `bands`, bucket-join on
@@ -63,22 +100,40 @@ object Dedup {
     */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 12, bands: Int = 4, shingleLen: Int = 3): DataFrame = {
+      numHashes: Int = 12, bands: Int = 2, shingleLen: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = df.select(col(idCol).as("__id"),
-      minhashSignature(col(textCol), numHashes, shingleLen).as("__sig"))
+    val sig0 = withMinhashSignature(
+      df.select(col(idCol).as("__id"), col(textCol)),
+      textCol, "__sig", numHashes, shingleLen)
+      .select(col("__id"), col("__sig"))
+    // Optimizer barrier: CollapseProject would inline the signature
+    // expression into every downstream operator (filter, generate), and
+    // nested-lambda inlining re-evaluates the md5 stage once per hash
+    // index — observed 12× slowdown. The RDD round-trip pins "compute the
+    // signature exactly once per row" into the physical plan.
+    val sig = df.sparkSession.createDataFrame(sig0.rdd, sig0.schema)
       .where(size(col("__sig")) > 0)
-    // band key = joined hash slice; explode → shuffle on (band, key)
+    // band key = joined hash slice; explode → shuffle on (band, key).
     val banded = sig.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", slice(col("__sig"), b * rows + 1, lit(rows))))))
       .toDF("__id", "band", "key")
-    val a = banded.select(col("band"), col("key"), col("__id").as("id_a"))
-    val b = banded.select(col("band"), col("key"), col("__id").as("id_b"))
-    a.join(b, Seq("band", "key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // Pair generation by bucket grouping (single scan — a self-join would
+    // recompute the whole signature pipeline for each side): collect the
+    // ids per (band, key), emit in-bucket combinations. Buckets larger
+    // than `maxBucket` are degenerate for dedup (a band shared by hundreds
+    // of documents is noise, and O(n²) pairs under any formulation) and
+    // are dropped — the standard LSH skew guard.
+    val buckets = banded.groupBy("band", "key")
+      .agg(array_sort(collect_set(col("__id"))).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recursive-CTE execution as a driver-side fixpoint loop — the Spark
+  * rendering of the reference's RecursiveUnion plan node
+  * (reference: src/frontend/src/optimizer/plan_node/logical_recursive_union.rs).
+  *
+  * Each iteration joins the frontier against the step relation and
+  * anti-joins the accumulated result so only new rows survive; the loop
+  * ends when the frontier empties. Scale notes: the accumulator is
+  * re-checkpointed every few iterations to cut the lineage chain (long
+  * iterative lineages blow up planning time and recovery cost).
+  */
+object IterativeFixpoint {
+
+  /** Transitive closure of an edge set (columns `src`, `dst`). */
+  def transitiveClosure(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    var acc = edges.select("src", "dst").distinct().localCheckpoint(true)
+    var frontier = acc
+    var i = 0
+    while (i < maxIter && !frontier.isEmpty) {
+      val next = frontier
+        .select(col("src").as("fsrc"), col("dst").as("fdst"))
+        .join(edges.select(col("src").as("esrc"), col("dst").as("edst")),
+          col("fdst") === col("esrc"))
+        .select(col("fsrc").as("src"), col("edst").as("dst"))
+        .distinct()
+        .join(acc, Seq("src", "dst"), "left_anti")
+        .localCheckpoint(true)
+      if (!next.isEmpty) acc = acc.union(next).localCheckpoint(true)
+      frontier = next
+      i += 1
+    }
+    acc
+  }
+
+  /** Generic fixpoint: iterate `step` over the accumulated set until no
+    * new distinct rows appear (UNION semantics of a recursive CTE).
+    */
+  def fixpoint(base: DataFrame, step: DataFrame => DataFrame, maxIter: Int = 50): DataFrame = {
+    var acc = base.distinct().localCheckpoint(true)
+    var frontier = acc
+    var i = 0
+    while (i < maxIter && !frontier.isEmpty) {
+      val next = step(frontier).distinct()
+        .join(acc, acc.columns.toSeq, "left_anti")
+        .localCheckpoint(true)
+      if (!next.isEmpty) acc = acc.union(next).localCheckpoint(true)
+      frontier = next
+      i += 1
+    }
+    acc
+  }
+}

@@ -65,27 +65,35 @@ object LlmDedup extends QueryPack {
         .orderBy("fp")
     },
 
-    // MinHash + LSH candidate pairs (12 hashes, 4 bands × 3 rows).
+    // MinHash + LSH candidate pairs (12 hashes, 2 bands × 6 rows; buckets
+    // over 64 members dropped as degenerate — same guard on both sides).
     q("q_dedup_minhash",
       s"""WITH corpus AS ($nearCorpusSql),
          |sig AS (
          |  SELECT doc_id,
          |    list_transform(range(0, 12), i ->
          |      list_aggregate(list_transform($grams3Sql,
-         |        s -> ${h60("i::VARCHAR || ':' || s")}), 'min')) AS sg
+         |        s -> ((${h60("s")} % 2147483647) * (i * 2 + 1) + i * 409 + 7)
+         |             % 2147483647), 'min')) AS sg
          |  FROM corpus WHERE len($grams3Sql) > 0
          |),
          |banded AS (
          |  SELECT doc_id, b,
-         |    array_to_string(list_slice(sg, b * 3 + 1, b * 3 + 3), ',') AS key
-         |  FROM sig CROSS JOIN range(0, 4) r(b)
+         |    array_to_string(list_slice(sg, b * 6 + 1, b * 6 + 6), ',') AS key
+         |  FROM sig CROSS JOIN range(0, 2) r(b)
+         |),
+         |ok AS (
+         |  SELECT b, key FROM banded GROUP BY b, key
+         |  HAVING COUNT(*) > 1 AND COUNT(*) <= 64
          |)
          |SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
-         |FROM banded a JOIN banded bb ON a.b = bb.b AND a.key = bb.key
+         |FROM banded a
+         |JOIN ok o ON o.b = a.b AND o.key = a.key
+         |JOIN banded bb ON a.b = bb.b AND a.key = bb.key
          |  AND a.doc_id < bb.doc_id
          |ORDER BY id_a, id_b""".stripMargin) { s =>
       Dedup.minhashCandidatePairs(nearCorpus(s), "doc_id", "text",
-        numHashes = 12, bands = 4, shingleLen = 3)
+        numHashes = 12, bands = 2, shingleLen = 3, maxBucket = 64)
         .orderBy("id_a", "id_b")
     },
 
