@@ -23,6 +23,7 @@ object SparkEntry {
     TimeWindows,
     OrderedAggs,
     Advanced,
+    Shims,
     LlmText,
     LlmDedup,
     LlmSimilarity

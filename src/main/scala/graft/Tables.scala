@@ -29,9 +29,14 @@ object Tables {
     else raw
   }
 
-  /** Register every table as a temp view for `spark.sql` queries. Lazy: no
-    * data is read until an action runs; footer reads are per-analysis only.
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** Register every table as a temp view for `spark.sql` queries.
+    * Memoized per (session, dir): schema/footer reads happen once, not
+    * once per query — registration itself reads no data.
     */
   def register(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
+    if (registered.add((spark, dir)))
+      all.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -27,4 +27,14 @@ object HashFunctions {
 
   /** Full md5 hex digest of a string column (content fingerprint). */
   def md5Hex(c: Column): Column = md5(c.cast(BinaryType))
+
+  /** Driver-side evaluation of [[md5Long]] for plan-time constants (e.g.
+    * LSH hyperplane components) — identical value to the column version.
+    */
+  def md5LongLocal(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
 }

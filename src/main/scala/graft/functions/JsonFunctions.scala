@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** jsonb mutation shims over flat JSON objects — the reference's
+  * jsonb_set / jsonb_delete / jsonb_concat / jsonb_object_keys
+  * (reference: src/expr/impl/src/scalar/jsonb_*.rs). Spark's JSON surface
+  * is read-only (`get_json_object`/`from_json`); mutation is expressed as
+  * parse → map transform → re-serialize. Flat string→string objects only
+  * (the engine's jsonb carrier for event properties); nested structures
+  * pass through `from_json` with full schemas instead.
+  */
+object JsonFunctions {
+
+  private val mapType = MapType(StringType, StringType)
+
+  private def asMap(json: Column): Column = from_json(json, mapType)
+
+  /** jsonb_set(json, key, value) for flat objects. */
+  def jsonbSet(json: Column, key: Column, value: Column): Column =
+    to_json(map_concat(
+      map_filter(asMap(json), (k, _) => k =!= key),
+      map(key, value.cast(StringType))))
+
+  /** jsonb_delete(json, key). */
+  def jsonbDelete(json: Column, key: Column): Column =
+    to_json(map_filter(asMap(json), (k, _) => k =!= key))
+
+  /** jsonb_concat(a, b): right side wins on key conflicts. */
+  def jsonbConcat(a: Column, b: Column): Column = {
+    val bm = asMap(b)
+    to_json(map_concat(
+      map_filter(asMap(a), (k, _) => !array_contains(map_keys(bm), k)),
+      bm))
+  }
+
+  /** jsonb_object_keys, sorted for determinism. */
+  def jsonbObjectKeys(json: Column): Column =
+    array_sort(map_keys(asMap(json)))
+
+  /** Typed access: jsonb field as bigint/double/text. */
+  def jsonbGetText(json: Column, path: String): Column =
+    get_json_object(json, s"$$.$path")
+  def jsonbGetLong(json: Column, path: String): Column =
+    jsonbGetText(json, path).cast(LongType)
+  def jsonbGetDouble(json: Column, path: String): Column =
+    jsonbGetText(json, path).cast(DoubleType)
+}

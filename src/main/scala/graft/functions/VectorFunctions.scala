@@ -35,19 +35,19 @@ object VectorFunctions {
 
   /** Sign bit (0/1) of the dot product with a deterministic pseudo-random
     * hyperplane derived from `seed` — the random-hyperplane LSH primitive.
-    * Plane component i for seed s is ±1 from the parity of md5(s:i).
+    * Plane component i for seed s is ±1 from the parity of md5(s:i); the
+    * signs are plan-time constants (folded on the driver — evaluating the
+    * md5 per row per bit would cost dims×bits hashes per vector).
     */
-  def hyperplaneSign(v: Column, seed: Int): Column = {
-    val planed = zip_with(toDoubleVec(v),
-      sequence(lit(0), size(v) - 1),
-      (x, i) => when(HashFunctions.md5Long(
-        concat(lit(seed.toString), lit(":"), i.cast(StringType))) % 2 === 0,
-        x).otherwise(-x))
+  def hyperplaneSign(v: Column, seed: Int, dims: Int): Column = {
+    val signs = Array.tabulate(dims)(i =>
+      if (HashFunctions.md5LongLocal(s"$seed:$i") % 2 == 0) 1.0 else -1.0)
+    val planed = zip_with(toDoubleVec(v), typedlit(signs.toSeq), (x, s) => x * s)
     when(aggregate(planed, lit(0.0), (acc, x) => acc + x) > 0.0, 1).otherwise(0)
   }
 
   /** LSH bucket id from `nBits` hyperplane sign bits. */
-  def lshBucket(v: Column, nBits: Int): Column =
-    (0 until nBits).map(b => hyperplaneSign(v, b) * (1 << b))
+  def lshBucket(v: Column, nBits: Int, dims: Int = 64): Column =
+    (0 until nBits).map(b => hyperplaneSign(v, b, dims) * (1 << b))
       .reduce(_ + _).cast(IntegerType)
 }

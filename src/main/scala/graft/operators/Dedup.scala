@@ -144,7 +144,13 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       candidates: DataFrame, shingleLen: Int = 3): DataFrame = {
-    val grams = df.select(col(idCol).as("__id"),
+    // Only candidate members need shingling — semi-join BEFORE the
+    // (expensive) n-gram explode. At scale candidates ≪ corpus, so this
+    // turns a full-corpus explode ×3 consumers into a tiny one.
+    val candIds = candidates.select(col("id_a").as("__cid"))
+      .union(candidates.select(col("id_b").as("__cid"))).distinct()
+    val sub = df.join(candIds, col(idCol) === col("__cid"), "left_semi")
+    val grams = sub.select(col(idCol).as("__id"),
       explode(array_distinct(
         TextFunctions.wordNgrams(col(textCol), shingleLen))).as("g"))
     val sizes = grams.groupBy("__id").agg(count(lit(1)).as("sz"))

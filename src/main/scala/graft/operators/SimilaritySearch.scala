@@ -10,14 +10,27 @@ import graft.functions.VectorFunctions
   *
   * Two strategies:
   *  - [[bruteForceTopK]]: exact — broadcast the (small) query set against
-  *    the corpus, score with codegen'd vector math, per-query top-k via
-  *    partial TopK (no global sort). The right baseline up to ~10⁴ queries.
+  *    the corpus, score with vector math, per-query top-k via partial TopK
+  *    (no global sort). The right baseline up to ~10⁴ queries.
   *  - [[lshTopK]]: scale path — random-hyperplane LSH buckets both sides;
   *    only same-bucket pairs are scored. Probe cost drops by ~2^nBits at
   *    the cost of recall; multi-probe can be added by unioning neighbor
   *    buckets.
+  *
+  * Norms are staged per row BEFORE the pair join — computing the full
+  * cosine per pair would redo both norms for every candidate pair
+  * (norm cost is O(dims), pairs are O(n·bucket)).
   */
 object SimilaritySearch {
+
+  /** cos(a,b) from a precomputed-norm pair, rounded for cross-engine
+    * stability.
+    */
+  private def cosWithNorms(va: String, vb: String, na: String, nb: String) =
+    round(
+      when(col(na) * col(nb) > 0.0,
+        VectorFunctions.dot(col(va), col(vb)) / (col(na) * col(nb)))
+        .otherwise(0.0), 6)
 
   /** Exact top-k cosine neighbors for each query row.
     * Output: (qid, id, cos, rank), rank 1..k, ties broken by id.
@@ -26,10 +39,14 @@ object SimilaritySearch {
       data: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int): DataFrame = {
-    val scored = data.join(broadcast(queries))
-      .where(col(qidCol) =!= col(idCol))
-      .select(col(qidCol).as("qid"), col(idCol).as("id"),
-        round(VectorFunctions.cosine(col(qvecCol), col(vecCol)), 6).as("cos"))
+    val d = data.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .withColumn("__n", VectorFunctions.l2Norm(col("__vec")))
+    val qs = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
+      .withColumn("__qn", VectorFunctions.l2Norm(col("__qvec")))
+    val scored = d.join(broadcast(qs))
+      .where(col("__qid") =!= col("__id"))
+      .select(col("__qid").as("qid"), col("__id").as("id"),
+        cosWithNorms("__qvec", "__vec", "__qn", "__n").as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -43,15 +60,17 @@ object SimilaritySearch {
   def lshTopK(
       data: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nBits: Int = 4): DataFrame = {
-    val bucketed = data.withColumn("__bucket",
-      VectorFunctions.lshBucket(col(vecCol), nBits))
-    val qBucketed = queries.withColumn("__bucket",
-      VectorFunctions.lshBucket(col(qvecCol), nBits))
-    val scored = bucketed.join(broadcast(qBucketed), Seq("__bucket"))
-      .where(col(qidCol) =!= col(idCol))
-      .select(col(qidCol).as("qid"), col(idCol).as("id"),
-        round(VectorFunctions.cosine(col(qvecCol), col(vecCol)), 6).as("cos"))
+      k: Int, nBits: Int = 4, dims: Int = 64): DataFrame = {
+    val d = data.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .withColumn("__n", VectorFunctions.l2Norm(col("__vec")))
+      .withColumn("__bucket", VectorFunctions.lshBucket(col("__vec"), nBits, dims))
+    val qs = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
+      .withColumn("__qn", VectorFunctions.l2Norm(col("__qvec")))
+      .withColumn("__bucket", VectorFunctions.lshBucket(col("__qvec"), nBits, dims))
+    val scored = d.join(broadcast(qs), Seq("__bucket"))
+      .where(col("__qid") =!= col("__id"))
+      .select(col("__qid").as("qid"), col("__id").as("id"),
+        cosWithNorms("__qvec", "__vec", "__qn", "__n").as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -62,14 +81,17 @@ object SimilaritySearch {
     */
   def nearDupPairs(
       data: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 4): DataFrame = {
+      threshold: Double, nBits: Int = 4, dims: Int = 64): DataFrame = {
     val bucketed = data.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
-      .withColumn("__bucket", VectorFunctions.lshBucket(col("__vec"), nBits))
-    val a = bucketed.select(col("__bucket"), col("__id").as("id_a"), col("__vec").as("va"))
-    val b = bucketed.select(col("__bucket"), col("__id").as("id_b"), col("__vec").as("vb"))
+      .withColumn("__n", VectorFunctions.l2Norm(col("__vec")))
+      .withColumn("__bucket", VectorFunctions.lshBucket(col("__vec"), nBits, dims))
+    val a = bucketed.select(col("__bucket"), col("__id").as("id_a"),
+      col("__vec").as("va"), col("__n").as("na"))
+    val b = bucketed.select(col("__bucket"), col("__id").as("id_b"),
+      col("__vec").as("vb"), col("__n").as("nb"))
     a.join(b, Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+      .withColumn("cos", cosWithNorms("va", "vb", "na", "nb"))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

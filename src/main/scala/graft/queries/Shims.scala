@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{JsonFunctions, TimeFunctions}
+
+/** Dialect shims — SURVEY.md §7.1 "custom (thin)": the TIME type carrier
+  * (µs since midnight) and jsonb mutation functions, each oracle-checked
+  * against DuckDB's native TIME/JSON behavior.
+  */
+object Shims extends QueryPack {
+
+  val queries: Seq[GraftQuery] = Seq(
+    // TIME type shim: time-of-day extraction, make_time, wrap-around
+    // arithmetic, HH:MM:SS rendering.
+    q("q_fn_time",
+      """SELECT event_id,
+        |  epoch_us(ts) % 86400000000 AS tod,
+        |  CAST((epoch_us(ts) % 86400000000) // 3600000000 AS INT) AS hh,
+        |  CAST(((epoch_us(ts) % 86400000000) % 3600000000) // 60000000 AS INT) AS mi,
+        |  CAST(((epoch_us(ts) % 86400000000) % 60000000) // 1000000 AS INT) AS ss,
+        |  (10 * 3600000000 + 30 * 60000000 + CAST(15.5 * 1000000 AS BIGINT)) AS mk,
+        |  ((epoch_us(ts) % 86400000000) + 2 * 3600000000) % 86400000000 AS shifted,
+        |  lpad(CAST((epoch_us(ts) % 86400000000) // 3600000000 AS VARCHAR), 2, '0')
+        |    || ':' ||
+        |  lpad(CAST(((epoch_us(ts) % 86400000000) % 3600000000) // 60000000 AS VARCHAR), 2, '0')
+        |    || ':' ||
+        |  lpad(CAST(((epoch_us(ts) % 86400000000) % 60000000) // 1000000 AS VARCHAR), 2, '0') AS hhmmss
+        |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin) { s =>
+      val tod = TimeFunctions.timeOfDay(col("ts"))
+      s.table("events").where(col("event_id") < 300)
+        .select(col("event_id"),
+          tod.as("tod"),
+          TimeFunctions.hourOf(tod).as("hh"),
+          TimeFunctions.minuteOf(tod).as("mi"),
+          TimeFunctions.secondOf(tod).as("ss"),
+          TimeFunctions.makeTime(lit(10), lit(30), lit(15.5)).as("mk"),
+          TimeFunctions.timeAdd(tod, lit(2 * TimeFunctions.MicrosPerHour)).as("shifted"),
+          TimeFunctions.timeToString(tod).as("hhmmss"))
+        .orderBy("event_id")
+    },
+
+    // jsonb mutation: set / delete / concat (merge) / object_keys,
+    // compared via post-mutation extraction (raw JSON text would expose
+    // engine-specific key ordering).
+    q("q_fn_json_mutate",
+      """SELECT event_id,
+        |  json_extract_string(json_merge_patch(props, '{"k2": "5"}'), '$.k2') AS set_k2,
+        |  json_extract_string(json_merge_patch(props, '{"k2": "5"}'), '$.k') AS keep_k,
+        |  json_extract_string(json_merge_patch(props, '{"k": null}'), '$.k') AS del_k,
+        |  json_extract_string(json_merge_patch(props, '{"z": "9"}'), '$.z') AS concat_z,
+        |  list_sort(json_keys(props)) AS keys
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { s =>
+      val p = col("props")
+      s.table("events").where(col("event_id") < 200)
+        .select(col("event_id"),
+          JsonFunctions.jsonbGetText(
+            JsonFunctions.jsonbSet(p, lit("k2"), lit("5")), "k2").as("set_k2"),
+          JsonFunctions.jsonbGetText(
+            JsonFunctions.jsonbSet(p, lit("k2"), lit("5")), "k").as("keep_k"),
+          JsonFunctions.jsonbGetText(
+            JsonFunctions.jsonbDelete(p, lit("k")), "k").as("del_k"),
+          JsonFunctions.jsonbGetText(
+            JsonFunctions.jsonbConcat(p, lit("""{"z": "9"}""")), "z").as("concat_z"),
+          JsonFunctions.jsonbObjectKeys(p).as("keys"))
+        .orderBy("event_id")
+    }
+  )
+}

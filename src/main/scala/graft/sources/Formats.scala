@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.Changelog
+
+/** Source/sink format codecs — SURVEY.md §2.1 (FORMAT Plain/Upsert/
+  * Debezium × ENCODE Json/Csv; reference: src/connector/src/source/base.rs
+  * :337-363 and src/connector/src/parser/). Everything is a DataFrame →
+  * DataFrame transform over a raw string column, so the same codec runs in
+  * batch and in a `readStream` pipeline unchanged.
+  */
+object Formats {
+
+  /** FORMAT PLAIN ENCODE JSON: decode a JSON payload column. */
+  def decodeJson(df: DataFrame, payloadCol: String, schema: StructType): DataFrame =
+    df.withColumn("__d", from_json(col(payloadCol), schema))
+      .select(col("*"), col("__d.*")).drop("__d", payloadCol)
+
+  /** FORMAT PLAIN ENCODE CSV. */
+  def decodeCsv(df: DataFrame, payloadCol: String, schema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame =
+    df.withColumn("__d", from_csv(col(payloadCol), schema, options))
+      .select(col("*"), col("__d.*")).drop("__d", payloadCol)
+
+  /** Debezium envelope schema over a row schema. */
+  private def envelopeSchema(row: StructType): StructType = StructType(Seq(
+    StructField("before", row, nullable = true),
+    StructField("after", row, nullable = true),
+    StructField("op", StringType, nullable = true)))
+
+  /** FORMAT DEBEZIUM ENCODE JSON → changelog DataFrame: op c/r→Insert,
+    * u→UpdateInsert (after image), d→Delete (before image).
+    * reference: src/connector/src/parser/debezium/
+    */
+  def decodeDebezium(df: DataFrame, payloadCol: String, rowSchema: StructType): DataFrame = {
+    val env = df.withColumn("__e", from_json(col(payloadCol), envelopeSchema(rowSchema)))
+    val opCol = when(col("__e.op").isin("c", "r"), Changelog.Insert)
+      .when(col("__e.op") === "u", Changelog.UpdateInsert)
+      .when(col("__e.op") === "d", Changelog.Delete)
+    val image = when(col("__e.op") === "d", col("__e.before")).otherwise(col("__e.after"))
+    env.select(image.as("__row"), opCol.as(Changelog.OpCol))
+      .where(col(Changelog.OpCol).isNotNull)
+      .select(col("__row.*"), col(Changelog.OpCol))
+      .withColumn(Changelog.SeqCol, lit(0L))
+  }
+
+  /** Changelog DataFrame → Debezium-JSON sink payloads (SinkFormat
+    * Debezium; reference: src/connector/src/sink/catalog/mod.rs:132-154).
+    */
+  def encodeDebezium(changelog: DataFrame): DataFrame = {
+    val dataCols = changelog.columns
+      .filterNot(Seq(Changelog.OpCol, Changelog.SeqCol).contains)
+    val row = struct(dataCols.map(col): _*)
+    val rowType = StructType(dataCols.map(c => changelog.schema(c)))
+    val isDelete = col(Changelog.OpCol) === Changelog.Delete
+    changelog.select(
+      to_json(struct(
+        when(isDelete, row).otherwise(lit(null).cast(rowType)).as("before"),
+        when(isDelete, lit(null).cast(rowType)).otherwise(row).as("after"),
+        when(isDelete, "d")
+          .when(col(Changelog.OpCol) === Changelog.UpdateInsert, "u")
+          .otherwise("c").as("op"))).as("value"))
+  }
+
+  /** Upsert-JSON sink: null value = delete tombstone (SinkFormat Upsert). */
+  def encodeUpsert(changelog: DataFrame, pk: Seq[String]): DataFrame = {
+    val dataCols = changelog.columns
+      .filterNot(Seq(Changelog.OpCol, Changelog.SeqCol).contains)
+    changelog.select(
+      to_json(struct(pk.map(col): _*)).as("key"),
+      when(col(Changelog.OpCol) === Changelog.Delete, lit(null).cast(StringType))
+        .otherwise(to_json(struct(dataCols.map(col): _*))).as("value"))
+  }
+
+  /** File-stream source over a parquet directory — covers StreamSource +
+    * SourceBackfill (existing files are the backfill snapshot, new files
+    * are the tail; reference: src/stream/src/executor/source/).
+    */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+}

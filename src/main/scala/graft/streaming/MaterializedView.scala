@@ -38,7 +38,12 @@ final class MaterializedView(
   /** Current MV contents. */
   def read(): DataFrame = {
     if (!Files.exists(Paths.get(targetDir))) spark.emptyDataFrame
-    else spark.read.parquet(targetDir).drop(bucketCol)
+    else
+      try spark.read.parquet(targetDir).drop(bucketCol)
+      catch {
+        // fully-deleted MV: directory exists but holds no parquet files
+        case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
+      }
   }
 
   private def readBuckets(): Option[DataFrame] =
@@ -83,7 +88,12 @@ final class MaterializedView(
           .write.mode("overwrite")
           .partitionBy(bucketCol)
           .parquet(staging)
-        val staged = spark.read.parquet(staging)
+        // Explicit schema: a delta that deletes a bucket's last rows
+        // stages zero files, where inference would fail.
+        val stagedSchema = org.apache.spark.sql.types.StructType(
+          merged.schema.fields :+ org.apache.spark.sql.types.StructField(
+            bucketCol, org.apache.spark.sql.types.IntegerType))
+        val staged = spark.read.schema(stagedSchema).parquet(staging)
         staged.write.mode("overwrite").partitionBy(bucketCol).parquet(targetDir)
         val nonEmpty = staged.select(bucketCol).distinct()
           .collect().map(_.getInt(0)).toSet

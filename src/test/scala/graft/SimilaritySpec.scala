@@ -30,7 +30,7 @@ class SimilaritySpec extends SparkSpecBase {
       .select("qid", "id", "cos").as[(Long, Long, Double)].collect()
       .map(t => (t._1, t._2) -> t._3).toMap
     val lsh = SimilaritySearch.lshTopK(vecs, "vec_id", "embedding",
-      qs, "qid0", "qv", k = 4, nBits = 2)
+      qs, "qid0", "qv", k = 4, nBits = 2, dims = 3)
       .select("qid", "id", "cos").as[(Long, Long, Double)].collect()
     assert(lsh.nonEmpty)
     lsh.foreach { case (q, i, c) => assert(bf((q, i)) == c) }
@@ -38,7 +38,7 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("nearDupPairs finds the nearly-identical pair") {
     val pairs = SimilaritySearch.nearDupPairs(vecs, "vec_id", "embedding",
-      threshold = 0.9, nBits = 1)
+      threshold = 0.9, nBits = 1, dims = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }

@@ -97,6 +97,24 @@ class StreamingSemanticsSpec extends SparkSpecBase {
     assert(out == Seq(1L))
   }
 
+  test("temporal (stream-static) join: dim re-resolved per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dimDir = tmpDir("dim")
+    Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val ms = MemoryStream[(Long, Double)]
+    val joined = ms.toDF().toDF("k", "v").join(dim, Seq("k"))
+    val q = joined.writeStream.format("memory").queryName("tj_out")
+      .outputMode("append").start()
+    ms.addData((1L, 10.0), (3L, 30.0)) // 3 has no dim row → dropped
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("tj_out").select("k", "tier")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "gold")))
+  }
+
   test("session_window streaming aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(String, Timestamp)]
