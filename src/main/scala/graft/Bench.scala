@@ -14,6 +14,7 @@ object Bench {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
+    GraftSession.init(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen path once so per-query numbers measure the
     // engine, not classloading.

@@ -32,12 +32,20 @@ object GraftSession {
     .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     .config("spark.ui.enabled", "false")
 
+  /** Post-create initialization: native function registration etc.
+    * Idempotent; call on every session produced from [[configure]].
+    */
+  def init(spark: SparkSession): SparkSession = {
+    graft.plans.GraftExtensions.register(spark)
+    spark
+  }
+
   /** Local session for tests / tools. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = configure(
       SparkSession.builder().master(s"local[$cores]").appName("graft")
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    init(s)
   }
 }

@@ -15,6 +15,7 @@ object Verify {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
+    GraftSession.init(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

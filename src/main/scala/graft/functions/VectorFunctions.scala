@@ -14,10 +14,19 @@ object VectorFunctions {
   /** Promote array<float> → array<double>. */
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast(DoubleType))
 
-  /** Dot product (sequential left fold). */
+  /** Dot product (sequential left fold, higher-order functions). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(toDoubleVec(a), toDoubleVec(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product via the native codegen'd [[graft.plans.DotProduct]]
+    * expression when the session has it registered
+    * (GraftSession.init / spark.sql.extensions), else the HOF fold.
+    * Identical values: both accumulate doubles left-to-right.
+    */
+  def fastDot(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
+    else dot(a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

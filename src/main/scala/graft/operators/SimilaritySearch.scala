@@ -26,10 +26,11 @@ object SimilaritySearch {
   /** cos(a,b) from a precomputed-norm pair, rounded for cross-engine
     * stability.
     */
-  private def cosWithNorms(va: String, vb: String, na: String, nb: String) =
+  private def cosWithNorms(spark: org.apache.spark.sql.SparkSession,
+      va: String, vb: String, na: String, nb: String) =
     round(
       when(col(na) * col(nb) > 0.0,
-        VectorFunctions.dot(col(va), col(vb)) / (col(na) * col(nb)))
+        VectorFunctions.fastDot(spark, col(va), col(vb)) / (col(na) * col(nb)))
         .otherwise(0.0), 6)
 
   /** Exact top-k cosine neighbors for each query row.
@@ -46,7 +47,7 @@ object SimilaritySearch {
     val scored = d.join(broadcast(qs))
       .where(col("__qid") =!= col("__id"))
       .select(col("__qid").as("qid"), col("__id").as("id"),
-        cosWithNorms("__qvec", "__vec", "__qn", "__n").as("cos"))
+        cosWithNorms(data.sparkSession, "__qvec", "__vec", "__qn", "__n").as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -70,7 +71,7 @@ object SimilaritySearch {
     val scored = d.join(broadcast(qs), Seq("__bucket"))
       .where(col("__qid") =!= col("__id"))
       .select(col("__qid").as("qid"), col("__id").as("id"),
-        cosWithNorms("__qvec", "__vec", "__qn", "__n").as("cos"))
+        cosWithNorms(data.sparkSession, "__qvec", "__vec", "__qn", "__n").as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -91,7 +92,7 @@ object SimilaritySearch {
       col("__vec").as("vb"), col("__n").as("nb"))
     a.join(b, Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", cosWithNorms("va", "vb", "na", "nb"))
+      .withColumn("cos", cosWithNorms(data.sparkSession, "va", "vb", "na", "nb"))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

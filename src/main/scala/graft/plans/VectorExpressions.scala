@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expressions for the embedding hot path.
+  *
+  * Spark's higher-order functions (`zip_with`/`aggregate`) are
+  * CodegenFallback: every element is boxed and the lambda is interpreted
+  * per element — measurable at millions of candidate pairs. `DotProduct`
+  * generates a tight primitive loop instead (SURVEY.md §7 "custom
+  * Expression beats Scala UDF").
+  *
+  * Null semantics: a null array yields null; null ELEMENTS contribute 0
+  * (embeddings have no null elements; documented divergence from the
+  * null-poisoning zip_with formulation).
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects array<float|double>, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (arrA, arrB) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(arrA.numElements(), arrB.numElements())
+    val (ta, tb) = (elemType(left), elemType(right))
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arrA.isNullAt(i) && !arrB.isNullAt(i)) {
+        val x = if (ta == FloatType) arrA.getFloat(i).toDouble else arrA.getDouble(i)
+        val y = if (tb == FloatType) arrB.getFloat(i).toDouble else arrB.getDouble(i)
+        sum += x * y
+      }
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getA = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val getB = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $sum += ((double) $a.$getA($i)) * ((double) $b.$getB($i));
+         |  }
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_dot"
+}
+
+/** Session extension wiring (spark.sql.extensions=graft.plans.GraftExtensions)
+  * plus a programmatic hook for already-built sessions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dotFunction)
+  }
+}
+
+object GraftExtensions {
+  val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  /** Register into an existing session (tests, REPL). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      dotFunction._1, dotFunction._2, dotFunction._3)
+}

@@ -15,6 +15,7 @@ object PlanDump {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = GraftSession.configure(
       SparkSession.builder().master("local[32]")).getOrCreate()
+    GraftSession.init(spark)
     spark.sparkContext.setLogLevel("WARN")
     Tables.register(spark, sfDir)
 

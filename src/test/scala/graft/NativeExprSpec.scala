@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+class NativeExprSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("graft_dot is registered and bit-matches the HOF dot") {
+    assert(spark.catalog.functionExists("graft_dot"))
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f, 0.3f), Array(-0.4f, 0.5f, -0.6f)))
+      .toDF("a", "b")
+    val rows = df.select(
+      call_function("graft_dot", col("a"), col("b")).as("native"),
+      VectorFunctions.dot(col("a"), col("b")).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("graft_dot works in SQL and on double arrays") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+  }
+
+  test("graft_dot null array yields null") {
+    val r = spark.sql(
+      "SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d))").head()
+    assert(r.isNullAt(0))
+  }
+
+  test("fastDot used by similarity search matches oracle-checked values") {
+    val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.select(col("vec_id").as("q"), col("embedding").as("qv"))
+    val top = graft.operators.SimilaritySearch
+      .bruteForceTopK(vecs, "vec_id", "embedding", qs, "q", "qv", k = 1)
+      .select("qid", "id", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(top == Set((0L, 1L, 0.6), (1L, 0L, 0.6)))
+  }
+}

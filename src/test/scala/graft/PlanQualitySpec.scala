@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan quality gates — the 100 TB questions asked as
+  * assertions: is the filter in the scan, is the dim broadcast, is top-n
+  * a partial TakeOrdered, is aggregation two-phase. A plan regression
+  * here costs more at scale than any constant-factor code change.
+  */
+class PlanQualitySpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and projection are pushed into the parquet scan") {
+    Tables.register(spark, dir)
+    val df = spark.table("lineitem")
+      .where(col("l_orderkey") < 100)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("LessThan(l_orderkey,100)"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema") && !scan.contains("l_extendedprice"),
+      s"projection not pruned:\n$scan")
+  }
+
+  test("star join broadcasts the dimension side") {
+    Tables.register(spark, dir)
+    val o = spark.table("orders")
+    val c = spark.table("customer")
+    val p = plan(o.join(broadcast(c), o("o_custkey") === c("c_custkey")))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("order-by-limit plans as TakeOrderedAndProject (no global sort)") {
+    Tables.register(spark, dir)
+    val df = spark.table("orders")
+      .orderBy(col("o_totalprice").desc).limit(10)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+
+  test("grouped aggregation is two-phase (partial + final)") {
+    Tables.register(spark, dir)
+    val df = spark.table("lineitem")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val p = plan(df)
+    assert(p.contains("partial_sum") || "HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial aggregation:\n$p")
+  }
+
+  test("group top-n inserts a WindowGroupLimit before the shuffle") {
+    Tables.register(spark, dir)
+    val df = spark.sql(
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |       ORDER BY o_totalprice DESC) rn FROM orders) WHERE rn <= 3""".stripMargin)
+    val p = plan(df)
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan→filter→agg pipeline") {
+    Tables.register(spark, dir)
+    val df = spark.table("lineitem")
+      .where(col("l_quantity") > 10)
+      .groupBy("l_returnflag").agg(sum("l_extendedprice"))
+    df.collect() // materialize AQE's final plan
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in simpleString form;
+    // the scan→filter→partial-agg pipeline must be one fused stage.
+    assert(p.contains("*(1) Filter") && p.contains("*(1) HashAggregate"),
+      s"expected fused WSCG pipeline:\n$p")
+  }
+
+  test("partition-bucket MV read prunes buckets on filter") {
+    val tmp = tmpDir("prune")
+    val mv = new graft.streaming.MaterializedView(
+      spark, "t", Seq("id"), s"$tmp/data", nBuckets = 8)
+    import spark.implicits._
+    mv.merge((1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v"))
+    val df = spark.read.parquet(s"$tmp/data").where(col("__bucket") === 3)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("__bucket"),
+      s"expected bucket partition pruning:\n$scan")
+  }
+}

@@ -13,6 +13,8 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
       .appName("graft-test"))
     .getOrCreate()
 
+  GraftSession.init(spark)
+
   override def afterAll(): Unit = {
     // session is shared across suites in one JVM; don't stop it
     super.afterAll()
