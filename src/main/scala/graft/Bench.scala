@@ -16,10 +16,15 @@ object Bench {
       .getOrCreate()
     GraftSession.init(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // Full materialization via the noop sink — count() would let column
+    // pruning skip most of the work for projection-only queries.
+    def run(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // Warm the JVM/codegen path once so per-query numbers measure the
     // engine, not classloading.
     SparkEntry.queries.get("q1_agg").foreach { fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try run(fn) catch { case _: Throwable => () }
     }
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
@@ -27,7 +32,7 @@ object Bench {
       if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(q => only(q._1))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

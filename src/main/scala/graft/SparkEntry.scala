@@ -15,6 +15,7 @@ object SparkEntry {
     CoreBatch,
     Joins,
     Aggregates,
+    TpchLike,
     Windows,
     SetOps,
     Functions,
