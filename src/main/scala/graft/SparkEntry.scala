@@ -19,6 +19,7 @@ object SparkEntry {
     Windows,
     SetOps,
     Functions,
+    Functions2,
     TableFunctions,
     Subqueries,
     TimeWindows,

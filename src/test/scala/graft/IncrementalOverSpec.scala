@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Changelog, IncrementalOver, MaterializedView}
+
+class IncrementalOverSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def windowFn(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user").orderBy("ts")
+    df.withColumn("run_sum",
+        sum(col("v").cast("decimal(18,2)")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  test("incremental OVER matches batch recompute across inserts and deletes") {
+    val dir = tmpDir("iow")
+    val base = new MaterializedView(spark, "base", Seq("id"), s"$dir/base", 4)
+    val result = new MaterializedView(spark, "res", Seq("id"), s"$dir/res", 4)
+    val iow = new IncrementalOver(base, result, Seq("user"), windowFn, Seq("id"))
+
+    // batch 1: two users
+    iow.applyDelta(Seq(
+      (1L, "a", 10L, 1.0), (2L, "a", 20L, 2.0), (3L, "b", 10L, 5.0))
+      .toDF("id", "user", "ts", "v"))
+    // batch 2: touch only user a (insert mid-stream → downstream rows shift)
+    iow.applyDelta(Seq((4L, "a", 15L, 0.5)).toDF("id", "user", "ts", "v"))
+    // batch 3: delete a row of user a via changelog
+    iow.applyDelta(Seq((2L, "a", 20L, 2.0, Changelog.Delete, 0L))
+      .toDF("id", "user", "ts", "v", Changelog.OpCol, Changelog.SeqCol))
+
+    val expected = windowFn(base.read())
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val actual = iow.read()
+      .select("id", "user", "ts", "v", "run_sum", "rn")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(actual == expected)
+    // sanity: user a now = ids 1,4 with shifted running sums
+    val aRows = iow.read().where(col("user") === "a")
+      .orderBy("ts").select("id", "run_sum", "rn")
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(aRows == Seq((1L, 1.0, 1), (4L, 1.5, 2)))
+  }
+
+  test("untouched partitions are not recomputed (results preserved verbatim)") {
+    val dir = tmpDir("iow2")
+    val base = new MaterializedView(spark, "base", Seq("id"), s"$dir/base", 4)
+    val result = new MaterializedView(spark, "res", Seq("id"), s"$dir/res", 4)
+    val iow = new IncrementalOver(base, result, Seq("user"), windowFn, Seq("id"))
+    iow.applyDelta(Seq((1L, "x", 1L, 1.0), (2L, "y", 1L, 2.0))
+      .toDF("id", "user", "ts", "v"))
+    iow.applyDelta(Seq((3L, "x", 2L, 3.0)).toDF("id", "user", "ts", "v"))
+    val yRow = iow.read().where(col("user") === "y")
+      .select("id", "run_sum", "rn").as[(Long, Double, Int)].collect().toSeq
+    assert(yRow == Seq((2L, 2.0, 1)))
+  }
+}
