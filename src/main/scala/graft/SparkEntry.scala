@@ -26,6 +26,7 @@ object SparkEntry {
     OrderedAggs,
     Advanced,
     Shims,
+    Gaps,
     LlmText,
     LlmDedup,
     LlmSimilarity

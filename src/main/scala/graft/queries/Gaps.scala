@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Multimodal
+
+/** Inventory gap-fill: right outer/semi/anti joins, explicit GROUPING
+  * SETS, LIKE/ILIKE, null-handling functions, distinct collecting agg,
+  * and the multimodal feature pipeline as a driver-visible query.
+  */
+object Gaps extends QueryPack {
+
+  val queries: Seq[GraftQuery] = Seq(
+    // Right outer join (RightOuter in plan_common.proto JoinType).
+    q("q_join_right",
+      """SELECT n.n_nationkey, n.n_name, s.s_suppkey FROM
+        |  (SELECT * FROM supplier WHERE s_acctbal > 9000) s
+        |RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |ORDER BY n_nationkey, s_suppkey NULLS FIRST""".stripMargin) { s =>
+      val sup = s.table("supplier").where(col("s_acctbal") > 9000)
+      val n = s.table("nation")
+      sup.join(n, sup("s_nationkey") === n("n_nationkey"), "right")
+        .select(n("n_nationkey"), n("n_name"), sup("s_suppkey"))
+        .orderBy(col("n_nationkey").asc, col("s_suppkey").asc_nulls_first)
+    },
+
+    // Right semi / right anti = swapped-side semi/anti (the reference's
+    // RightSemi/RightAnti JoinTypes; Spark spells them from the other
+    // side, which is the planner-level identity).
+    q("q_join_right_semi",
+      """SELECT n_nationkey, n_name FROM nation n
+        |WHERE EXISTS (SELECT 1 FROM supplier s
+        |              WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 9500)
+        |ORDER BY n_nationkey""".stripMargin) { s =>
+      val sup = s.table("supplier").where(col("s_acctbal") > 9500)
+      val n = s.table("nation")
+      n.join(sup, n("n_nationkey") === sup("s_nationkey"), "left_semi")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    },
+
+    // Explicit GROUPING SETS (not derivable from rollup/cube shorthand).
+    q("q_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { s =>
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+
+    // LIKE family (rewrite_like_expr rule analog — Catalyst's
+    // LikeSimplification turns prefix patterns into StartsWith).
+    q("q_fn_like",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name LIKE 'small%' OR p_name LIKE '%bolt%' OR p_name ILIKE '%GEAR%'
+        |ORDER BY p_partkey""".stripMargin) { s =>
+      val p = s.table("part")
+      p.where(col("p_name").like("small%") || col("p_name").like("%bolt%")
+          || col("p_name").ilike("%GEAR%"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    },
+
+    // Null-handling surface: IS [NOT] NULL, nullif, nvl/ifnull, NaN.
+    q("q_fn_null",
+      """SELECT id,
+        |  v IS NULL AS is_n, v IS NOT NULL AS is_nn,
+        |  coalesce(v, -1.0) AS c,
+        |  nullif(tag, 'x') AS ni,
+        |  isnan(nanv) AS nan_flag,
+        |  CASE WHEN isnan(nanv) THEN 0.0 ELSE nanv END AS nanvl_
+        |FROM (SELECT * FROM (VALUES
+        |  (1, 1.5, 'x', 1.0),
+        |  (2, CAST(NULL AS DOUBLE), 'y', CAST('NaN' AS DOUBLE)),
+        |  (3, 2.5, 'x', 3.0)) AS t(id, v, tag, nanv))
+        |ORDER BY id""".stripMargin) { s =>
+      import s.implicits._
+      val df = Seq(
+        (1, Some(1.5), "x", 1.0),
+        (2, None: Option[Double], "y", Double.NaN),
+        (3, Some(2.5), "x", 3.0)).toDF("id", "v", "tag", "nanv")
+      df.select(col("id"),
+        col("v").isNull.as("is_n"), col("v").isNotNull.as("is_nn"),
+        coalesce(col("v"), lit(-1.0)).as("c"),
+        nullif(col("tag"), lit("x")).as("ni"),
+        isnan(col("nanv")).as("nan_flag"),
+        nanvl(col("nanv"), lit(0.0)).as("nanvl_"))
+        .orderBy("id")
+    },
+
+    // DISTINCT collecting aggregate.
+    q("q_array_agg_distinct",
+      """SELECT c_nationkey,
+        |  list_sort(list(DISTINCT c_mktsegment)) AS segs
+        |FROM customer WHERE c_nationkey < 8
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { s =>
+      s.table("customer").where(col("c_nationkey") < 8)
+        .groupBy("c_nationkey")
+        .agg(array_sort(collect_set(col("c_mktsegment"))).as("segs"))
+        .orderBy("c_nationkey")
+    },
+
+    // Multimodal feature pipeline (stub codec; rows-only driver check —
+    // the deterministic features are asserted in SimilaritySpec).
+    qNoOracle("q_multimodal_features") { (s, dir) =>
+      Multimodal.decodeFeatures(Multimodal.demoAssets(s, dir))
+        .orderBy("asset_id")
+    }
+  )
+}
