@@ -55,6 +55,23 @@ object VectorFunctions {
     when(aggregate(planed, lit(0.0), (acc, x) => acc + x) > 0.0, 1).otherwise(0)
   }
 
+  /** Unit-normalize a vector (zero vectors pass through unchanged). */
+  def normalize(v: Column): Column = {
+    val n = l2Norm(v)
+    when(n > 0.0, transform(toDoubleVec(v), x => x / n)).otherwise(toDoubleVec(v))
+  }
+
+  /** Symmetric int8 quantization: round(x / scale) clamped to [-127,127]
+    * — the storage layout that cuts a 100 TB float corpus 4×. Pair with
+    * [[dequantize]] for scoring.
+    */
+  def quantize(v: Column, scale: Double): Column =
+    transform(toDoubleVec(v), x =>
+      greatest(lit(-127), least(lit(127), round(x / scale, 0).cast(IntegerType))))
+
+  def dequantize(q: Column, scale: Double): Column =
+    transform(q, x => x.cast(DoubleType) * scale)
+
   /** LSH bucket id from `nBits` hyperplane sign bits. */
   def lshBucket(v: Column, nBits: Int, dims: Int = 64): Column =
     (0 until nBits).map(b => hyperplaneSign(v, b, dims) * (1 << b))

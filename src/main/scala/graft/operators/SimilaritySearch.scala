@@ -77,6 +77,39 @@ object SimilaritySearch {
       .where(col("rank") <= k)
   }
 
+  /** IVF-style approximate top-k: a relational k-means coarse quantizer
+    * partitions the corpus into cells; each query probes its `nprobe`
+    * nearest cells only. The standard billion-scale ANN layout (cells ≈
+    * √n at scale) — probe cost is corpus/k × nprobe.
+    */
+  def ivfTopK(
+      data: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nCells: Int = 8, nprobe: Int = 2, iterations: Int = 3): DataFrame = {
+    val centroids = KMeans.fit(data, idCol, vecCol, nCells, iterations)
+    val cells = KMeans.assign(
+      data.select(col(idCol).as("__id"), col(vecCol).as("__vec")), "__vec", centroids)
+      .withColumn("__n", VectorFunctions.l2Norm(col("__vec")))
+    // query → nprobe nearest cells
+    val w = Window.partitionBy("__qid")
+      .orderBy(col("__qdist").asc, col("cluster_id").asc)
+    val probes = queries
+      .select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
+      .join(broadcast(centroids))
+      .withColumn("__qdist", VectorFunctions.l2Distance(col("__qvec"), col("centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= nprobe)
+      .select(col("__qid"), col("__qvec"), col("cluster_id"))
+      .withColumn("__qn", VectorFunctions.l2Norm(col("__qvec")))
+    val scored = cells.join(broadcast(probes), Seq("cluster_id"))
+      .where(col("__qid") =!= col("__id"))
+      .select(col("__qid").as("qid"), col("__id").as("id"),
+        cosWithNorms(data.sparkSession, "__qvec", "__vec", "__qn", "__n").as("cos"))
+    val rw = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rank", row_number().over(rw))
+      .where(col("rank") <= k)
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup detection),
     * LSH-bucketed to avoid the O(n²) cross join.
     */

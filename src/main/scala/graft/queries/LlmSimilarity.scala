@@ -105,6 +105,18 @@ object LlmSimilarity extends QueryPack {
         .orderBy("qid", "rank")
     },
 
+    // IVF (k-means cells + nprobe) approximate top-k — float-mean
+    // centroids are merge-order dependent, so rows-only driver check; the
+    // mechanism and recall are pinned by IvfSpec.
+    qNoOracle("q_embed_ivf_topk") { (s, dir) =>
+      val e = s.table("embeddings")
+      val qs = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qvec_id"), col("embedding").as("qembedding"))
+      graft.operators.SimilaritySearch.ivfTopK(e, "vec_id", "embedding",
+        qs, "qvec_id", "qembedding", k = 3, nCells = 8, nprobe = 3)
+        .orderBy("qid", "rank")
+    },
+
     // Embedding near-dup pairs above a cosine threshold, LSH-pruned.
     q("q_embed_neardup",
       s"""SELECT id_a, id_b, cos FROM (

@@ -92,6 +92,48 @@ object LlmText extends QueryPack {
         .orderBy("detected")
     },
 
+    // End-to-end corpus curation: quality gate + language gate + length
+    // gate + exact-dedup (first doc per fingerprint wins) — the composed
+    // filter chain of a real training-data pipeline, in one relational
+    // plan (all gates codegen'd, one shuffle for the dedup).
+    q("q_text_curation",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text FROM documents WHERE doc_id < 50
+         |), scored AS (
+         |  SELECT doc_id, text,
+         |    len($toksSql) AS n_tok,
+         |    (CASE WHEN len($toksSql) > 0 THEN
+         |      CAST(len(list_filter($toksSql, t -> list_contains(
+         |        ['the','a','of','and','to','in','is','that'], t))) AS DOUBLE)
+         |        / len($toksSql) ELSE 0.0 END) AS stop_r,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM corpus
+         |), gated AS (
+         |  SELECT * FROM scored
+         |  WHERE n_tok BETWEEN 20 AND 1000 AND stop_r > 0.05
+         |), deduped AS (
+         |  SELECT doc_id, fp,
+         |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM gated
+         |)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM deduped WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin) { s =>
+      import graft.functions.TextFunctions
+      import graft.operators.Dedup
+      val d = s.table("documents").select("doc_id", "text")
+      val corpus = d.union(d.where(col("doc_id") < 50)
+        .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+      val gated = corpus
+        .withColumn("n_tok", TextFunctions.tokenCount(col("text")))
+        .withColumn("stop_r", TextFunctions.stopwordRatio(col("text")))
+        .where(col("n_tok").between(20, 1000) && col("stop_r") > 0.05)
+      Dedup.exactByContent(gated, "doc_id", "text")
+        .select(col("doc_id").cast("bigint").as("doc_id"))
+        .orderBy("doc_id")
+    },
+
     q("q_text_fingerprint",
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
