@@ -185,18 +185,24 @@ object Aggregates extends QueryPack {
         .orderBy("l_returnflag")
     },
 
-    // min/max over strings + first_value-equivalent per group via min_by.
+    // arg-max per group via max_by. Sort key folds the unique orderkey
+    // into exact price-cents so double ties can never make the pick
+    // engine-dependent.
     q("q_minmax_by",
       """SELECT o_custkey,
-        |  max_by(o_orderkey, o_totalprice) AS best_order,
+        |  max_by(o_orderkey,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) * 1000000
+        |         + o_orderkey) AS best_order,
         |  CAST(MAX(o_totalprice) AS DOUBLE) AS best_price
         |FROM orders
         |GROUP BY o_custkey
         |HAVING COUNT(*) > 2
         |ORDER BY o_custkey""".stripMargin) { s =>
+      val sortKey = round(col("o_totalprice") * 100, 0).cast(LongType) * 1000000 +
+        col("o_orderkey")
       s.table("orders")
         .groupBy("o_custkey")
-        .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+        .agg(max_by(col("o_orderkey"), sortKey).as("best_order"),
           max(col("o_totalprice")).cast(DoubleType).as("best_price"),
           count(lit(1)).as("cnt"))
         .where(col("cnt") > 2)
