@@ -92,6 +92,7 @@ case class DotProduct(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectOptimizerRule(_ => NativeVectorRewrite)
   }
 }
 
@@ -102,7 +103,11 @@ object GraftExtensions {
     (children: Seq[Expression]) => DotProduct(children(0), children(1)))
 
   /** Register into an existing session (tests, REPL). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotFunction._1, dotFunction._2, dotFunction._3)
+    if (!spark.experimental.extraOptimizations.contains(NativeVectorRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NativeVectorRewrite
+  }
 }

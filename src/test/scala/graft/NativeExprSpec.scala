@@ -31,6 +31,19 @@ class NativeExprSpec extends SparkSpecBase {
     assert(r.isNullAt(0))
   }
 
+  test("optimizer rule rewrites the HOF dot pattern to DotProduct") {
+    // needs a non-literal input: literals constant-fold away entirely
+    val e = Tables.df(spark, "/root/testdata/sf0.001", "embeddings")
+    val hof = e.select(
+      VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"), s"rewrite missing:\n$optimized")
+    val native = e.select(
+      call_function("graft_dot", col("embedding"), col("embedding")).as("d"))
+    assert(hof.agg(sum("d")).head().getDouble(0) ==
+      native.agg(sum("d")).head().getDouble(0))
+  }
+
   test("fastDot used by similarity search matches oracle-checked values") {
     val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.6f, 0.8f)))
       .toDF("vec_id", "embedding")

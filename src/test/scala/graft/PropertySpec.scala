@@ -1,0 +1,95 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Changelog, StatefulOps}
+import graft.operators.Dedup
+
+/** Randomized algebraic properties over seeded inputs — the analog of the
+  * reference's sqlsmith fuzzing (SURVEY.md §5): each property is checked
+  * over many generated cases with fixed seeds (reproducible).
+  */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("property: diff ∘ apply = identity for random table pairs") {
+    val rnd = new Random(42)
+    (1 to 5).foreach { trial =>
+      val keys = (1 to 30).map(_.toLong)
+      val before = keys.filter(_ => rnd.nextBoolean())
+        .map(k => (k, rnd.nextInt(5).toString)).toDF("id", "v")
+      val after = keys.filter(_ => rnd.nextBoolean())
+        .map(k => (k, rnd.nextInt(5).toString)).toDF("id", "v")
+      val delta = Changelog.diff(before, after, Seq("id"))
+      val rebuilt = Changelog.applyToSnapshot(before, delta, Seq("id"))
+        .as[(Long, String)].collect().toSet
+      val want = after.as[(Long, String)].collect().toSet
+      assert(rebuilt == want, s"trial $trial")
+    }
+  }
+
+  test("property: changelog apply is last-write-wins under any op mix") {
+    val rnd = new Random(7)
+    (1 to 5).foreach { trial =>
+      val snap = (1L to 10L).map(k => (k, "s")).toDF("id", "v")
+      val ops = (1 to 40).map { i =>
+        val k = rnd.nextInt(12).toLong + 1
+        val op = if (rnd.nextBoolean()) Changelog.Insert else Changelog.Delete
+        (k, s"v$i", op, i.toLong)
+      }
+      val changes = ops.toDF("id", "v", Changelog.OpCol, Changelog.SeqCol)
+      val got = Changelog.applyToSnapshot(snap, changes, Seq("id"))
+        .as[(Long, String)].collect().toMap
+      // reference model: replay ops in seq order on a mutable map
+      val model = scala.collection.mutable.Map((1L to 10L).map(_ -> "s"): _*)
+      ops.sortBy(_._4).foreach { case (k, v, op, _) =>
+        if (op == Changelog.Insert) model(k) = v else model.remove(k)
+      }
+      assert(got == model.toMap, s"trial $trial")
+    }
+  }
+
+  test("property: retractableTopK equals batch top-k after random ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new Random(11)
+    val live = scala.collection.mutable.Map[Long, Double]()
+    val ops = (1 to 60).map { i =>
+      val insert = live.isEmpty || rnd.nextBoolean()
+      if (insert) {
+        val id = rnd.nextInt(30).toLong
+        val score = rnd.nextInt(1000) / 10.0
+        live(id) = score
+        StatefulOps.ScoredChange("g", id, score, 1)
+      } else {
+        val id = live.keys.toSeq(rnd.nextInt(live.size))
+        val score = live.remove(id).get
+        StatefulOps.ScoredChange("g", id, score, -1)
+      }
+    }
+    val ms = MemoryStream[StatefulOps.ScoredChange]
+    val q = StatefulOps.retractableTopK(ms.toDS(), k = 5)
+      .writeStream.format("memory").queryName("prop_topk")
+      .outputMode("update").start()
+    ops.grouped(15).foreach { batch => ms.addData(batch); q.processAllAvailable() }
+    q.stop()
+    val last = spark.table("prop_topk")
+      .as[StatefulOps.TopKUpdate].collect().last
+    val want = live.toSeq.sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(last.ids == want)
+  }
+
+  test("property: exactByContent is idempotent and order-insensitive") {
+    val rnd = new Random(3)
+    val docs = (1 to 50).map(i => (i.toLong, s"text ${rnd.nextInt(10)}"))
+      .toDF("doc_id", "text")
+    val once = Dedup.exactByContent(docs, "doc_id", "text")
+    val twice = Dedup.exactByContent(once, "doc_id", "text")
+    assert(once.collect().toSet == twice.collect().toSet)
+    val shuffled = Dedup.exactByContent(docs.orderBy(rand(99)), "doc_id", "text")
+    assert(shuffled.select("doc_id").as[Long].collect().sorted.toSeq ==
+      once.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+}
