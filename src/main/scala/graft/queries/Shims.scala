@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{JsonFunctions, TimeFunctions}
+import graft.functions.{JsonFunctions, PgFunctions, TimeFunctions}
 
 /** Dialect shims — SURVEY.md §7.1 "custom (thin)": the TIME type carrier
   * (µs since midnight) and jsonb mutation functions, each oracle-checked
@@ -38,6 +38,25 @@ object Shims extends QueryPack {
           TimeFunctions.timeAdd(tod, lit(2 * TimeFunctions.MicrosPerHour)).as("shifted"),
           TimeFunctions.timeToString(tod).as("hhmmss"))
         .orderBy("event_id")
+    },
+
+    // PG to_char masks translated at plan time (+ PG bool rendering).
+    q("q_fn_tochar",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS full_ts,
+        |  strftime(o_orderdate, '%d/%m/%Y') AS dmy,
+        |  strftime(o_orderdate, '%Y') || '-Q' ||
+        |    CAST(extract(quarter FROM o_orderdate) AS VARCHAR) AS yq,
+        |  CASE WHEN o_totalprice > 200000 THEN 't' ELSE 'f' END AS big_flag
+        |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin) { s =>
+      s.table("orders").where(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          PgFunctions.toChar(col("o_orderdate"), "YYYY-MM-DD HH24:MI:SS").as("full_ts"),
+          PgFunctions.toChar(col("o_orderdate"), "DD/MM/YYYY").as("dmy"),
+          concat(PgFunctions.toChar(col("o_orderdate"), "YYYY"), lit("-Q"),
+            quarter(col("o_orderdate")).cast("string")).as("yq"),
+          PgFunctions.boolOut(col("o_totalprice") > 200000).as("big_flag"))
+        .orderBy("o_orderkey")
     },
 
     // jsonb mutation: set / delete / concat (merge) / object_keys,

@@ -27,6 +27,16 @@ class DmlFormatsSpec extends SparkSpecBase {
     assert(ids.distinct.length == 3)
   }
 
+  test("CSV decode") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", DoubleType)))
+    val rows = Seq("1,alpha,1.5", "2,beta,2.5").toDF("line")
+    val out = Formats.decodeCsv(rows, "line", schema)
+      .as[(Long, String, Double)].collect().toSet
+    assert(out == Set((1L, "alpha", 1.5), (2L, "beta", 2.5)))
+  }
+
   test("Debezium decode → changelog → MV apply") {
     val rowSchema = StructType(Seq(
       StructField("id", LongType), StructField("v", StringType)))
