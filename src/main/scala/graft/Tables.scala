@@ -20,10 +20,18 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    // unless spark.sql.legacy.parquet.nanosAsLong is set. Sessions built
+    // via GraftSession carry the conf; for foreign sessions (e.g. the
+    // driver's smoke-test session) set it on the fly — it is a plain SQL
+    // conf, safe to flip at runtime.
+    if (name == "events" &&
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path(dir, name))
-    // events.ts is parquet TIMESTAMP(NANOS): surfaced as nano-long via
-    // spark.sql.legacy.parquet.nanosAsLong, converted here to a true
-    // microsecond timestamp (integer div — no double rounding at 1e18).
+    // nano-long → true microsecond timestamp (integer div — no double
+    // rounding at 1e18).
     if (name == "events" && raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
