@@ -49,4 +49,22 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   /** Read a table or registered MV. */
   def table(name: String): DataFrame =
     mvs.get(name).map(_.read()).getOrElse(spark.table(name))
+
+  private val CreateMv =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s*(?:\(\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*\))?\s+AS\s+(.*)""".r
+
+  /** Minimal DDL veneer: `CREATE MATERIALIZED VIEW name [(PRIMARY KEY
+    * (c1, c2))] AS SELECT ...` materializes the query (batch refresh; call
+    * again to refresh) and registers the MV for [[table]]. Any other
+    * statement falls through to Spark SQL. PK defaults to the first
+    * output column.
+    */
+  def execute(statement: String): DataFrame = statement match {
+    case CreateMv(name, pkList, query) =>
+      val result = spark.sql(query)
+      val pk = Option(pkList).map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq(result.columns.head))
+      refreshMaterializedView(name, pk, result).read()
+    case other => spark.sql(other)
+  }
 }

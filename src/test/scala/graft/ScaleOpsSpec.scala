@@ -58,6 +58,18 @@ class ScaleOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("Engine DDL veneer: CREATE MATERIALIZED VIEW ... AS SELECT") {
+    val e = new Engine(spark, tmpDir("engineddl"))
+    e.attachTables("/root/testdata/sf0.001")
+    val out = e.execute(
+      """CREATE MATERIALIZED VIEW nation_by_region (PRIMARY KEY (n_regionkey)) AS
+        |SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey""".stripMargin)
+    assert(out.count() == 5)
+    assert(e.table("nation_by_region").count() == 5)
+    // plain SQL falls through
+    assert(e.execute("SELECT 1 AS x").head().getInt(0) == 1)
+  }
+
   test("Engine facade: sql + batch MV refresh + table resolution") {
     val e = new Engine(spark, tmpDir("engine"))
     e.attachTables("/root/testdata/sf0.001")

@@ -115,6 +115,54 @@ class StreamingSemanticsSpec extends SparkSpecBase {
     assert(out == Set((1L, "gold")))
   }
 
+  test("stream-stream LEFT OUTER join emits null-padded rows after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[(Long, Timestamp)]
+    val r = MemoryStream[(Long, Timestamp)]
+    val lf = l.toDF().toDF("k", "lts").withWatermark("lts", "5 seconds")
+    val rf = r.toDF().toDF("k2", "rts").withWatermark("rts", "5 seconds")
+    val joined = lf.join(rf,
+      col("k") === col("k2") &&
+        col("rts").between(col("lts") - expr("INTERVAL 10 SECONDS"),
+          col("lts") + expr("INTERVAL 10 SECONDS")),
+      "left_outer")
+      .select(col("k"), col("rts"))
+    val q = joined.writeStream.format("memory").queryName("ssoj_out")
+      .outputMode("append").start()
+    l.addData((1L, ts(100)), (2L, ts(100)))
+    r.addData((1L, ts(105)))
+    q.processAllAvailable()
+    // advance both watermarks far enough to expire the unmatched left row
+    l.addData((9L, ts(500)))
+    r.addData((9L, ts(500)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ssoj_out").as[(Long, Option[Timestamp])].collect()
+      .map { case (k, rts) => k -> rts.isDefined }.toMap
+    assert(out(1L))       // matched
+    assert(!out(2L))      // expired unmatched → null-padded
+  }
+
+  test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = ms.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark(Seq("id"))
+      .writeStream.format("memory").queryName("dwm_out")
+      .outputMode("append").start()
+    ms.addData((1L, ts(100)), (1L, ts(101)))
+    q.processAllAvailable()
+    ms.addData((2L, ts(300))) // watermark advances far past id=1's window
+    q.processAllAvailable()
+    ms.addData((1L, ts(301))) // same key, but outside the dedup window → kept
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dwm_out").as[(Long, Timestamp)].collect().map(_._1)
+    assert(ids.count(_ == 1L) == 2) // first occurrence + re-admitted late one
+    assert(ids.count(_ == 2L) == 1)
+  }
+
   test("session_window streaming aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(String, Timestamp)]
