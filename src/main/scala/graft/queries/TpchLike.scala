@@ -137,6 +137,112 @@ object TpchLike extends QueryPack {
           dsum(rev, 6)).as("promo_revenue"))
     },
 
+    // Q7-like: volume between two nations (customer nation × supplier
+    // nation), yearly breakdown.
+    q("q7_nation_volume",
+      s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         |  CAST(extract(year FROM l.l_shipdate) AS INT) AS yr,
+         |  ${dsumSql("l.l_extendedprice * (1 - l.l_discount)", 6)} AS volume
+         |FROM lineitem l
+         |JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |JOIN customer c ON c.c_custkey = o.o_custkey
+         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         |JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+         |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+         |WHERE cn.n_nationkey < 2 AND sn.n_nationkey < 2
+         |  AND cn.n_nationkey <> sn.n_nationkey
+         |GROUP BY cn.n_name, sn.n_name, yr
+         |ORDER BY cust_nation, supp_nation, yr""".stripMargin) { s =>
+      val l = s.table("lineitem")
+      val o = s.table("orders")
+      val c = s.table("customer")
+      val sup = s.table("supplier")
+      val cn = s.table("nation").where(col("n_nationkey") < 2)
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      val sn = s.table("nation").where(col("n_nationkey") < 2)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), c("c_custkey") === o("o_custkey"))
+        .join(broadcast(sup), sup("s_suppkey") === l("l_suppkey"))
+        .join(broadcast(cn), col("cnk") === c("c_nationkey"))
+        .join(broadcast(sn), col("snk") === sup("s_nationkey"))
+        .where(col("cnk") =!= col("snk"))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+          year(l("l_shipdate")).as("yr"))
+        .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount")), 6).as("volume"))
+        .orderBy("cust_nation", "supp_nation", "yr")
+    },
+
+    // Q12-like: order-priority severity per linestatus (two-way
+    // conditional counting over a join).
+    q("q12_priority_counts",
+      """SELECT l.l_linestatus,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l.l_linestatus ORDER BY l.l_linestatus""".stripMargin) { s =>
+      val l = s.table("lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampType)
+          && col("l_shipdate") < lit("1997-01-01 00:00:00").cast(TimestampType))
+      val o = s.table("orders")
+      val isHigh = o("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(l("l_linestatus"))
+        .agg(sum(when(isHigh, 1).otherwise(0)).as("high_line_count"),
+          sum(when(!isHigh, 1).otherwise(0)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // Q19-like: OR-ed multi-branch predicate (brand × size × quantity
+    // bands) — disjunctive pushdown exercise.
+    q("q19_disjunctive",
+      s"""SELECT ${dsumSql("l.l_extendedprice * (1 - l.l_discount)", 6)} AS revenue
+         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+         |       AND l.l_quantity BETWEEN 1 AND 11)
+         |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+         |       AND l.l_quantity BETWEEN 10 AND 20)
+         |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+         |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin) { s =>
+      val l = s.table("lineitem")
+      val p = s.table("part")
+      val cond =
+        (p("p_brand") === "Brand#1" && p("p_size").between(1, 15) &&
+          l("l_quantity").between(1, 11)) ||
+        (p("p_brand") === "Brand#2" && p("p_size").between(1, 25) &&
+          l("l_quantity").between(10, 20)) ||
+        (p("p_brand") === "Brand#3" && p("p_size").between(1, 35) &&
+          l("l_quantity").between(20, 30))
+      l.join(broadcast(p), p("p_partkey") === l("l_partkey"))
+        .where(cond)
+        .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount")), 6).as("revenue"))
+    },
+
+    // Q2-like: cheapest-supplier-per-nation (min-by over a join, the
+    // min_max_on_index shape without indexes).
+    q("q2_min_supplier",
+      """SELECT n.n_name, s.s_suppkey, s.s_acctbal FROM (
+        |  SELECT s_nationkey, s_suppkey, s_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY s_nationkey
+        |      ORDER BY s_acctbal, s_suppkey) AS rn
+        |  FROM supplier) s
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE s.rn = 1 ORDER BY n.n_name""".stripMargin) { s =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+      val sup = s.table("supplier")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+      val n = s.table("nation")
+      sup.join(broadcast(n), n("n_nationkey") === sup("s_nationkey"))
+        .select(n("n_name"), sup("s_suppkey"), sup("s_acctbal"))
+        .orderBy("n_name")
+    },
+
     // Q18: large-volume customers — semi-join against a grouped HAVING.
     q("q18_large_volume",
       s"""SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,

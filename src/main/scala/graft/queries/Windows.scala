@@ -16,8 +16,6 @@ import org.apache.spark.sql.types._
   */
 object Windows extends QueryPack {
 
-  private val orderCols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-
   val queries: Seq[GraftQuery] = Seq(
     // Ranking trio over partitions.
     // reference: src/batch/executors/src/executor/sort_over_window.rs:34
