@@ -35,6 +35,23 @@ final class MaterializedView(
   private def bucketOf(df: DataFrame) =
     pmod(hash(pk.map(col): _*), lit(nBuckets))
 
+  private val changelogDir = s"$targetDir.changelog"
+
+  /** Append-only changelog feed of this MV — the MV-on-MV channel
+    * (reference: docs/dev/src/design/mv-on-mv.md — downstream MVs
+    * subscribe to the upstream's changelog, NOT its storage: the storage
+    * is rewritten in place, which no file-tailing source can consume).
+    * Each merge appends its delta (with ops) here; downstream MVs
+    * `readStream` it.
+    */
+  def changelogStream(): DataFrame = {
+    val schema = spark.read.parquet(changelogDir).schema
+    spark.readStream.schema(schema).parquet(changelogDir)
+  }
+
+  /** Batch view of the accumulated changelog. */
+  def readChangelog(): DataFrame = spark.read.parquet(changelogDir)
+
   /** Current MV contents. */
   def read(): DataFrame = {
     if (!Files.exists(Paths.get(targetDir))) spark.emptyDataFrame
@@ -68,6 +85,9 @@ final class MaterializedView(
       else Changelog.ofInserts(delta)
     val norm = norm0.withColumn(bucketCol, bucketOf(norm0)).cache()
     try {
+      // publish the delta on the append-only changelog channel first —
+      // downstream MVs consume this, never the rewritten storage
+      norm.drop(bucketCol).write.mode("append").parquet(changelogDir)
       val affected = norm.select(bucketCol).distinct()
         .collect().map(_.getInt(0)).toSeq
       if (affected.nonEmpty) {

@@ -51,6 +51,33 @@ class MaterializedViewSpec extends SparkSpecBase {
     assert(out == Seq(("buy", 1L, 7.0), ("click", 3L, 9.0), ("view", 1L, 2.0)))
   }
 
+  test("MV-on-MV via changelog subscription: downstream tracks upstream incrementally") {
+    val dir = tmpDir("mvchain2")
+    val cat = new MvCatalog(spark, dir)
+    val up = cat.define("up2", Seq("k"), nBuckets = 4)
+
+    // upstream batch 1 (also seeds its changelog channel)
+    up.merge(Seq(("a", 1L), ("b", 2L)).toDF("k", "n"))
+
+    // downstream MV subscribes to the upstream CHANGELOG stream and
+    // applies a transform; ops flow through so deletes propagate
+    val down = cat.define("down2", Seq("k"), nBuckets = 4)
+    val stream = up.changelogStream()
+      .withColumn("n2", col("n") * 10)
+      .drop("n")
+    val q = down.start(stream, cat.checkpointDir("down2"))
+    q.processAllAvailable()
+
+    // upstream batch 2: update + delete, downstream must follow
+    up.merge(Seq(("a", 5L, Changelog.UpdateInsert, 1L), ("b", 2L, Changelog.Delete, 2L))
+      .toDF("k", "n", Changelog.OpCol, Changelog.SeqCol))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = down.read().orderBy("k").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 50L)))
+  }
+
   test("MV-on-MV: downstream reads upstream target") {
     val dir = tmpDir("mvchain")
     val cat = new MvCatalog(spark, dir)
