@@ -84,6 +84,24 @@ object Advanced extends QueryPack {
         .orderBy("o_orderstatus")
     },
 
+    // Retraction-capable HLL over a changelog-shaped input (rows-only:
+    // sketch values are engine-specific; accuracy in RetractableHllSpec).
+    // reference: src/expr/impl/src/aggregate/approx_count_distinct/mod.rs
+    qNoOracle("q_retractable_hll") { (s, dir) =>
+      val orders = s.table("orders")
+      // synthetic changelog: all orders inserted, the F-status ones then
+      // retracted → live distinct customers of non-F orders
+      val changelog = orders.select(col("o_orderstatus"), col("o_custkey"),
+          lit(1).as("op"))
+        .union(orders.where(col("o_orderstatus") === "F")
+          .select(col("o_orderstatus"), col("o_custkey"), lit(-1).as("op")))
+      changelog.groupBy("o_orderstatus")
+        .agg(graft.functions.RetractableHll
+          .approxCountDistinctRetractable(col("o_custkey"), col("op"))
+          .as("live_approx_cust"))
+        .orderBy("o_orderstatus")
+    },
+
     // reference: src/stream/src/executor/approx_percentile/
     qNoOracle("q_approx_percentile") { (s, dir) =>
       s.table("lineitem").groupBy("l_returnflag")
