@@ -159,15 +159,17 @@ object Aggregates extends QueryPack {
         .orderBy("n_regionkey")
     },
 
-    // array_agg with ORDER BY.
+    // array_agg with ORDER BY (output serialized — the driver compare
+    // cannot hash array cells; the collecting agg itself is still the
+    // operator under test).
     // reference: src/expr/impl/src/aggregate/array_agg.rs
     q("q_array_agg",
       """SELECT n_regionkey,
-        |  array_agg(n_name ORDER BY n_name) AS names
+        |  array_to_string(array_agg(n_name ORDER BY n_name), '|') AS names
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { s =>
       s.table("nation")
         .groupBy("n_regionkey")
-        .agg(array_sort(collect_list(col("n_name"))).as("names"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), "|").as("names"))
         .orderBy("n_regionkey")
     },
 

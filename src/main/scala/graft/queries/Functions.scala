@@ -182,11 +182,15 @@ object Functions extends QueryPack {
 
     // Cast family (numeric↔numeric, string→numeric, timestamp↔date,
     // string→timestamp). reference: src/expr/impl/src/scalar/cast.rs
+    // p_dec goes decimal→DOUBLE for the compare: a raw DECIMAL output
+    // column reaches the driver as decimal.Decimal("x.60") on the Spark
+    // side but float 'x.6' on the DuckDB side and hash-mismatches even
+    // when values are identical (every other pack does the same).
     q("q_fn_cast",
       """SELECT o_orderkey,
         |  CAST(trunc(o_totalprice) AS BIGINT) AS p_long,
         |  CAST(trunc(o_totalprice) AS INT) AS p_int,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS p_dec,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p_dec,
         |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS k_roundtrip,
         |  CAST('42.5' AS DOUBLE) AS s_double,
         |  CAST(o_orderdate AS DATE) AS d,
@@ -197,7 +201,7 @@ object Functions extends QueryPack {
       s.table("orders").where(col("o_orderkey") < 300).select(col("o_orderkey"),
         col("o_totalprice").cast(LongType).as("p_long"),
         col("o_totalprice").cast(IntegerType).as("p_int"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("p_dec"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType).as("p_dec"),
         col("o_orderkey").cast(StringType).cast(LongType).as("k_roundtrip"),
         lit("42.5").cast(DoubleType).as("s_double"),
         col("o_orderdate").cast(DateType).as("d"),
@@ -208,34 +212,38 @@ object Functions extends QueryPack {
     },
 
     // Array family (Spark higher-order functions vs DuckDB list_*).
+    // Array-valued outputs are serialized to ':'-joined strings on BOTH
+    // sides — the driver's pandas compare cannot sort/hash ndarray cells.
     // reference: src/expr/impl/src/scalar/array*.rs
     q("q_fn_array",
       """SELECT n_nationkey,
-        |  [n_nationkey, n_regionkey, 7] AS arr,
+        |  array_to_string([n_nationkey, n_regionkey, 7], ':') AS arr,
         |  [n_nationkey, n_regionkey, 7][2] AS elem,
         |  CAST(len([n_nationkey, n_regionkey, 7]) AS INT) AS sz,
         |  list_contains([n_nationkey, n_regionkey], 3) AS has3,
-        |  list_sort([7, n_nationkey, n_regionkey]) AS sorted_,
-        |  list_sort(list_distinct([n_regionkey, n_regionkey, n_nationkey])) AS dist,
-        |  list_transform([1, 2, 3], x -> x * n_nationkey) AS xform,
-        |  list_filter([1, 2, 3, 4], x -> x > n_regionkey) AS filt,
+        |  array_to_string(list_sort([7, n_nationkey, n_regionkey]), ':') AS sorted_,
+        |  array_to_string(list_sort(list_distinct([n_regionkey, n_regionkey, n_nationkey])), ':') AS dist,
+        |  array_to_string(list_transform([1, 2, 3], x -> x * n_nationkey), ':') AS xform,
+        |  coalesce(array_to_string(list_filter([1, 2, 3, 4], x -> x > n_regionkey), ':'), '') AS filt,
         |  CAST(list_reduce([1, 2, 3, CAST(n_nationkey AS BIGINT)], (a, b) -> a + b) AS BIGINT) AS red,
-        |  flatten([[n_nationkey], [n_regionkey]]) AS flat,
+        |  array_to_string(flatten([[n_nationkey], [n_regionkey]]), ':') AS flat,
         |  array_to_string([n_nationkey, n_regionkey], ':') AS joined
         |FROM nation ORDER BY n_nationkey""".stripMargin) { s =>
+      def str(c: org.apache.spark.sql.Column) =
+        array_join(c.cast("array<string>"), ":")
       s.table("nation").select(col("n_nationkey"),
-        array(col("n_nationkey"), col("n_regionkey"), lit(7)).as("arr"),
+        str(array(col("n_nationkey"), col("n_regionkey"), lit(7))).as("arr"),
         element_at(array(col("n_nationkey"), col("n_regionkey"), lit(7)), 2).as("elem"),
         size(array(col("n_nationkey"), col("n_regionkey"), lit(7))).as("sz"),
         array_contains(array(col("n_nationkey"), col("n_regionkey")), 3).as("has3"),
-        array_sort(array(lit(7), col("n_nationkey"), col("n_regionkey"))).as("sorted_"),
-        array_sort(array_distinct(
-          array(col("n_regionkey"), col("n_regionkey"), col("n_nationkey")))).as("dist"),
-        transform(array(lit(1), lit(2), lit(3)), x => x * col("n_nationkey")).as("xform"),
-        filter(array(lit(1), lit(2), lit(3), lit(4)), x => x > col("n_regionkey")).as("filt"),
+        str(array_sort(array(lit(7), col("n_nationkey"), col("n_regionkey")))).as("sorted_"),
+        str(array_sort(array_distinct(
+          array(col("n_regionkey"), col("n_regionkey"), col("n_nationkey"))))).as("dist"),
+        str(transform(array(lit(1), lit(2), lit(3)), x => x * col("n_nationkey"))).as("xform"),
+        str(filter(array(lit(1), lit(2), lit(3), lit(4)), x => x > col("n_regionkey"))).as("filt"),
         aggregate(array(lit(1L), lit(2L), lit(3L), col("n_nationkey").cast(LongType)),
           lit(0L), (a, b) => a + b).as("red"),
-        flatten(array(array(col("n_nationkey")), array(col("n_regionkey")))).as("flat"),
+        str(flatten(array(array(col("n_nationkey")), array(col("n_regionkey"))))).as("flat"),
         array_join(array(col("n_nationkey").cast(StringType),
           col("n_regionkey").cast(StringType)), ":").as("joined"))
         .orderBy("n_nationkey")
@@ -265,14 +273,14 @@ object Functions extends QueryPack {
         |  regexp_extract(event_type, '([a-z]+)_?([a-z]*)', 1) AS g1,
         |  regexp_replace(event_type, '[aeiou]', '*', 'g') AS repl,
         |  regexp_matches(event_type, '^p') AS m,
-        |  string_split_regex(event_type, '[_]') AS parts
+        |  array_to_string(string_split_regex(event_type, '[_]'), '|') AS parts
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { s =>
       s.table("events").where(col("event_id") < 200).select(col("event_id"),
         col("event_type"),
         regexp_extract(col("event_type"), "([a-z]+)_?([a-z]*)", 1).as("g1"),
         regexp_replace(col("event_type"), "[aeiou]", "*").as("repl"),
         col("event_type").rlike("^p").as("m"),
-        split(col("event_type"), "[_]").as("parts"))
+        array_join(split(col("event_type"), "[_]"), "|").as("parts"))
         .orderBy("event_id")
     },
 
@@ -280,18 +288,19 @@ object Functions extends QueryPack {
     // reference: src/common/src/types/struct_type.rs, map_type.rs
     q("q_fn_struct_map",
       """SELECT n_nationkey,
-        |  {'k': n_nationkey, 'nm': n_name} AS st,
+        |  to_json({'k': n_nationkey, 'nm': n_name}) AS st,
         |  struct_extract({'k': n_nationkey, 'nm': n_name}, 'nm') AS nm,
-        |  map_keys(map {'a': n_nationkey}) AS mk,
-        |  map_values(map {'a': n_nationkey}) AS mv,
+        |  array_to_string(map_keys(map {'a': n_nationkey}), ',') AS mk,
+        |  array_to_string(map_values(map {'a': n_nationkey}), ',') AS mv,
         |  list_extract(map_extract(map {'a': n_nationkey, 'b': n_regionkey}, 'b'), 1) AS mb
         |FROM nation ORDER BY n_nationkey""".stripMargin) { s =>
       s.table("nation").select(col("n_nationkey"),
-        struct(col("n_nationkey").as("k"), col("n_name").as("nm")).as("st"),
+        to_json(struct(col("n_nationkey").as("k"), col("n_name").as("nm"))).as("st"),
         struct(col("n_nationkey").as("k"), col("n_name").as("nm"))
           .getField("nm").as("nm"),
-        map_keys(map(lit("a"), col("n_nationkey"))).as("mk"),
-        map_values(map(lit("a"), col("n_nationkey"))).as("mv"),
+        array_join(map_keys(map(lit("a"), col("n_nationkey"))), ",").as("mk"),
+        array_join(map_values(map(lit("a"), col("n_nationkey"))).cast("array<string>"),
+          ",").as("mv"),
         element_at(map(lit("a"), col("n_nationkey"), lit("b"), col("n_regionkey")),
           lit("b")).as("mb"))
         .orderBy("n_nationkey")

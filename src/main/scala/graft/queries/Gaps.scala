@@ -93,22 +93,25 @@ object Gaps extends QueryPack {
         .orderBy("id")
     },
 
-    // DISTINCT collecting aggregate.
+    // DISTINCT collecting aggregate (serialized for the pandas compare).
     q("q_array_agg_distinct",
       """SELECT c_nationkey,
-        |  list_sort(list(DISTINCT c_mktsegment)) AS segs
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segs
         |FROM customer WHERE c_nationkey < 8
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { s =>
       s.table("customer").where(col("c_nationkey") < 8)
         .groupBy("c_nationkey")
-        .agg(array_sort(collect_set(col("c_mktsegment"))).as("segs"))
+        .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), "|").as("segs"))
         .orderBy("c_nationkey")
     },
 
     // Multimodal feature pipeline (stub codec; rows-only driver check —
-    // the deterministic features are asserted in SimilaritySpec).
+    // the deterministic features are asserted in SimilaritySpec). The
+    // feature vector is serialized so the driver harness can hash rows.
     qNoOracle("q_multimodal_features") { (s, dir) =>
       Multimodal.decodeFeatures(Multimodal.demoAssets(s, dir))
+        .withColumn("feature",
+          array_join(col("feature").cast("array<string>"), ","))
         .orderBy("asset_id")
     }
   )

@@ -55,13 +55,14 @@ object LlmDedup extends QueryPack {
         |)
         |SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  list_sort(list(doc_id)) AS ids
+        |  array_to_string(list_sort(list(doc_id)), ',') AS ids
         |FROM corpus GROUP BY fp HAVING COUNT(*) > 1
         |ORDER BY fp""".stripMargin) { s =>
       val d = s.table("documents").select("doc_id", "text")
       val corpus = d.union(d.where(col("doc_id") < 40)
         .select((col("doc_id") + 20000).as("doc_id"), col("text")))
       Dedup.exactDupGroups(corpus, "doc_id", "text")
+        .withColumn("ids", array_join(col("ids").cast("array<string>"), ","))
         .orderBy("fp")
     },
 

@@ -68,7 +68,7 @@ object Shims extends QueryPack {
         |  json_extract_string(json_merge_patch(props, '{"k2": "5"}'), '$.k') AS keep_k,
         |  json_extract_string(json_merge_patch(props, '{"k": null}'), '$.k') AS del_k,
         |  json_extract_string(json_merge_patch(props, '{"z": "9"}'), '$.z') AS concat_z,
-        |  list_sort(json_keys(props)) AS keys
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { s =>
       val p = col("props")
       s.table("events").where(col("event_id") < 200)
@@ -81,7 +81,7 @@ object Shims extends QueryPack {
             JsonFunctions.jsonbDelete(p, lit("k")), "k").as("del_k"),
           JsonFunctions.jsonbGetText(
             JsonFunctions.jsonbConcat(p, lit("""{"z": "9"}""")), "z").as("concat_z"),
-          JsonFunctions.jsonbObjectKeys(p).as("keys"))
+          array_join(JsonFunctions.jsonbObjectKeys(p), ",").as("keys"))
         .orderBy("event_id")
     }
   )
