@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.streaming.{MaterializedView, MvCatalog}
+import graft.SqlFrontend.{CreateMvDef, SourceDef}
 
 /** User-facing facade — the session surface a reference user lands on
   * after switching (reference: frontend `SessionImpl.run_statement`,
@@ -50,21 +51,75 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   def table(name: String): DataFrame =
     mvs.get(name).map(_.read()).getOrElse(spark.table(name))
 
-  private val CreateMv =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s*(?:\(\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*\))?\s+AS\s+(.*)""".r
+  /** Streaming sources registered by `CREATE SOURCE`. */
+  private val sources = scala.collection.mutable.Map[String, DataFrame]()
 
-  /** Minimal DDL veneer: `CREATE MATERIALIZED VIEW name [(PRIMARY KEY
-    * (c1, c2))] AS SELECT ...` materializes the query (batch refresh; call
-    * again to refresh) and registers the MV for [[table]]. Any other
-    * statement falls through to Spark SQL. PK defaults to the first
-    * output column.
+  /** Maintenance jobs of streaming MVs created through [[execute]] —
+    * exposed so callers can await/stop them (the reference's
+    * SHOW/DROP stream-job surface).
     */
-  def execute(statement: String): DataFrame = statement match {
-    case CreateMv(name, pkList, query) =>
-      val result = spark.sql(query)
-      val pk = Option(pkList).map(_.split(",").map(_.trim).toSeq)
-        .getOrElse(Seq(result.columns.head))
-      refreshMaterializedView(name, pk, result).read()
-    case other => spark.sql(other)
+  private val jobs = scala.collection.mutable.Map[String, StreamingQuery]()
+
+  def streamingJob(name: String): Option[StreamingQuery] = jobs.get(name)
+
+  private def statusDf(kind: String, name: String): DataFrame = {
+    import spark.implicits._
+    Seq((kind, name)).toDF("statement", "name")
   }
+
+  private val DropMv =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*""".r
+  private val ShowMv = """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
+
+  /** SQL entry point — the reference's `run_statement`
+    * (src/frontend/src/session.rs:1168):
+    *
+    *  - `CREATE SOURCE name (…) WITH (path='…')`: registers a streaming
+    *    file source (plus optional `WATERMARK FOR c AS c - INTERVAL '…'`)
+    *    as a streaming temp view — what the SELECT of a downstream MV
+    *    reads decides whether that MV streams;
+    *  - `CREATE MATERIALIZED VIEW name (PRIMARY KEY (…)) AS SELECT …`:
+    *    plans the SELECT; a streaming plan starts the incremental
+    *    maintenance job ([[createMaterializedView]]); a batch plan
+    *    materializes once ([[refreshMaterializedView]]). The PRIMARY KEY
+    *    clause is REQUIRED: silently guessing a PK would make the merge
+    *    dedup arbitrary rows (silent data loss);
+    *  - `WITH RECURSIVE …`: driver-side fixpoint
+    *    ([[SqlFrontend.executeRecursive]]);
+    *  - `DROP MATERIALIZED VIEW` / `SHOW MATERIALIZED VIEWS`;
+    *  - anything else: Spark SQL.
+    */
+  def execute(statement: String): DataFrame =
+    SqlFrontend.parseCreateSource(statement) match {
+      case Some(d: SourceDef) =>
+        val stream = SqlFrontend.planSource(spark, d)
+        sources(d.name) = stream
+        stream.createOrReplaceTempView(d.name)
+        statusDf("CREATE SOURCE", d.name)
+      case None => SqlFrontend.parseCreateMv(statement) match {
+        case Some(CreateMvDef(name, pkOpt, query)) =>
+          val result = spark.sql(query)
+          val pk = pkOpt.getOrElse(throw new IllegalArgumentException(
+            s"CREATE MATERIALIZED VIEW $name requires an explicit " +
+              "(PRIMARY KEY (…)) clause — merging on a guessed key would " +
+              "silently drop rows"))
+          if (result.isStreaming) {
+            jobs(name) = createMaterializedView(name, pk, result)
+            statusDf("CREATE MATERIALIZED VIEW (streaming)", name)
+          } else {
+            refreshMaterializedView(name, pk, result).read()
+          }
+        case None if SqlFrontend.isRecursiveCte(statement) =>
+          SqlFrontend.executeRecursive(spark, statement)
+        case None => statement match {
+          case DropMv(name) =>
+            jobs.remove(name).foreach(_.stop())
+            statusDf("DROP MATERIALIZED VIEW", name)
+          case ShowMv() =>
+            import spark.implicits._
+            mvs.list.toDF("name")
+          case other => spark.sql(other)
+        }
+      }
+    }
 }

@@ -1,0 +1,241 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.IterativeFixpoint
+
+/** SQL frontend for the statements Spark SQL does not speak natively —
+  * the entry-point surface of the reference
+  * (reference: src/frontend/src/handler/{create_source.rs,create_mv.rs},
+  * src/frontend/src/session.rs:1168 `run_statement`):
+  *
+  *  - `CREATE SOURCE s [(WATERMARK FOR c AS c - INTERVAL '…')]
+  *     WITH (path = '…', format = 'parquet')` — a streaming file source
+  *     registered as a (streaming) temp view, watermark applied
+  *     (reference: create_source.rs:594-616 bind_source_watermark);
+  *  - `CREATE MATERIALIZED VIEW m (PRIMARY KEY (k, …)) AS SELECT …` —
+  *     handled by [[Engine.execute]] using [[parseCreateMv]]; whether the
+  *     plan is streaming is decided by what the SELECT reads;
+  *  - `WITH RECURSIVE … SELECT …` — evaluated by the driver-side
+  *     fixpoint loop (reference: logical_recursive_union.rs).
+  *
+  * Parsing is structural (paren/quote-aware scanning), not a full
+  * grammar: exactly the statement shapes above, everything else falls
+  * through to `spark.sql`.
+  */
+object SqlFrontend {
+
+  // ------------------------------------------------------------- scanning
+
+  /** Index of the ')' matching the '(' at `open`, honoring nesting and
+    * single-quoted strings.
+    */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses in: $s")
+  }
+
+  /** Split on a separator at paren-depth 0 (outside quotes). */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case c if c == sep && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  /** First occurrence of word-boundary `word` (case-insensitive) at
+    * paren-depth 0, or -1.
+    */
+  private def indexOfTopLevelWord(s: String, word: String): Int = {
+    val upper = s.toUpperCase
+    val w = word.toUpperCase
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && upper.startsWith(w, i) &&
+            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+            (i + w.length >= s.length ||
+              !Character.isLetterOrDigit(s.charAt(i + w.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  // ----------------------------------------------------- CREATE SOURCE
+
+  final case class SourceDef(name: String, path: String, format: String,
+      watermarkCol: Option[String], watermarkDelay: Option[String])
+
+  private val CreateSourceRe =
+    """(?is)\s*CREATE\s+SOURCE\s+(\w+)\s*(\(.*\))?\s*WITH\s*\((.*)\)\s*;?\s*""".r
+
+  private val WatermarkRe =
+    """(?is).*WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s*'([^']+)'\s*(\w+)?.*""".r
+
+  def parseCreateSource(stmt: String): Option[SourceDef] = stmt match {
+    case CreateSourceRe(name, cols, withOpts) =>
+      val opts = splitTopLevel(withOpts, ',').flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k.trim.toLowerCase -> v.trim.stripPrefix("'").stripSuffix("'"))
+          case _ => None
+        }
+      }.toMap
+      val (wmCol, wmDelay) = Option(cols).getOrElse("") match {
+        case WatermarkRe(c, delay, unit) =>
+          val d = if (unit != null && unit.nonEmpty) s"$delay $unit" else delay
+          (Some(c), Some(d))
+        case _ => (None, None)
+      }
+      Some(SourceDef(name,
+        opts.getOrElse("path",
+          throw new IllegalArgumentException("CREATE SOURCE requires path = '…'")),
+        opts.getOrElse("format", "parquet"),
+        wmCol, wmDelay))
+    case _ => None
+  }
+
+  /** Plan a [[SourceDef]]: schema from the existing files (the backfill
+    * snapshot), then a file stream, then the watermark.
+    */
+  def planSource(spark: SparkSession, d: SourceDef): DataFrame = {
+    require(d.format.equalsIgnoreCase("parquet"),
+      s"CREATE SOURCE format '${d.format}' not supported (parquet only; " +
+        "json/csv payloads decode via graft.sources.Formats)")
+    val schema = spark.read.parquet(d.path).schema
+    val stream = spark.readStream.schema(schema).parquet(d.path)
+    (d.watermarkCol, d.watermarkDelay) match {
+      case (Some(c), Some(delay)) => stream.withWatermark(c, delay)
+      case _ => stream
+    }
+  }
+
+  // ---------------------------------------------- CREATE MATERIALIZED VIEW
+
+  final case class CreateMvDef(name: String, pk: Option[Seq[String]], query: String)
+
+  private val CreateMvRe =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s*(?:\(\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*\))?\s+AS\s+(.*)""".r
+
+  def parseCreateMv(stmt: String): Option[CreateMvDef] = stmt match {
+    case CreateMvRe(name, pkList, query) =>
+      Some(CreateMvDef(name,
+        Option(pkList).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)),
+        query.trim.stripSuffix(";")))
+    case _ => None
+  }
+
+  // -------------------------------------------------------- WITH RECURSIVE
+
+  def isRecursiveCte(stmt: String): Boolean =
+    stmt.trim.toUpperCase.replaceAll("\\s+", " ").startsWith("WITH RECURSIVE")
+
+  private final case class Cte(name: String, cols: Option[Seq[String]], body: String)
+
+  /** Evaluate `WITH RECURSIVE a AS (…), b(c1,c2) AS (base UNION step) …
+    * SELECT …`. Non-self-referencing CTEs bind as plain temp views; a
+    * self-referencing CTE runs as a distinct-union fixpoint
+    * ([[IterativeFixpoint.fixpoint]]) with the CTE name bound to the
+    * frontier inside the step term (standard working-table semantics).
+    * UNION ALL recursion is rejected: with cycles it has no fixpoint.
+    */
+  def executeRecursive(spark: SparkSession, stmt: String): DataFrame = {
+    val body = stmt.trim.replaceFirst("(?is)^\\s*WITH\\s+RECURSIVE\\s+", "")
+    // peel CTE definitions: name[(cols)] AS ( … ) [, …] then final SELECT
+    var rest = body
+    var ctes = Vector.empty[Cte]
+    val HeadRe = """(?is)^\s*(\w+)\s*(\(([^)]*)\))?\s*AS\s*""".r
+    var done = false
+    while (!done) {
+      HeadRe.findPrefixMatchOf(rest) match {
+        case Some(m) if rest.drop(m.end).trim.startsWith("(") =>
+          val after = rest.drop(m.end)
+          val open = after.indexOf('(')
+          val close = matchingParen(after, open)
+          ctes :+= Cte(m.group(1),
+            Option(m.group(3)).map(_.split(",").map(_.trim).toSeq),
+            after.substring(open + 1, close))
+          val tail = after.substring(close + 1).trim
+          if (tail.startsWith(",")) rest = tail.drop(1)
+          else { rest = tail; done = true }
+        case _ => done = true
+      }
+    }
+    val registered = scala.collection.mutable.ListBuffer[String]()
+    try {
+      ctes.foreach { cte =>
+        val selfRef = indexOfTopLevelWord(cte.body, cte.name) >= 0 ||
+          cte.body.toUpperCase.matches(s"(?s).*\\b${cte.name.toUpperCase}\\b.*")
+        val df =
+          if (!selfRef) spark.sql(cte.body)
+          else {
+            val unionAt = indexOfTopLevelWord(cte.body, "UNION")
+            require(unionAt >= 0,
+              s"recursive CTE ${cte.name} must be <base> UNION <step>")
+            val afterUnion = cte.body.substring(unionAt + "UNION".length)
+            require(!afterUnion.trim.toUpperCase.startsWith("ALL"),
+              "recursive UNION ALL is not supported (no fixpoint under cycles)")
+            val baseSql = cte.body.substring(0, unionAt)
+            val stepSql = afterUnion
+            // the declared column list binds INSIDE the recursion — the
+            // step term references the CTE's columns by those names, and
+            // the fixpoint anti-join matches rows by column name
+            val base0 = spark.sql(baseSql)
+            val base = cte.cols.map(cs => base0.toDF(cs: _*)).getOrElse(base0)
+            val result = IterativeFixpoint.fixpoint(base, frontier => {
+              frontier.createOrReplaceTempView(cte.name)
+              spark.sql(stepSql).toDF(base.columns: _*)
+            })
+            spark.catalog.dropTempView(cte.name)
+            result
+          }
+        val named =
+          if (df.columns.toSeq == cte.cols.getOrElse(df.columns.toSeq)) df
+          else df.toDF(cte.cols.get: _*)
+        named.createOrReplaceTempView(cte.name)
+        registered += cte.name
+      }
+      spark.sql(rest)
+    } finally {
+      // final SELECT is already planned; views can unbind
+      registered.foreach(v => spark.catalog.dropTempView(v))
+    }
+  }
+}

@@ -75,10 +75,12 @@ object RetractableHll {
   /** Column form: approx distinct of `value` under changelog ops.
     * `value` is hashed with xxhash64 (engine-internal — sketches don't
     * cross engines); `op` follows Changelog conventions (+1/-1 style:
-    * pass `when(isAdd, 1).otherwise(-1)`).
+    * pass `when(isAdd, 1).otherwise(-1)`). NULL values are ignored (op
+    * forced to 0) — xxhash64(NULL) would otherwise register the seed as
+    * a phantom distinct element, diverging from count(distinct).
     */
   def approxCountDistinctRetractable(value: Column, op: Column): Column = {
     val u = udaf(aggregator) // TypeTag-derived encoder for In
-    u(xxhash64(value), op.cast("int"))
+    u(xxhash64(value), when(value.isNull, 0).otherwise(op.cast("int")))
   }
 }

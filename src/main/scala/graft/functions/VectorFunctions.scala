@@ -31,6 +31,12 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** L2 norm through the native dot when registered — same value as
+    * [[l2Norm]] (equal arrays, sequential double fold), no HOF boxing.
+    */
+  def fastL2Norm(spark: org.apache.spark.sql.SparkSession, a: Column): Column =
+    sqrt(fastDot(spark, a, a))
+
   /** Cosine similarity (0 for zero vectors). */
   def cosine(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)

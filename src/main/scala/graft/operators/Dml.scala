@@ -30,7 +30,7 @@ object Dml {
     val doomed = mv.read().where(cond)
     mv.merge(doomed
       .withColumn(Changelog.OpCol, lit(Changelog.Delete))
-      .withColumn(Changelog.SeqCol, lit(0L)))
+      .withColumn(Changelog.SeqCol, monotonically_increasing_id()))
   }
 
   /** UPDATE ... SET assignments WHERE cond: UpdateInsert ops, merge. */
@@ -39,6 +39,6 @@ object Dml {
     val updated = set.foldLeft(base) { case (df, (c, e)) => df.withColumn(c, e) }
     mv.merge(updated
       .withColumn(Changelog.OpCol, lit(Changelog.UpdateInsert))
-      .withColumn(Changelog.SeqCol, lit(0L)))
+      .withColumn(Changelog.SeqCol, monotonically_increasing_id()))
   }
 }

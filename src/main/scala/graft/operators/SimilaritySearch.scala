@@ -41,9 +41,9 @@ object SimilaritySearch {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int): DataFrame = {
     val d = data.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
-      .withColumn("__n", VectorFunctions.l2Norm(col("__vec")))
+      .withColumn("__n", VectorFunctions.fastL2Norm(data.sparkSession, col("__vec")))
     val qs = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
-      .withColumn("__qn", VectorFunctions.l2Norm(col("__qvec")))
+      .withColumn("__qn", VectorFunctions.fastL2Norm(queries.sparkSession, col("__qvec")))
     val scored = d.join(broadcast(qs))
       .where(col("__qid") =!= col("__id"))
       .select(col("__qid").as("qid"), col("__id").as("id"),
@@ -63,10 +63,10 @@ object SimilaritySearch {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nBits: Int = 4, dims: Int = 64): DataFrame = {
     val d = data.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
-      .withColumn("__n", VectorFunctions.l2Norm(col("__vec")))
+      .withColumn("__n", VectorFunctions.fastL2Norm(data.sparkSession, col("__vec")))
       .withColumn("__bucket", VectorFunctions.lshBucket(col("__vec"), nBits, dims))
     val qs = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
-      .withColumn("__qn", VectorFunctions.l2Norm(col("__qvec")))
+      .withColumn("__qn", VectorFunctions.fastL2Norm(queries.sparkSession, col("__qvec")))
       .withColumn("__bucket", VectorFunctions.lshBucket(col("__qvec"), nBits, dims))
     val scored = d.join(broadcast(qs), Seq("__bucket"))
       .where(col("__qid") =!= col("__id"))
@@ -89,7 +89,7 @@ object SimilaritySearch {
     val centroids = KMeans.fit(data, idCol, vecCol, nCells, iterations)
     val cells = KMeans.assign(
       data.select(col(idCol).as("__id"), col(vecCol).as("__vec")), "__vec", centroids)
-      .withColumn("__n", VectorFunctions.l2Norm(col("__vec")))
+      .withColumn("__n", VectorFunctions.fastL2Norm(data.sparkSession, col("__vec")))
     // query → nprobe nearest cells
     val w = Window.partitionBy("__qid")
       .orderBy(col("__qdist").asc, col("cluster_id").asc)
@@ -100,7 +100,7 @@ object SimilaritySearch {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= nprobe)
       .select(col("__qid"), col("__qvec"), col("cluster_id"))
-      .withColumn("__qn", VectorFunctions.l2Norm(col("__qvec")))
+      .withColumn("__qn", VectorFunctions.fastL2Norm(queries.sparkSession, col("__qvec")))
     val scored = cells.join(broadcast(probes), Seq("cluster_id"))
       .where(col("__qid") =!= col("__id"))
       .select(col("__qid").as("qid"), col("__id").as("id"),
@@ -117,7 +117,7 @@ object SimilaritySearch {
       data: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 4, dims: Int = 64): DataFrame = {
     val bucketed = data.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
-      .withColumn("__n", VectorFunctions.l2Norm(col("__vec")))
+      .withColumn("__n", VectorFunctions.fastL2Norm(data.sparkSession, col("__vec")))
       .withColumn("__bucket", VectorFunctions.lshBucket(col("__vec"), nBits, dims))
     val a = bucketed.select(col("__bucket"), col("__id").as("id_a"),
       col("__vec").as("va"), col("__n").as("na"))

@@ -179,6 +179,75 @@ object Joins extends QueryPack {
           row_number().over(w).as("rn"))
         .where(col("rn") === 1).drop("rn")
         .orderBy("o_orderkey")
+    },
+
+    // Batch AS-OF LEFT OUTER join (AsofLeftOuter): as above but orders
+    // with no earlier order (a customer's first) survive null-padded —
+    // the LEFT JOIN keeps exactly one all-null build row, which the rank
+    // picks. reference: proto/plan_common.proto:147 (ASOF_LEFT_OUTER)
+    q("q_join_asof_outer",
+      """SELECT o_orderkey, o_custkey, prev_orderkey, prev_date FROM (
+        |  SELECT o.o_orderkey, o.o_custkey,
+        |    p.o_orderkey AS prev_orderkey, p.o_orderdate AS prev_date,
+        |    ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+        |                       ORDER BY p.o_orderdate DESC NULLS LAST,
+        |                                p.o_orderkey DESC NULLS LAST) AS rn
+        |  FROM orders o LEFT JOIN orders p
+        |    ON p.o_custkey = o.o_custkey AND p.o_orderdate < o.o_orderdate
+        |  WHERE o.o_orderkey % 20 = 0
+        |) WHERE rn = 1
+        |ORDER BY o_orderkey""".stripMargin) { s =>
+      import org.apache.spark.sql.expressions.Window
+      val o = s.table("orders").where(col("o_orderkey") % 20 === 0)
+      val p = s.table("orders")
+        .select(col("o_orderkey").as("p_orderkey"),
+          col("o_custkey").as("p_custkey"), col("o_orderdate").as("p_orderdate"))
+      val joined = o.join(p,
+        col("p_custkey") === o("o_custkey") && col("p_orderdate") < o("o_orderdate"),
+        "left")
+      val w = Window.partitionBy(o("o_orderkey"))
+        .orderBy(col("p_orderdate").desc_nulls_last, col("p_orderkey").desc_nulls_last)
+      joined
+        .select(o("o_orderkey"), o("o_custkey"),
+          col("p_orderkey").as("prev_orderkey"), col("p_orderdate").as("prev_date"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") === 1).drop("rn")
+        .orderBy("o_orderkey")
+    },
+
+    // Batch AS-OF forward join (inequality ≥): each order matched with
+    // the same customer's EARLIEST at-or-after order other than itself —
+    // the Ge probe direction of the reference's inequality matrix.
+    // reference: proto/plan_common.proto:156-161 (AsOfInequalityType)
+    q("q_join_asof_fwd",
+      """SELECT o_orderkey, o_custkey, next_orderkey, next_date FROM (
+        |  SELECT o.o_orderkey, o.o_custkey,
+        |    p.o_orderkey AS next_orderkey, p.o_orderdate AS next_date,
+        |    ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+        |                       ORDER BY p.o_orderdate ASC, p.o_orderkey ASC) AS rn
+        |  FROM orders o JOIN orders p
+        |    ON p.o_custkey = o.o_custkey AND p.o_orderdate >= o.o_orderdate
+        |   AND p.o_orderkey <> o.o_orderkey
+        |  WHERE o.o_orderkey % 20 = 0
+        |) WHERE rn = 1
+        |ORDER BY o_orderkey""".stripMargin) { s =>
+      import org.apache.spark.sql.expressions.Window
+      val o = s.table("orders").where(col("o_orderkey") % 20 === 0)
+      val p = s.table("orders")
+        .select(col("o_orderkey").as("p_orderkey"),
+          col("o_custkey").as("p_custkey"), col("o_orderdate").as("p_orderdate"))
+      val joined = o.join(p,
+        col("p_custkey") === o("o_custkey") &&
+          col("p_orderdate") >= o("o_orderdate") &&
+          col("p_orderkey") =!= o("o_orderkey"))
+      val w = Window.partitionBy(o("o_orderkey"))
+        .orderBy(col("p_orderdate").asc, col("p_orderkey").asc)
+      joined
+        .select(o("o_orderkey"), o("o_custkey"),
+          col("p_orderkey").as("next_orderkey"), col("p_orderdate").as("next_date"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") === 1).drop("rn")
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -6,7 +6,10 @@ import org.apache.spark.sql.types._
 /** TPC-H-shaped analytics adapted to the pruned driver schema — the
   * heavier join/agg pipelines the bench gate measures (SURVEY.md §6:
   * reference runs TPC-H 22 both batch and as MVs). Plans to watch: star
-  * joins broadcast every dimension, the lineitem scan carries every
+  * joins broadcast the BOUNDED dimensions (region/nation/part) by hint;
+  * SF-proportional sides (customer, supplier — GBs at sf100) carry NO
+  * hint so AQE picks broadcast at small SF and shuffle at large instead
+  * of OOMing on a forced build side. The lineitem scan carries every
   * pushable predicate, aggregates are decimal-exact two-phase.
   */
 object TpchLike extends QueryPack {
@@ -32,7 +35,7 @@ object TpchLike extends QueryPack {
       val l = s.table("lineitem")
         .where(col("l_shipdate") > lit("1998-03-15 00:00:00").cast(TimestampType))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(l("l_orderkey"), o("o_orderdate"))
         .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount")), 6).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
@@ -60,10 +63,10 @@ object TpchLike extends QueryPack {
       val l = s.table("lineitem")
       val sup = s.table("supplier")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .join(broadcast(sup),
+        .join(sup,
           sup("s_suppkey") === l("l_suppkey") &&
             sup("s_nationkey") === n("n_nationkey"))
         .groupBy(n("n_name"))
@@ -108,7 +111,7 @@ object TpchLike extends QueryPack {
       val l = s.table("lineitem").where(col("l_returnflag") === "R")
       val n = s.table("nation")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(c("c_custkey"), c("c_name"), n("n_name"))
         .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount")), 6).as("revenue"))
@@ -162,8 +165,8 @@ object TpchLike extends QueryPack {
       val sn = s.table("nation").where(col("n_nationkey") < 2)
         .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), c("c_custkey") === o("o_custkey"))
-        .join(broadcast(sup), sup("s_suppkey") === l("l_suppkey"))
+        .join(c, c("c_custkey") === o("o_custkey"))
+        .join(sup, sup("s_suppkey") === l("l_suppkey"))
         .join(broadcast(cn), col("cnk") === c("c_nationkey"))
         .join(broadcast(sn), col("snk") === sup("s_nationkey"))
         .where(col("cnk") =!= col("snk"))
@@ -269,7 +272,7 @@ object TpchLike extends QueryPack {
       val l = s.table("lineitem").alias("li18")
       o.join(big, col("o18.o_orderkey") === col("big_orderkey"), "left_semi")
         .join(l, col("li18.l_orderkey") === col("o18.o_orderkey"))
-        .join(broadcast(c), col("o18.o_custkey") === col("c18.c_custkey"))
+        .join(c, col("o18.o_custkey") === col("c18.c_custkey"))
         .groupBy(col("c18.c_custkey"), col("c18.c_name"),
           col("o18.o_orderkey"), col("o18.o_totalprice"))
         .agg(dsum(col("li18.l_quantity")).as("total_qty"))

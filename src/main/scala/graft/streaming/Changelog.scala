@@ -26,9 +26,13 @@ object Changelog {
   /** Does this op add a row to the result multiset? */
   def isAdd(op: Column): Column = op === Insert || op === UpdateInsert
 
-  /** Tag a plain DataFrame as an insert-only changelog. */
+  /** Tag a plain DataFrame as an insert-only changelog. The sequence is
+    * a real per-row ordinal (partition-ordered), so a delta carrying
+    * several rows for one PK resolves to the LAST row deterministically
+    * rather than by arbitrary tie-break.
+    */
   def ofInserts(df: DataFrame): DataFrame =
-    df.withColumn(OpCol, lit(Insert)).withColumn(SeqCol, lit(0L))
+    df.withColumn(OpCol, lit(Insert)).withColumn(SeqCol, monotonically_increasing_id())
 
   /** Apply a keyed changelog to a snapshot: for each PK, the last change
     * wins — an add keeps its row, a delete removes the key. This is the

@@ -33,11 +33,14 @@ final class IncrementalOver(
   def applyDelta(delta: DataFrame): Unit = {
     baseMv.merge(delta)
     val parts = delta.select(partitionCols.map(col): _*).distinct()
-    val base = baseMv.read()
+    // bucket-pruned when the MVs are bucketed on the partition columns
+    // (define them with bucketKeys = partitionCols) — then each batch
+    // reads O(touched buckets), not O(table)
+    val base = baseMv.readTouched(parts)
     if (base.columns.isEmpty) return
     val affectedBase = base.join(broadcast(parts), partitionCols, "left_semi")
     val recomputed = windowFn(affectedBase)
-    val current = resultMv.read()
+    val current = resultMv.readTouched(parts)
     val oldAffected =
       if (current.columns.isEmpty)
         recomputed.where(lit(false))

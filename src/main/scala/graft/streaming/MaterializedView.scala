@@ -28,12 +28,20 @@ final class MaterializedView(
     val name: String,
     pk: Seq[String],
     targetDir: String,
-    nBuckets: Int = 32) {
+    nBuckets: Int = 32,
+    bucketKeys: Seq[String] = Seq.empty) {
 
   private val bucketCol = "__bucket"
 
+  /** Physical bucketing key: defaults to the PK; override with a coarser
+    * key (e.g. a window-partition or group column) to make
+    * touched-key recompute reads bucket-pruned ([[readTouched]]) —
+    * the IncrementalOver / IncrementalAgg O(delta) layout.
+    */
+  private val bucketCols: Seq[String] = if (bucketKeys.nonEmpty) bucketKeys else pk
+
   private def bucketOf(df: DataFrame) =
-    pmod(hash(pk.map(col): _*), lit(nBuckets))
+    pmod(hash(bucketCols.map(col): _*), lit(nBuckets))
 
   private val changelogDir = s"$targetDir.changelog"
 
@@ -41,16 +49,43 @@ final class MaterializedView(
     * (reference: docs/dev/src/design/mv-on-mv.md — downstream MVs
     * subscribe to the upstream's changelog, NOT its storage: the storage
     * is rewritten in place, which no file-tailing source can consume).
-    * Each merge appends its delta (with ops) here; downstream MVs
+    * Each merge publishes its delta here (one `batch-N` directory per
+    * epoch, atomically renamed in — see [[merge]]); downstream MVs
     * `readStream` it.
     */
   def changelogStream(): DataFrame = {
-    val schema = spark.read.parquet(changelogDir).schema
-    spark.readStream.schema(schema).parquet(changelogDir)
+    val schema = readChangelog().schema
+    spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(changelogDir)
   }
 
   /** Batch view of the accumulated changelog. */
-  def readChangelog(): DataFrame = spark.read.parquet(changelogDir)
+  def readChangelog(): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(changelogDir)
+
+  /** Retention: drop changelog epochs ≤ `upToBatchId`.
+    *
+    * Contract: only call with a batch id every subscriber's checkpoint
+    * has committed PAST — a file-stream source never re-requests files it
+    * has logged, so deleting them is invisible to existing subscribers.
+    * A subscriber created after expiry starts from the surviving epochs
+    * only (backfill from the MV storage instead). This is the
+    * subscriber-checkpoint retention the reference applies to its shared
+    * log (reference: docs/dev/src/design/checkpoint.md).
+    */
+  def expireChangelog(upToBatchId: Long): Unit = {
+    val dir = Paths.get(changelogDir)
+    if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("batch-") &&
+            n.stripPrefix("batch-").toLongOption.exists(_ <= upToBatchId)
+        }
+        .toSeq.foreach(deleteRecursively)
+    }
+  }
 
   /** Current MV contents. */
   def read(): DataFrame = {
@@ -67,6 +102,27 @@ final class MaterializedView(
     if (Files.exists(Paths.get(targetDir))) Some(spark.read.parquet(targetDir))
     else None
 
+  /** Rows from ONLY the storage buckets that can contain `keys` — the
+    * O(delta × table/nBuckets) read that makes per-batch recompute
+    * incremental. `keys` must carry the bucket columns; the distinct
+    * touched bucket ids are collected on the driver (bounded by the
+    * delta's distinct-key count, itself ≤ nBuckets values). Falls back
+    * to a full read when `keys` lacks the bucket columns or the MV is
+    * empty.
+    */
+  def readTouched(keys: DataFrame): DataFrame = {
+    val stored = readBuckets()
+    if (stored.isEmpty) read()
+    else if (!bucketCols.forall(keys.columns.contains)) read()
+    else {
+      val touched = keys
+        .select(pmod(hash(bucketCols.map(col): _*), lit(nBuckets)).as(bucketCol))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) read().where(lit(false))
+      else stored.get.where(col(bucketCol).isin(touched: _*)).drop(bucketCol)
+    }
+  }
+
   /** Merge one delta (latest row per PK wins over stored rows). Rows in
     * `delta` with a Changelog op column are applied with delete support;
     * plain DataFrames are treated as upserts.
@@ -81,13 +137,37 @@ final class MaterializedView(
   def merge(delta: DataFrame, batchId: Long = -1L): Unit = {
     val hasOps = delta.columns.contains(Changelog.OpCol)
     val norm0 =
-      if (hasOps) delta
-      else Changelog.ofInserts(delta)
+      if (!hasOps) Changelog.ofInserts(delta)
+      // ops without a sequence: assign one (partition-ordered) so
+      // multi-change-per-PK deltas resolve deterministically
+      else if (!delta.columns.contains(Changelog.SeqCol))
+        delta.withColumn(Changelog.SeqCol, monotonically_increasing_id())
+      else delta
     val norm = norm0.withColumn(bucketCol, bucketOf(norm0)).cache()
     try {
-      // publish the delta on the append-only changelog channel first —
-      // downstream MVs consume this, never the rewritten storage
-      norm.drop(bucketCol).write.mode("append").parquet(changelogDir)
+      // Publish the delta on the changelog channel first — downstream
+      // MVs consume this, never the rewritten storage. Publication is
+      // idempotent per epoch: the delta is staged then ATOMICALLY
+      // renamed to batch-<id>; a foreachBatch retry of an
+      // already-published epoch is a no-op, so downstream subscribers
+      // can never double-count (the exactly-once epoch contract,
+      // reference: docs/dev/src/design/checkpoint.md).
+      if (batchId >= 0) {
+        val batchDir = Paths.get(changelogDir, s"batch-$batchId")
+        if (!Files.exists(batchDir)) {
+          val stage = Paths.get(s"$targetDir.cl-stage-$batchId")
+          deleteRecursively(stage)
+          norm.drop(bucketCol).write.mode("overwrite").parquet(stage.toString)
+          Files.createDirectories(batchDir.getParent)
+          try Files.move(stage, batchDir,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { // lost a race with a concurrent retry: theirs is equivalent
+            case _: java.nio.file.FileAlreadyExistsException =>
+              deleteRecursively(stage)
+          }
+        }
+      } else // ad-hoc DML merge outside a streaming epoch: plain append
+        norm.drop(bucketCol).write.mode("append").parquet(changelogDir)
       val affected = norm.select(bucketCol).distinct()
         .collect().map(_.getInt(0)).toSeq
       if (affected.nonEmpty) {
@@ -151,8 +231,10 @@ final class MaterializedView(
 final class MvCatalog(spark: SparkSession, baseDir: String) {
   private val views = scala.collection.mutable.Map[String, MaterializedView]()
 
-  def define(name: String, pk: Seq[String], nBuckets: Int = 32): MaterializedView = {
-    val mv = new MaterializedView(spark, name, pk, s"$baseDir/$name/data", nBuckets)
+  def define(name: String, pk: Seq[String], nBuckets: Int = 32,
+      bucketKeys: Seq[String] = Seq.empty): MaterializedView = {
+    val mv = new MaterializedView(spark, name, pk, s"$baseDir/$name/data",
+      nBuckets, bucketKeys)
     views(name) = mv
     mv
   }

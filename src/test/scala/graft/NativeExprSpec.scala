@@ -31,17 +31,38 @@ class NativeExprSpec extends SparkSpecBase {
     assert(r.isNullAt(0))
   }
 
-  test("optimizer rule rewrites the HOF dot pattern to DotProduct") {
+  test("optimizer rule rewrites the HOF dot pattern when opted in") {
     // needs a non-literal input: literals constant-fold away entirely
     val e = Tables.df(spark, "/root/testdata/sf0.001", "embeddings")
     val hof = e.select(
       VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
-    val optimized = hof.queryExecution.optimizedPlan.toString
-    assert(optimized.contains("graft_dot"), s"rewrite missing:\n$optimized")
-    val native = e.select(
-      call_function("graft_dot", col("embedding"), col("embedding")).as("d"))
-    assert(hof.agg(sum("d")).head().getDouble(0) ==
-      native.agg(sum("d")).head().getDouble(0))
+    spark.conf.set(graft.plans.NativeVectorRewrite.ConfKey, "true")
+    try {
+      val optimized = hof.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("graft_dot"), s"rewrite missing:\n$optimized")
+      val native = e.select(
+        call_function("graft_dot", col("embedding"), col("embedding")).as("d"))
+      assert(hof.agg(sum("d")).head().getDouble(0) ==
+        native.agg(sum("d")).head().getDouble(0))
+    } finally spark.conf.unset(graft.plans.NativeVectorRewrite.ConfKey)
+  }
+
+  test("optimizer rule does NOT silently rewrite two-array HOF dots") {
+    // a·b with distinct inputs has different edge semantics (unequal
+    // lengths, null elements) — without the session opt-in the HOF
+    // formulation must survive optimization untouched
+    val e = Tables.df(spark, "/root/testdata/sf0.001", "embeddings")
+    val two = e.as("x").join(e.as("y"),
+        col("x.vec_id") === col("y.vec_id"))
+      .select(VectorFunctions.dot(col("x.embedding"), col("y.embedding")).as("d"))
+    val optimized = two.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("graft_dot"), s"unexpected rewrite:\n$optimized")
+    // HOF semantics preserved: unequal lengths yield NULL, native truncates
+    val r = spark.sql(
+      """SELECT aggregate(zip_with(array(1.0d, 2.0d), array(3.0d),
+        |  (x, y) -> x * y), 0.0d, (a, v) -> a + v) AS hof,
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d)) AS native""".stripMargin).head()
+    assert(r.isNullAt(0) && r.getDouble(1) == 3.0)
   }
 
   test("fastDot used by similarity search matches oracle-checked values") {

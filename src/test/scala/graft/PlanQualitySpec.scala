@@ -36,6 +36,20 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
   }
 
+  test("un-hinted customer join still broadcasts at small SF via AQE") {
+    // TpchLike carries no broadcast hint on SF-proportional tables
+    // (customer/supplier) — the plan must ADAPT: broadcast now because
+    // AQE sees a small build side, shuffle at sf100 when it doesn't.
+    // A forced hint would OOM at scale; a lost broadcast here would be
+    // a small-SF regression. Assert AQE picks broadcast on its own.
+    Tables.register(spark, "/root/testdata/sf0.01")
+    val df = SparkEntry.queries("q10_returned_items")(spark, "/root/testdata/sf0.01")
+    df.collect() // let AQE finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"AQE did not broadcast:\n$p")
+    Tables.register(spark, dir) // restore for later tests
+  }
+
   test("order-by-limit plans as TakeOrderedAndProject (no global sort)") {
     Tables.register(spark, dir)
     val df = spark.table("orders")

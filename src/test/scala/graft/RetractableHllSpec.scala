@@ -49,4 +49,13 @@ class RetractableHllSpec extends SparkSpecBase {
       assert(math.abs(a - e).toDouble / e < 0.08, s"approx=$a exact=$e")
     }
   }
+
+  test("NULL values are ignored, matching count(distinct)") {
+    val df = Seq(Some(1L), None, Some(2L), None, Some(1L))
+      .toDF("v").withColumn("op", lit(1))
+    val est = df.agg(RetractableHll
+      .approxCountDistinctRetractable(col("v"), col("op")).as("e"))
+      .head().getLong(0)
+    assert(est == 2L, s"est=$est (NULLs must not register)")
+  }
 }

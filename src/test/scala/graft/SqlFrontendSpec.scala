@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SQL entry-point surface: a reference user's first statements —
+  * CREATE SOURCE, streaming CREATE MATERIALIZED VIEW, WITH RECURSIVE —
+  * executed as SQL text through [[Engine.execute]].
+  */
+class SqlFrontendSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("CREATE SOURCE + streaming CREATE MATERIALIZED VIEW from SQL text") {
+    val e = new Engine(spark, tmpDir("sqlmv"))
+    val srcDir = tmpDir("sqlmv-src")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "tag", "v")
+      .write.mode("append").parquet(srcDir)
+
+    e.execute(s"CREATE SOURCE evsrc WITH (path = '$srcDir', format = 'parquet')")
+    val out = e.execute(
+      """CREATE MATERIALIZED VIEW ev_mv (PRIMARY KEY (id)) AS
+        |SELECT id, tag, v * 10 AS v10 FROM evsrc""".stripMargin)
+    assert(out.head().getString(0).contains("streaming"))
+
+    val job = e.streamingJob("ev_mv").get
+    job.processAllAvailable()
+    assert(e.table("ev_mv").orderBy("id").as[(Long, String, Double)]
+      .collect().toSeq == Seq((1L, "a", 100.0), (2L, "b", 200.0)))
+
+    // new files arriving at the source flow through: incremental upkeep
+    Seq((2L, "b2", 25.0), (3L, "c", 30.0)).toDF("id", "tag", "v")
+      .write.mode("append").parquet(srcDir)
+    job.processAllAvailable()
+    assert(e.table("ev_mv").orderBy("id").as[(Long, String, Double)]
+      .collect().toSeq ==
+      Seq((1L, "a", 100.0), (2L, "b2", 250.0), (3L, "c", 300.0)))
+
+    e.execute("DROP MATERIALIZED VIEW ev_mv")
+    assert(e.streamingJob("ev_mv").isEmpty || !job.isActive)
+  }
+
+  test("CREATE SOURCE parses WATERMARK FOR ... AS ... - INTERVAL DDL") {
+    val e = new Engine(spark, tmpDir("sqlwm"))
+    val srcDir = tmpDir("sqlwm-src")
+    Seq(("2024-01-01 00:00:00", 1L)).toDF("ts_s", "n")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("n"))
+      .write.mode("append").parquet(srcDir)
+
+    e.execute(
+      s"""CREATE SOURCE wmsrc (
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE
+         |) WITH (path = '$srcDir')""".stripMargin)
+    val df = spark.table("wmsrc")
+    assert(df.isStreaming)
+    // the watermark node must be in the analyzed plan
+    assert(df.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      df.queryExecution.analyzed.toString)
+  }
+
+  test("CREATE MATERIALIZED VIEW over a batch table stays batch") {
+    val e = new Engine(spark, tmpDir("sqlbatch"))
+    e.attachTables("/root/testdata/sf0.001")
+    val out = e.execute(
+      """CREATE MATERIALIZED VIEW reg_cnt (PRIMARY KEY (r_regionkey)) AS
+        |SELECT r_regionkey, count(*) AS n FROM region GROUP BY r_regionkey""".stripMargin)
+    assert(out.count() == 5)
+    assert(e.streamingJob("reg_cnt").isEmpty)
+  }
+
+  test("CREATE MATERIALIZED VIEW without PRIMARY KEY is rejected") {
+    val e = new Engine(spark, tmpDir("sqlnopk"))
+    e.attachTables("/root/testdata/sf0.001")
+    val ex = intercept[IllegalArgumentException] {
+      e.execute("CREATE MATERIALIZED VIEW no_pk AS SELECT * FROM region")
+    }
+    assert(ex.getMessage.contains("PRIMARY KEY"))
+  }
+
+  test("WITH RECURSIVE executes through the fixpoint operator") {
+    val e = new Engine(spark, tmpDir("sqlrec"))
+    val got = e.execute(
+      """WITH RECURSIVE t(n) AS (
+        |  SELECT 1 AS n
+        |  UNION
+        |  SELECT n + 1 FROM t WHERE n < 5
+        |) SELECT n FROM t ORDER BY n""".stripMargin)
+      .as[Int].collect().toSeq
+    assert(got == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("WITH RECURSIVE mixes plain and recursive CTEs") {
+    val e = new Engine(spark, tmpDir("sqlrec2"))
+    e.attachTables("/root/testdata/sf0.001")
+    val got = e.execute(
+      """WITH RECURSIVE seed AS (
+        |  SELECT min(r_regionkey) AS k FROM region
+        |), walk(k) AS (
+        |  SELECT k FROM seed
+        |  UNION
+        |  SELECT k + 2 FROM walk WHERE k < 4
+        |) SELECT k FROM walk ORDER BY k""".stripMargin)
+      .as[Int].collect().toSeq
+    assert(got == Seq(0, 2, 4))
+  }
+
+  test("SHOW MATERIALIZED VIEWS lists registered MVs") {
+    val e = new Engine(spark, tmpDir("sqlshow"))
+    e.attachTables("/root/testdata/sf0.001")
+    e.execute(
+      """CREATE MATERIALIZED VIEW show_me (PRIMARY KEY (r_regionkey)) AS
+        |SELECT r_regionkey FROM region""".stripMargin)
+    val names = e.execute("SHOW MATERIALIZED VIEWS").as[String].collect()
+    assert(names.contains("show_me"))
+  }
+}
