@@ -40,6 +40,23 @@ object JsonFunctions {
   def jsonbObjectKeys(json: Column): Column =
     array_sort(map_keys(asMap(json)))
 
+  /** jsonb_each(json) — table function: one (key, value) row per field
+    * of a flat object. A generator column: use in a select alongside the
+    * carrying row's columns (`df.select(col("id"), jsonbEach(col("j")))`).
+    * reference: src/expr/impl/src/table_function/jsonb.rs (jsonb_each)
+    */
+  def jsonbEach(json: Column): Column = explode(asMap(json))
+
+  /** jsonb_array_elements_text(json) — one row per element of a JSON
+    * array, as text. reference: src/expr/impl/src/table_function/jsonb.rs
+    */
+  def jsonbArrayElements(json: Column): Column =
+    explode(from_json(json, ArrayType(StringType)))
+
+  /** jsonb_array_elements WITH ORDINALITY (position, element). */
+  def jsonbArrayElementsOrdinal(json: Column): Column =
+    posexplode(from_json(json, ArrayType(StringType)))
+
   /** Typed access: jsonb field as bigint/double/text. */
   def jsonbGetText(json: Column, path: String): Column =
     get_json_object(json, s"$$.$path")

@@ -59,6 +59,40 @@ object TableFunctions extends QueryPack {
           |ORDER BY ts""".stripMargin)
     },
 
+    // jsonb_each over the events properties column — flat object → one
+    // (key, value) row per field.
+    // reference: src/expr/impl/src/table_function/jsonb.rs (jsonb_each)
+    q("q_jsonb_each",
+      """SELECT e.event_id, k AS key,
+        |  json_extract_string(e.props, '$.' || k) AS value
+        |FROM events e, unnest(json_keys(e.props)) AS t(k)
+        |WHERE e.event_id % 37 = 0
+        |ORDER BY e.event_id, key""".stripMargin) { s =>
+      s.table("events").where(col("event_id") % 37 === 0)
+        .select(col("event_id"),
+          graft.functions.JsonFunctions.jsonbEach(col("props")))
+        .orderBy("event_id", "key")
+    },
+
+    // jsonb_array_elements WITH ORDINALITY over a constructed JSON array.
+    q("q_jsonb_array_elements",
+      """SELECT doc_id,
+        |  CAST(generate_subscripts(arr, 1) - 1 AS INT) AS pos,
+        |  unnest(arr) AS elem
+        |FROM (
+        |  SELECT doc_id, json_extract_string(
+        |    '["' || lang || '","' || source || '"]', '$[*]') AS arr
+        |  FROM documents WHERE doc_id % 53 = 0)
+        |ORDER BY doc_id, pos""".stripMargin) { s =>
+      s.table("documents").where(col("doc_id") % 53 === 0)
+        .select(col("doc_id"),
+          graft.functions.JsonFunctions.jsonbArrayElementsOrdinal(
+            concat(lit("[\""), col("lang"), lit("\",\""),
+              col("source"), lit("\"]"))))
+        .toDF("doc_id", "pos", "elem")
+        .orderBy("doc_id", "pos")
+    },
+
     // explode(split(...)): word expansion — ProjectSet in a real pipeline
     // (word frequency over the documents table).
     q("q_word_explode",

@@ -35,35 +35,44 @@ object Formats {
     * u→UpdateInsert (after image), d→Delete (before image).
     * reference: src/connector/src/parser/debezium/
     */
-  def decodeDebezium(df: DataFrame, payloadCol: String, rowSchema: StructType): DataFrame = {
+  def decodeDebezium(df: DataFrame, payloadCol: String, rowSchema: StructType,
+      seqFrom: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val env = df.withColumn("__e", from_json(col(payloadCol), envelopeSchema(rowSchema)))
     val opCol = when(col("__e.op").isin("c", "r"), Changelog.Insert)
       .when(col("__e.op") === "u", Changelog.UpdateInsert)
       .when(col("__e.op") === "d", Changelog.Delete)
     val image = when(col("__e.op") === "d", col("__e.before")).otherwise(col("__e.after"))
-    env.select(image.as("__row"), opCol.as(Changelog.OpCol))
+    // seqFrom: the transport's native order (e.g. the Kafka offset) —
+    // multi-change-per-PK batches resolve by it; defaults to 0 (merge
+    // assigns a partition ordinal when absent)
+    env.select(image.as("__row"), opCol.as(Changelog.OpCol),
+        seqFrom.getOrElse(lit(0L)).cast("long").as(Changelog.SeqCol))
       .where(col(Changelog.OpCol).isNotNull)
-      .select(col("__row.*"), col(Changelog.OpCol))
-      .withColumn(Changelog.SeqCol, lit(0L))
+      .select(col("__row.*"), col(Changelog.OpCol), col(Changelog.SeqCol))
   }
 
-  /** Changelog DataFrame → Debezium-JSON sink payloads (SinkFormat
-    * Debezium; reference: src/connector/src/sink/catalog/mod.rs:132-154).
+  /** The Debezium-JSON envelope for one changelog row, as a Column —
+    * reusable by any transport's sink encoding (file, Kafka).
     */
-  def encodeDebezium(changelog: DataFrame): DataFrame = {
+  private[graft] def debeziumValue(changelog: DataFrame): org.apache.spark.sql.Column = {
     val dataCols = changelog.columns
       .filterNot(Seq(Changelog.OpCol, Changelog.SeqCol).contains)
     val row = struct(dataCols.map(col): _*)
     val rowType = StructType(dataCols.map(c => changelog.schema(c)))
     val isDelete = col(Changelog.OpCol) === Changelog.Delete
-    changelog.select(
-      to_json(struct(
-        when(isDelete, row).otherwise(lit(null).cast(rowType)).as("before"),
-        when(isDelete, lit(null).cast(rowType)).otherwise(row).as("after"),
-        when(isDelete, "d")
-          .when(col(Changelog.OpCol) === Changelog.UpdateInsert, "u")
-          .otherwise("c").as("op"))).as("value"))
+    to_json(struct(
+      when(isDelete, row).otherwise(lit(null).cast(rowType)).as("before"),
+      when(isDelete, lit(null).cast(rowType)).otherwise(row).as("after"),
+      when(isDelete, "d")
+        .when(col(Changelog.OpCol) === Changelog.UpdateInsert, "u")
+        .otherwise("c").as("op")))
   }
+
+  /** Changelog DataFrame → Debezium-JSON sink payloads (SinkFormat
+    * Debezium; reference: src/connector/src/sink/catalog/mod.rs:132-154).
+    */
+  def encodeDebezium(changelog: DataFrame): DataFrame =
+    changelog.select(debeziumValue(changelog).as("value"))
 
   /** Upsert-JSON sink: null value = delete tombstone (SinkFormat Upsert). */
   def encodeUpsert(changelog: DataFrame, pk: Seq[String]): DataFrame = {
