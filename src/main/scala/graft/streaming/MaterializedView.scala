@@ -24,10 +24,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * layout; nothing above this class changes.
   */
 final class MaterializedView(
-    spark: SparkSession,
+    val spark: SparkSession,
     val name: String,
     pk: Seq[String],
-    targetDir: String,
+    val targetDir: String,
     nBuckets: Int = 32,
     bucketKeys: Seq[String] = Seq.empty) {
 

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Changelog, DynamicFilter, MvCatalog}
+
+/** Streaming dynamic filter: `l.v > (SELECT max(b) FROM r)` maintained
+  * continuously — rows flip in/out of the result as the scalar moves
+  * (reference: src/stream/src/executor/dynamic_filter.rs band re-scan).
+  */
+class DynamicFilterSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def mkFilter(tag: String, op: String) = {
+    val cat = new MvCatalog(spark, tmpDir(tag))
+    val lhs = cat.define(s"${tag}_lhs", Seq("id"), nBuckets = 4)
+    val res = cat.define(s"${tag}_res", Seq("id"), nBuckets = 4)
+    new DynamicFilter(lhs, res, "v", op)
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    if (df.columns.isEmpty) Seq.empty // result MV not yet materialized
+    else df.select("id").as[Long].collect().toSeq.sorted
+
+  test("rows enter and leave the result as the threshold moves") {
+    val f = mkFilter("dynf", ">")
+    // no threshold yet: nothing qualifies (null scalar comparison)
+    f.applyDelta(Seq((1L, 5.0), (2L, 15.0), (3L, 25.0)).toDF("id", "v"), None)
+    assert(ids(f.read()).isEmpty)
+
+    // threshold 10 → {15, 25}
+    f.applyDelta(Seq.empty[(Long, Double)].toDF("id", "v"), Some(10.0))
+    assert(ids(f.read()) == Seq(2L, 3L))
+
+    // threshold rises to 20 → row 2 retracted
+    f.applyDelta(Seq.empty[(Long, Double)].toDF("id", "v"), Some(20.0))
+    assert(ids(f.read()) == Seq(3L))
+
+    // threshold falls to 4 → rows 1 and 2 (re)enter
+    f.applyDelta(Seq.empty[(Long, Double)].toDF("id", "v"), Some(4.0))
+    assert(ids(f.read()) == Seq(1L, 2L, 3L))
+    assert(f.currentThreshold.contains(4.0))
+  }
+
+  test("left-side deltas filter against the current threshold; deletes propagate") {
+    val f = mkFilter("dynd", ">")
+    f.applyDelta(Seq((1L, 5.0), (2L, 15.0)).toDF("id", "v"), Some(10.0))
+    assert(ids(f.read()) == Seq(2L))
+
+    // new rows: one qualifying, one not
+    f.applyDelta(Seq((3L, 30.0), (4L, 2.0)).toDF("id", "v"), Some(10.0))
+    assert(ids(f.read()) == Seq(2L, 3L))
+
+    // delete a qualifying row from the left input
+    f.applyDelta(Seq((2L, 15.0, Changelog.Delete))
+      .toDF("id", "v", Changelog.OpCol), Some(10.0))
+    assert(ids(f.read()) == Seq(3L))
+  }
+
+  test("mirrored comparators: <= requalifies on a rising threshold") {
+    val f = mkFilter("dynle", "<=")
+    f.applyDelta(Seq((1L, 5.0), (2L, 15.0), (3L, 25.0)).toDF("id", "v"), Some(5.0))
+    assert(ids(f.read()) == Seq(1L)) // v <= 5
+    f.applyDelta(Seq.empty[(Long, Double)].toDF("id", "v"), Some(15.0))
+    assert(ids(f.read()) == Seq(1L, 2L)) // band (5,15] entered
+    f.applyDelta(Seq.empty[(Long, Double)].toDF("id", "v"), Some(14.9))
+    assert(ids(f.read()) == Seq(1L)) // 15 leaves again
+  }
+
+  test("threshold state survives re-instantiation (recovery)") {
+    val cat = new MvCatalog(spark, tmpDir("dynr"))
+    val lhs = cat.define("r_lhs", Seq("id"), nBuckets = 4)
+    val res = cat.define("r_res", Seq("id"), nBuckets = 4)
+    val f1 = new DynamicFilter(lhs, res, "v", ">")
+    f1.applyDelta(Seq((1L, 5.0), (2L, 15.0)).toDF("id", "v"), Some(10.0))
+
+    val f2 = new DynamicFilter(lhs, res, "v", ">")
+    assert(f2.currentThreshold.contains(10.0))
+    // falling threshold after recovery still emits the band correctly
+    f2.applyDelta(Seq.empty[(Long, Double)].toDF("id", "v"), Some(1.0))
+    assert(ids(f2.read()) == Seq(1L, 2L))
+  }
+}
