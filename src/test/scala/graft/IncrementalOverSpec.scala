@@ -20,8 +20,12 @@ class IncrementalOverSpec extends SparkSpecBase {
 
   test("incremental OVER matches batch recompute across inserts and deletes") {
     val dir = tmpDir("iow")
-    val base = new MaterializedView(spark, "base", Seq("id"), s"$dir/base", 4)
-    val result = new MaterializedView(spark, "res", Seq("id"), s"$dir/res", 4)
+    // bucketed on the window-partition column: applyDelta's touched-set
+    // reads prune to the delta's buckets (the O(delta) layout)
+    val base = new MaterializedView(spark, "base", Seq("id"), s"$dir/base", 4,
+      bucketKeys = Seq("user"))
+    val result = new MaterializedView(spark, "res", Seq("id"), s"$dir/res", 4,
+      bucketKeys = Seq("user"))
     val iow = new IncrementalOver(base, result, Seq("user"), windowFn, Seq("id"))
 
     // batch 1: two users
@@ -49,8 +53,12 @@ class IncrementalOverSpec extends SparkSpecBase {
 
   test("untouched partitions are not recomputed (results preserved verbatim)") {
     val dir = tmpDir("iow2")
-    val base = new MaterializedView(spark, "base", Seq("id"), s"$dir/base", 4)
-    val result = new MaterializedView(spark, "res", Seq("id"), s"$dir/res", 4)
+    // bucketed on the window-partition column: applyDelta's touched-set
+    // reads prune to the delta's buckets (the O(delta) layout)
+    val base = new MaterializedView(spark, "base", Seq("id"), s"$dir/base", 4,
+      bucketKeys = Seq("user"))
+    val result = new MaterializedView(spark, "res", Seq("id"), s"$dir/res", 4,
+      bucketKeys = Seq("user"))
     val iow = new IncrementalOver(base, result, Seq("user"), windowFn, Seq("id"))
     iow.applyDelta(Seq((1L, "x", 1L, 1.0), (2L, "y", 1L, 2.0))
       .toDF("id", "user", "ts", "v"))
