@@ -51,6 +51,45 @@ object Formats {
       .select(col("__row.*"), col(Changelog.OpCol), col(Changelog.SeqCol))
   }
 
+  /** FORMAT MAXWELL ENCODE JSON → changelog: `{"type": "insert|update|
+    * delete", "data": {row}, "old": {changed-cols}}` — data always
+    * carries the full current image (the deleted row for deletes).
+    * reference: src/connector/src/parser/maxwell/simd_json_parser.rs
+    */
+  def decodeMaxwell(df: DataFrame, payloadCol: String, rowSchema: StructType,
+      seqFrom: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val env = StructType(Seq(
+      StructField("type", StringType), StructField("data", rowSchema)))
+    val e = df.withColumn("__e", from_json(col(payloadCol), env))
+    val opCol = when(col("__e.type") === "insert", Changelog.Insert)
+      .when(col("__e.type") === "update", Changelog.UpdateInsert)
+      .when(col("__e.type") === "delete", Changelog.Delete)
+    e.select(col("__e.data").as("__row"), opCol.as(Changelog.OpCol),
+        seqFrom.getOrElse(lit(0L)).cast("long").as(Changelog.SeqCol))
+      .where(col(Changelog.OpCol).isNotNull)
+      .select(col("__row.*"), col(Changelog.OpCol), col(Changelog.SeqCol))
+  }
+
+  /** FORMAT CANAL ENCODE JSON → changelog: one payload carries a BATCH
+    * of rows (`"data": [{row}, …]`, `"type": "INSERT|UPDATE|DELETE"`);
+    * rows explode in array order so intra-payload sequence is preserved.
+    * reference: src/connector/src/parser/canal/simd_json_parser.rs
+    */
+  def decodeCanal(df: DataFrame, payloadCol: String, rowSchema: StructType): DataFrame = {
+    val env = StructType(Seq(
+      StructField("type", StringType),
+      StructField("data", ArrayType(rowSchema))))
+    val e = df.withColumn("__e", from_json(col(payloadCol), env))
+    val opCol = when(col("__e.type") === "INSERT", Changelog.Insert)
+      .when(col("__e.type") === "UPDATE", Changelog.UpdateInsert)
+      .when(col("__e.type") === "DELETE", Changelog.Delete)
+    e.select(posexplode(col("__e.data")).as(Seq("__pos", "__row")),
+        opCol.as(Changelog.OpCol))
+      .where(col(Changelog.OpCol).isNotNull && col("__row").isNotNull)
+      .select(col("__row.*"), col(Changelog.OpCol),
+        col("__pos").cast("long").as(Changelog.SeqCol))
+  }
+
   /** The Debezium-JSON envelope for one changelog row, as a Column —
     * reusable by any transport's sink encoding (file, Kafka).
     */

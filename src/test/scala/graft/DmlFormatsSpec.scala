@@ -55,6 +55,43 @@ class DmlFormatsSpec extends SparkSpecBase {
     assert(out == Seq((1L, "a2")))
   }
 
+  test("Maxwell decode → changelog → MV apply") {
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val payloads = Seq(
+      """{"type": "insert", "data": {"id": 1, "v": "a"}}""",
+      """{"type": "insert", "data": {"id": 2, "v": "b"}}""",
+      """{"type": "update", "data": {"id": 1, "v": "a2"}, "old": {"v": "a"}}""",
+      """{"type": "delete", "data": {"id": 2, "v": "b"}}""",
+      """{"type": "bootstrap-start", "data": null}""" // non-row events drop
+    ).toDF("value")
+    val changelog = Formats.decodeMaxwell(payloads, "value", rowSchema)
+      .withColumn(Changelog.SeqCol, monotonically_increasing_id())
+    val dir = tmpDir("maxwell")
+    val mv = new MaterializedView(spark, "t", Seq("id"), s"$dir/data", nBuckets = 2)
+    mv.merge(changelog)
+    assert(mv.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a2")))
+  }
+
+  test("Canal decode: one payload carries a batch of rows in order") {
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val payloads = Seq(
+      """{"type": "INSERT", "data": [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]}""",
+      """{"type": "DELETE", "data": [{"id": 2, "v": "b"}]}"""
+    ).toDF("value")
+    val changelog = Formats.decodeCanal(payloads, "value", rowSchema)
+    assert(changelog.count() == 3)
+    val dir = tmpDir("canal")
+    val mv = new MaterializedView(spark, "t", Seq("id"), s"$dir/data", nBuckets = 2)
+    // apply per-payload order: insert batch first, then the delete
+    mv.merge(changelog.where(col(Changelog.OpCol) === Changelog.Insert))
+    mv.merge(changelog.where(col(Changelog.OpCol) === Changelog.Delete))
+    assert(mv.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a")))
+  }
+
   test("Debezium encode emits c/u/d envelopes") {
     val changelog = Seq(
       (1L, "a", Changelog.Insert), (2L, "b", Changelog.UpdateInsert),
