@@ -70,6 +70,45 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private val DropMv =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*""".r
   private val ShowMv = """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
+  private val DropSink = """(?is)\s*DROP\s+SINK\s+(\w+)\s*;?\s*""".r
+
+  /** `CREATE SINK s FROM mv WITH (path='…', format='…')`: subscribe to
+    * the MV's changelog channel, encode each delta (Debezium envelope /
+    * upsert tombstones / plain JSON), and append to the sink path as one
+    * payload line per change — the reference's sink executor semantics
+    * (changelog in, encoded stream out; reference:
+    * src/stream/src/executor/sink.rs:42).
+    */
+  private def startSink(d: SqlFrontend.SinkDef): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Formats
+    import graft.streaming.Changelog
+    val mv = mvs.get(d.from).getOrElse(throw new IllegalArgumentException(
+      s"CREATE SINK ${d.name}: unknown materialized view ${d.from}"))
+    val path = d.options.getOrElse("path", throw new IllegalArgumentException(
+      "CREATE SINK requires path = '…'"))
+    val stream = mv.changelogStream()
+    val encoded = d.options.getOrElse("format", "debezium").toLowerCase match {
+      case "debezium" => Formats.encodeDebezium(stream)
+      case "upsert" =>
+        Formats.encodeUpsert(stream, mv.primaryKey)
+          .select(to_json(struct(col("key"), col("value"))).as("value"))
+      case "json" => // append-only plain payloads: adds only
+        val dataCols = stream.columns
+          .filterNot(Seq(Changelog.OpCol, Changelog.SeqCol).contains)
+        stream.where(Changelog.isAdd(col(Changelog.OpCol)))
+          .select(to_json(struct(dataCols.map(col): _*)).as("value"))
+      case other =>
+        throw new IllegalArgumentException(s"CREATE SINK format '$other' " +
+          "not supported (debezium | upsert | json)")
+    }
+    val q = encoded.writeStream.format("text")
+      .option("path", path)
+      .option("checkpointLocation", s"$warehouseDir/sinks/${d.name}/checkpoint")
+      .start()
+    jobs(d.name) = q
+    statusDf("CREATE SINK", d.name)
+  }
 
   /** SQL entry point — the reference's `run_statement`
     * (src/frontend/src/session.rs:1168):
@@ -96,6 +135,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         sources(d.name) = stream
         stream.createOrReplaceTempView(d.name)
         statusDf("CREATE SOURCE", d.name)
+      case None => SqlFrontend.parseCreateSink(statement) match {
+      case Some(d: SqlFrontend.SinkDef) => startSink(d)
       case None => SqlFrontend.parseCreateMv(statement) match {
         case Some(CreateMvDef(name, pkOpt, query)) =>
           val result = spark.sql(query)
@@ -115,11 +156,15 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case DropMv(name) =>
             jobs.remove(name).foreach(_.stop())
             statusDf("DROP MATERIALIZED VIEW", name)
+          case DropSink(name) =>
+            jobs.remove(name).foreach(_.stop())
+            statusDf("DROP SINK", name)
           case ShowMv() =>
             import spark.implicits._
             mvs.list.toDF("name")
           case other => spark.sql(other)
         }
+      }
       }
     }
 }

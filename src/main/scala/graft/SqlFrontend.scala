@@ -147,6 +147,32 @@ object SqlFrontend {
     }
   }
 
+  // ------------------------------------------------------------ CREATE SINK
+
+  /** `CREATE SINK s FROM mv WITH (path='…', format='debezium|upsert|json')`
+    * — the reference's sink DDL (reference:
+    * src/frontend/src/handler/create_sink.rs; formats
+    * src/connector/src/sink/catalog/mod.rs:132-154). The sink subscribes
+    * to the MV's CHANGELOG (not its storage) and emits encoded payloads.
+    */
+  final case class SinkDef(name: String, from: String, options: Map[String, String])
+
+  private val CreateSinkRe =
+    """(?is)\s*CREATE\s+SINK\s+(\w+)\s+FROM\s+(\w+)\s+WITH\s*\((.*)\)\s*;?\s*""".r
+
+  def parseCreateSink(stmt: String): Option[SinkDef] = stmt match {
+    case CreateSinkRe(name, from, withOpts) =>
+      val opts = splitTopLevel(withOpts, ',').flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k.trim.toLowerCase -> v.trim.stripPrefix("'").stripSuffix("'"))
+          case _ => None
+        }
+      }.toMap
+      Some(SinkDef(name, from, opts))
+    case _ => None
+  }
+
   // ---------------------------------------------- CREATE MATERIALIZED VIEW
 
   final case class CreateMvDef(name: String, pk: Option[Seq[String]], query: String)

@@ -31,6 +31,25 @@ object Functions2 extends QueryPack {
         .orderBy("n_nationkey")
     },
 
+    // third sweep: overlay / targeted trims / suffix test / hex
+    q("q_fn_string3",
+      """SELECT p_partkey,
+        |  left(p_name, 2) || 'XX' || substr(p_name, 5) AS ov,
+        |  trim('  ' || p_name || '  ') AS t,
+        |  ltrim(p_name, 'abcdefgh') AS lt,
+        |  ends_with(p_name, 'd') AS ew,
+        |  to_hex(p_partkey) AS hx
+        |FROM part WHERE p_partkey % 7 = 0 ORDER BY p_partkey""".stripMargin) { s =>
+      s.table("part").where(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey"),
+          overlay(col("p_name"), lit("XX"), lit(3), lit(2)).as("ov"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("t"),
+          expr("trim(LEADING 'abcdefgh' FROM p_name)").as("lt"),
+          col("p_name").endsWith("d").as("ew"),
+          hex(col("p_partkey")).as("hx"))
+        .orderBy("p_partkey")
+    },
+
     q("q_fn_bitwise",
       """SELECT o_orderkey,
         |  o_orderkey & 255 AS b_and,

@@ -33,6 +33,9 @@ final class MaterializedView(
 
   private val bucketCol = "__bucket"
 
+  /** The PK the merge dedups on — sink encoders key payloads by it. */
+  def primaryKey: Seq[String] = pk
+
   /** Physical bucketing key: defaults to the PK; override with a coarser
     * key (e.g. a window-partition or group column) to make
     * touched-key recompute reads bucket-pruned ([[readTouched]]) —

@@ -102,6 +102,39 @@ class SqlFrontendSpec extends SparkSpecBase {
     assert(got == Seq(0, 2, 4))
   }
 
+  test("CREATE SINK streams the MV changelog as encoded payloads") {
+    val e = new Engine(spark, tmpDir("sqlsink"))
+    val srcDir = tmpDir("sqlsink-src")
+    val outDir = tmpDir("sqlsink-out")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.mode("append").parquet(srcDir)
+
+    e.execute(s"CREATE SOURCE snksrc WITH (path = '$srcDir')")
+    e.execute(
+      """CREATE MATERIALIZED VIEW snk_mv (PRIMARY KEY (id)) AS
+        |SELECT id, v * 2 AS v2 FROM snksrc""".stripMargin)
+    e.streamingJob("snk_mv").get.processAllAvailable()
+
+    e.execute(
+      s"CREATE SINK snk FROM snk_mv WITH (path = '$outDir', format = 'debezium')")
+    e.streamingJob("snk").get.processAllAvailable()
+
+    val lines = spark.read.text(outDir).as[String].collect().toSeq
+    assert(lines.size == 2)
+    assert(lines.forall(l => l.contains(""""op":"c"""") && l.contains(""""after":""")))
+    assert(lines.exists(_.contains(""""v2":20.0""")))
+
+    // new upstream data flows source → MV → sink
+    Seq((3L, 30.0)).toDF("id", "v").write.mode("append").parquet(srcDir)
+    e.streamingJob("snk_mv").get.processAllAvailable()
+    e.streamingJob("snk").get.processAllAvailable()
+    assert(spark.read.text(outDir).as[String].collect()
+      .exists(_.contains(""""v2":60.0""")))
+
+    e.execute("DROP SINK snk")
+    assert(e.streamingJob("snk").isEmpty)
+  }
+
   test("SHOW MATERIALIZED VIEWS lists registered MVs") {
     val e = new Engine(spark, tmpDir("sqlshow"))
     e.attachTables("/root/testdata/sf0.001")
