@@ -214,13 +214,18 @@ final class MaterializedView(
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
 
-  /** Start the MV maintenance job over a streaming source. */
+  /** Start the MV maintenance job over a streaming source. Update mode
+    * suits grouped-aggregate plans (changed groups re-emit per batch);
+    * append mode is required for stream-stream join plans, whose
+    * finalized rows merge as plain upserts.
+    */
   def start(
       transformed: DataFrame,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      outputMode: String = "update"): StreamingQuery =
     transformed.writeStream
-      .outputMode("update")
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch((batch: DataFrame, id: Long) => merge(batch, id))
