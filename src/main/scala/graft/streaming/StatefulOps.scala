@@ -242,10 +242,61 @@ object StatefulOps {
           val batch = rows.toSeq
           val wm = if (batch.isEmpty) Long.MinValue else batch.map(_._2).max
           val st = state.getOption.getOrElse(SortState(Seq.empty, Long.MinValue))
-          val all = st.buffer ++ batch.map(_._1).filter(_.ts >= st.emitted)
+          // strict: ts == frontier was already finalized — a late tie
+          // re-admitted here would emit out of order, breaking finality
+          val all = st.buffer ++ batch.map(_._1).filter(_.ts > st.emitted)
           val (ready, pending) = all.sortBy(r => (r.ts, r.value)).partition(_.ts <= wm)
           state.update(SortState(pending, math.max(st.emitted, wm)))
           ready.iterator
+        })
+  }
+
+  // ----------------------------------------------------- EOWC over-window
+
+  /** One finalized over-window row: running sum and row_number over the
+    * key's event-time order (frame UNBOUNDED PRECEDING → CURRENT ROW).
+    */
+  case class OverOut(key: String, ts: Long, value: Double,
+      runSum: Double, rowNum: Long)
+
+  /** Accumulators survive across batches so emitted rows are never
+    * re-read: the state is O(pending rows), not O(history).
+    */
+  case class OverState(buffer: Seq[TimedRow], emitted: Long,
+      accSum: Double, accCount: Long)
+
+  /** EMIT-ON-WINDOW-CLOSE over-window — the reference's
+    * StreamEowcOverWindow (src/stream/src/executor/over_window/eowc.rs:
+    * rows finalize in event-time order once the watermark passes, so
+    * accumulative frames need each row emitted exactly once with its
+    * final value; no retractions ever). Buffers pending rows per key,
+    * and on watermark passage emits them in event-time order carrying
+    * running sum / row_number continued from the accumulators of all
+    * previously emitted rows.
+    */
+  def eowcOverWindow(input: Dataset[(TimedRow, Long)]): Dataset[OverOut] = {
+    implicit val outEnc = Encoders.product[OverOut]
+    implicit val stEnc = Encoders.product[OverState]
+    implicit val strEnc = Encoders.STRING
+    input.groupByKey(_._1.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[(TimedRow, Long)], state: GroupState[OverState]) => {
+          val batch = rows.toSeq
+          val wm = if (batch.isEmpty) Long.MinValue else batch.map(_._2).max
+          val st = state.getOption.getOrElse(
+            OverState(Seq.empty, Long.MinValue, 0d, 0L))
+          // rows at-or-below the emission frontier arrived late: dropped
+          // (the EOWC contract — emitted window results are final)
+          val all = st.buffer ++ batch.map(_._1).filter(_.ts > st.emitted)
+          val (ready, pending) = all.sortBy(r => (r.ts, r.value)).partition(_.ts <= wm)
+          var sum = st.accSum
+          var n = st.accCount
+          val out = ready.map { r =>
+            sum += r.value; n += 1
+            OverOut(key, r.ts, r.value, sum, n)
+          }
+          state.update(OverState(pending, math.max(st.emitted, wm), sum, n))
+          out.iterator
         })
   }
 }

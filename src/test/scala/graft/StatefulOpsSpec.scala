@@ -177,4 +177,37 @@ class StatefulOpsSpec extends SparkSpecBase {
     val all = spark.table("eowc_out").as[TimedRow].collect().toSeq
     assert(all.map(_.ts) == Seq(10L, 20L, 30L, 35L))
   }
+
+  test("eowcOverWindow: finalized running aggregates, emitted exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(TimedRow, Long)]
+    val q = StatefulOps.eowcOverWindow(ms.toDS())
+      .writeStream.format("memory").queryName("eowcw_out")
+      .outputMode("append").start()
+
+    // batch 1: out-of-order arrivals, watermark 20 → ts 10,20 finalize
+    // with running sum/rank in event-time order; ts 30 stays pending
+    ms.addData(
+      (TimedRow("k", 30L, 3.0), 20L),
+      (TimedRow("k", 10L, 1.0), 20L),
+      (TimedRow("k", 20L, 2.0), 20L))
+    q.processAllAvailable()
+    val got1 = spark.table("eowcw_out").as[OverOut].collect().toSeq
+    assert(got1 == Seq(
+      OverOut("k", 10L, 1.0, 1.0, 1L),
+      OverOut("k", 20L, 2.0, 3.0, 2L)))
+
+    // batch 2: watermark 40 → pending ts=30 finalizes CONTINUING the
+    // accumulators (sum 6.0, rank 3) — emitted rows were never re-read;
+    // a late row below the frontier (ts=15) is dropped, not re-emitted
+    ms.addData(
+      (TimedRow("k", 15L, 9.9), 40L),
+      (TimedRow("k", 35L, 3.5), 40L))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("eowcw_out").as[OverOut].collect().toSeq
+    assert(all == got1 ++ Seq(
+      OverOut("k", 30L, 3.0, 6.0, 3L),
+      OverOut("k", 35L, 3.5, 9.5, 4L)))
+  }
 }
