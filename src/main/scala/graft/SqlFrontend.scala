@@ -102,7 +102,8 @@ object SqlFrontend {
   // ----------------------------------------------------- CREATE SOURCE
 
   final case class SourceDef(name: String, path: String, format: String,
-      watermarkCol: Option[String], watermarkDelay: Option[String])
+      watermarkCol: Option[String], watermarkDelay: Option[String],
+      connector: String = "file", options: Map[String, String] = Map.empty)
 
   private val CreateSourceRe =
     """(?is)\s*CREATE\s+SOURCE\s+(\w+)\s*(\(.*\))?\s*WITH\s*\((.*)\)\s*;?\s*""".r
@@ -124,11 +125,15 @@ object SqlFrontend {
           (Some(c), Some(d))
         case _ => (None, None)
       }
+      val connector = opts.getOrElse("connector", "file").toLowerCase
       Some(SourceDef(name,
-        opts.getOrElse("path",
+        if (connector == "kafka") opts.getOrElse("topic",
+          throw new IllegalArgumentException(
+            "CREATE SOURCE connector='kafka' requires topic = '…'"))
+        else opts.getOrElse("path",
           throw new IllegalArgumentException("CREATE SOURCE requires path = '…'")),
         opts.getOrElse("format", "parquet"),
-        wmCol, wmDelay))
+        wmCol, wmDelay, connector, opts))
     case _ => None
   }
 
@@ -136,11 +141,24 @@ object SqlFrontend {
     * snapshot), then a file stream, then the watermark.
     */
   def planSource(spark: SparkSession, d: SourceDef): DataFrame = {
-    require(d.format.equalsIgnoreCase("parquet"),
-      s"CREATE SOURCE format '${d.format}' not supported (parquet only; " +
-        "json/csv payloads decode via graft.sources.Formats)")
-    val schema = spark.read.parquet(d.path).schema
-    val stream = spark.readStream.schema(schema).parquet(d.path)
+    val stream = d.connector match {
+      case "kafka" =>
+        // `WITH (connector='kafka', properties.bootstrap.server='…',
+        // topic='…')` — the reference's Kafka WITH clause
+        // (src/connector/src/source/kafka/mod.rs KafkaProperties)
+        graft.sources.Kafka.source(spark,
+          d.options.getOrElse("properties.bootstrap.server",
+            throw new IllegalArgumentException(
+              "kafka source requires properties.bootstrap.server = '…'")),
+          d.path,
+          d.options.getOrElse("scan.startup.mode", "earliest"))
+      case _ =>
+        require(d.format.equalsIgnoreCase("parquet"),
+          s"CREATE SOURCE format '${d.format}' not supported (parquet only; " +
+            "json/csv payloads decode via graft.sources.Formats)")
+        val schema = spark.read.parquet(d.path).schema
+        spark.readStream.schema(schema).parquet(d.path)
+    }
     (d.watermarkCol, d.watermarkDelay) match {
       case (Some(c), Some(delay)) => stream.withWatermark(c, delay)
       case _ => stream

@@ -135,6 +135,25 @@ class SqlFrontendSpec extends SparkSpecBase {
     assert(e.streamingJob("snk").isEmpty)
   }
 
+  test("CREATE SOURCE parses the kafka connector WITH clause") {
+    val d = SqlFrontend.parseCreateSource(
+      """CREATE SOURCE bids (
+        |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        |) WITH (
+        |  connector = 'kafka',
+        |  topic = 'bids_topic',
+        |  properties.bootstrap.server = 'broker:9092',
+        |  scan.startup.mode = 'earliest')""".stripMargin).get
+    assert(d.connector == "kafka" && d.path == "bids_topic" &&
+      d.options("properties.bootstrap.server") == "broker:9092" &&
+      d.watermarkCol.contains("ts"))
+    // planSource builds the kafka reader (no broker → load() would fail
+    // at resolution; the parse→plan wiring is what this checks)
+    intercept[Throwable] {
+      SqlFrontend.planSource(spark, d).collect()
+    }
+  }
+
   test("SHOW MATERIALIZED VIEWS lists registered MVs") {
     val e = new Engine(spark, tmpDir("sqlshow"))
     e.attachTables("/root/testdata/sf0.001")
