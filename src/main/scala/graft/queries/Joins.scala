@@ -22,9 +22,12 @@ object Joins extends QueryPack {
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |WHERE o.o_totalprice > 450000.0
         |ORDER BY o.o_orderkey""".stripMargin) { s =>
+      // no hint: customer is SF-proportional — AQE broadcasts at small
+      // SF and shuffles at large (PlanQualitySpec asserts the adaptive
+      // choice); a forced hint would OOM the build side at 100x
       val c = s.table("customer")
       val o = s.table("orders").where(col("o_totalprice") > 450000.0)
-      broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
         .select(c("c_custkey"), c("c_name"), o("o_orderkey"), o("o_totalprice"))
         .orderBy("o_orderkey")
     },
@@ -140,7 +143,7 @@ object Joins extends QueryPack {
       val n = s.table("nation")
       val c = s.table("customer")
       val o = s.table("orders")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      o.join(c, o("o_custkey") === c("c_custkey")) // SF-proportional: AQE decides
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(r("r_name"))
