@@ -71,6 +71,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*""".r
   private val ShowMv = """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
   private val DropSink = """(?is)\s*DROP\s+SINK\s+(\w+)\s*;?\s*""".r
+  private val ShowSources = """(?is)\s*SHOW\s+SOURCES\s*;?\s*""".r
+  private val ShowSinks = """(?is)\s*SHOW\s+SINKS\s*;?\s*""".r
+
+  private val sinkNames = scala.collection.mutable.SortedSet[String]()
 
   /** `CREATE SINK s FROM mv WITH (path='…', format='…')`: subscribe to
     * the MV's changelog channel, encode each delta (Debezium envelope /
@@ -107,6 +111,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       .option("checkpointLocation", s"$warehouseDir/sinks/${d.name}/checkpoint")
       .start()
     jobs(d.name) = q
+    sinkNames += d.name
     statusDf("CREATE SINK", d.name)
   }
 
@@ -158,10 +163,17 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             statusDf("DROP MATERIALIZED VIEW", name)
           case DropSink(name) =>
             jobs.remove(name).foreach(_.stop())
+            sinkNames -= name
             statusDf("DROP SINK", name)
           case ShowMv() =>
             import spark.implicits._
             mvs.list.toDF("name")
+          case ShowSources() =>
+            import spark.implicits._
+            sources.keys.toSeq.sorted.toDF("name")
+          case ShowSinks() =>
+            import spark.implicits._
+            sinkNames.toSeq.toDF("name")
           case other => spark.sql(other)
         }
       }

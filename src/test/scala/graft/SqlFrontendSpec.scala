@@ -163,4 +163,23 @@ class SqlFrontendSpec extends SparkSpecBase {
     val names = e.execute("SHOW MATERIALIZED VIEWS").as[String].collect()
     assert(names.contains("show_me"))
   }
+
+  test("SHOW SOURCES / SHOW SINKS list registered objects") {
+    val e = new Engine(spark, tmpDir("sqlshow2"))
+    val srcDir = tmpDir("sqlshow2-src")
+    Seq((1L, 1.0)).toDF("id", "v").write.mode("append").parquet(srcDir)
+    e.execute(s"CREATE SOURCE listed_src WITH (path = '$srcDir')")
+    assert(e.execute("SHOW SOURCES").as[String].collect().toSeq ==
+      Seq("listed_src"))
+    e.execute(
+      """CREATE MATERIALIZED VIEW listed_mv (PRIMARY KEY (id)) AS
+        |SELECT id, v FROM listed_src""".stripMargin)
+    e.streamingJob("listed_mv").get.processAllAvailable()
+    val outDir = tmpDir("sqlshow2-out")
+    e.execute(s"CREATE SINK listed_snk FROM listed_mv WITH (path = '$outDir')")
+    assert(e.execute("SHOW SINKS").as[String].collect().toSeq ==
+      Seq("listed_snk"))
+    e.execute("DROP SINK listed_snk")
+    assert(e.execute("SHOW SINKS").isEmpty)
+  }
 }
