@@ -184,6 +184,24 @@ object Joins extends QueryPack {
         .orderBy("o_orderkey")
     },
 
+    // Correlated LATERAL subquery join (the reference's LATERAL /
+    // set-returning correlated FROM item; Catalyst plans it as a
+    // DomainJoin → rewritten correlated join).
+    // reference: src/frontend/src/binder/relation/subquery.rs (lateral)
+    q("q_join_lateral",
+      """SELECT r.r_name, t.n_name FROM region r,
+        |LATERAL (SELECT n_name FROM nation n
+        |         WHERE n.n_regionkey = r.r_regionkey
+        |         ORDER BY n_name LIMIT 2) t
+        |ORDER BY r_name, n_name""".stripMargin) { s =>
+      s.sql(
+        """SELECT r.r_name, t.n_name FROM region r,
+          |LATERAL (SELECT n_name FROM nation n
+          |         WHERE n.n_regionkey = r.r_regionkey
+          |         ORDER BY n_name LIMIT 2) t
+          |ORDER BY r_name, n_name""".stripMargin)
+    },
+
     // Batch AS-OF LEFT OUTER join (AsofLeftOuter): as above but orders
     // with no earlier order (a customer's first) survive null-padded —
     // the LEFT JOIN keeps exactly one all-null build row, which the rank

@@ -94,6 +94,26 @@ object Windows extends QueryPack {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // RANGE frame over event time with an INTERVAL bound — the sliding
+    // time-window OVER form (reference over_window range frames on
+    // timestamp order keys). Expressed in SQL on both engines; count
+    // avoids float-sum order sensitivity.
+    q("q_window_ts_range",
+      """SELECT event_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_last_hour
+        |FROM events WHERE user_id < 20
+        |ORDER BY event_id""".stripMargin) { s =>
+      s.sql(
+        """SELECT event_id,
+          |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+          |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |    AS n_last_hour
+          |FROM events WHERE user_id < 20
+          |ORDER BY event_id""".stripMargin)
+    },
+
     // ntile / percent_rank / cume_dist.
     q("q_window_distribution",
       """SELECT o_orderkey,

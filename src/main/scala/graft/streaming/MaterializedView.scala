@@ -66,6 +66,54 @@ final class MaterializedView(
   def readChangelog(): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(changelogDir)
 
+  /** Highest published changelog epoch, or -1 (epoch dirs only — ad-hoc
+    * DML appends carry no epoch and sort below every batch-N).
+    */
+  def latestChangelogBatchId: Long = {
+    val dir = Paths.get(changelogDir)
+    if (!Files.exists(dir)) -1L
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .flatMap(p => p.getFileName.toString.stripPrefix("batch-").toLongOption)
+        .foldLeft(-1L)(math.max)
+    }
+  }
+
+  /** The changelog stream restricted to epochs AFTER `afterBatchId` —
+    * rows from older (retained but already-seeded) epochs are filtered by
+    * provenance, so a late subscriber never double-applies history it
+    * took from the snapshot.
+    */
+  def changelogStreamFrom(afterBatchId: Long): DataFrame =
+    changelogStream()
+      .withColumn("__src_file", input_file_name())
+      .where(regexp_extract(col("__src_file"), "batch-(\\d+)", 1)
+        .cast("long") > afterBatchId)
+      .drop("__src_file")
+
+  /** Subscribe a NEW downstream MV after this MV's changelog was
+    * compacted ([[expireChangelog]]): expired epochs are unrecoverable
+    * from the log, so the subscriber seeds from the STORAGE snapshot and
+    * tails only strictly-newer epochs — the reference's
+    * backfill-then-subscribe bootstrap (snapshot read + changelog chase,
+    * reference: src/stream/src/executor/backfill/). Epochs published
+    * between the frontier capture and the snapshot read re-apply through
+    * the tail; PK last-write-wins makes the overlap idempotent.
+    *
+    * Contract: the upstream must be epoch-published (stream-maintained —
+    * every merge carries a batchId). Ad-hoc DML appends carry no epoch:
+    * the backfill tail cannot order them against the snapshot, so they
+    * are visible only to full [[changelogStream]] subscribers.
+    */
+  def subscribeWithBackfill(down: MaterializedView, checkpointDir: String,
+      transform: DataFrame => DataFrame = identity): StreamingQuery = {
+    val frontier = latestChangelogBatchId
+    val snapshot = read()
+    if (snapshot.columns.nonEmpty) down.merge(transform(snapshot))
+    down.start(transform(changelogStreamFrom(frontier)), checkpointDir)
+  }
+
   /** Retention: drop changelog epochs ≤ `upToBatchId`.
     *
     * Contract: only call with a batch id every subscriber's checkpoint

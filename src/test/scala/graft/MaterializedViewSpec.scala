@@ -141,6 +141,33 @@ class MaterializedViewSpec extends SparkSpecBase {
       Seq(("g1", 20.0, 10.0)))
   }
 
+  test("subscribeWithBackfill: late subscriber seeds from storage after retention") {
+    val dir = tmpDir("mvbackfill")
+    val cat = new MvCatalog(spark, dir)
+    val up = cat.define("bf_up", Seq("k"), nBuckets = 4)
+    up.merge(Seq(("a", 1L), ("b", 2L)).toDF("k", "n"), batchId = 0L)
+    up.merge(Seq(("a", 10L)).toDF("k", "n"), batchId = 1L)
+    // epoch 0 is gone from the log: only storage holds full history now
+    up.expireChangelog(upToBatchId = 0L)
+
+    val down = cat.define("bf_down", Seq("k"), nBuckets = 4)
+    val q = up.subscribeWithBackfill(down, cat.checkpointDir("bf_down"),
+      df => df.withColumn("n2", col("n") * 10).drop("n"))
+    q.processAllAvailable()
+    // seeded state covers BOTH epochs (b only ever existed in epoch 0)
+    assert(down.read().orderBy("k").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 100L), ("b", 20L)))
+
+    // post-subscription epochs flow through the tail, incl. deletes
+    up.merge(Seq(("b", 2L, Changelog.Delete))
+      .toDF("k", "n", Changelog.OpCol), batchId = 2L)
+    up.merge(Seq(("c", 3L)).toDF("k", "n"), batchId = 3L)
+    q.processAllAvailable()
+    q.stop()
+    assert(down.read().orderBy("k").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 100L), ("c", 30L)))
+  }
+
   test("MV-on-MV: downstream reads upstream target") {
     val dir = tmpDir("mvchain")
     val cat = new MvCatalog(spark, dir)
