@@ -13,6 +13,40 @@ import org.apache.spark.sql.types._
 object OrderedAggs extends QueryPack {
 
   val queries: Seq[GraftQuery] = Seq(
+    // jsonb_agg: ordered JSON-array collection per group.
+    // reference: src/expr/impl/src/aggregate/jsonb_agg.rs
+    q("q_jsonb_agg",
+      """SELECT l_linestatus,
+        |  to_json(list_sort(list(l_orderkey % 10))) AS j
+        |FROM lineitem WHERE l_orderkey < 50
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { s =>
+      s.table("lineitem").where(col("l_orderkey") < 50)
+        .groupBy("l_linestatus")
+        .agg(to_json(sort_array(collect_list(col("l_orderkey") % 10))).as("j"))
+        .orderBy("l_linestatus")
+    },
+
+    // corr / covar / linear-regression aggregates.
+    // reference: src/expr/impl/src/aggregate/general.rs (covar/corr),
+    // proto/expr.proto regr_* variants
+    q("q_stat_agg2",
+      """SELECT
+        |  round(corr(s_acctbal, s_suppkey), 6) AS c,
+        |  round(covar_pop(s_acctbal, s_suppkey), 6) AS cp,
+        |  round(covar_samp(s_acctbal, s_suppkey), 6) AS cs,
+        |  round(regr_slope(s_acctbal, s_suppkey), 6) AS rs,
+        |  round(regr_intercept(s_acctbal, s_suppkey), 6) AS ri,
+        |  round(regr_r2(s_acctbal, s_suppkey), 6) AS r2
+        |FROM supplier""".stripMargin) { s =>
+      s.table("supplier").agg(
+        round(corr(col("s_acctbal"), col("s_suppkey")), 6).as("c"),
+        round(covar_pop(col("s_acctbal"), col("s_suppkey")), 6).as("cp"),
+        round(covar_samp(col("s_acctbal"), col("s_suppkey")), 6).as("cs"),
+        round(regr_slope(col("s_acctbal"), col("s_suppkey")), 6).as("rs"),
+        round(regr_intercept(col("s_acctbal"), col("s_suppkey")), 6).as("ri"),
+        round(regr_r2(col("s_acctbal"), col("s_suppkey")), 6).as("r2"))
+    },
+
     // percentile_cont (linear interpolation) + percentile_disc + median.
     // reference: src/expr/impl/src/aggregate/percentile_cont.rs
     q("q_percentile",

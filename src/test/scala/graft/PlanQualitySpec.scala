@@ -91,6 +91,16 @@ class PlanQualitySpec extends SparkSpecBase {
       s"expected fused WSCG pipeline:\n$p")
   }
 
+  test("lateral top-n decorrelates to a join + group-limit, not a cartesian") {
+    Tables.register(spark, dir)
+    val df = SparkEntry.queries("q_join_lateral")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"lateral fell back to cartesian:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin"), s"expected decorrelated join:\n$p")
+  }
+
   test("partition-bucket MV read prunes buckets on filter") {
     val tmp = tmpDir("prune")
     val mv = new graft.streaming.MaterializedView(
