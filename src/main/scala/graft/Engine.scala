@@ -31,9 +31,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     */
   def createMaterializedView(
       name: String, pk: Seq[String], transformed: DataFrame,
-      nBuckets: Int = 32): StreamingQuery = {
+      nBuckets: Int = 32, outputMode: String = "update"): StreamingQuery = {
     val mv = mvs.define(name, pk, nBuckets)
-    mv.start(transformed, mvs.checkpointDir(name))
+    mv.start(transformed, mvs.checkpointDir(name), outputMode = outputMode)
   }
 
   /** Batch-refresh MV (CREATE MATERIALIZED VIEW over a batch query):
@@ -143,14 +143,17 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case None => SqlFrontend.parseCreateSink(statement) match {
       case Some(d: SqlFrontend.SinkDef) => startSink(d)
       case None => SqlFrontend.parseCreateMv(statement) match {
-        case Some(CreateMvDef(name, pkOpt, query)) =>
+        case Some(CreateMvDef(name, pkOpt, query, emitOnClose)) =>
           val result = spark.sql(query)
           val pk = pkOpt.getOrElse(throw new IllegalArgumentException(
             s"CREATE MATERIALIZED VIEW $name requires an explicit " +
               "(PRIMARY KEY (…)) clause — merging on a guessed key would " +
               "silently drop rows"))
           if (result.isStreaming) {
-            jobs(name) = createMaterializedView(name, pk, result)
+            // EMIT ON WINDOW CLOSE → append mode: only watermark-
+            // finalized rows reach the MV (reference EmitMode::OnWindowClose)
+            val mode = if (emitOnClose) "append" else "update"
+            jobs(name) = createMaterializedView(name, pk, result, outputMode = mode)
             statusDf("CREATE MATERIALIZED VIEW (streaming)", name)
           } else {
             refreshMaterializedView(name, pk, result).read()

@@ -193,16 +193,28 @@ object SqlFrontend {
 
   // ---------------------------------------------- CREATE MATERIALIZED VIEW
 
-  final case class CreateMvDef(name: String, pk: Option[Seq[String]], query: String)
+  /** `emitOnClose`: the reference's `EMIT ON WINDOW CLOSE` clause
+    * (reference: src/frontend/src/handler/create_mv.rs EmitMode) — the
+    * MV emits only watermark-finalized rows (append mode) instead of
+    * per-batch updates.
+    */
+  final case class CreateMvDef(name: String, pk: Option[Seq[String]],
+      query: String, emitOnClose: Boolean = false)
 
   private val CreateMvRe =
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s*(?:\(\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*\))?\s+AS\s+(.*)""".r
 
+  private val EmitRe = """(?is)(.*?)\s*EMIT\s+ON\s+WINDOW\s+CLOSE\s*;?\s*$""".r
+
   def parseCreateMv(stmt: String): Option[CreateMvDef] = stmt match {
-    case CreateMvRe(name, pkList, query) =>
+    case CreateMvRe(name, pkList, query0) =>
+      val (query, eowc) = query0.trim.stripSuffix(";") match {
+        case EmitRe(q) => (q, true)
+        case q => (q, false)
+      }
       Some(CreateMvDef(name,
         Option(pkList).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)),
-        query.trim.stripSuffix(";")))
+        query, eowc))
     case _ => None
   }
 

@@ -164,6 +164,41 @@ class SqlFrontendSpec extends SparkSpecBase {
     assert(names.contains("show_me"))
   }
 
+  test("EMIT ON WINDOW CLOSE: MV holds only watermark-finalized windows") {
+    val e = new Engine(spark, tmpDir("sqleowc"))
+    val srcDir = tmpDir("sqleowc-src")
+    // two files → two micro-batches: batch 1 sets the watermark that
+    // finalizes its windows when batch 2 is processed; batch 2's own
+    // windows stay open (nothing ever advances the watermark past them)
+    Seq(("2024-01-01 00:10:00", 1L), ("2024-01-01 00:40:00", 2L))
+      .toDF("ts_s", "n")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("n"))
+      .write.parquet(s"$srcDir/f1")
+    e.execute(
+      s"""CREATE SOURCE eowc_src (
+         |  WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE
+         |) WITH (path = '$srcDir/f1')""".stripMargin)
+    e.execute(
+      """CREATE MATERIALIZED VIEW eowc_mv (PRIMARY KEY (w_start)) AS
+        |SELECT window.start AS w_start, count(*) AS n
+        |FROM eowc_src GROUP BY window(ts, '30 minutes')
+        |EMIT ON WINDOW CLOSE""".stripMargin)
+    val job = e.streamingJob("eowc_mv").get
+    job.processAllAvailable()
+    // watermark ≈ 00:39 → only the 00:00–00:30 window is closed
+    Seq(("2024-01-01 02:00:00", 3L)).toDF("ts_s", "n")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("n"))
+      .write.mode("append").parquet(s"$srcDir/f1")
+    job.processAllAvailable()
+    job.stop()
+    val got = e.table("eowc_mv").orderBy("w_start")
+      .select(col("w_start").cast("string"), col("n"))
+      .as[(String, Long)].collect().toSeq
+    // finalized: the 00:00 window (n=1) and, once 02:00 advanced the
+    // watermark, the 00:30 window (n=1); the 02:00 window never closes
+    assert(got == Seq(("2024-01-01 00:00:00", 1L), ("2024-01-01 00:30:00", 1L)))
+  }
+
   test("SHOW SOURCES / SHOW SINKS list registered objects") {
     val e = new Engine(spark, tmpDir("sqlshow2"))
     val srcDir = tmpDir("sqlshow2-src")

@@ -57,4 +57,33 @@ class TpchMvSpec extends SparkSpecBase {
 
     assert(got == want && got.nonEmpty)
   }
+
+  test("TPC-H Q12 as a streaming MV: lineitem stream joins static orders") {
+    val sfDir = "/root/testdata/sf0.001"
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val dir = tmpDir("q12mv")
+    l.repartition(4).write.parquet(s"$dir/in")
+    val cat = new MvCatalog(spark, dir)
+    val mv = cat.define("q12", Seq("l_linestatus"), nBuckets = 4)
+
+    def xform(li: org.apache.spark.sql.DataFrame) = {
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!isHigh, 1L).otherwise(0L)).as("low_line_count"))
+    }
+    val stream = spark.readStream.schema(l.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = mv.start(xform(stream), cat.checkpointDir("q12"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = mv.read().orderBy("l_linestatus").collect().toSeq
+    val want = xform(l).orderBy("l_linestatus").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
