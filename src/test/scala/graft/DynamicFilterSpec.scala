@@ -67,6 +67,29 @@ class DynamicFilterSpec extends SparkSpecBase {
     assert(ids(f.read()) == Seq(1L)) // 15 leaves again
   }
 
+  test("temporal filter TTL: rows expire with retractions as now() advances") {
+    // the reference's NOW()-relative temporal filter is a dynamic filter
+    // whose RHS is the advancing clock (now - retention): rows age OUT of
+    // the result with real retractions, newly-arrived rows pass
+    // (reference: src/stream/src/executor/now.rs + dynamic_filter.rs)
+    val f = mkFilter("dyntf", ">")
+    val retention = 100.0
+    def tick(now: Double, delta: org.apache.spark.sql.DataFrame) =
+      f.applyDelta(delta, Some(now - retention))
+
+    // t=100: three events at ts 10/60/95 — all younger than 100-100=0
+    tick(100.0, Seq((1L, 10.0), (2L, 60.0), (3L, 95.0)).toDF("id", "v"))
+    assert(ids(f.read()) == Seq(1L, 2L, 3L))
+
+    // t=170: cutoff 70 → ts=10 and ts=60 expire (retracted), 95 survives
+    tick(170.0, Seq.empty[(Long, Double)].toDF("id", "v"))
+    assert(ids(f.read()) == Seq(3L))
+
+    // t=220: a fresh event arrives, old one expires
+    tick(220.0, Seq((4L, 215.0)).toDF("id", "v"))
+    assert(ids(f.read()) == Seq(4L))
+  }
+
   test("threshold state survives re-instantiation (recovery)") {
     val cat = new MvCatalog(spark, tmpDir("dynr"))
     val lhs = cat.define("r_lhs", Seq("id"), nBuckets = 4)

@@ -141,6 +141,31 @@ class MaterializedViewSpec extends SparkSpecBase {
       Seq(("g1", 20.0, 10.0)))
   }
 
+  test("changelog fan-out: two independent subscribers stay consistent") {
+    val dir = tmpDir("mvfan")
+    val cat = new MvCatalog(spark, dir)
+    val up = cat.define("fan_up", Seq("k"), nBuckets = 4)
+    up.merge(Seq(("a", 1L), ("b", 2L)).toDF("k", "n"), batchId = 0L)
+
+    val d1 = cat.define("fan_d1", Seq("k"), nBuckets = 4)
+    val d2 = cat.define("fan_d2", Seq("k"), nBuckets = 4)
+    val q1 = d1.start(up.changelogStream().withColumn("x10", col("n") * 10).drop("n"),
+      cat.checkpointDir("fan_d1"))
+    val q2 = d2.start(up.changelogStream().withColumn("neg", -col("n")).drop("n"),
+      cat.checkpointDir("fan_d2"))
+    q1.processAllAvailable(); q2.processAllAvailable()
+
+    up.merge(Seq(("b", 2L, Changelog.Delete)).toDF("k", "n", Changelog.OpCol),
+      batchId = 1L)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+
+    assert(d1.read().orderBy("k").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 10L)))
+    assert(d2.read().orderBy("k").as[(String, Long)].collect().toSeq ==
+      Seq(("a", -1L)))
+  }
+
   test("subscribeWithBackfill: late subscriber seeds from storage after retention") {
     val dir = tmpDir("mvbackfill")
     val cat = new MvCatalog(spark, dir)

@@ -92,4 +92,60 @@ class PropertySpec extends SparkSpecBase {
     assert(shuffled.select("doc_id").as[Long].collect().sorted.toSeq ==
       once.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("property: avro codec round-trips random rows incl. edge values") {
+    import graft.sources.Avro
+    val rnd = new Random(7)
+    val edge = Seq(Long.MinValue, Long.MaxValue, 0L, -1L)
+    val rows = (1 to 40).map { i =>
+      val id = if (i <= edge.size) edge(i - 1) else rnd.nextLong()
+      val s = rnd.nextInt(4) match {
+        case 0 => None
+        case 1 => Some("")
+        case 2 => Some("héllo é世界" * rnd.nextInt(3))
+        case _ => Some(rnd.alphanumeric.take(rnd.nextInt(12)).mkString)
+      }
+      val d = rnd.nextInt(4) match {
+        case 0 => None
+        case 1 => Some(Double.MaxValue)
+        case 2 => Some(-0.0)
+        case _ => Some(rnd.nextDouble() * 1e9 - 5e8)
+      }
+      (id, s, d)
+    }
+    val df = rows.toDF("id", "s", "d")
+    val back = Avro.decodeAvro(Avro.encodeAvro(df), "value", df.schema)
+    assert(back.orderBy("id", "s", "d").collect().toSeq ==
+      df.orderBy("id", "s", "d").collect().toSeq)
+  }
+
+  test("property: protobuf codec round-trips random rows (proto3 presence)") {
+    import graft.sources.Protobuf
+    import graft.sources.Protobuf.Field
+    import org.apache.spark.sql.types._
+    val fields = Seq(
+      Field(1, "id", LongType, nullable = false),
+      Field(3, "s", StringType),
+      Field(7, "d", DoubleType),
+      Field(12, "b", BooleanType, nullable = false))
+    val rnd = new Random(11)
+    val rows = (1 to 40).map { i =>
+      (if (i == 1) Long.MinValue else if (i == 2) -1L else rnd.nextLong(),
+        if (rnd.nextBoolean())
+          Some(rnd.alphanumeric.take(rnd.nextInt(10)).mkString + "é✓")
+        else None,
+        if (rnd.nextBoolean()) Some(rnd.nextDouble() * 1e6 - 5e5) else None,
+        rnd.nextBoolean())
+    }
+    val df = rows.toDF("id", "s", "d", "b")
+    val back = Protobuf.decodeProtobuf(
+      Protobuf.encodeProtobuf(df, fields), "value", fields)
+    // proto3 presence: "" / 0 / null all wire-absent → null (nullable) or
+    // default (non-nullable); normalize the source the same way
+    val norm = df
+      .withColumn("s", when(col("s") === "", lit(null)).otherwise(col("s")))
+      .withColumn("d", when(col("d") === 0.0, lit(null)).otherwise(col("d")))
+    assert(back.orderBy("id").collect().toSeq ==
+      norm.orderBy("id").collect().toSeq)
+  }
 }
