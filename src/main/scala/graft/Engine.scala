@@ -69,6 +69,45 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
   private val DropMv =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*""".r
+  private val Flush = """(?is)\s*FLUSH\s*;?\s*""".r
+  private val InsertValues =
+    """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(VALUES\s+.*|SELECT\s+.*)""".r
+  private val DeleteFrom =
+    """(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?\s*;?\s*""".r
+  private val UpdateSet =
+    """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*""".r
+
+  /** DML over a registered MV-backed table (the reference's
+    * table DML path, src/frontend/src/handler/dml.rs): routed through
+    * [[graft.operators.Dml]] so deletes/updates publish changelog ops.
+    * DML naming a plain catalog table falls through to Spark SQL.
+    */
+  private def tryDml(statement: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.expr
+    import graft.operators.Dml
+    statement match {
+      case InsertValues(name, body) if mvs.get(name).isDefined =>
+        val mv = mvs.get(name).get
+        val df0 =
+          if (body.trim.toUpperCase.startsWith("VALUES")) spark.sql(s"SELECT * FROM ($body)")
+          else spark.sql(body)
+        Dml.insertInto(mv, df0.toDF(mv.read().columns: _*))
+        Some(statusDf("INSERT", name))
+      case DeleteFrom(name, cond) if mvs.get(name).isDefined =>
+        Dml.deleteWhere(mvs.get(name).get,
+          Option(cond).map(expr).getOrElse(org.apache.spark.sql.functions.lit(true)))
+        Some(statusDf("DELETE", name))
+      case UpdateSet(name, sets, cond) if mvs.get(name).isDefined =>
+        val assignments = SqlFrontend.splitAssignments(sets).map {
+          case (c, e) => c -> expr(e)
+        }.toMap
+        Dml.updateWhere(mvs.get(name).get,
+          Option(cond).map(expr).getOrElse(org.apache.spark.sql.functions.lit(true)),
+          assignments)
+        Some(statusDf("UPDATE", name))
+      case _ => None
+    }
+  }
   private val ShowMv = """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
   private val DropSink = """(?is)\s*DROP\s+SINK\s+(\w+)\s*;?\s*""".r
   private val ShowSources = """(?is)\s*SHOW\s+SOURCES\s*;?\s*""".r
@@ -177,7 +216,13 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case ShowSinks() =>
             import spark.implicits._
             sinkNames.toSeq.toDF("name")
-          case other => spark.sql(other)
+          case Flush() =>
+            // the reference's FLUSH: block until every stream job has
+            // processed all available input (barrier-completion analog)
+            jobs.values.foreach(_.processAllAvailable())
+            statusDf("FLUSH", "")
+          case other =>
+            tryDml(other).getOrElse(spark.sql(other))
         }
       }
       }

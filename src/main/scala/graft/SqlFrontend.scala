@@ -99,43 +99,117 @@ object SqlFrontend {
     -1
   }
 
+  /** `a = b, c = d` at paren-depth 0 → (col, expr) pairs (UPDATE … SET). */
+  def splitAssignments(s: String): Seq[(String, String)] =
+    splitTopLevel(s, ',').map { a =>
+      a.split("=", 2) match {
+        case Array(c, e) => (c.trim, e.trim)
+        case _ => throw new IllegalArgumentException(s"bad assignment: $a")
+      }
+    }
+
   // ----------------------------------------------------- CREATE SOURCE
 
+  /** `encodeClause`: the reference's trailing `FORMAT f ENCODE e`
+    * (create_source.rs bind_source_format) — payload decoding through
+    * the [[graft.sources.Formats]] codec matrix; absent = parquet rows.
+    * `declaredSchema`: the DDL column list, required for FORMAT/ENCODE
+    * payload decoding.
+    */
   final case class SourceDef(name: String, path: String, format: String,
       watermarkCol: Option[String], watermarkDelay: Option[String],
-      connector: String = "file", options: Map[String, String] = Map.empty)
+      connector: String = "file", options: Map[String, String] = Map.empty,
+      declaredSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      encodeClause: Option[(String, String)] = None)
 
-  private val CreateSourceRe =
-    """(?is)\s*CREATE\s+SOURCE\s+(\w+)\s*(\(.*\))?\s*WITH\s*\((.*)\)\s*;?\s*""".r
+  private val CreateSourceHeadRe =
+    """(?is)^\s*CREATE\s+SOURCE\s+(\w+)\s*""".r
 
   private val WatermarkRe =
-    """(?is).*WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s*'([^']+)'\s*(\w+)?.*""".r
+    """(?is)\s*WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s*'([^']+)'\s*(\w+)?\s*""".r
 
-  def parseCreateSource(stmt: String): Option[SourceDef] = stmt match {
-    case CreateSourceRe(name, cols, withOpts) =>
-      val opts = splitTopLevel(withOpts, ',').flatMap { kv =>
+  private val ColDefRe = """(?is)\s*(\w+)\s+([\w()0-9, ]+?)\s*""".r
+
+  private val FormatEncodeRe =
+    """(?is)^\s*FORMAT\s+(\w+)\s+ENCODE\s+(\w+)\s*;?\s*$""".r
+
+  private def sqlType(t: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    t.trim.toUpperCase.replaceAll("\\s+", " ") match {
+      case "BIGINT" | "INT8" => LongType
+      case "INT" | "INTEGER" | "INT4" => IntegerType
+      case "SMALLINT" | "INT2" => ShortType
+      case "VARCHAR" | "TEXT" | "STRING" | "CHARACTER VARYING" => StringType
+      case "DOUBLE" | "DOUBLE PRECISION" | "FLOAT8" => DoubleType
+      case "REAL" | "FLOAT4" => FloatType
+      case "BOOLEAN" | "BOOL" => BooleanType
+      case "TIMESTAMP" | "TIMESTAMPTZ" => TimestampType
+      case "DATE" => DateType
+      case "BYTEA" | "BINARY" => BinaryType
+      case d if d.startsWith("DECIMAL") || d.startsWith("NUMERIC") =>
+        val ps = "\\d+".r.findAllIn(d).toSeq
+        if (ps.size == 2) DecimalType(ps(0).toInt, ps(1).toInt)
+        else DecimalType(38, 18)
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+  }
+
+  def parseCreateSource(stmt: String): Option[SourceDef] =
+    CreateSourceHeadRe.findPrefixMatchOf(stmt).map { m =>
+      var rest = stmt.substring(m.end).trim
+      val name = m.group(1)
+      // optional (col defs / WATERMARK) block before WITH
+      var wmCol: Option[String] = None
+      var wmDelay: Option[String] = None
+      var schema = Vector.empty[org.apache.spark.sql.types.StructField]
+      if (rest.startsWith("(")) {
+        val close = matchingParen(rest, 0)
+        splitTopLevel(rest.substring(1, close), ',').foreach {
+          case WatermarkRe(c, delay, unit) =>
+            wmCol = Some(c)
+            wmDelay = Some(
+              if (unit != null && unit.nonEmpty) s"$delay $unit" else delay)
+          case ColDefRe(cname, ctype) =>
+            schema :+= org.apache.spark.sql.types.StructField(cname, sqlType(ctype))
+          case blank if blank.trim.isEmpty =>
+          case other =>
+            throw new IllegalArgumentException(s"bad column def: $other")
+        }
+        rest = rest.substring(close + 1).trim
+      }
+      // WITH ( options )
+      val withAt = indexOfTopLevelWord(rest, "WITH")
+      require(withAt >= 0, "CREATE SOURCE requires a WITH (…) clause")
+      val afterWith = rest.substring(withAt + 4)
+      val open = afterWith.indexOf('(')
+      val close = matchingParen(afterWith, open)
+      val opts = splitTopLevel(afterWith.substring(open + 1, close), ',').flatMap { kv =>
         kv.split("=", 2) match {
-          case Array(k, v) => Some(k.trim.toLowerCase -> v.trim.stripPrefix("'").stripSuffix("'"))
+          case Array(k, v) =>
+            Some(k.trim.toLowerCase -> v.trim.stripPrefix("'").stripSuffix("'"))
           case _ => None
         }
       }.toMap
-      val (wmCol, wmDelay) = Option(cols).getOrElse("") match {
-        case WatermarkRe(c, delay, unit) =>
-          val d = if (unit != null && unit.nonEmpty) s"$delay $unit" else delay
-          (Some(c), Some(d))
-        case _ => (None, None)
+      // optional trailing FORMAT f ENCODE e
+      val tail = afterWith.substring(close + 1)
+      val encodeClause = tail match {
+        case FormatEncodeRe(f, e) => Some((f.toUpperCase, e.toUpperCase))
+        case t if t.trim.isEmpty || t.trim == ";" => None
+        case t => throw new IllegalArgumentException(s"unexpected clause: $t")
       }
       val connector = opts.getOrElse("connector", "file").toLowerCase
-      Some(SourceDef(name,
+      SourceDef(name,
         if (connector == "kafka") opts.getOrElse("topic",
           throw new IllegalArgumentException(
             "CREATE SOURCE connector='kafka' requires topic = '…'"))
         else opts.getOrElse("path",
           throw new IllegalArgumentException("CREATE SOURCE requires path = '…'")),
         opts.getOrElse("format", "parquet"),
-        wmCol, wmDelay, connector, opts))
-    case _ => None
-  }
+        wmCol, wmDelay, connector, opts,
+        if (schema.nonEmpty)
+          Some(org.apache.spark.sql.types.StructType(schema)) else None,
+        encodeClause)
+    }
 
   /** Plan a [[SourceDef]]: schema from the existing files (the backfill
     * snapshot), then a file stream, then the watermark.
@@ -152,12 +226,32 @@ object SqlFrontend {
               "kafka source requires properties.bootstrap.server = '…'")),
           d.path,
           d.options.getOrElse("scan.startup.mode", "earliest"))
-      case _ =>
-        require(d.format.equalsIgnoreCase("parquet"),
-          s"CREATE SOURCE format '${d.format}' not supported (parquet only; " +
-            "json/csv payloads decode via graft.sources.Formats)")
-        val schema = spark.read.parquet(d.path).schema
-        spark.readStream.schema(schema).parquet(d.path)
+      case _ => d.encodeClause match {
+        case Some((fmt, enc)) =>
+          // payload files (one payload per line) decoded by the declared
+          // schema through the codec matrix — the reference's
+          // FORMAT/ENCODE source binding (create_source.rs)
+          import graft.sources.Formats
+          val rowSchema = d.declaredSchema.getOrElse(
+            throw new IllegalArgumentException(
+              "FORMAT … ENCODE … requires a declared column list"))
+          val raw = spark.readStream.text(d.path)
+          (fmt, enc) match {
+            case ("PLAIN", "JSON") => Formats.decodeJson(raw, "value", rowSchema)
+            case ("PLAIN", "CSV") => Formats.decodeCsv(raw, "value", rowSchema)
+            case ("DEBEZIUM", "JSON") => Formats.decodeDebezium(raw, "value", rowSchema)
+            case ("MAXWELL", "JSON") => Formats.decodeMaxwell(raw, "value", rowSchema)
+            case ("CANAL", "JSON") => Formats.decodeCanal(raw, "value", rowSchema)
+            case other => throw new IllegalArgumentException(
+              s"unsupported FORMAT/ENCODE $other")
+          }
+        case None =>
+          require(d.format.equalsIgnoreCase("parquet"),
+            s"CREATE SOURCE format '${d.format}' not supported (parquet only; " +
+              "json/csv payloads decode via graft.sources.Formats)")
+          val schema = d.declaredSchema.getOrElse(spark.read.parquet(d.path).schema)
+          spark.readStream.schema(schema).parquet(d.path)
+      }
     }
     (d.watermarkCol, d.watermarkDelay) match {
       case (Some(c), Some(delay)) => stream.withWatermark(c, delay)
