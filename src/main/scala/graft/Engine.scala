@@ -71,7 +71,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*""".r
   private val Flush = """(?is)\s*FLUSH\s*;?\s*""".r
   private val InsertValues =
-    """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(VALUES\s+.*|SELECT\s+.*)""".r
+    """(?is)\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\))?\s+(VALUES\s+.*|SELECT\s+.*)""".r
   private val DeleteFrom =
     """(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?\s*;?\s*""".r
   private val UpdateSet =
@@ -86,12 +86,29 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     import org.apache.spark.sql.functions.expr
     import graft.operators.Dml
     statement match {
-      case InsertValues(name, body) if mvs.get(name).isDefined =>
+      case InsertValues(name, colList, body) if mvs.get(name).isDefined =>
         val mv = mvs.get(name).get
         val df0 =
           if (body.trim.toUpperCase.startsWith("VALUES")) spark.sql(s"SELECT * FROM ($body)")
           else spark.sql(body)
-        Dml.insertInto(mv, df0.toDF(mv.read().columns: _*))
+        // explicit column list: name the provided columns, null-pad the
+        // rest (standard INSERT semantics)
+        val df = Option(colList) match {
+          case Some(cl) =>
+            val provided = cl.split(",").map(_.trim).toSeq
+            val named = df0.toDF(provided: _*)
+            val full = mv.read()
+            val padded = full.columns.foldLeft(named) { (d, c) =>
+              if (provided.contains(c)) d
+              else d.withColumn(c,
+                org.apache.spark.sql.functions.lit(null)
+                  .cast(full.schema(c).dataType))
+            }
+            padded.select(full.columns.map(
+              org.apache.spark.sql.functions.col): _*)
+          case None => df0.toDF(mv.read().columns: _*)
+        }
+        Dml.insertInto(mv, df)
         Some(statusDf("INSERT", name))
       case DeleteFrom(name, cond) if mvs.get(name).isDefined =>
         Dml.deleteWhere(mvs.get(name).get,

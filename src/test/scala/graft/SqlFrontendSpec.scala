@@ -217,6 +217,10 @@ class SqlFrontendSpec extends SparkSpecBase {
     e.execute(
       "INSERT INTO dml_t SELECT r_regionkey + 100, r_name FROM region WHERE r_regionkey < 2")
     assert(e.table("dml_t").count() == 8)
+    // explicit column list: unnamed columns null-pad
+    e.execute("INSERT INTO dml_t (r_regionkey) VALUES (200)")
+    assert(e.table("dml_t").where(col("r_regionkey") === 200)
+      .select("r_name").head().isNullAt(0))
     // DML naming a non-MV table falls through to Spark SQL (and fails
     // there for a read-only view — proving the route, not swallowing it)
     intercept[Exception] { e.execute("DELETE FROM region WHERE r_regionkey = 0") }
