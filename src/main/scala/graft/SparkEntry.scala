@@ -16,6 +16,7 @@ object SparkEntry {
     Joins,
     Aggregates,
     TpchLike,
+    TpchLike2,
     Windows,
     SetOps,
     Functions,
