@@ -101,6 +101,28 @@ class PlanQualitySpec extends SparkSpecBase {
       p.contains("SortMergeJoin"), s"expected decorrelated join:\n$p")
   }
 
+  test("q21 exists/not-exists decorrelate to hash semi/anti joins, no cartesian") {
+    Tables.register(spark, dir)
+    val df = SparkEntry.queries("q21_waiting_suppliers")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"correlated exists fell back to cartesian:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"expected semi+anti joins:\n$p")
+  }
+
+  test("scalar-threshold queries broadcast the one-row side (q11/q22 shape)") {
+    Tables.register(spark, dir)
+    for (name <- Seq("q11_important_parts", "q22_sales_opportunity")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian threshold join:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$name: threshold not broadcast:\n$p")
+    }
+  }
+
   test("partition-bucket MV read prunes buckets on filter") {
     val tmp = tmpDir("prune")
     val mv = new graft.streaming.MaterializedView(
