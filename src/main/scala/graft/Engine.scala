@@ -126,6 +126,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     }
   }
   private val ShowMv = """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
+  private val Describe = """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*;?\s*""".r
+  private val Explain = """(?is)\s*EXPLAIN\s+(?:\((?:\w+[,\s]*)+\)\s+)?(.+)""".r
   private val DropSink = """(?is)\s*DROP\s+SINK\s+(\w+)\s*;?\s*""".r
   private val ShowSources = """(?is)\s*SHOW\s+SOURCES\s*;?\s*""".r
   private val ShowSinks = """(?is)\s*SHOW\s+SINKS\s*;?\s*""".r
@@ -233,6 +235,26 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case ShowSinks() =>
             import spark.implicits._
             sinkNames.toSeq.toDF("name")
+          case Describe(name) if mvs.get(name).isDefined =>
+            // reference: handler/describe.rs — name/type rows; MVs are not
+            // in the Spark catalog, so describe them off the stored schema
+            import spark.implicits._
+            mvs.get(name).get.read().schema.fields.toSeq
+              .map(f => (f.name, f.dataType.simpleString))
+              .toDF("name", "type")
+          case Explain(rest) =>
+            // reference: handler/explain.rs — EXPLAIN CREATE MATERIALIZED
+            // VIEW plans the inner SELECT; plain EXPLAIN plans the query.
+            // One plan line per row, like the reference's output.
+            import spark.implicits._
+            val planned = SqlFrontend.parseCreateMv(rest) match {
+              case Some(d: CreateMvDef) => spark.sql(d.query)
+              case None => spark.sql(rest)
+            }
+            planned.queryExecution
+              .explainString(org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted"))
+              .split("\n").toSeq.toDF("plan")
           case Flush() =>
             // the reference's FLUSH: block until every stream job has
             // processed all available input (barrier-completion analog)

@@ -57,6 +57,17 @@ object JsonFunctions {
   def jsonbArrayElementsOrdinal(json: Column): Column =
     posexplode(from_json(json, ArrayType(StringType)))
 
+  /** jsonb_path_query(json, path) — every value matched by a (wildcard)
+    * JSONPath, as a string array; `explode` it for the set-returning
+    * form. reference: src/expr/impl/src/scalar/jsonb_path.rs
+    */
+  def jsonbPathQueryArray(json: Column, path: String): Column =
+    from_json(get_json_object(json, path), ArrayType(StringType))
+
+  /** jsonb_path_query_first(json, path). */
+  def jsonbPathQueryFirst(json: Column, path: String): Column =
+    element_at(jsonbPathQueryArray(json, path), 1)
+
   /** Typed access: jsonb field as bigint/double/text. */
   def jsonbGetText(json: Column, path: String): Column =
     get_json_object(json, s"$$.$path")

@@ -93,6 +93,28 @@ object TableFunctions extends QueryPack {
         .orderBy("doc_id", "pos")
     },
 
+    // jsonb_path_query: wildcard JSONPath over nested JSON — one row per
+    // matched value (set-returning form).
+    q("q_jsonb_path",
+      """SELECT event_id, CAST(u AS BIGINT) AS v FROM (
+        |  SELECT e.event_id, unnest(CAST(json_extract(
+        |    concat('{"items":[{"v":', CAST(e.event_id % 5 AS VARCHAR),
+        |           '},{"v":', CAST(e.event_id % 7 AS VARCHAR), '}]}'),
+        |    '$.items[*].v') AS VARCHAR[])) AS u
+        |  FROM events e WHERE e.event_id % 41 = 0)
+        |ORDER BY event_id, v""".stripMargin) { s =>
+      val j = concat(lit("""{"items":[{"v":"""),
+        (col("event_id") % 5).cast(StringType),
+        lit("""},{"v":"""),
+        (col("event_id") % 7).cast(StringType), lit("}]}"))
+      s.table("events").where(col("event_id") % 41 === 0)
+        .select(col("event_id"),
+          explode(graft.functions.JsonFunctions
+            .jsonbPathQueryArray(j, "$.items[*].v")).as("u"))
+        .select(col("event_id"), col("u").cast(LongType).as("v"))
+        .orderBy("event_id", "v")
+    },
+
     // explode(split(...)): word expansion — ProjectSet in a real pipeline
     // (word frequency over the documents table).
     q("q_word_explode",

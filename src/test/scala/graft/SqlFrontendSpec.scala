@@ -280,4 +280,35 @@ class SqlFrontendSpec extends SparkSpecBase {
     e.execute("DROP SINK listed_snk")
     assert(e.execute("SHOW SINKS").isEmpty)
   }
+
+  test("DESCRIBE returns MV column names/types; EXPLAIN returns plan rows") {
+    val e = new Engine(spark, tmpDir("sqldesc"))
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "tag", "v")
+      .createOrReplaceTempView("desc_base")
+    e.execute(
+      """CREATE MATERIALIZED VIEW desc_mv (PRIMARY KEY (id)) AS
+        |SELECT id, tag, v * 2 AS v2 FROM desc_base""".stripMargin)
+
+    val desc = e.execute("DESCRIBE desc_mv").as[(String, String)].collect().toMap
+    assert(desc("id") == "bigint" && desc("tag") == "string"
+      && desc("v2") == "double")
+
+    // plain DESCRIBE of a catalog table still goes through Spark SQL
+    assert(e.execute("DESCRIBE desc_base").count() == 3)
+
+    val plan = e.execute(
+      "EXPLAIN SELECT tag, sum(v) FROM desc_base GROUP BY tag")
+      .as[String].collect().mkString("\n")
+    assert(plan.contains("HashAggregate"), s"unexpected plan:\n$plan")
+
+    // EXPLAIN CREATE MATERIALIZED VIEW plans the inner SELECT without
+    // creating anything
+    val mvPlan = e.execute(
+      """EXPLAIN CREATE MATERIALIZED VIEW nope (PRIMARY KEY (tag)) AS
+        |SELECT tag, count(*) AS n FROM desc_base GROUP BY tag""".stripMargin)
+      .as[String].collect().mkString("\n")
+    assert(mvPlan.contains("HashAggregate"))
+    assert(e.execute("SHOW MATERIALIZED VIEWS").as[String].collect()
+      .toSeq == Seq("desc_mv"))
+  }
 }
