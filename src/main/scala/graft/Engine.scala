@@ -47,9 +47,25 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     mv
   }
 
-  /** Read a table or registered MV. */
+  /** Declared schemas of `CREATE TABLE` tables — consulted while the
+    * backing store is still empty (a fresh table has no parquet footer
+    * to read a schema from).
+    */
+  private val tableSchemas =
+    scala.collection.mutable.Map[String, org.apache.spark.sql.types.StructType]()
+
+  /** Read a table or registered MV; a fresh (never-inserted) CREATE
+    * TABLE table reads as empty WITH its declared schema.
+    */
   def table(name: String): DataFrame =
-    mvs.get(name).map(_.read()).getOrElse(spark.table(name))
+    mvs.get(name).map { mv =>
+      val df = mv.read()
+      if (df.schema.nonEmpty) df
+      else tableSchemas.get(name).map { s =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      }.getOrElse(df)
+    }.getOrElse(spark.table(name))
 
   /** Streaming sources registered by `CREATE SOURCE`. */
   private val sources = scala.collection.mutable.Map[String, DataFrame]()
@@ -91,23 +107,31 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         val df0 =
           if (body.trim.toUpperCase.startsWith("VALUES")) spark.sql(s"SELECT * FROM ($body)")
           else spark.sql(body)
+        // target shape: stored schema, or the declared CREATE TABLE
+        // schema while the store is still empty
+        val target = {
+          val stored = mv.read().schema
+          if (stored.nonEmpty) stored
+          else tableSchemas.getOrElse(name, stored)
+        }
         // explicit column list: name the provided columns, null-pad the
         // rest (standard INSERT semantics)
-        val df = Option(colList) match {
+        val named = Option(colList) match {
           case Some(cl) =>
             val provided = cl.split(",").map(_.trim).toSeq
-            val named = df0.toDF(provided: _*)
-            val full = mv.read()
-            val padded = full.columns.foldLeft(named) { (d, c) =>
-              if (provided.contains(c)) d
-              else d.withColumn(c,
-                org.apache.spark.sql.functions.lit(null)
-                  .cast(full.schema(c).dataType))
+            val renamed = df0.toDF(provided: _*)
+            target.fields.foldLeft(renamed) { (d, f) =>
+              if (provided.contains(f.name)) d
+              else d.withColumn(f.name,
+                org.apache.spark.sql.functions.lit(null).cast(f.dataType))
             }
-            padded.select(full.columns.map(
-              org.apache.spark.sql.functions.col): _*)
-          case None => df0.toDF(mv.read().columns: _*)
+          case None => df0.toDF(target.fieldNames.toSeq: _*)
         }
+        // align VALUES literal types (e.g. INT literals into a BIGINT
+        // column) with the target schema so merges never fork the
+        // stored parquet schema
+        val df = named.select(target.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
         Dml.insertInto(mv, df)
         Some(statusDf("INSERT", name))
       case DeleteFrom(name, cond) if mvs.get(name).isDefined =>
@@ -126,6 +150,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     }
   }
   private val ShowMv = """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
+  private val ShowTables = """(?is)\s*SHOW\s+TABLES\s*;?\s*""".r
+  private val DropTable =
+    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val Describe = """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*;?\s*""".r
   private val Explain = """(?is)\s*EXPLAIN\s+(?:\((?:\w+[,\s]*)+\)\s+)?(.+)""".r
   private val DropSink = """(?is)\s*DROP\s+SINK\s+(\w+)\s*;?\s*""".r
@@ -192,6 +219,20 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     *  - anything else: Spark SQL.
     */
   def execute(statement: String): DataFrame =
+    SqlFrontend.parseCreateTable(statement) match {
+      case Some(SqlFrontend.TableDef(name, schema, pk)) =>
+        // a user table IS a PK-merged MV with DML as its only writer
+        // (reference: handler/create_table.rs — tables are materialized
+        // states fed by DML/source, same storage as MVs)
+        require(pk.nonEmpty,
+          s"CREATE TABLE $name requires a PRIMARY KEY (merging on a " +
+            "guessed key would silently drop rows)")
+        require(pk.forall(schema.fieldNames.contains),
+          s"CREATE TABLE $name: PRIMARY KEY names undeclared columns")
+        mvs.define(name, pk)
+        tableSchemas(name) = schema
+        statusDf("CREATE TABLE", name)
+      case None =>
     SqlFrontend.parseCreateSource(statement) match {
       case Some(d: SourceDef) =>
         val stream = SqlFrontend.planSource(spark, d)
@@ -235,11 +276,19 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case ShowSinks() =>
             import spark.implicits._
             sinkNames.toSeq.toDF("name")
+          case DropTable(name) if mvs.get(name).isDefined =>
+            mvs.drop(name)
+            tableSchemas.remove(name)
+            statusDf("DROP TABLE", name)
+          case ShowTables() if tableSchemas.nonEmpty =>
+            import spark.implicits._
+            tableSchemas.keys.toSeq.sorted.toDF("name")
           case Describe(name) if mvs.get(name).isDefined =>
             // reference: handler/describe.rs — name/type rows; MVs are not
             // in the Spark catalog, so describe them off the stored schema
+            // (or the declared CREATE TABLE schema while still empty)
             import spark.implicits._
-            mvs.get(name).get.read().schema.fields.toSeq
+            table(name).schema.fields.toSeq
               .map(f => (f.name, f.dataType.simpleString))
               .toDF("name", "type")
           case Explain(rest) =>
@@ -265,5 +314,6 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         }
       }
       }
+    }
     }
 }

@@ -154,6 +154,53 @@ object SqlFrontend {
     }
   }
 
+  // ------------------------------------------------------ CREATE TABLE
+
+  /** `CREATE TABLE name (col type …, PRIMARY KEY (…))` — the reference's
+    * user-table DDL (reference: src/frontend/src/handler/create_table.rs):
+    * a PK-merged table users INSERT/UPDATE/DELETE into. `CREATE TABLE …
+    * AS SELECT` (no column list) is NOT handled here — it falls through
+    * to Spark SQL's native CTAS.
+    */
+  final case class TableDef(name: String,
+      schema: org.apache.spark.sql.types.StructType, pk: Seq[String])
+
+  private val CreateTableHeadRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*""".r
+  private val PkConstraintRe = """(?is)\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*""".r
+  private val InlinePkRe = """(?is)^(.*?)\s+PRIMARY\s+KEY\s*$""".r
+
+  def parseCreateTable(stmt: String): Option[TableDef] =
+    CreateTableHeadRe.findPrefixMatchOf(stmt).flatMap { m =>
+      val name = m.group(1)
+      val rest = stmt.substring(m.end).trim
+      if (!rest.startsWith("(")) None // CTAS etc. → Spark SQL
+      else {
+        val close = matchingParen(rest, 0)
+        var pk = Vector.empty[String]
+        var schema = Vector.empty[org.apache.spark.sql.types.StructField]
+        splitTopLevel(rest.substring(1, close), ',').foreach {
+          case PkConstraintRe(cols) =>
+            pk ++= cols.split(",").map(_.trim)
+          case ColDefRe(cname, ctype) =>
+            ctype match {
+              case InlinePkRe(t) =>
+                pk :+= cname
+                schema :+= org.apache.spark.sql.types.StructField(cname, sqlType(t))
+              case t =>
+                schema :+= org.apache.spark.sql.types.StructField(cname, sqlType(t))
+            }
+          case blank if blank.trim.isEmpty =>
+          case other =>
+            throw new IllegalArgumentException(s"bad column def: $other")
+        }
+        val tail = rest.substring(close + 1).trim
+        require(tail.isEmpty || tail == ";",
+          s"unexpected clause after column list: $tail")
+        Some(TableDef(name, org.apache.spark.sql.types.StructType(schema), pk))
+      }
+    }
+
   def parseCreateSource(stmt: String): Option[SourceDef] =
     CreateSourceHeadRe.findPrefixMatchOf(stmt).map { m =>
       var rest = stmt.substring(m.end).trim

@@ -296,6 +296,7 @@ final class MvCatalog(spark: SparkSession, baseDir: String) {
   }
 
   def get(name: String): Option[MaterializedView] = views.get(name)
+  def drop(name: String): Unit = views.remove(name)
   def checkpointDir(name: String): String = s"$baseDir/$name/checkpoint"
   def list: Seq[String] = views.keys.toSeq.sorted
 }

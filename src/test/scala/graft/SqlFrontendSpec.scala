@@ -281,6 +281,50 @@ class SqlFrontendSpec extends SparkSpecBase {
     assert(e.execute("SHOW SINKS").isEmpty)
   }
 
+  test("CREATE TABLE + INSERT + SELECT + UPDATE/DELETE lifecycle from SQL") {
+    val e = new Engine(spark, tmpDir("sqltable"))
+    e.execute(
+      """CREATE TABLE users (
+        |  id BIGINT PRIMARY KEY,
+        |  name VARCHAR,
+        |  score DOUBLE)""".stripMargin)
+
+    // fresh table: empty but described with the declared schema
+    assert(e.table("users").isEmpty)
+    val desc = e.execute("DESCRIBE users").as[(String, String)].collect().toMap
+    assert(desc == Map("id" -> "bigint", "name" -> "string", "score" -> "double"))
+    assert(e.execute("SHOW TABLES").as[String].collect().toSeq == Seq("users"))
+
+    // INT literals align to the declared BIGINT column
+    e.execute("INSERT INTO users VALUES (1, 'ann', 3.5), (2, 'bob', 1.0)")
+    e.execute("INSERT INTO users (id, name) VALUES (3, 'cid')")
+    assert(e.table("users").orderBy("id")
+      .as[(Long, String, Option[Double])].collect().toSeq ==
+      Seq((1L, "ann", Some(3.5)), (2L, "bob", Some(1.0)), (3L, "cid", None)))
+
+    // PK upsert: re-inserting id=2 replaces the row
+    e.execute("INSERT INTO users VALUES (2, 'bob2', 2.0)")
+    e.execute("UPDATE users SET score = score + 1 WHERE id = 1")
+    e.execute("DELETE FROM users WHERE id = 3")
+    assert(e.table("users").orderBy("id")
+      .as[(Long, String, Option[Double])].collect().toSeq ==
+      Seq((1L, "ann", Some(4.5)), (2L, "bob2", Some(2.0))))
+
+    // constraint-table PK form also parses
+    e.execute(
+      "CREATE TABLE kv (k VARCHAR, v BIGINT, PRIMARY KEY (k))")
+    e.execute("INSERT INTO kv VALUES ('a', 1)")
+    assert(e.table("kv").as[(String, Long)].collect().toSeq == Seq(("a", 1L)))
+
+    e.execute("DROP TABLE kv")
+    assert(e.execute("SHOW TABLES").as[String].collect().toSeq == Seq("users"))
+
+    // missing PK is rejected, not guessed
+    intercept[IllegalArgumentException] {
+      e.execute("CREATE TABLE nope (id BIGINT, v DOUBLE)")
+    }
+  }
+
   test("DESCRIBE returns MV column names/types; EXPLAIN returns plan rows") {
     val e = new Engine(spark, tmpDir("sqldesc"))
     Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "tag", "v")
