@@ -102,6 +102,26 @@ object Advanced extends QueryPack {
         .orderBy("o_orderstatus")
     },
 
+    // Retraction-capable approx percentile over a changelog-shaped input
+    // (rows-only: bucket-midpoint values are engine-specific; accuracy in
+    // RetractablePercentileSpec).
+    // reference: src/stream/src/executor/approx_percentile/
+    qNoOracle("q_retractable_percentile") { (s, dir) =>
+      val li = s.table("lineitem")
+      // synthetic changelog: every lineitem inserted, returned ('R') rows
+      // then retracted → live p50 price of non-returned items
+      val changelog = li.select(col("l_linestatus"), col("l_extendedprice"),
+          lit(1).as("op"))
+        .union(li.where(col("l_returnflag") === "R")
+          .select(col("l_linestatus"), col("l_extendedprice"),
+            lit(-1).as("op")))
+      changelog.groupBy("l_linestatus")
+        .agg(graft.functions.RetractablePercentile
+          .approxPercentileRetractable(col("l_extendedprice"), col("op"), 0.5)
+          .as("live_p50_price"))
+        .orderBy("l_linestatus")
+    },
+
     // reference: src/stream/src/executor/approx_percentile/
     // Scalar columns only — the driver harness cannot hash an array cell,
     // so the multi-quantile form is split into p25/p75.
