@@ -58,6 +58,68 @@ class TpchMvSpec extends SparkSpecBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("TPC-H Q3 as a streaming MV: join MV stores all groups, top-10 at read") {
+    // The reference decomposes Q3 into a join+agg MV maintained
+    // incrementally plus a TopN operator on top; here the MV holds every
+    // (orderkey, orderdate) revenue group and the top-10 is the read
+    // query — same state, same maintenance cost.
+    val sfDir = "/root/testdata/sf0.001"
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    val dir = tmpDir("q3mv")
+    l.repartition(4).write.parquet(s"$dir/in")
+    val cat = new MvCatalog(spark, dir)
+    val mv = cat.define("q3", Seq("l_orderkey", "o_orderdate"), nBuckets = 4)
+
+    def xform(li: org.apache.spark.sql.DataFrame) =
+      li.where(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        .join(o.where(col("o_orderdate") < lit("1998-03-15").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(c.where(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+
+    val stream = spark.readStream.schema(l.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = mv.start(xform(stream), cat.checkpointDir("q3"))
+    q.processAllAvailable()
+    q.stop()
+
+    val top = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+        .collect().toSeq
+    assert(top(mv.read()) == top(xform(l)) && mv.read().count() > 10)
+  }
+
+  test("TPC-H Q6 as a streaming MV: global simple-agg state") {
+    val sfDir = "/root/testdata/sf0.001"
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val dir = tmpDir("q6mv")
+    l.repartition(4).write.parquet(s"$dir/in")
+    val cat = new MvCatalog(spark, dir)
+    val mv = cat.define("q6", Seq("k"), nBuckets = 1)
+
+    def xform(li: org.apache.spark.sql.DataFrame) =
+      li.where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .groupBy(lit(1).as("k"))
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+
+    val stream = spark.readStream.schema(l.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = mv.start(xform(stream), cat.checkpointDir("q6"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(mv.read().select("revenue").collect().toSeq ==
+      xform(l).select("revenue").collect().toSeq)
+  }
+
   test("TPC-H Q12 as a streaming MV: lineitem stream joins static orders") {
     val sfDir = "/root/testdata/sf0.001"
     val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
