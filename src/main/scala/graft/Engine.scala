@@ -153,7 +153,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private val ShowTables = """(?is)\s*SHOW\s+TABLES\s*;?\s*""".r
   private val DropTable =
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
-  private val Describe = """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*;?\s*""".r
+  private val Describe =
+    """(?is)\s*(?:DESC(?:RIBE)?\s+(?:TABLE\s+)?|SHOW\s+COLUMNS\s+FROM\s+)(\w+)\s*;?\s*""".r
   private val Explain = """(?is)\s*EXPLAIN\s+(?:\((?:\w+[,\s]*)+\)\s+)?(.+)""".r
   private val DropSink = """(?is)\s*DROP\s+SINK\s+(\w+)\s*;?\s*""".r
   private val ShowSources = """(?is)\s*SHOW\s+SOURCES\s*;?\s*""".r
@@ -243,7 +244,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case Some(d: SqlFrontend.SinkDef) => startSink(d)
       case None => SqlFrontend.parseCreateMv(statement) match {
         case Some(CreateMvDef(name, pkOpt, query, emitOnClose)) =>
-          val result = spark.sql(query)
+          // the reference's temporal-join clause (`JOIN dim FOR SYSTEM_TIME
+          // AS OF PROCTIME() ON …`, src/frontend/src/binder/relation/join.rs):
+          // in Spark a stream-static join already has lookup semantics —
+          // the dim side is re-scanned per micro-batch — so the clause
+          // erases to a plain join of the registered batch table
+          val result = spark.sql(Engine.TemporalJoinClause.replaceAllIn(query, ""))
           val pk = pkOpt.getOrElse(throw new IllegalArgumentException(
             s"CREATE MATERIALIZED VIEW $name requires an explicit " +
               "(PRIMARY KEY (…)) clause — merging on a guessed key would " +
@@ -316,4 +322,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       }
     }
     }
+}
+
+object Engine {
+  /** `FOR SYSTEM_TIME AS OF PROCTIME()` — erased before planning; see
+    * [[Engine.execute]]'s CREATE MATERIALIZED VIEW branch.
+    */
+  private[graft] val TemporalJoinClause =
+    """(?i)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+PROCTIME\s*\(\s*\)""".r
 }

@@ -293,6 +293,8 @@ class SqlFrontendSpec extends SparkSpecBase {
     assert(e.table("users").isEmpty)
     val desc = e.execute("DESCRIBE users").as[(String, String)].collect().toMap
     assert(desc == Map("id" -> "bigint", "name" -> "string", "score" -> "double"))
+    assert(e.execute("SHOW COLUMNS FROM users").as[(String, String)]
+      .collect().toMap == desc)
     assert(e.execute("SHOW TABLES").as[String].collect().toSeq == Seq("users"))
 
     // INT literals align to the declared BIGINT column
@@ -323,6 +325,27 @@ class SqlFrontendSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       e.execute("CREATE TABLE nope (id BIGINT, v DOUBLE)")
     }
+  }
+
+  test("temporal join SQL: FOR SYSTEM_TIME AS OF PROCTIME() in a streaming MV") {
+    val e = new Engine(spark, tmpDir("sqltj"))
+    val srcDir = tmpDir("sqltj-src")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+      .write.mode("append").parquet(srcDir)
+    Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
+      .createOrReplaceTempView("tiers")
+
+    e.execute(s"CREATE SOURCE tj_src WITH (path = '$srcDir', format = 'parquet')")
+    e.execute(
+      """CREATE MATERIALIZED VIEW tj_mv (PRIMARY KEY (k)) AS
+        |SELECT s.k, s.v, t.tier
+        |FROM tj_src s
+        |JOIN tiers FOR SYSTEM_TIME AS OF PROCTIME() t ON s.k = t.k""".stripMargin)
+    e.execute("FLUSH")
+    // k=3 has no dim row → lookup-join drop, like the reference
+    assert(e.table("tj_mv").orderBy("k").as[(Long, Double, String)]
+      .collect().toSeq == Seq((1L, 10.0, "gold"), (2L, 20.0, "silver")))
+    e.execute("DROP MATERIALIZED VIEW tj_mv")
   }
 
   test("DESCRIBE returns MV column names/types; EXPLAIN returns plan rows") {
