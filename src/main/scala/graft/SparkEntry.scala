@@ -21,6 +21,7 @@ object SparkEntry {
     SetOps,
     Functions,
     Functions2,
+    Functions3,
     TableFunctions,
     Subqueries,
     TimeWindows,

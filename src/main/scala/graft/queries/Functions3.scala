@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Third scalar-function sweep — SURVEY.md §2.8 families not yet covered
+  * by Functions/Functions2: string_to_array/split (string_to_array.rs),
+  * edit distance, initcap, width_bucket (math), char/octet/bit length
+  * (length.rs), position (position.rs), greatest/least, URL parsing
+  * (the curation-pipeline primitive behind domain filters).
+  *
+  * Oracle notes: DuckDB 1.0 lacks initcap/width_bucket/char_length — the
+  * oracle emulates them with list lambdas / CASE arithmetic; the emulation
+  * is exact (no float boundary ambiguity: acctbal has 2 decimals, bucket
+  * edges are integral).
+  */
+object Functions3 extends QueryPack {
+
+  val queries: Seq[GraftQuery] = Seq(
+    // split / string_to_array / split_part / initcap.
+    // reference: src/expr/impl/src/scalar/{string_to_array,split_part}.rs
+    q("q_fn_split",
+      """SELECT p_partkey,
+        |  array_to_string(string_split(p_name, 'e'), '|') AS sp,
+        |  array_to_string(string_split_regex(p_name, '\s+'), '|') AS rsp,
+        |  CAST(len(string_split(p_name, ' ')) AS INT) AS np,
+        |  split_part(p_name, ' ', 1) AS w1,
+        |  split_part(p_name, ' ', 2) AS w2,
+        |  array_to_string(list_transform(string_split(lower(p_name), ' '),
+        |    t -> CASE WHEN length(t) = 0 THEN t
+        |              ELSE upper(t[1]) || t[2:] END), ' ') AS ic
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin) { s =>
+      s.table("part").where(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          array_join(split(col("p_name"), "e"), "|").as("sp"),
+          array_join(split(col("p_name"), "\\s+"), "|").as("rsp"),
+          size(split(col("p_name"), " ")).as("np"),
+          expr("split_part(p_name, ' ', 1)").as("w1"),
+          expr("split_part(p_name, ' ', 2)").as("w2"),
+          initcap(col("p_name")).as("ic"))
+        .orderBy("p_partkey")
+    },
+
+    // Edit distance (fuzzy-dedup primitive). Both engines implement
+    // Levenshtein natively. reference: similarity ops are expressed via
+    // UDFs in the reference; Spark has it built in.
+    q("q_fn_strdist",
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_name, p_brand) AS INT) AS lev_brand,
+        |  CAST(levenshtein(p_name, reverse(p_name)) AS INT) AS lev_rev,
+        |  CAST(levenshtein(p_type, 'ECONOMY') AS INT) AS lev_type
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin) { s =>
+      s.table("part").where(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), col("p_brand")).as("lev_brand"),
+          levenshtein(col("p_name"), reverse(col("p_name"))).as("lev_rev"),
+          levenshtein(col("p_type"), lit("ECONOMY")).as("lev_type"))
+        .orderBy("p_partkey")
+    },
+
+    // width_bucket / length family / position / greatest-least.
+    // reference: src/expr/impl/src/scalar/{length,position}.rs; math.
+    q("q_fn_misc",
+      """SELECT s_suppkey,
+        |  CASE WHEN s_acctbal < 0 THEN 0
+        |       WHEN s_acctbal >= 10000 THEN 11
+        |       ELSE CAST(floor(s_acctbal / 1000.0) + 1 AS BIGINT) END AS wb,
+        |  CAST(length(s_name) AS INT) AS cl,
+        |  CAST(octet_length(encode(s_name)) AS INT) AS ol,
+        |  CAST(bit_length(s_name) AS INT) AS bl,
+        |  CAST(strpos(s_name, '#') AS INT) AS pos,
+        |  CAST(greatest(s_nationkey, s_suppkey % 25) AS INT) AS gr,
+        |  CAST(least(s_nationkey, s_suppkey % 25) AS INT) AS le
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { s =>
+      s.table("supplier")
+        .select(col("s_suppkey"),
+          expr("width_bucket(s_acctbal, 0D, 10000D, 10)").as("wb"),
+          expr("char_length(s_name)").as("cl"),
+          expr("octet_length(s_name)").as("ol"),
+          expr("bit_length(s_name)").as("bl"),
+          locate("#", col("s_name")).as("pos"),
+          greatest(col("s_nationkey"), (col("s_suppkey") % 25).cast(IntegerType)).as("gr"),
+          least(col("s_nationkey"), (col("s_suppkey") % 25).cast(IntegerType)).as("le"))
+        .orderBy("s_suppkey")
+    },
+
+    // URL parsing — the domain-filter primitive of corpus curation.
+    // Spark parse_url vs a regexp oracle (DuckDB has no URL parser).
+    q("q_fn_url",
+      """SELECT doc_id, url,
+        |  regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]q=([^&]*)', 1) AS qp,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS proto
+        |FROM (
+        |  SELECT doc_id,
+        |    concat('https://ex', doc_id % 5, '.com/p/', doc_id,
+        |           '?q=', lang, '&r=', doc_id % 3) AS url
+        |  FROM documents WHERE doc_id < 150
+        |) ORDER BY doc_id""".stripMargin) { s =>
+      s.table("documents").where(col("doc_id") < 150)
+        .withColumn("url",
+          expr("concat('https://ex', doc_id % 5, '.com/p/', doc_id, '?q=', lang, '&r=', doc_id % 3)"))
+        .select(col("doc_id"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'q')").as("qp"),
+          expr("parse_url(url, 'PROTOCOL')").as("proto"))
+        .orderBy("doc_id")
+    }
+  )
+}

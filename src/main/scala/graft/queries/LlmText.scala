@@ -149,6 +149,72 @@ object LlmText extends QueryPack {
           TextFunctions.fingerprint(col("text")).as("fp"),
           TextFunctions.tokenEstimate(col("text")).as("tok_est"))
         .orderBy("doc_id")
+    },
+
+    // PII redaction — email / phone / IPv4 scrubbing, the standard
+    // pre-training privacy pass. The corpus is synthetic word soup, so
+    // PII-shaped substrings are injected deterministically (same
+    // construction on both sides) and then redacted; n_pii counts email
+    // hits pre-redaction. All regexp work is codegen'd, zero UDFs.
+    q("q_text_pii",
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(synth,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |      '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(synth,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_pii
+        |FROM (
+        |  SELECT doc_id,
+        |    concat('contact user', doc_id, '@mail', doc_id % 3, '.org or 415-555-',
+        |           lpad(CAST(doc_id AS VARCHAR), 4, '0'), ' from 10.0.',
+        |           doc_id % 200, '.7 ', substr(text, 1, 40)) AS synth
+        |  FROM documents WHERE doc_id < 150
+        |) ORDER BY doc_id""".stripMargin) { s =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      s.table("documents").where(col("doc_id") < 150)
+        .withColumn("synth",
+          concat(lit("contact user"), col("doc_id"), lit("@mail"),
+            col("doc_id") % 3, lit(".org or 415-555-"),
+            lpad(col("doc_id").cast("string"), 4, "0"), lit(" from 10.0."),
+            col("doc_id") % 200, lit(".7 "), substring(col("text"), 1, 40)))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("synth"),
+            email, "<EMAIL>"),
+            "\\d{3}-\\d{3}-\\d{4}", "<PHONE>"),
+            "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>").as("redacted"),
+          regexp_count(col("synth"), lit(email)).as("n_pii"))
+        .orderBy("doc_id")
+    },
+
+    // Repetition metrics (Gopher-style quality rules): unique-token ratio
+    // and repeated-bigram fraction. Pure higher-order array functions —
+    // per-row, no shuffle, fully codegen-compatible at 100 TB.
+    q("q_text_repetition",
+      s"""SELECT doc_id,
+         |  CAST(len(toks) AS INT) AS n_tok,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+         |  CAST(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+         |    AS DOUBLE) AS bigram_rep
+         |FROM (
+         |  SELECT doc_id, toks,
+         |    list_transform(list_zip(toks[:-2], toks[2:]),
+         |      p -> p[1] || ' ' || p[2]) AS bigrams
+         |  FROM (SELECT doc_id, $toksSql AS toks
+         |        FROM documents WHERE doc_id < 200)
+         |) WHERE len(toks) > 1 ORDER BY doc_id""".stripMargin) { s =>
+      s.table("documents").where(col("doc_id") < 200)
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .where(size(col("toks")) > 1)
+        .withColumn("bigrams",
+          expr("transform(slice(toks, 1, size(toks) - 1), (t, i) -> concat(t, ' ', element_at(toks, i + 2)))"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tok"),
+          (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+            .as("uniq_ratio"),
+          (lit(1.0) - size(array_distinct(col("bigrams"))).cast("double")
+            / size(col("bigrams"))).as("bigram_rep"))
+        .orderBy("doc_id")
     }
   )
 }
