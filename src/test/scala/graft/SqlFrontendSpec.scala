@@ -378,4 +378,37 @@ class SqlFrontendSpec extends SparkSpecBase {
     assert(e.execute("SHOW MATERIALIZED VIEWS").as[String].collect()
       .toSeq == Seq("desc_mv"))
   }
+
+  test("CREATE FUNCTION: SQL UDFs (scalar + table) run through Engine.execute") {
+    // reference: SQL UDFs are inlined at bind time
+    // (src/frontend/src/handler/create_sql_function.rs); Spark 4 SQL UDFs
+    // are the native equivalent — declarative body, optimized by Catalyst
+    // like any expression (no black-box boxing).
+    val e = new Engine(spark, tmpDir("sqludf"))
+    Seq((1L, 2.0), (2L, 5.0), (3L, 9.0)).toDF("id", "v")
+      .createOrReplaceTempView("udf_base")
+
+    e.execute(
+      "CREATE TEMPORARY FUNCTION with_tax(x DOUBLE) RETURNS DOUBLE RETURN x * 1.1")
+    val out = e.execute(
+      "SELECT id, with_tax(v) AS t FROM udf_base ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2.2), (2L, 5.5), (3L, 9.9)))
+
+    // SQL UDFs compose with aggregation and stay in the optimized plan
+    val agg = e.execute(
+      "SELECT CAST(sum(with_tax(v)) AS DECIMAL(10,2)) AS s FROM udf_base")
+      .collect().head.getDecimal(0)
+    assert(agg == new java.math.BigDecimal("17.60"))
+
+    // table-valued SQL UDF (UDTF surface: reference CREATE FUNCTION
+    // RETURNS TABLE, table_function/mod.rs)
+    e.execute(
+      """CREATE TEMPORARY FUNCTION v_above(thresh DOUBLE)
+        |RETURNS TABLE(id BIGINT, v DOUBLE)
+        |RETURN SELECT id, v FROM udf_base WHERE v > thresh""".stripMargin)
+    val tv = e.execute("SELECT * FROM v_above(4.0) ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(tv == Seq((2L, 5.0), (3L, 9.0)))
+  }
 }
