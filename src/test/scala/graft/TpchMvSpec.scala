@@ -148,4 +148,76 @@ class TpchMvSpec extends SparkSpecBase {
     val want = xform(l).orderBy("l_linestatus").collect().toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("TPC-H Q4 as a streaming MV: EXISTS decomposed into a dedup MV + read-time semi-join") {
+    // The reference plans EXISTS subqueries in streaming MVs as a
+    // dedup/agg state on the inner side joined to the outer
+    // (apply-to-join unnesting). Same decomposition here: MV = distinct
+    // orderkeys with a returned lineitem (PK merge IS the dedup state),
+    // read query = orders semi-join MV, grouped by priority.
+    val sfDir = "/root/testdata/sf0.001"
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val dir = tmpDir("q4mv")
+    l.repartition(4).write.parquet(s"$dir/in")
+    val cat = new MvCatalog(spark, dir)
+    val mv = cat.define("q4_returned", Seq("l_orderkey"), nBuckets = 4)
+
+    val stream = spark.readStream.schema(l.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .where(col("l_returnflag") === "R")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n_returned"))
+    val q = mv.start(stream, cat.checkpointDir("q4_returned"))
+    q.processAllAvailable()
+    q.stop()
+
+    def readQuery(returned: org.apache.spark.sql.DataFrame) =
+      o.where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .join(returned.select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+
+    val want = readQuery(
+      l.where(col("l_returnflag") === "R").select("l_orderkey").distinct())
+      .collect().toSeq
+    val got = readQuery(mv.read()).collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("TPC-H Q15 as a streaming MV: per-supplier revenue state + scalar-max read") {
+    val sfDir = "/root/testdata/sf0.001"
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+    val dir = tmpDir("q15mv")
+    l.repartition(4).write.parquet(s"$dir/in")
+    val cat = new MvCatalog(spark, dir)
+    val mv = cat.define("q15_rev", Seq("supplier_no"), nBuckets = 4)
+
+    def revenue(li: org.apache.spark.sql.DataFrame) =
+      li.where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("total_rev"))
+
+    val stream = spark.readStream.schema(l.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = mv.start(revenue(stream), cat.checkpointDir("q15_rev"))
+    q.processAllAvailable()
+    q.stop()
+
+    // read query: the top supplier (scalar max over the MV, joined to dim)
+    def top(rev: org.apache.spark.sql.DataFrame) = {
+      val mx = rev.agg(max("total_rev")).head().getDouble(0)
+      rev.where(col("total_rev") === mx)
+        .join(sup, col("supplier_no") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey").collect().toSeq
+    }
+    val got = top(mv.read())
+    val want = top(revenue(l))
+    assert(got == want && got.nonEmpty)
+  }
 }
