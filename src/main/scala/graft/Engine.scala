@@ -162,6 +162,42 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
   private val sinkNames = scala.collection.mutable.SortedSet[String]()
 
+  // --- subscriptions / cursors (reference: CREATE SUBSCRIPTION +
+  // DECLARE … SUBSCRIPTION CURSOR + FETCH, handler/create_subscription.rs
+  // and session/cursor_manager.rs): a pull-based reader over an MV's
+  // epoch-published changelog. The cursor holds only a frontier batch id.
+  private val subscriptions = scala.collection.mutable.Map[String, String]()
+  private val cursors = scala.collection.mutable.Map[String, (String, Long)]()
+
+  private val CreateSubscription =
+    """(?is)\s*CREATE\s+SUBSCRIPTION\s+(\w+)\s+FROM\s+(\w+)\s*(?:WITH\s*\(.*?\))?\s*;?\s*""".r
+  private val DropSubscription =
+    """(?is)\s*DROP\s+SUBSCRIPTION\s+(\w+)\s*;?\s*""".r
+  private val ShowSubscriptions =
+    """(?is)\s*SHOW\s+SUBSCRIPTIONS\s*;?\s*""".r
+  private val DeclareCursor =
+    """(?is)\s*DECLARE\s+(\w+)\s+SUBSCRIPTION\s+CURSOR\s+FOR\s+(\w+)\s*(FULL)?\s*;?\s*""".r
+  private val FetchCursor =
+    """(?is)\s*FETCH\s+(?:NEXT\s+FROM\s+)?(\w+)\s*;?\s*""".r
+  private val CloseCursor =
+    """(?is)\s*CLOSE\s+(\w+)\s*;?\s*""".r
+
+  /** FETCH: all changelog epochs past the cursor's frontier, ordered by
+    * (epoch, seq) — each row is one change with its `_op`. Non-blocking:
+    * an up-to-date cursor returns an empty frame. Advances the frontier.
+    */
+  private def fetchCursor(cur: String): DataFrame = {
+    val (sub, pos) = cursors.getOrElse(cur,
+      throw new IllegalArgumentException(s"unknown cursor $cur"))
+    val mvName = subscriptions(sub)
+    val mv = mvs.get(mvName).get
+    val (df, frontier) = mv.changelogAfter(pos)
+    cursors(cur) = (sub, frontier)
+    if (df.columns.isEmpty) df
+    else df.orderBy(org.apache.spark.sql.functions.col("_epoch"),
+      org.apache.spark.sql.functions.col(graft.streaming.Changelog.SeqCol))
+  }
+
   /** `CREATE SINK s FROM mv WITH (path='…', format='…')`: subscribe to
     * the MV's changelog channel, encode each delta (Debezium envelope /
     * upsert tombstones / plain JSON), and append to the sink path as one
@@ -310,6 +346,33 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               .explainString(org.apache.spark.sql.execution.ExplainMode
                 .fromString("formatted"))
               .split("\n").toSeq.toDF("plan")
+          case CreateSubscription(name, from) =>
+            require(mvs.get(from).isDefined,
+              s"CREATE SUBSCRIPTION $name: unknown materialized view $from")
+            subscriptions(name) = from
+            statusDf("CREATE SUBSCRIPTION", name)
+          case DropSubscription(name) =>
+            subscriptions.remove(name)
+            cursors.filterInPlace { case (_, (sub, _)) => sub != name }
+            statusDf("DROP SUBSCRIPTION", name)
+          case ShowSubscriptions() =>
+            import spark.implicits._
+            subscriptions.keys.toSeq.sorted.toDF("name")
+          case DeclareCursor(cur, sub, full) =>
+            val mvName = subscriptions.getOrElse(sub,
+              throw new IllegalArgumentException(s"unknown subscription $sub"))
+            // FULL: replay the entire retained log (history from MV
+            // birth); default: only changes after declaration
+            val pos =
+              if (full != null) -1L
+              else mvs.get(mvName).get.latestChangelogBatchId
+            cursors(cur) = (sub, pos)
+            statusDf("DECLARE CURSOR", cur)
+          case CloseCursor(cur) if cursors.contains(cur) =>
+            cursors.remove(cur)
+            statusDf("CLOSE", cur)
+          case FetchCursor(cur) if cursors.contains(cur) =>
+            fetchCursor(cur)
           case Flush() =>
             // the reference's FLUSH: block until every stream job has
             // processed all available input (barrier-completion analog)

@@ -114,6 +114,36 @@ final class MaterializedView(
     down.start(transform(changelogStreamFrom(frontier)), checkpointDir)
   }
 
+  /** Batch read of epoch-published changelog entries with id >
+    * `afterBatchId`: returns (rows + `_epoch` column, new frontier) —
+    * the pull side of a subscription cursor (reference: FETCH on a
+    * subscription cursor reads the MV's log store,
+    * src/frontend/src/session/cursor_manager.rs). Ad-hoc DML appends
+    * carry no epoch and are not cursor-visible — the same contract as
+    * [[subscribeWithBackfill]].
+    */
+  def changelogAfter(afterBatchId: Long): (DataFrame, Long) = {
+    val frontier = latestChangelogBatchId
+    val dir = Paths.get(changelogDir)
+    if (frontier <= afterBatchId || !Files.exists(dir))
+      (spark.emptyDataFrame, math.max(frontier, afterBatchId))
+    else {
+      import scala.jdk.CollectionConverters._
+      val dirs = Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("batch-") &&
+          n.stripPrefix("batch-").toLongOption.exists(_ > afterBatchId))
+        .map(n => s"$changelogDir/$n").toSeq.sorted
+      if (dirs.isEmpty) (spark.emptyDataFrame, frontier)
+      else {
+        val df = spark.read.parquet(dirs: _*)
+          .withColumn("_epoch",
+            regexp_extract(input_file_name(), "batch-(\\d+)", 1).cast("long"))
+        (df, frontier)
+      }
+    }
+  }
+
   /** Retention: drop changelog epochs ≤ `upToBatchId`.
     *
     * Contract: only call with a batch id every subscriber's checkpoint

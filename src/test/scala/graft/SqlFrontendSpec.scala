@@ -411,4 +411,46 @@ class SqlFrontendSpec extends SparkSpecBase {
       .as[(Long, Double)].collect().toSeq
     assert(tv == Seq((2L, 5.0), (3L, 9.0)))
   }
+
+  test("CREATE SUBSCRIPTION + cursor FETCH pulls MV changes as SQL") {
+    // reference: CREATE SUBSCRIPTION (handler/create_subscription.rs) +
+    // DECLARE … SUBSCRIPTION CURSOR + FETCH (session/cursor_manager.rs):
+    // the pull-based consumption of an MV's changelog.
+    val e = new Engine(spark, tmpDir("sqlsub"))
+    val srcDir = tmpDir("sqlsub-src")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.mode("append").parquet(srcDir)
+    e.execute(s"CREATE SOURCE subsrc WITH (path = '$srcDir', format = 'parquet')")
+    e.execute(
+      """CREATE MATERIALIZED VIEW sub_mv (PRIMARY KEY (id)) AS
+        |SELECT id, v * 2 AS v2 FROM subsrc""".stripMargin)
+    e.execute("FLUSH")
+
+    e.execute("CREATE SUBSCRIPTION sub1 FROM sub_mv")
+    assert(e.execute("SHOW SUBSCRIPTIONS").as[String].collect().toSeq == Seq("sub1"))
+
+    // default cursor: sees only changes after declaration
+    e.execute("DECLARE cur1 SUBSCRIPTION CURSOR FOR sub1")
+    assert(e.execute("FETCH NEXT FROM cur1").isEmpty)
+
+    Seq((2L, 25.0), (3L, 30.0)).toDF("id", "v")
+      .write.mode("append").parquet(srcDir)
+    e.execute("FLUSH")
+    val batch = e.execute("FETCH NEXT FROM cur1")
+      .select("id", "v2").as[(Long, Double)].collect().toSeq.sorted
+    assert(batch == Seq((2L, 50.0), (3L, 60.0)))
+    // cursor advanced: nothing new
+    assert(e.execute("FETCH NEXT FROM cur1").isEmpty)
+
+    // FULL cursor replays the entire retained history
+    e.execute("DECLARE cur2 SUBSCRIPTION CURSOR FOR sub1 FULL")
+    val all = e.execute("FETCH NEXT FROM cur2")
+      .select("id", "v2").as[(Long, Double)].collect().toSeq.sorted
+    assert(all == Seq((1L, 20.0), (2L, 40.0), (2L, 50.0), (3L, 60.0)))
+
+    e.execute("CLOSE cur1")
+    e.execute("DROP SUBSCRIPTION sub1")
+    assert(e.execute("SHOW SUBSCRIPTIONS").isEmpty)
+    e.execute("DROP MATERIALIZED VIEW sub_mv")
+  }
 }
