@@ -149,6 +149,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case _ => None
     }
   }
+  private val AlterAddCol =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()0-9, ]+?)\s*;?\s*""".r
+  private val AlterDropCol =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*;?\s*""".r
+
   private val ShowMv = """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
   private val ShowTables = """(?is)\s*SHOW\s+TABLES\s*;?\s*""".r
   private val DropTable =
@@ -346,6 +351,28 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               .explainString(org.apache.spark.sql.execution.ExplainMode
                 .fromString("formatted"))
               .split("\n").toSeq.toDF("plan")
+          // schema evolution on CREATE TABLE tables (reference:
+          // handler/alter_table_column.rs): declared schema updates +
+          // eager store rewrite so merges stay schema-uniform
+          case AlterAddCol(name, cname, ctype) if tableSchemas.contains(name) =>
+            val t = SqlFrontend.sqlType(ctype)
+            require(!tableSchemas(name).fieldNames.contains(cname),
+              s"ALTER TABLE $name: column $cname already exists")
+            tableSchemas(name) = org.apache.spark.sql.types.StructType(
+              tableSchemas(name).fields :+
+                org.apache.spark.sql.types.StructField(cname, t))
+            mvs.get(name).foreach(_.rewriteSchema(
+              _.withColumn(cname, org.apache.spark.sql.functions.lit(null).cast(t))))
+            statusDf("ALTER TABLE", name)
+          case AlterDropCol(name, cname) if tableSchemas.contains(name) =>
+            require(tableSchemas(name).fieldNames.contains(cname),
+              s"ALTER TABLE $name: no such column $cname")
+            require(!mvs.get(name).exists(_.primaryKey.contains(cname)),
+              s"ALTER TABLE $name: cannot drop PRIMARY KEY column $cname")
+            tableSchemas(name) = org.apache.spark.sql.types.StructType(
+              tableSchemas(name).fields.filterNot(_.name == cname))
+            mvs.get(name).foreach(_.rewriteSchema(_.drop(cname)))
+            statusDf("ALTER TABLE", name)
           case CreateSubscription(name, from) =>
             require(mvs.get(from).isDefined,
               s"CREATE SUBSCRIPTION $name: unknown materialized view $from")

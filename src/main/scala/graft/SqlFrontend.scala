@@ -133,7 +133,7 @@ object SqlFrontend {
   private val FormatEncodeRe =
     """(?is)^\s*FORMAT\s+(\w+)\s+ENCODE\s+(\w+)\s*;?\s*$""".r
 
-  private def sqlType(t: String): org.apache.spark.sql.types.DataType = {
+  private[graft] def sqlType(t: String): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     t.trim.toUpperCase.replaceAll("\\s+", " ") match {
       case "BIGINT" | "INT8" => LongType

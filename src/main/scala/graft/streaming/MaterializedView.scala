@@ -114,6 +114,29 @@ final class MaterializedView(
     down.start(transform(changelogStreamFrom(frontier)), checkpointDir)
   }
 
+  /** One-shot full-store schema rewrite (ALTER TABLE ADD/DROP COLUMN,
+    * reference: src/frontend/src/handler/alter_table_column.rs): read
+    * the whole store, transform, rewrite every bucket through a staging
+    * swap. Eager and O(table) — at 100 TB the lazy alternative (schema
+    * versioning, pad at read, compact in the background — what the
+    * reference's column catalog does) trades that one-time cost for
+    * per-read branching; eager rewrite keeps every downstream reader
+    * schema-uniform, the right call while stores are bucketed parquet.
+    * Bucketing is PK-hash based, so non-PK column changes never move
+    * rows between buckets.
+    */
+  def rewriteSchema(f: DataFrame => DataFrame): Unit =
+    readBuckets().foreach { stored =>
+      val rewritten = f(stored.drop(bucketCol))
+      val staging = s"$targetDir.alter-staging"
+      val out = rewritten.withColumn(bucketCol, bucketOf(rewritten))
+      out.repartition(col(bucketCol)).write.mode("overwrite")
+        .partitionBy(bucketCol).parquet(staging)
+      spark.read.parquet(staging).write.mode("overwrite")
+        .partitionBy(bucketCol).parquet(targetDir)
+      deleteRecursively(Paths.get(staging))
+    }
+
   /** Batch read of epoch-published changelog entries with id >
     * `afterBatchId`: returns (rows + `_epoch` column, new frontier) —
     * the pull side of a subscription cursor (reference: FETCH on a

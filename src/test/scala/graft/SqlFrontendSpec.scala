@@ -453,4 +453,34 @@ class SqlFrontendSpec extends SparkSpecBase {
     assert(e.execute("SHOW SUBSCRIPTIONS").isEmpty)
     e.execute("DROP MATERIALIZED VIEW sub_mv")
   }
+
+  test("ALTER TABLE ADD/DROP COLUMN evolves a PK-merged table") {
+    val e = new Engine(spark, tmpDir("sqlalter"))
+    e.execute("CREATE TABLE alt_t (id BIGINT PRIMARY KEY, v DOUBLE)")
+    e.execute("INSERT INTO alt_t VALUES (1, 10.0), (2, 20.0)")
+
+    e.execute("ALTER TABLE alt_t ADD COLUMN tag VARCHAR")
+    // existing rows read back null-padded; DESCRIBE shows the new column
+    assert(e.execute("DESCRIBE alt_t").as[(String, String)].collect().toSeq ==
+      Seq(("id", "bigint"), ("v", "double"), ("tag", "string")))
+    assert(e.table("alt_t").orderBy("id").as[(Long, Double, Option[String])]
+      .collect().toSeq == Seq((1L, 10.0, None), (2L, 20.0, None)))
+
+    // the evolved schema is writable: full-row insert + update of the
+    // new column on an old row
+    e.execute("INSERT INTO alt_t VALUES (3, 30.0, 'c')")
+    e.execute("UPDATE alt_t SET tag = 'a' WHERE id = 1")
+    assert(e.table("alt_t").orderBy("id").as[(Long, Double, Option[String])]
+      .collect().toSeq ==
+      Seq((1L, 10.0, Some("a")), (2L, 20.0, None), (3L, 30.0, Some("c"))))
+
+    // DROP COLUMN projects it away everywhere; PK columns are protected
+    e.execute("ALTER TABLE alt_t DROP COLUMN v")
+    assert(e.table("alt_t").orderBy("id").as[(Long, Option[String])]
+      .collect().toSeq ==
+      Seq((1L, Some("a")), (2L, None), (3L, Some("c"))))
+    intercept[IllegalArgumentException] {
+      e.execute("ALTER TABLE alt_t DROP COLUMN id")
+    }
+  }
 }
