@@ -84,6 +84,50 @@ object Functions3 extends QueryPack {
         .orderBy("s_suppkey")
     },
 
+    // Crypto family (reference: src/expr/impl/src/scalar/{md5,sha,encrypt}.rs):
+    // digest parity where both engines implement the algorithm, and an
+    // AES encrypt→decrypt roundtrip (DuckDB has no AES, so the oracle
+    // states the identity the roundtrip must satisfy).
+    q("q_fn_crypto",
+      """SELECT n_nationkey,
+        |  md5(n_name) AS m,
+        |  sha256(n_name) AS s2,
+        |  n_name AS aes_rt
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { s =>
+      s.table("nation").select(col("n_nationkey"),
+        md5(col("n_name")).as("m"),
+        sha2(col("n_name"), 256).as("s2"),
+        expr("CAST(aes_decrypt(aes_encrypt(CAST(n_name AS BINARY), " +
+          "'0123456789abcdef'), '0123456789abcdef') AS STRING)").as("aes_rt"))
+        .orderBy("n_nationkey")
+    },
+
+    // Exact decimal arithmetic (the reference's rw_int256/decimal lane):
+    // every result is cast to an explicit DECIMAL so precision/scale
+    // agree across engines, and every value is exact (2-decimal inputs ×
+    // small exact factors — no rounding-mode divergence possible).
+    q("q_fn_decimal",
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |     + CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(20,2)) AS d_add,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |     * CAST(1.1 AS DECIMAL(3,1)) AS DECIMAL(22,3)) AS d_mul,
+        |  CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 / 7)
+        |    AS BIGINT) AS d_div6,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 97 AS DECIMAL(18,2)) AS d_mod
+        |FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""".stripMargin) { s =>
+      val d = col("o_totalprice").cast(DecimalType(18, 2))
+      s.table("orders").where(col("o_orderkey") < 400)
+        .select(col("o_orderkey"),
+          (d + d).cast(DecimalType(20, 2)).as("d_add"),
+          (d * lit(BigDecimal("1.1")).cast(DecimalType(3, 1)))
+            .cast(DecimalType(22, 3)).as("d_mul"),
+          expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 / 7) AS BIGINT)")
+            .as("d_div6"),
+          (d % 97).cast(DecimalType(18, 2)).as("d_mod"))
+        .orderBy("o_orderkey")
+    },
+
     // URL parsing — the domain-filter primitive of corpus curation.
     // Spark parse_url vs a regexp oracle (DuckDB has no URL parser).
     q("q_fn_url",
