@@ -64,6 +64,33 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(got.contains((1L, 3L)))
   }
 
+  test("bucket state survives a stop/restart (checkpoint recovery)") {
+    val dir = tmpDir("sdedup-recover")
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    Seq((1L, a)).toDF("doc_id", "text").write.parquet(s"$dir/in/b0")
+    val cat = new MvCatalog(spark, dir)
+    val mv = cat.define("rec_pairs", Seq("id_a", "id_b"), nBuckets = 2)
+    val schema = Seq((1L, a)).toDF("doc_id", "text").schema
+    def startJob() = mv.start(
+      StreamingDedup.candidatePairs(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*"), "doc_id", "text").toDF(),
+      cat.checkpointDir("rec_pairs"))
+
+    val q1 = startJob()
+    q1.processAllAvailable()
+    q1.stop() // doc 1 is in bucket state, checkpointed
+
+    Seq((2L, b)).toDF("doc_id", "text").write.parquet(s"$dir/in/b1")
+    val q2 = startJob() // fresh query, same checkpoint: state recovers
+    q2.processAllAvailable()
+    q2.stop()
+    val got = mv.read().select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)),
+      "pair must be found against the RECOVERED pre-restart bucket member")
+  }
+
   test("degenerate buckets collapse to a tombstone: bounded pairs, bounded state") {
     val dir = tmpDir("sdedup-skew")
     val boiler = "identical boilerplate text repeated across the entire corpus here"
