@@ -91,6 +91,24 @@ class PlanQualitySpec extends SparkSpecBase {
       s"expected fused WSCG pipeline:\n$p")
   }
 
+  test("curation metrics (PII/repetition/URL) are shuffle-free single-pass scans") {
+    // The per-document quality pipeline must stay embarrassingly
+    // parallel: at 100 TB any shuffle here would dominate the job. The
+    // only exchange allowed is the output ordering's range partitioning
+    // (absent under a sink that drops ordering).
+    Tables.register(spark, dir)
+    for (name <- Seq("q_text_pii", "q_text_repetition", "q_fn_url", "q_fn_split")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      // the only allowed exchange is the presentation ORDER BY's range
+      // partitioning; any hashpartitioning means the per-row pipeline
+      // picked up a real shuffle
+      val kinds = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(kinds.forall(_ == "rangepartitioning"),
+        s"$name shuffles ($kinds):\n$p")
+    }
+  }
+
   test("lateral top-n decorrelates to a join + group-limit, not a cartesian") {
     Tables.register(spark, dir)
     val df = SparkEntry.queries("q_join_lateral")(spark, dir)
