@@ -163,6 +163,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private val Explain = """(?is)\s*EXPLAIN\s+(?:\((?:\w+[,\s]*)+\)\s+)?(.+)""".r
   private val DropSink = """(?is)\s*DROP\s+SINK\s+(\w+)\s*;?\s*""".r
   private val ShowSources = """(?is)\s*SHOW\s+SOURCES\s*;?\s*""".r
+  private val ShowJobs = """(?is)\s*SHOW\s+JOBS\s*;?\s*""".r
   private val ShowSinks = """(?is)\s*SHOW\s+SINKS\s*;?\s*""".r
 
   private val sinkNames = scala.collection.mutable.SortedSet[String]()
@@ -320,6 +321,13 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case ShowSources() =>
             import spark.implicits._
             sources.keys.toSeq.sorted.toDF("name")
+          case ShowJobs() =>
+            // reference: SHOW JOBS (handler/show.rs) — the streaming-job
+            // observability surface; status from the live query handle
+            import spark.implicits._
+            jobs.toSeq.sortBy(_._1)
+              .map { case (n, q) => (n, q.isActive, q.status.message) }
+              .toDF("name", "active", "status")
           case ShowSinks() =>
             import spark.implicits._
             sinkNames.toSeq.toDF("name")

@@ -19,6 +19,29 @@ object Formats {
     df.withColumn("__d", from_json(col(payloadCol), schema))
       .select(col("*"), col("__d.*")).drop("__d", payloadCol)
 
+  /** Decode with dead-lettering: unparsable payloads route to a side
+    * channel instead of nulling out silently — the reference parser's
+    * error tolerance (malformed rows are skipped and counted, not
+    * poisoned into the stream; reference: src/connector/src/parser/
+    * mod.rs parse error accounting). PERMISSIVE mode half-parses broken
+    * records (fields it reached, nulls for the rest) — the corrupt-record
+    * column marks them exactly, so the split is one parse + a codegen'd
+    * predicate.
+    */
+  def decodeJsonWithDeadLetter(
+      df: DataFrame, payloadCol: String, schema: StructType): (DataFrame, DataFrame) = {
+    val corrupt = "__corrupt"
+    require(!schema.fieldNames.contains(corrupt))
+    val parsed = df.withColumn("__d",
+      from_json(col(payloadCol), schema.add(corrupt, StringType),
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)))
+    val bad = col("__d").isNull || col(s"__d.$corrupt").isNotNull
+    val good = parsed.where(!bad)
+      .select(col("*"), col("__d.*")).drop("__d", payloadCol, corrupt)
+    val dead = parsed.where(bad).select(col(payloadCol).as("payload"))
+    (good, dead)
+  }
+
   /** FORMAT PLAIN ENCODE CSV. */
   def decodeCsv(df: DataFrame, payloadCol: String, schema: StructType,
       options: Map[String, String] = Map.empty): DataFrame =

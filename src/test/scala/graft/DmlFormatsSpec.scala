@@ -130,4 +130,20 @@ class DmlFormatsSpec extends SparkSpecBase {
       .as[(String, Long)].collect().toMap
     assert(streamed == batch)
   }
+
+  test("malformed payloads dead-letter instead of poisoning the stream") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val payloads = Seq(
+      """{"id": 1, "v": 1.5}""",
+      """not json at all""",
+      """{"id": 2, "v": 2.5}""",
+      """{"id": 3 "v": broken""").toDF("value")
+    val (good, dead) = Formats.decodeJsonWithDeadLetter(payloads, "value", schema)
+    assert(good.orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.5), (2L, 2.5)))
+    assert(dead.as[String].collect().toSet ==
+      Set("not json at all", """{"id": 3 "v": broken"""))
+  }
 }

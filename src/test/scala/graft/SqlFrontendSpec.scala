@@ -454,6 +454,21 @@ class SqlFrontendSpec extends SparkSpecBase {
     e.execute("DROP MATERIALIZED VIEW sub_mv")
   }
 
+  test("SHOW JOBS lists streaming maintenance jobs with live status") {
+    val e = new Engine(spark, tmpDir("sqljobs"))
+    val srcDir = tmpDir("sqljobs-src")
+    Seq((1L, 1.0)).toDF("id", "v").write.mode("append").parquet(srcDir)
+    e.execute(s"CREATE SOURCE jsrc WITH (path = '$srcDir', format = 'parquet')")
+    e.execute(
+      "CREATE MATERIALIZED VIEW job_mv (PRIMARY KEY (id)) AS SELECT id, v FROM jsrc")
+    e.execute("FLUSH")
+    val rows = e.execute("SHOW JOBS")
+      .select("name", "active").as[(String, Boolean)].collect().toSeq
+    assert(rows == Seq(("job_mv", true)))
+    e.execute("DROP MATERIALIZED VIEW job_mv")
+    assert(e.execute("SHOW JOBS").isEmpty)
+  }
+
   test("ALTER TABLE ADD/DROP COLUMN evolves a PK-merged table") {
     val e = new Engine(spark, tmpDir("sqlalter"))
     e.execute("CREATE TABLE alt_t (id BIGINT PRIMARY KEY, v DOUBLE)")
