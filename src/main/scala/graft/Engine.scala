@@ -164,6 +164,58 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private val DropSink = """(?is)\s*DROP\s+SINK\s+(\w+)\s*;?\s*""".r
   private val ShowSources = """(?is)\s*SHOW\s+SOURCES\s*;?\s*""".r
   private val ShowJobs = """(?is)\s*SHOW\s+JOBS\s*;?\s*""".r
+  private val CreateView =
+    """(?is)\s*CREATE\s+VIEW\s+(\w+)\s+AS\s+(.*?)\s*;?\s*""".r
+  private val CreateIndexStmt =
+    """(?is)\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*([\w\s,]+?)\s*\)\s*;?\s*""".r
+  private val DropIndexStmt =
+    """(?is)\s*DROP\s+INDEX\s+(\w+)\s*;?\s*""".r
+  private val ShowIndexes = """(?is)\s*SHOW\s+INDEXES\s*;?\s*""".r
+
+  private case class IndexDef(table: String, keys: Seq[String], path: String, nBuckets: Int)
+  private val indexes = scala.collection.mutable.Map[String, IndexDef]()
+
+  /** `CREATE INDEX i ON t (k, …)`: a hash-bucket-partitioned, key-sorted
+    * copy of the table (reference: handler/create_index.rs — an index IS
+    * an MV with key-reordered distribution). Point lookups through
+    * [[indexLookup]] prune to ONE bucket partition (plan-visible
+    * PartitionFilters) and row-group-skip inside it via the sort — the
+    * BatchLookupJoin access path. One-shot materialization: refresh by
+    * re-issuing CREATE INDEX (the reference maintains indexes
+    * continuously as streaming MVs — divergence documented in COVERAGE).
+    */
+  private def createIndex(name: String, tbl: String, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = table(tbl)
+    require(keys.forall(df.columns.contains),
+      s"CREATE INDEX $name: key not in $tbl(${df.columns.mkString(",")})")
+    val n = 16
+    val path = s"$warehouseDir/indexes/$name"
+    df.withColumn("__idx_bucket", pmod(hash(keys.map(col): _*), lit(n)))
+      .repartition(col("__idx_bucket"))
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").partitionBy("__idx_bucket").parquet(path)
+    indexes(name) = IndexDef(tbl, keys, path, n)
+    statusDf("CREATE INDEX", name)
+  }
+
+  /** Equality lookup through an index: reads exactly one bucket
+    * partition. `values` pair positionally with the index keys.
+    */
+  def indexLookup(index: String, values: Any*): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = indexes.getOrElse(index,
+      throw new IllegalArgumentException(s"unknown index $index"))
+    require(values.size == d.keys.size, s"index $index has keys ${d.keys}")
+    val bucket = pmod(hash(values.map(lit): _*), lit(d.nBuckets))
+    spark.read.parquet(d.path)
+      .where(col("__idx_bucket") === bucket &&
+        d.keys.zip(values).map { case (k, v) => col(k) === lit(v) }
+          .reduce(_ && _))
+      .drop("__idx_bucket")
+  }
+  private val TxnStmt =
+    """(?is)\s*(BEGIN|START\s+TRANSACTION|COMMIT|ABORT|ROLLBACK)(\s+READ\s+ONLY)?\s*;?\s*""".r
   private val ShowSinks = """(?is)\s*SHOW\s+SINKS\s*;?\s*""".r
 
   private val sinkNames = scala.collection.mutable.SortedSet[String]()
@@ -321,6 +373,30 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case ShowSources() =>
             import spark.implicits._
             sources.keys.toSeq.sorted.toDF("name")
+          case CreateIndexStmt(name, tbl, colList) =>
+            createIndex(name, tbl, colList.split(",").map(_.trim).toSeq)
+          case DropIndexStmt(name) if indexes.contains(name) =>
+            indexes.remove(name)
+            statusDf("DROP INDEX", name)
+          case ShowIndexes() =>
+            import spark.implicits._
+            indexes.toSeq.sortBy(_._1)
+              .map { case (n, d) => (n, d.table, d.keys.mkString(",")) }
+              .toDF("name", "on_table", "keys")
+          case CreateView(name, query) =>
+            // reference: handler/create_view.rs — a non-materialized view
+            // is a bound query replayed at read. Session tables here live
+            // in the temp catalog, so the view is a temp view (a
+            // permanent Spark view cannot reference temp relations).
+            spark.sql(query).createOrReplaceTempView(name)
+            statusDf("CREATE VIEW", name)
+          case TxnStmt(kw, _) =>
+            // reference: handler/transaction.rs — transactions are
+            // single-query read-only snapshots; BEGIN/COMMIT bracket
+            // statements without changing semantics. Acknowledged as
+            // no-ops (every graft statement already reads a consistent
+            // parquet snapshot).
+            statusDf(kw.toUpperCase.replaceAll("\\s+", " "), "")
           case ShowJobs() =>
             // reference: SHOW JOBS (handler/show.rs) — the streaming-job
             // observability surface; status from the live query handle

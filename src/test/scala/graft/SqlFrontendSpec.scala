@@ -454,6 +454,52 @@ class SqlFrontendSpec extends SparkSpecBase {
     e.execute("DROP MATERIALIZED VIEW sub_mv")
   }
 
+  test("CREATE VIEW / transactions / SET: the psql-session statement surface") {
+    val e = new Engine(spark, tmpDir("sqlsess"))
+    Seq((1L, 5.0), (2L, 9.0)).toDF("id", "v").createOrReplaceTempView("sess_base")
+
+    // non-materialized view: bound query replayed at read
+    e.execute("CREATE VIEW sess_v AS SELECT id, v * 2 AS v2 FROM sess_base")
+    assert(e.execute("SELECT * FROM sess_v ORDER BY id")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 10.0), (2L, 18.0)))
+
+    // read-only transaction bracket acknowledged as no-ops
+    assert(e.execute("BEGIN READ ONLY").head().getString(0) == "BEGIN")
+    assert(e.execute("SELECT count(*) AS n FROM sess_v").head().getLong(0) == 2L)
+    assert(e.execute("COMMIT").head().getString(0) == "COMMIT")
+
+    // SET/SHOW session variables fall through to Spark's SET surface
+    e.execute("SET spark.sql.session.timeZone=UTC")
+    assert(e.execute("SET spark.sql.session.timeZone").collect()
+      .head.getString(1) == "UTC")
+
+    e.execute("DROP VIEW sess_v")
+    intercept[Exception] { e.execute("SELECT * FROM sess_v") }
+  }
+
+  test("CREATE INDEX: point lookup prunes to one bucket partition") {
+    val e = new Engine(spark, tmpDir("sqlidx"))
+    e.attachTables("/root/testdata/sf0.001")
+    e.execute("CREATE INDEX cust_by_nation ON customer (c_nationkey)")
+    assert(e.execute("SHOW INDEXES").as[(String, String, String)]
+      .collect().toSeq == Seq(("cust_by_nation", "customer", "c_nationkey")))
+
+    val viaIndex = e.indexLookup("cust_by_nation", 7)
+    val direct = e.table("customer").where(col("c_nationkey") === 7)
+    assert(viaIndex.orderBy("c_custkey").collect().toSeq ==
+      direct.orderBy("c_custkey").collect().toSeq)
+    assert(viaIndex.count() > 0)
+
+    // the lookup is partition-pruned: the scan carries a partition
+    // filter on the bucket column and reads 1 of 16 partitions
+    val scan = viaIndex.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("__idx_bucket"),
+      s"no partition pruning in:\n$scan")
+
+    e.execute("DROP INDEX cust_by_nation")
+    assert(e.execute("SHOW INDEXES").isEmpty)
+  }
+
   test("SHOW JOBS lists streaming maintenance jobs with live status") {
     val e = new Engine(spark, tmpDir("sqljobs"))
     val srcDir = tmpDir("sqljobs-src")
