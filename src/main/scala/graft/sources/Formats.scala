@@ -48,6 +48,25 @@ object Formats {
     df.withColumn("__d", from_csv(col(payloadCol), schema, options))
       .select(col("*"), col("__d.*")).drop("__d", payloadCol)
 
+  /** CSV twin of [[decodeJsonWithDeadLetter]] — same corrupt-record
+    * split, same single-parse cost.
+    */
+  def decodeCsvWithDeadLetter(
+      df: DataFrame, payloadCol: String, schema: StructType,
+      options: Map[String, String] = Map.empty): (DataFrame, DataFrame) = {
+    val corrupt = "__corrupt"
+    require(!schema.fieldNames.contains(corrupt))
+    val parsed = df.withColumn("__d",
+      from_csv(col(payloadCol), schema.add(corrupt, StringType),
+        options ++ Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corrupt)))
+    val bad = col("__d").isNull || col(s"__d.$corrupt").isNotNull
+    val good = parsed.where(!bad)
+      .select(col("*"), col("__d.*")).drop("__d", payloadCol, corrupt)
+    val dead = parsed.where(bad).select(col(payloadCol).as("payload"))
+    (good, dead)
+  }
+
   /** Debezium envelope schema over a row schema. */
   private def envelopeSchema(row: StructType): StructType = StructType(Seq(
     StructField("before", row, nullable = true),

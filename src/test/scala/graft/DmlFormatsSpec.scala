@@ -146,4 +146,15 @@ class DmlFormatsSpec extends SparkSpecBase {
     assert(dead.as[String].collect().toSet ==
       Set("not json at all", """{"id": 3 "v": broken"""))
   }
+
+  test("malformed CSV rows dead-letter the same way") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val payloads = Seq("1,1.5", "two,oops", "2,2.5").toDF("value")
+    val (good, dead) = Formats.decodeCsvWithDeadLetter(payloads, "value", schema)
+    assert(good.orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.5), (2L, 2.5)))
+    assert(dead.as[String].collect().toSeq == Seq("two,oops"))
+  }
 }
