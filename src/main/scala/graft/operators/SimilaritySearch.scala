@@ -110,6 +110,40 @@ object SimilaritySearch {
       .where(col("rank") <= k)
   }
 
+  /** Index-row transform for a CONTINUOUSLY-maintained ANN index: each
+    * embedding becomes (id, vec, norm, bucket) — all narrow, streamable
+    * ops, so the same expression indexes a batch corpus or an
+    * `embeddings` stream feeding an MV (pk = id, storage-bucketed on
+    * `bucket` so probes are partition-pruned). The streaming analog of
+    * the reference keeping a vector index as just another materialized
+    * state.
+    */
+  def indexRows(data: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 4, dims: Int = 64): DataFrame =
+    data.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("norm", VectorFunctions.fastL2Norm(data.sparkSession, col("vec")))
+      .withColumn("bucket", VectorFunctions.lshBucket(col("vec"), nBits, dims))
+
+  /** LSH top-k probe against a materialized [[indexRows]] index — the
+    * stored norms/buckets are reused, only the query side is hashed at
+    * probe time.
+    */
+  def probeIndex(index: DataFrame, queries: DataFrame,
+      qidCol: String, qvecCol: String, k: Int,
+      nBits: Int = 4, dims: Int = 64): DataFrame = {
+    val spark = index.sparkSession
+    val qs = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
+      .withColumn("__qn", VectorFunctions.fastL2Norm(spark, col("__qvec")))
+      .withColumn("bucket", VectorFunctions.lshBucket(col("__qvec"), nBits, dims))
+    val scored = index.join(broadcast(qs), Seq("bucket"))
+      .where(col("__qid") =!= col("id"))
+      .select(col("__qid").as("qid"), col("id"),
+        cosWithNorms(spark, "__qvec", "vec", "__qn", "norm").as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup detection),
     * LSH-bucketed to avoid the O(n²) cross join.
     */
