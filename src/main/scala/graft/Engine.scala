@@ -98,9 +98,41 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * [[graft.operators.Dml]] so deletes/updates publish changelog ops.
     * DML naming a plain catalog table falls through to Spark SQL.
     */
-  private def tryDml(statement: String): Option[DataFrame] = {
-    import org.apache.spark.sql.functions.expr
+  /** DEFAULT expressions declared on CREATE TABLE columns. */
+  private val tableDefaults =
+    scala.collection.mutable.Map[String, Map[String, String]]()
+
+  /** The default (or null) fill for an INSERT's unprovided column. */
+  private def defaultFill(tbl: String, f: org.apache.spark.sql.types.StructField) =
+    tableDefaults.get(tbl).flatMap(_.get(f.name))
+      .map(org.apache.spark.sql.functions.expr)
+      .getOrElse(org.apache.spark.sql.functions.lit(null))
+      .cast(f.dataType)
+
+  /** `RETURNING *` suffix on DML (reference: dml_returning.slt) —
+    * stripped before matching; the affected rows become the statement's
+    * result set.
+    */
+  private val ReturningSuffix = """(?is)^(.*?)\s+RETURNING\s+\*\s*;?\s*$""".r
+
+  /** Freeze a result set: RETURNING reports pre-statement-visible rows,
+    * so they must be materialized before the store is rewritten (a lazy
+    * DataFrame would re-read post-update state). Client-bound by
+    * definition — this collect is the result-set delivery, not a
+    * data-path operation.
+    */
+  private def freeze(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
+  private def tryDml(statement0: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
     import graft.operators.Dml
+    val (statement, returning) = statement0 match {
+      case ReturningSuffix(body) => (body, true)
+      case s => (s, false)
+    }
     statement match {
       case InsertValues(name, colList, body) if mvs.get(name).isDefined =>
         val mv = mvs.get(name).get
@@ -114,38 +146,53 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           if (stored.nonEmpty) stored
           else tableSchemas.getOrElse(name, stored)
         }
-        // explicit column list: name the provided columns, null-pad the
-        // rest (standard INSERT semantics)
+        // explicit column list: name the provided columns; unnamed
+        // columns fill from their DEFAULT (or null). A positional row
+        // narrower than the table fills the tail the same way
+        // (reference: insert_unaligned.slt, table_with_default_columns.slt).
         val named = Option(colList) match {
           case Some(cl) =>
             val provided = cl.split(",").map(_.trim).toSeq
             val renamed = df0.toDF(provided: _*)
             target.fields.foldLeft(renamed) { (d, f) =>
               if (provided.contains(f.name)) d
-              else d.withColumn(f.name,
-                org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+              else d.withColumn(f.name, defaultFill(name, f))
             }
-          case None => df0.toDF(target.fieldNames.toSeq: _*)
+          case None =>
+            require(df0.columns.size <= target.fields.size,
+              s"INSERT INTO $name: ${df0.columns.size} values for " +
+                s"${target.fields.size} columns")
+            val renamed = df0.toDF(
+              target.fields.take(df0.columns.size).map(_.name).toSeq: _*)
+            target.fields.drop(df0.columns.size).foldLeft(renamed) { (d, f) =>
+              d.withColumn(f.name, defaultFill(name, f))
+            }
         }
         // align VALUES literal types (e.g. INT literals into a BIGINT
         // column) with the target schema so merges never fork the
         // stored parquet schema
         val df = named.select(target.fields.map(f =>
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
+          col(f.name).cast(f.dataType)).toSeq: _*)
         Dml.insertInto(mv, df)
-        Some(statusDf("INSERT", name))
+        Some(if (returning) df else statusDf("INSERT", name))
       case DeleteFrom(name, cond) if mvs.get(name).isDefined =>
-        Dml.deleteWhere(mvs.get(name).get,
-          Option(cond).map(expr).getOrElse(org.apache.spark.sql.functions.lit(true)))
-        Some(statusDf("DELETE", name))
+        val mv = mvs.get(name).get
+        val condCol = Option(cond).map(expr).getOrElse(lit(true))
+        val returned = if (returning) Some(freeze(mv.read().where(condCol))) else None
+        Dml.deleteWhere(mv, condCol)
+        Some(returned.getOrElse(statusDf("DELETE", name)))
       case UpdateSet(name, sets, cond) if mvs.get(name).isDefined =>
+        val mv = mvs.get(name).get
         val assignments = SqlFrontend.splitAssignments(sets).map {
           case (c, e) => c -> expr(e)
         }.toMap
-        Dml.updateWhere(mvs.get(name).get,
-          Option(cond).map(expr).getOrElse(org.apache.spark.sql.functions.lit(true)),
-          assignments)
-        Some(statusDf("UPDATE", name))
+        val condCol = Option(cond).map(expr).getOrElse(lit(true))
+        // post-update image of the rows the predicate selected PRE-update
+        val returned = if (returning) Some(freeze(
+          mv.read().where(condCol).select(mv.read().columns.toSeq.map(c =>
+            assignments.getOrElse(c, col(c)).as(c)): _*))) else None
+        Dml.updateWhere(mv, condCol, assignments)
+        Some(returned.getOrElse(statusDf("UPDATE", name)))
       case _ => None
     }
   }
@@ -315,7 +362,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     */
   def execute(statement: String): DataFrame =
     SqlFrontend.parseCreateTable(statement) match {
-      case Some(SqlFrontend.TableDef(name, schema, pk)) =>
+      case Some(SqlFrontend.TableDef(name, schema, pk, defaults)) =>
         // a user table IS a PK-merged MV with DML as its only writer
         // (reference: handler/create_table.rs — tables are materialized
         // states fed by DML/source, same storage as MVs)
@@ -326,6 +373,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           s"CREATE TABLE $name: PRIMARY KEY names undeclared columns")
         mvs.define(name, pk)
         tableSchemas(name) = schema
+        if (defaults.nonEmpty) tableDefaults(name) = defaults
         statusDf("CREATE TABLE", name)
       case None =>
     SqlFrontend.parseCreateSource(statement) match {

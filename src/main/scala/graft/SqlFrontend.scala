@@ -163,7 +163,11 @@ object SqlFrontend {
     * to Spark SQL's native CTAS.
     */
   final case class TableDef(name: String,
-      schema: org.apache.spark.sql.types.StructType, pk: Seq[String])
+      schema: org.apache.spark.sql.types.StructType, pk: Seq[String],
+      defaults: Map[String, String] = Map.empty)
+
+  private val DefaultColRe =
+    """(?is)\s*(\w+)\s+([\w()0-9, ]+?)\s+DEFAULT\s+(.+?)\s*""".r
 
   private val CreateTableHeadRe =
     """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*""".r
@@ -179,9 +183,15 @@ object SqlFrontend {
         val close = matchingParen(rest, 0)
         var pk = Vector.empty[String]
         var schema = Vector.empty[org.apache.spark.sql.types.StructField]
+        var defaults = Map.empty[String, String]
         splitTopLevel(rest.substring(1, close), ',').foreach {
           case PkConstraintRe(cols) =>
             pk ++= cols.split(",").map(_.trim)
+          case DefaultColRe(cname, ctype, dflt) =>
+            // `col type DEFAULT expr` (reference: table_with_default_
+            // columns.slt; evaluated at INSERT for unprovided columns)
+            schema :+= org.apache.spark.sql.types.StructField(cname, sqlType(ctype))
+            defaults += cname -> dflt
           case ColDefRe(cname, ctype) =>
             ctype match {
               case InlinePkRe(t) =>
@@ -197,7 +207,7 @@ object SqlFrontend {
         val tail = rest.substring(close + 1).trim
         require(tail.isEmpty || tail == ";",
           s"unexpected clause after column list: $tail")
-        Some(TableDef(name, org.apache.spark.sql.types.StructType(schema), pk))
+        Some(TableDef(name, org.apache.spark.sql.types.StructType(schema), pk, defaults))
       }
     }
 

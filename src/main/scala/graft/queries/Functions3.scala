@@ -84,6 +84,41 @@ object Functions3 extends QueryPack {
         .orderBy("s_suppkey")
     },
 
+    // Quantified comparisons over arrays — `x op ALL/ANY(arr)` with
+    // PostgreSQL three-valued logic (false dominates, then NULL, then
+    // true; empty → ALL true / ANY false). Spark's forall/exists HOFs
+    // implement exactly this lattice; the oracle spells it as explicit
+    // CASE logic. reference: e2e_test/batch/basic/all_any_some.slt.part
+    q("q_fn_quantified",
+      """SELECT p_partkey,
+        |  CASE WHEN len(list_filter(arr, e -> NOT(25 >= e))) > 0 THEN false
+        |       WHEN len(list_filter(arr, e -> (25 >= e) IS NULL)) > 0 THEN NULL
+        |       ELSE true END AS ge_all,
+        |  CASE WHEN len(list_filter(arr, e -> p_size > e)) > 0 THEN true
+        |       WHEN len(list_filter(arr, e -> (p_size > e) IS NULL)) > 0 THEN NULL
+        |       ELSE false END AS gt_any,
+        |  CASE WHEN len(list_filter(arr, e -> 10 = e)) > 0 THEN true
+        |       WHEN len(list_filter(arr, e -> (10 = e) IS NULL)) > 0 THEN NULL
+        |       ELSE false END AS eq_any,
+        |  true AS all_empty
+        |FROM (
+        |  SELECT p_partkey, p_size,
+        |    [p_size, 10, CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE 20 END] AS arr
+        |  FROM part WHERE p_partkey < 300
+        |) ORDER BY p_partkey""".stripMargin) { s =>
+      s.table("part").where(col("p_partkey") < 300)
+        .withColumn("arr", array(col("p_size"), lit(10),
+          when(col("p_partkey") % 3 === 0, lit(null)).otherwise(lit(20))
+            .cast(IntegerType)))
+        .select(col("p_partkey"),
+          forall(col("arr"), e => lit(25) >= e).as("ge_all"),
+          exists(col("arr"), e => col("p_size") > e).as("gt_any"),
+          exists(col("arr"), e => lit(10) === e).as("eq_any"),
+          forall(array().cast(ArrayType(IntegerType)), e => lit(1) < e)
+            .as("all_empty"))
+        .orderBy("p_partkey")
+    },
+
     // Crypto family (reference: src/expr/impl/src/scalar/{md5,sha,encrypt}.rs):
     // digest parity where both engines implement the algorithm, and an
     // AES encrypt→decrypt roundtrip (DuckDB has no AES, so the oracle

@@ -454,6 +454,34 @@ class SqlFrontendSpec extends SparkSpecBase {
     e.execute("DROP MATERIALIZED VIEW sub_mv")
   }
 
+  test("DML RETURNING and DEFAULT columns (dml_returning/table_with_default_columns)") {
+    val e = new Engine(spark, tmpDir("sqlret"))
+    e.execute(
+      "CREATE TABLE ret_t (id BIGINT PRIMARY KEY, v DOUBLE, tag VARCHAR DEFAULT 'fresh', n INT DEFAULT 7)")
+
+    // positional insert narrower than the table: defaults fill the tail
+    val ins = e.execute("INSERT INTO ret_t VALUES (1, 1.5), (2, 2.5) RETURNING *")
+    assert(ins.orderBy("id").as[(Long, Double, String, Int)].collect().toSeq ==
+      Seq((1L, 1.5, "fresh", 7), (2L, 2.5, "fresh", 7)))
+
+    // named-column insert: unnamed columns fill from defaults
+    e.execute("INSERT INTO ret_t (id, n) VALUES (3, 9)")
+    assert(e.table("ret_t").where(col("id") === 3)
+      .as[(Long, Option[Double], String, Int)].collect().toSeq ==
+      Seq((3L, None, "fresh", 9)))
+
+    // UPDATE RETURNING reports the post-update image of matched rows
+    val upd = e.execute("UPDATE ret_t SET v = v + 10 WHERE id <= 2 RETURNING *")
+    assert(upd.orderBy("id").as[(Long, Double, String, Int)].collect().toSeq ==
+      Seq((1L, 11.5, "fresh", 7), (2L, 12.5, "fresh", 7)))
+
+    // DELETE RETURNING reports the deleted rows
+    val del = e.execute("DELETE FROM ret_t WHERE id = 3 RETURNING *")
+    assert(del.as[(Long, Option[Double], String, Int)].collect().toSeq ==
+      Seq((3L, None, "fresh", 9)))
+    assert(e.table("ret_t").count() == 2)
+  }
+
   test("CREATE VIEW / transactions / SET: the psql-session statement surface") {
     val e = new Engine(spark, tmpDir("sqlsess"))
     Seq((1L, 5.0), (2L, 9.0)).toDF("id", "v").createOrReplaceTempView("sess_base")
