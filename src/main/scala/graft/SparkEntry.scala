@@ -25,6 +25,7 @@ object SparkEntry {
     TableFunctions,
     Subqueries,
     TimeWindows,
+    NexmarkLike,
     OrderedAggs,
     Advanced,
     Shims,

@@ -186,6 +186,61 @@ object Functions3 extends QueryPack {
           expr("parse_url(url, 'QUERY', 'q')").as("qp"),
           expr("parse_url(url, 'PROTOCOL')").as("proto"))
         .orderBy("doc_id")
+    },
+
+    // Timestamptz / AT TIME ZONE (reference: src/expr/impl/src/scalar/
+    // timestamptz.rs — timestamp↔timestamptz conversion in a named zone).
+    // Both sides are spelled session-timezone-independently: the oracle
+    // pins the interpretation with a double timezone() conversion, Spark
+    // uses from_utc_timestamp/to_utc_timestamp. Dates are midnight UTC, so
+    // no value ever lands in a DST-ambiguous wall-clock window.
+    q("q_fn_timestamptz",
+      """SELECT o_orderkey,
+        |  strftime(timezone('America/New_York', timezone('UTC', o_orderdate::TIMESTAMP)),
+        |           '%Y-%m-%d %H:%M:%S') AS nyt,
+        |  strftime(timezone('Asia/Kolkata', timezone('UTC', o_orderdate::TIMESTAMP)),
+        |           '%Y-%m-%d %H:%M:%S') AS ist,
+        |  strftime(timezone('UTC', timezone('Europe/Paris', o_orderdate::TIMESTAMP)),
+        |           '%Y-%m-%d %H:%M:%S') AS utc_of_paris,
+        |  CAST(epoch(timezone('UTC', o_orderdate::TIMESTAMP)) AS BIGINT) AS ep
+        |FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""".stripMargin) { s =>
+      val ts = col("o_orderdate").cast(TimestampType)
+      s.table("orders").where(col("o_orderkey") < 400)
+        .select(col("o_orderkey"),
+          date_format(from_utc_timestamp(ts, "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss").as("nyt"),
+          date_format(from_utc_timestamp(ts, "Asia/Kolkata"),
+            "yyyy-MM-dd HH:mm:ss").as("ist"),
+          date_format(to_utc_timestamp(ts, "Europe/Paris"),
+            "yyyy-MM-dd HH:mm:ss").as("utc_of_paris"),
+          unix_timestamp(ts).as("ep"))
+        .orderBy("o_orderkey")
+    },
+
+    // jsonb construction (reference: src/expr/impl/src/scalar/
+    // {jsonb_build,jsonb_object,to_jsonb,jsonb_contains}.rs):
+    // jsonb_build_object → to_json(struct), to_jsonb(anyarray) →
+    // to_json(array), jsonb_object(text map) → to_json(map), containment
+    // via a from_json round-trip (parse → array_contains), proving the
+    // serialized form is machine-readable, not just rendered.
+    q("q_fn_jsonb_build",
+      """SELECT n_nationkey,
+        |  to_json(struct_pack(k := n_name, r := n_regionkey))::VARCHAR AS jb,
+        |  to_json([n_regionkey, n_nationkey])::VARCHAR AS ja,
+        |  to_json(map {'name': n_name, 'rk': n_regionkey::VARCHAR})::VARCHAR AS jo,
+        |  CAST(list_contains([n_regionkey, n_nationkey], n_nationkey % 7) AS BOOLEAN) AS jc
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { s =>
+      s.table("nation")
+        .select(col("n_nationkey"),
+          to_json(struct(col("n_name").as("k"), col("n_regionkey").as("r"))).as("jb"),
+          to_json(array(col("n_regionkey"), col("n_nationkey"))).as("ja"),
+          to_json(map(lit("name"), col("n_name"),
+            lit("rk"), col("n_regionkey").cast(StringType))).as("jo"),
+          array_contains(
+            from_json(to_json(array(col("n_regionkey"), col("n_nationkey"))),
+              ArrayType(IntegerType)),
+            col("n_nationkey") % 7).as("jc"))
+        .orderBy("n_nationkey")
     }
   )
 }

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Nexmark-shaped batch analytics over the events stream-table — the
+  * reference's flagship streaming workload run here through the batch
+  * engine (reference: ci/scripts/sql/nexmark/q5.sql, q6-group-top10.sql,
+  * q7.sql, q9.sql; e2e_test/streaming/nexmark/). The streaming MV forms
+  * of the same shapes live in NexmarkMvSpec; these batch twins give the
+  * shapes a DuckDB hash oracle.
+  *
+  * events stands in for the bid stream: user_id=bidder, value=price,
+  * ts=dateTime, event_type=channel.
+  */
+object NexmarkLike extends QueryPack {
+
+  val queries: Seq[GraftQuery] = Seq(
+    // q9 shape: winning bid — the single top-priced row per (day window,
+    // channel). Tie-free argmax: (value DESC, event_id) is unique.
+    // Plan: one shuffle on the partition key, WindowGroupLimit keeps the
+    // per-group top-1 from materializing full sorted partitions.
+    q("q_nex_winning_bid",
+      """SELECT ws, event_type, price, bidder FROM (
+        |  SELECT time_bucket(INTERVAL '1 day', ts) AS ws, event_type,
+        |         value AS price, user_id AS bidder,
+        |         row_number() OVER (
+        |           PARTITION BY time_bucket(INTERVAL '1 day', ts), event_type
+        |           ORDER BY value DESC, event_id) AS rk
+        |  FROM events)
+        |WHERE rk = 1 ORDER BY ws, event_type""".stripMargin) { s =>
+      val rk = Window.partitionBy(col("ws"), col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      s.table("events")
+        .withColumn("ws", window(col("ts"), "1 day").getField("start"))
+        .withColumn("rk", row_number().over(rk))
+        .where(col("rk") === 1)
+        .select(col("ws"), col("event_type"), col("value").as("price"),
+          col("user_id").as("bidder"))
+        .orderBy("ws", "event_type")
+    },
+
+    // q5 shape: hot items — top-3 most active bidders per hourly window.
+    // Standard decomposition: grouped counts (partial-agg + one shuffle),
+    // then rank within window (second shuffle on the window key alone —
+    // inherent to the shape).
+    q("q_nex_hot_items",
+      """SELECT ws, user_id, n FROM (
+        |  SELECT ws, user_id, n,
+        |         row_number() OVER (PARTITION BY ws ORDER BY n DESC, user_id) AS rk
+        |  FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, user_id,
+        |               CAST(count(*) AS BIGINT) AS n
+        |        FROM events GROUP BY ws, user_id))
+        |WHERE rk <= 3 ORDER BY ws, rk""".stripMargin) { s =>
+      val counts = s.table("events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val rk = Window.partitionBy(col("ws"))
+        .orderBy(col("n").desc, col("user_id"))
+      counts.withColumn("rk", row_number().over(rk))
+        .where(col("rk") <= 3)
+        .select(col("ws"), col("user_id"), col("n"))
+        .orderBy(col("ws"), col("rk"))
+    },
+
+    // q6 shape: per-bidder stats over their 10 most recent events — a
+    // ROWS frame over event time, then the latest row per bidder. The
+    // division-free (sum, count) pair avoids decimal-division rounding
+    // divergence; avg = sum/count is derivable. One shuffle on user_id
+    // serves both window specs.
+    q("q_nex_last10_avg",
+      """SELECT user_id, sum_v10, n10 FROM (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w10 AS DOUBLE) AS sum_v10,
+        |    CAST(count(*) OVER w10 AS BIGINT) AS n10,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events
+        |  WINDOW w10 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |) WHERE rk = 1 ORDER BY user_id""".stripMargin) { s =>
+      val w10 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+      val latest = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      s.table("events")
+        .select(col("user_id"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w10)
+            .cast(DoubleType).as("sum_v10"),
+          count(lit(1)).over(w10).as("n10"),
+          row_number().over(latest).as("rk"))
+        .where(col("rk") === 1)
+        .select(col("user_id"), col("sum_v10"), col("n10"))
+        .orderBy("user_id")
+    }
+  )
+}
