@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Jdbc
+
+/** JDBC federation (reference: src/batch/executors/src/executor/
+  * postgres_query.rs, mysql_query.rs) driven against an embedded Derby
+  * database — the same wire protocol and Spark JDBC relation as a remote
+  * Postgres/MySQL, minus the network.
+  */
+class JdbcFederationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val url: String = {
+    val dir = tmpDir("derby")
+    val u = s"jdbc:derby:$dir/fed;create=true"
+    val conn = DriverManager.getConnection(u)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE ext_rates (nation_key INT NOT NULL, rate DOUBLE)")
+    (0 until 25).foreach { k =>
+      st.execute(s"INSERT INTO ext_rates VALUES ($k, ${1.0 + k * 0.01})")
+    }
+    st.close(); conn.close()
+    u
+  }
+
+  test("external table scan with filter pushdown into the remote SQL") {
+    val df = Jdbc.table(spark, url, "ext_rates").where(col("NATION_KEY") < 10)
+    assert(df.count() == 10)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("NATION_KEY"),
+      s"filter not pushed to JDBC source:\n$scan")
+  }
+
+  test("partitioned parallel read splits the scan into range strides") {
+    val df = Jdbc.table(spark, url, "ext_rates",
+      partitionBy = Some(("NATION_KEY", 0L, 25L, 4)))
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 25)
+  }
+
+  test("remote-query TVF form: the external engine computes the result") {
+    val df = Jdbc.query(spark, url,
+      "SELECT MOD(nation_key, 5) AS g, COUNT(*) AS n FROM ext_rates GROUP BY MOD(nation_key, 5)")
+    assert(df.count() == 5)
+    assert(df.agg(sum("N")).head().getLong(0) == 25)
+  }
+
+  test("federated join: JDBC dimension broadcast against parquet fact") {
+    Tables.register(spark, "/root/testdata/sf0.001")
+    val rates = Jdbc.table(spark, url, "ext_rates")
+      .select(col("NATION_KEY").as("nk"), col("RATE").as("rate"))
+    val joined = spark.table("nation")
+      .join(broadcast(rates), col("n_nationkey") === col("nk"))
+      .select(col("n_name"), (col("n_nationkey") * col("rate")).as("adj"))
+    assert(joined.count() == 25)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+}

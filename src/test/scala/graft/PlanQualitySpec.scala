@@ -141,6 +141,30 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("nexmark argmax/top-k queries keep per-group limits before the shuffle") {
+    // q_nex_winning_bid (top-1 per window×channel) and q_nex_hot_items
+    // (top-3 per window) must not materialize full sorted partitions at
+    // 100 TB — WindowGroupLimit caps each map-side group pre-shuffle.
+    Tables.register(spark, dir)
+    for (name <- Seq("q_nex_winning_bid", "q_nex_hot_items")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val p = plan(df)
+      assert(p.contains("WindowGroupLimit"),
+        s"$name missing WindowGroupLimit:\n$p")
+    }
+  }
+
+  test("nexmark last-10 frame reuses one user_id shuffle for both window specs") {
+    // Both the ROWS frame and the latest-row rank partition by user_id;
+    // a second hashpartitioning exchange would double the shuffle volume
+    // of the dominant stage at scale.
+    Tables.register(spark, dir)
+    val df = SparkEntry.queries("q_nex_last10_avg")(spark, dir)
+    val p = plan(df)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly one hash exchange, got $hashEx:\n$p")
+  }
+
   test("partition-bucket MV read prunes buckets on filter") {
     val tmp = tmpDir("prune")
     val mv = new graft.streaming.MaterializedView(
