@@ -360,7 +360,42 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     *  - `DROP MATERIALIZED VIEW` / `SHOW MATERIALIZED VIEWS`;
     *  - anything else: Spark SQL.
     */
-  def execute(statement: String): DataFrame =
+  /** Scan-rewriting table functions in SQL text — the reference lowers
+    * `file_scan(...)` / `postgres_query(...)` / `mysql_query(...)` TVFs
+    * to scans before planning (reference: src/frontend/src/optimizer/
+    * rule/table_function_to_file_scan_rule.rs and siblings). Here each
+    * call site binds to a temp view backed by the corresponding Spark
+    * relation: `file_scan('<format>', '<path>')` → `spark.read`, and
+    * `jdbc_query('<jdbc-url>', '<sql>')` → [[graft.sources.Jdbc.query]]
+    * (the engine-neutral spelling of postgres_query/mysql_query — the
+    * url carries the dialect).
+    */
+  private val JdbcQueryTvf =
+    """(?i)\bjdbc_query\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)""".r
+  private val FileScanTvf =
+    """(?i)\bfile_scan\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)""".r
+  private var tvfCounter = 0
+
+  private def rewriteTvfs(stmt: String): String = {
+    var out = JdbcQueryTvf.replaceAllIn(stmt, m => {
+      tvfCounter += 1
+      val v = s"__jdbc_tvf_$tvfCounter"
+      graft.sources.Jdbc.query(spark, m.group(1), m.group(2))
+        .createOrReplaceTempView(v)
+      v
+    })
+    out = FileScanTvf.replaceAllIn(out, m => {
+      tvfCounter += 1
+      val v = s"__file_scan_$tvfCounter"
+      spark.read.format(m.group(1).toLowerCase).load(m.group(2))
+        .createOrReplaceTempView(v)
+      v
+    })
+    out
+  }
+
+  def execute(statement0: String): DataFrame = {
+    val statement = rewriteTvfs(statement0)
     SqlFrontend.parseCreateTable(statement) match {
       case Some(SqlFrontend.TableDef(name, schema, pk, defaults)) =>
         // a user table IS a PK-merged MV with DML as its only writer
@@ -544,6 +579,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       }
     }
     }
+  }
 }
 
 object Engine {

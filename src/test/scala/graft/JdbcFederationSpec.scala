@@ -49,6 +49,28 @@ class JdbcFederationSpec extends SparkSpecBase {
     assert(df.agg(sum("N")).head().getLong(0) == 25)
   }
 
+  test("SQL TVF forms: jdbc_query(...) and file_scan(...) rewrite to scans") {
+    // reference: table_function_to_file_scan_rule.rs (and the postgres/
+    // mysql query TVFs) — FROM-clause table functions become scans
+    val engine = new Engine(spark, tmpDir("fed-wh"))
+    val fed = engine.execute(
+      s"SELECT g, n FROM jdbc_query('$url', " +
+        "'SELECT MOD(nation_key, 5) AS g, COUNT(*) AS n FROM ext_rates " +
+        "GROUP BY MOD(nation_key, 5)') ORDER BY g")
+    assert(fed.count() == 5)
+    val scanned = engine.execute(
+      "SELECT count(*) AS c FROM file_scan('parquet', " +
+        "'/root/testdata/sf0.001/nation.parquet')")
+    assert(scanned.head().getLong(0) == 25)
+    // composes inside a larger query (join TVF against TVF)
+    val joined = engine.execute(
+      s"SELECT count(*) AS c FROM file_scan('parquet', " +
+        s"'/root/testdata/sf0.001/nation.parquet') n " +
+        s"JOIN jdbc_query('$url', 'SELECT nation_key FROM ext_rates') r " +
+        "ON n.n_nationkey = r.NATION_KEY")
+    assert(joined.head().getLong(0) == 25)
+  }
+
   test("federated join: JDBC dimension broadcast against parquet fact") {
     Tables.register(spark, "/root/testdata/sf0.001")
     val rates = Jdbc.table(spark, url, "ext_rates")
