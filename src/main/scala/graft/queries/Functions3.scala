@@ -139,16 +139,18 @@ object Functions3 extends QueryPack {
 
     // Exact decimal arithmetic (the reference's rw_int256/decimal lane):
     // every result is cast to an explicit DECIMAL so precision/scale
-    // agree across engines, and every value is exact (2-decimal inputs ×
-    // small exact factors — no rounding-mode divergence possible).
+    // agree across engines, and every value is exact. The division column
+    // uses integer cent math (cents * 10000 floor-div 7) so both engines
+    // compute the identical quotient — decimal division rounding modes
+    // never enter the picture.
     q("q_fn_decimal",
       """SELECT o_orderkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2))
         |     + CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(20,2)) AS d_add,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2))
         |     * CAST(1.1 AS DECIMAL(3,1)) AS DECIMAL(22,3)) AS d_mul,
-        |  CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 / 7)
-        |    AS BIGINT) AS d_div6,
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    * 10000 // 7 AS BIGINT) AS d_div6,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 97 AS DECIMAL(18,2)) AS d_mod
         |FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""".stripMargin) { s =>
       val d = col("o_totalprice").cast(DecimalType(18, 2))
@@ -157,7 +159,7 @@ object Functions3 extends QueryPack {
           (d + d).cast(DecimalType(20, 2)).as("d_add"),
           (d * lit(BigDecimal("1.1")).cast(DecimalType(3, 1)))
             .cast(DecimalType(22, 3)).as("d_mul"),
-          expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 / 7) AS BIGINT)")
+          expr("CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000 div 7 AS BIGINT)")
             .as("d_div6"),
           (d % 97).cast(DecimalType(18, 2)).as("d_mod"))
         .orderBy("o_orderkey")
