@@ -219,7 +219,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     """(?is)\s*DROP\s+INDEX\s+(\w+)\s*;?\s*""".r
   private val ShowIndexes = """(?is)\s*SHOW\s+INDEXES\s*;?\s*""".r
 
-  private case class IndexDef(table: String, keys: Seq[String], path: String, nBuckets: Int)
+  private case class IndexDef(table: String, keys: Seq[String], path: String, nBuckets: Int,
+                              keyTypes: Seq[org.apache.spark.sql.types.DataType])
   private val indexes = scala.collection.mutable.Map[String, IndexDef]()
 
   /** `CREATE INDEX i ON t (k, …)`: a hash-bucket-partitioned, key-sorted
@@ -242,22 +243,38 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       .repartition(col("__idx_bucket"))
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode("overwrite").partitionBy("__idx_bucket").parquet(path)
-    indexes(name) = IndexDef(tbl, keys, path, n)
+    indexes(name) = IndexDef(tbl, keys, path, n, keys.map(k => df.schema(k).dataType))
     statusDf("CREATE INDEX", name)
   }
 
   /** Equality lookup through an index: reads exactly one bucket
     * partition. `values` pair positionally with the index keys.
+    *
+    * Probe values are cast to the STORED key types before hashing: the
+    * bucket is `pmod(hash(key), n)` over the stored column, and Spark's
+    * `hash` is type-sensitive (an Int literal and a Long column with the
+    * same value hash differently), so an uncast mistyped probe would
+    * silently pick the wrong bucket and return 0 rows. Incompatible or
+    * lossy probes fail loudly instead.
     */
   def indexLookup(index: String, values: Any*): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     val d = indexes.getOrElse(index,
       throw new IllegalArgumentException(s"unknown index $index"))
     require(values.size == d.keys.size, s"index $index has keys ${d.keys}")
-    val bucket = pmod(hash(values.map(lit): _*), lit(d.nBuckets))
+    val probes = d.keys.lazyZip(values).lazyZip(d.keyTypes).map { (k, v, t) =>
+      val l = Literal(v)
+      require(Cast.canCast(l.dataType, t),
+        s"index $index key $k: probe type ${l.dataType.simpleString} cannot cast to stored ${t.simpleString}")
+      require(v == null || Cast(l, t, Some("UTC")).eval() != null,
+        s"index $index key $k: probe value $v does not convert to stored ${t.simpleString}")
+      lit(v).cast(t)
+    }.toSeq
+    val bucket = pmod(hash(probes: _*), lit(d.nBuckets))
     spark.read.parquet(d.path)
       .where(col("__idx_bucket") === bucket &&
-        d.keys.zip(values).map { case (k, v) => col(k) === lit(v) }
+        d.keys.zip(probes).map { case (k, p) => col(k) === p }
           .reduce(_ && _))
       .drop("__idx_bucket")
   }

@@ -17,8 +17,16 @@ import org.apache.spark.sql.functions._
   * column stats per file); the band re-scan is a `WHERE v BETWEEN old
   * AND new` read, which parquet row-group stats prune to O(band) — the
   * same asymptotics as the reference's range scan, without a custom
-  * state store. The current threshold persists beside the result MV so
-  * recovery resumes from the committed epoch.
+  * state store.
+  *
+  * Threshold durability: in epoch mode (`batchId >= 0`) the threshold is
+  * committed as a `_threshold` sidecar INSIDE the result MV's atomically-
+  * renamed epoch dir — delta and threshold publish in one atomic unit, so
+  * a crash can never apply a batch under a threshold that doesn't match
+  * the committed result. A replay of an already-committed epoch re-applies
+  * the COMMITTED delta verbatim (the RHS scalar may have moved again
+  * between crash and replay; recomputing under the new value would tear
+  * the epoch). Non-epoch (ad-hoc) use falls back to a side file.
   *
   * Comparator follows the reference's proto (Gt/Ge/Lt/Le,
   * proto/expr.proto ExprNode comparison ops over a dynamic RHS).
@@ -41,23 +49,66 @@ final class DynamicFilter(
     case "<=" => v <= t
   }
 
+  /** Threshold committed with the newest epoch that carried one — the
+    * authoritative value in epoch mode (it moved atomically with its
+    * delta). Epochs whose RHS produced no value write no sidecar and are
+    * skipped: the threshold they ran under is the previous one.
+    */
+  private def committedThreshold: Option[Double] = {
+    val dir = Paths.get(resultMv.changelogLocation)
+    if (!Files.exists(dir)) None
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .flatMap { p =>
+          p.getFileName.toString.stripPrefix("batch-").toLongOption
+            .map(id => (id, p.resolve("_threshold")))
+        }
+        .filter { case (_, f) => Files.exists(f) }
+        .toSeq.sortBy(-_._1).headOption
+        .map { case (_, f) => new String(Files.readAllBytes(f)).trim.toDouble }
+    }
+  }
+
   /** The committed threshold, or None before the RHS produced one. */
   def currentThreshold: Option[Double] =
-    if (!Files.exists(thresholdPath)) None
-    else Some(new String(Files.readAllBytes(thresholdPath)).trim.toDouble)
+    committedThreshold.orElse {
+      if (!Files.exists(thresholdPath)) None
+      else Some(new String(Files.readAllBytes(thresholdPath)).trim.toDouble)
+    }
 
   /** Apply one left-side delta plus the RHS scalar's current value.
     * Emits to the result MV: delta rows under the NEW threshold, plus
     * inserts/retractions for stored rows inside the (old, new] band the
     * threshold swept over.
+    *
+    * With `batchId >= 0` the emission is epoch-committed: threshold and
+    * delta publish atomically, and replaying a committed epoch re-applies
+    * its committed delta instead of recomputing (see class doc).
     */
-  def applyDelta(lhsDelta: DataFrame, newThreshold: Option[Double]): Unit = {
+  def applyDelta(lhsDelta: DataFrame, newThreshold: Option[Double],
+      batchId: Long = -1L): Unit = {
     val old = currentThreshold
     lhsMv.merge(lhsDelta)
 
-    // 1. delta rows, filtered by the new threshold (no threshold yet →
-    //    nothing qualifies: a null scalar comparison is never true)
-    val deltaOut = newThreshold match {
+    // Replay of an epoch whose result already committed: the left merge
+    // above is PK-idempotent; re-apply the committed delta to storage
+    // (in case the crash hit between rename and storage rewrite) and
+    // leave the committed threshold untouched.
+    if (batchId >= 0) {
+      val epochDir = Paths.get(resultMv.changelogLocation, s"batch-$batchId")
+      if (Files.exists(epochDir)) {
+        val committed = spark.read.parquet(epochDir.toString)
+        resultMv.merge(committed, batchId)
+        return
+      }
+    }
+
+    // 1. delta rows, filtered by the epoch's effective threshold — the
+    //    new RHS value, or the standing committed one when this epoch's
+    //    RHS produced nothing (no threshold ever → nothing qualifies: a
+    //    null scalar comparison is never true)
+    val deltaOut = newThreshold.orElse(old) match {
       case Some(t) =>
         val hasOps = lhsDelta.columns.contains(Changelog.OpCol)
         val d = if (hasOps) lhsDelta else Changelog.ofInserts(lhsDelta)
@@ -98,11 +149,16 @@ final class DynamicFilter(
     val hasOps = deltaOut.columns.contains(Changelog.OpCol)
     val deltaNorm = if (hasOps) deltaOut else Changelog.ofInserts(deltaOut)
     val out = bandOut.fold(deltaNorm)(b => deltaNorm.unionByName(b))
-    resultMv.merge(out)
-
-    newThreshold.foreach { t =>
-      Files.createDirectories(thresholdPath.getParent)
-      Files.write(thresholdPath, t.toString.getBytes)
+    if (batchId >= 0) {
+      // threshold rides inside the atomically-renamed epoch dir
+      resultMv.merge(out, batchId,
+        sidecar = newThreshold.map(t => "_threshold" -> t.toString).toMap)
+    } else {
+      resultMv.merge(out)
+      newThreshold.foreach { t =>
+        Files.createDirectories(thresholdPath.getParent)
+        Files.write(thresholdPath, t.toString.getBytes)
+      }
     }
   }
 

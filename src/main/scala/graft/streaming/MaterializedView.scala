@@ -48,6 +48,12 @@ final class MaterializedView(
 
   private val changelogDir = s"$targetDir.changelog"
 
+  /** Filesystem location of the epoch-published changelog — operators
+    * that commit per-epoch sidecar state (e.g. [[DynamicFilter]]'s
+    * threshold) read it back from here.
+    */
+  def changelogLocation: String = changelogDir
+
   /** Append-only changelog feed of this MV — the MV-on-MV channel
     * (reference: docs/dev/src/design/mv-on-mv.md — downstream MVs
     * subscribe to the upstream's changelog, NOT its storage: the storage
@@ -237,8 +243,21 @@ final class MaterializedView(
     * with dynamic partition overwrite; buckets whose content became empty
     * (all rows deleted) are removed explicitly since an empty partition
     * never appears in the writer's output.
+    *
+    * `sidecar` entries (name → content) are written INTO the staged epoch
+    * dir before the atomic rename, so operator state that must move in
+    * lock-step with the delta (a dynamic-filter threshold, a frontier)
+    * commits in the SAME atomic unit — a crash can never publish the
+    * delta without its sidecar or vice versa. Names must be
+    * underscore-prefixed (hidden from parquet readers); only meaningful
+    * with an epoch (`batchId >= 0`).
     */
-  def merge(delta: DataFrame, batchId: Long = -1L): Unit = {
+  def merge(delta: DataFrame, batchId: Long = -1L,
+      sidecar: Map[String, String] = Map.empty): Unit = {
+    require(sidecar.isEmpty || batchId >= 0,
+      "sidecar state requires an epoch (batchId >= 0)")
+    require(sidecar.keys.forall(_.startsWith("_")),
+      "sidecar names must be underscore-prefixed (hidden from readers)")
     val hasOps = delta.columns.contains(Changelog.OpCol)
     val norm0 =
       if (!hasOps) Changelog.ofInserts(delta)
@@ -262,6 +281,9 @@ final class MaterializedView(
           val stage = Paths.get(s"$targetDir.cl-stage-$batchId")
           deleteRecursively(stage)
           norm.drop(bucketCol).write.mode("overwrite").parquet(stage.toString)
+          sidecar.foreach { case (fname, content) =>
+            Files.write(stage.resolve(fname), content.getBytes)
+          }
           Files.createDirectories(batchDir.getParent)
           try Files.move(stage, batchDir,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -90,6 +90,46 @@ class DynamicFilterSpec extends SparkSpecBase {
     assert(ids(f.read()) == Seq(4L))
   }
 
+  test("epoch mode: threshold commits atomically with the delta; replay " +
+      "of a committed epoch ignores a moved RHS") {
+    val cat = new MvCatalog(spark, tmpDir("dyne"))
+    val lhs = cat.define("e_lhs", Seq("id"), nBuckets = 4)
+    val res = cat.define("e_res", Seq("id"), nBuckets = 4)
+    val f = new DynamicFilter(lhs, res, "v", ">")
+
+    // epoch 0 commits threshold 10 with its delta → {15, 25}
+    f.applyDelta(Seq((1L, 5.0), (2L, 15.0), (3L, 25.0)).toDF("id", "v"),
+      Some(10.0), batchId = 0L)
+    assert(ids(f.read()) == Seq(2L, 3L))
+    assert(f.currentThreshold.contains(10.0))
+
+    // kill/replay: foreachBatch re-runs epoch 0, but the RHS scalar has
+    // moved to 20 in the meantime. The committed epoch must win — the
+    // result and threshold stay exactly as epoch 0 published them, and
+    // the 20-band flip is NOT applied out of order.
+    f.applyDelta(Seq((1L, 5.0), (2L, 15.0), (3L, 25.0)).toDF("id", "v"),
+      Some(20.0), batchId = 0L)
+    assert(ids(f.read()) == Seq(2L, 3L))
+    assert(f.currentThreshold.contains(10.0))
+
+    // the move is applied by the NEXT epoch, once, consistently
+    f.applyDelta(Seq.empty[(Long, Double)].toDF("id", "v"),
+      Some(20.0), batchId = 1L)
+    assert(ids(f.read()) == Seq(3L))
+    assert(f.currentThreshold.contains(20.0))
+
+    // a fresh instance over the same dirs recovers the epoch-committed
+    // threshold (no side file exists in epoch mode)
+    val f2 = new DynamicFilter(lhs, res, "v", ">")
+    assert(f2.currentThreshold.contains(20.0))
+
+    // an epoch whose RHS produced no value leaves the threshold at the
+    // previous epoch's committed value; delta rows filter against it
+    f2.applyDelta(Seq((4L, 30.0)).toDF("id", "v"), None, batchId = 2L)
+    assert(f2.currentThreshold.contains(20.0))
+    assert(ids(f2.read()) == Seq(3L, 4L)) // 30 > 20 qualifies
+  }
+
   test("threshold state survives re-instantiation (recovery)") {
     val cat = new MvCatalog(spark, tmpDir("dynr"))
     val lhs = cat.define("r_lhs", Seq("id"), nBuckets = 4)

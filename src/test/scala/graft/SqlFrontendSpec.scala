@@ -524,6 +524,19 @@ class SqlFrontendSpec extends SparkSpecBase {
     assert(scan.contains("PartitionFilters") && scan.contains("__idx_bucket"),
       s"no partition pruning in:\n$scan")
 
+    // mistyped-but-convertible probes are cast to the stored key type:
+    // an int64 column probed with an Int literal used to hash into the
+    // wrong bucket and silently return 0 rows
+    e.execute("CREATE INDEX cust_by_key ON customer (c_custkey)")
+    assert(e.indexLookup("cust_by_key", 5).count() == 1)  // Int probe, int64 key
+    assert(e.indexLookup("cust_by_key", 5L).count() == 1)
+    assert(e.indexLookup("cust_by_nation", 7L).count() == viaIndex.count()) // Long probe, int32 key
+    // a probe that does not convert to the stored type fails loudly
+    intercept[IllegalArgumentException] {
+      e.indexLookup("cust_by_key", "not-a-number")
+    }
+    e.execute("DROP INDEX cust_by_key")
+
     e.execute("DROP INDEX cust_by_nation")
     assert(e.execute("SHOW INDEXES").isEmpty)
   }
