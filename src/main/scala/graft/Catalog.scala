@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.json4s.{DefaultFormats, Formats, NoTypeHints}
+import org.json4s.jackson.Serialization
+
+/** Durable object catalog — the meta-store analog (reference:
+  * src/meta/src/controller/ and docs/dev/src/design/meta-service.md: every
+  * CREATE persists its definition in the meta store, and recovery
+  * re-creates the catalog and resumes stream jobs from their checkpoints).
+  *
+  * Layout: one JSON document per object at
+  * `$warehouse/_catalog/<kind>/<name>.json`, written atomically
+  * (temp file + ATOMIC_MOVE) so a crash mid-DDL never leaves a torn
+  * definition. The catalog stores DEFINITIONS only — data lives in the
+  * MV/table stores and streaming checkpoints, which already survive
+  * restarts; this class is what lets a fresh [[Engine]] over the same
+  * warehouse find them again.
+  */
+final class DurableCatalog(warehouseDir: String) {
+
+  implicit private val formats: Formats =
+    Serialization.formats(NoTypeHints)
+
+  private val root = Paths.get(warehouseDir, "_catalog")
+
+  private def fileOf(kind: String, name: String): Path = {
+    require(name.matches("[\\w-]+"), s"unsafe catalog object name: $name")
+    root.resolve(kind).resolve(s"$name.json")
+  }
+
+  /** Atomically persist one object definition (idempotent overwrite). */
+  def save[A <: AnyRef](kind: String, name: String, entry: A): Unit = {
+    val f = fileOf(kind, name)
+    Files.createDirectories(f.getParent)
+    val tmp = f.resolveSibling(s".${name}.tmp")
+    Files.write(tmp, Serialization.write(entry).getBytes("UTF-8"))
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def delete(kind: String, name: String): Unit = {
+    val f = fileOf(kind, name)
+    if (Files.exists(f)) Files.delete(f)
+  }
+
+  def load[A <: AnyRef: Manifest](kind: String, name: String): Option[A] = {
+    val f = fileOf(kind, name)
+    if (!Files.exists(f)) None
+    else Some(Serialization.read[A](new String(Files.readAllBytes(f), "UTF-8")))
+  }
+
+  /** All persisted objects of one kind, name-sorted (deterministic
+    * recovery order within a kind).
+    */
+  def list[A <: AnyRef: Manifest](kind: String): Seq[(String, A)] = {
+    val dir = root.resolve(kind)
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map { p =>
+        val name = p.getFileName.toString.stripSuffix(".json")
+        name -> Serialization.read[A](
+          new String(Files.readAllBytes(p), "UTF-8"))
+      }
+      .toSeq.sortBy(_._1)
+  }
+}
+
+object DurableCatalog {
+  // One entry shape per object kind. Schemas travel as Spark's own
+  // DataType JSON (StructType.json / DataType.fromJson) — version-stable
+  // and round-trip exact.
+
+  /** CREATE TABLE: declared schema + PK + DEFAULT expressions. */
+  final case class TableEntry(schemaJson: String, pk: Seq[String],
+      defaults: Map[String, String])
+
+  /** CREATE MATERIALIZED VIEW: the defining SQL (None for MVs defined
+    * through the programmatic API, which have no SQL text to re-plan —
+    * their storage recovers but maintenance needs re-issuing), whether
+    * the plan streamed, and the sink output mode. Recovery re-plans
+    * `query` and re-starts maintenance iff `streaming` and the
+    * checkpoint dir survives.
+    */
+  final case class MvEntry(pk: Seq[String], query: Option[String],
+      streaming: Boolean, outputMode: String, nBuckets: Int)
+
+  /** CREATE SOURCE / CREATE SINK / CREATE VIEW / CREATE SUBSCRIPTION:
+    * definitions small enough to persist as their raw DDL or parts.
+    */
+  final case class SourceEntry(ddl: String)
+  final case class SinkEntry(from: String, options: Map[String, String])
+  final case class ViewEntry(query: String)
+  final case class SubEntry(from: String)
+
+  /** CREATE INDEX: layout of the materialized index copy; `keySchemaJson`
+    * is a StructType over the key columns (stored types drive probe
+    * casting in [[Engine.indexLookup]]).
+    */
+  final case class IndexEntry(table: String, keys: Seq[String],
+      path: String, nBuckets: Int, keySchemaJson: String)
+
+  /** DECLARE … SUBSCRIPTION CURSOR: subscription + committed frontier.
+    * The frontier re-persists on every FETCH, so a restarted engine
+    * resumes the cursor exactly where the last fetch left it.
+    */
+  final case class CursorEntry(sub: String, pos: Long)
+}

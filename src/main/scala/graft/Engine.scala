@@ -10,17 +10,31 @@ import graft.SqlFrontend.{CreateMvDef, SourceDef}
   * after switching (reference: frontend `SessionImpl.run_statement`,
   * src/frontend/src/session.rs:1168): SQL over registered tables, plus
   * CREATE-MATERIALIZED-VIEW as a first-class operation.
+  *
+  * Every definition created through [[execute]] persists in a
+  * [[DurableCatalog]] under the warehouse; a fresh Engine over the same
+  * warehouse recovers all of them — tables read with their declared
+  * schemas, streaming MVs resume maintenance from their surviving
+  * checkpoints, cursors resume at their committed frontiers (the
+  * reference's meta-store recovery, docs/dev/src/design/meta-service.md).
   */
 final class Engine(val spark: SparkSession, warehouseDir: String) {
 
   val mvs = new MvCatalog(spark, warehouseDir)
 
+  private val catalog = new DurableCatalog(warehouseDir)
+
   GraftSession.init(spark)
 
   /** Register the driver test tables (or any parquet dir laid out the
-    * same way) into the session catalog.
+    * same way) into the session catalog. Also retries any catalog
+    * recoveries that were waiting on these tables (an MV whose defining
+    * query scans them cannot re-plan before they exist).
     */
-  def attachTables(dir: String): Unit = Tables.register(spark, dir)
+  def attachTables(dir: String): Unit = {
+    Tables.register(spark, dir)
+    retryPendingRecovery()
+  }
 
   /** Ad-hoc batch SQL — parse/bind/plan/optimize/execute are Catalyst. */
   def sql(query: String): DataFrame = spark.sql(query)
@@ -28,11 +42,19 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   /** CREATE MATERIALIZED VIEW over a streaming DataFrame: starts the
     * maintenance job (micro-batch merge by PK) and registers the MV so
     * [[table]] and downstream MVs can read it.
+    *
+    * `queryText` (the defining SQL, when the MV came in through
+    * [[execute]]) is what recovery re-plans to resume maintenance; an MV
+    * created from a raw DataFrame has no re-plannable text — its storage
+    * still recovers, maintenance needs re-issuing.
     */
   def createMaterializedView(
       name: String, pk: Seq[String], transformed: DataFrame,
-      nBuckets: Int = 32, outputMode: String = "update"): StreamingQuery = {
+      nBuckets: Int = 32, outputMode: String = "update",
+      queryText: Option[String] = None): StreamingQuery = {
     val mv = mvs.define(name, pk, nBuckets)
+    catalog.save("mvs", name, DurableCatalog.MvEntry(
+      pk, queryText, streaming = true, outputMode, nBuckets))
     mv.start(transformed, mvs.checkpointDir(name), outputMode = outputMode)
   }
 
@@ -41,8 +63,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     */
   def refreshMaterializedView(
       name: String, pk: Seq[String], result: DataFrame,
-      nBuckets: Int = 32): MaterializedView = {
+      nBuckets: Int = 32, queryText: Option[String] = None): MaterializedView = {
     val mv = mvs.get(name).getOrElse(mvs.define(name, pk, nBuckets))
+    if (catalog.load[DurableCatalog.MvEntry]("mvs", name).isEmpty)
+      catalog.save("mvs", name, DurableCatalog.MvEntry(
+        pk, queryText, streaming = false, "update", nBuckets))
     mv.merge(result)
     mv
   }
@@ -213,6 +238,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private val ShowJobs = """(?is)\s*SHOW\s+JOBS\s*;?\s*""".r
   private val CreateView =
     """(?is)\s*CREATE\s+VIEW\s+(\w+)\s+AS\s+(.*?)\s*;?\s*""".r
+  private val DropView =
+    """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val CreateIndexStmt =
     """(?is)\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*([\w\s,]+?)\s*\)\s*;?\s*""".r
   private val DropIndexStmt =
@@ -243,7 +270,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       .repartition(col("__idx_bucket"))
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode("overwrite").partitionBy("__idx_bucket").parquet(path)
-    indexes(name) = IndexDef(tbl, keys, path, n, keys.map(k => df.schema(k).dataType))
+    val keyTypes = keys.map(k => df.schema(k).dataType)
+    indexes(name) = IndexDef(tbl, keys, path, n, keyTypes)
+    catalog.save("indexes", name, DurableCatalog.IndexEntry(tbl, keys, path, n,
+      org.apache.spark.sql.types.StructType(
+        keys.map(k => df.schema(k))).json))
     statusDf("CREATE INDEX", name)
   }
 
@@ -315,6 +346,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val mv = mvs.get(mvName).get
     val (df, frontier) = mv.changelogAfter(pos)
     cursors(cur) = (sub, frontier)
+    // committed frontier survives restart: a recovered engine resumes
+    // the cursor exactly after the last fetched epoch
+    catalog.save("cursors", cur, DurableCatalog.CursorEntry(sub, frontier))
     if (df.columns.isEmpty) df
     else df.orderBy(org.apache.spark.sql.functions.col("_epoch"),
       org.apache.spark.sql.functions.col(graft.streaming.Changelog.SeqCol))
@@ -356,6 +390,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       .start()
     jobs(d.name) = q
     sinkNames += d.name
+    catalog.save("sinks", d.name, DurableCatalog.SinkEntry(d.from, d.options))
     statusDf("CREATE SINK", d.name)
   }
 
@@ -426,6 +461,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         mvs.define(name, pk)
         tableSchemas(name) = schema
         if (defaults.nonEmpty) tableDefaults(name) = defaults
+        catalog.save("tables", name,
+          DurableCatalog.TableEntry(schema.json, pk, defaults))
         statusDf("CREATE TABLE", name)
       case None =>
     SqlFrontend.parseCreateSource(statement) match {
@@ -433,6 +470,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         val stream = SqlFrontend.planSource(spark, d)
         sources(d.name) = stream
         stream.createOrReplaceTempView(d.name)
+        catalog.save("sources", d.name, DurableCatalog.SourceEntry(statement))
         statusDf("CREATE SOURCE", d.name)
       case None => SqlFrontend.parseCreateSink(statement) match {
       case Some(d: SqlFrontend.SinkDef) => startSink(d)
@@ -452,20 +490,25 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             // EMIT ON WINDOW CLOSE → append mode: only watermark-
             // finalized rows reach the MV (reference EmitMode::OnWindowClose)
             val mode = if (emitOnClose) "append" else "update"
-            jobs(name) = createMaterializedView(name, pk, result, outputMode = mode)
+            jobs(name) = createMaterializedView(name, pk, result,
+              outputMode = mode, queryText = Some(query))
             statusDf("CREATE MATERIALIZED VIEW (streaming)", name)
           } else {
-            refreshMaterializedView(name, pk, result).read()
+            refreshMaterializedView(name, pk, result,
+              queryText = Some(query)).read()
           }
         case None if SqlFrontend.isRecursiveCte(statement) =>
           SqlFrontend.executeRecursive(spark, statement)
         case None => statement match {
           case DropMv(name) =>
             jobs.remove(name).foreach(_.stop())
+            mvs.drop(name)
+            catalog.delete("mvs", name)
             statusDf("DROP MATERIALIZED VIEW", name)
           case DropSink(name) =>
             jobs.remove(name).foreach(_.stop())
             sinkNames -= name
+            catalog.delete("sinks", name)
             statusDf("DROP SINK", name)
           case ShowMv() =>
             import spark.implicits._
@@ -477,6 +520,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             createIndex(name, tbl, colList.split(",").map(_.trim).toSeq)
           case DropIndexStmt(name) if indexes.contains(name) =>
             indexes.remove(name)
+            catalog.delete("indexes", name)
             statusDf("DROP INDEX", name)
           case ShowIndexes() =>
             import spark.implicits._
@@ -489,7 +533,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             // in the temp catalog, so the view is a temp view (a
             // permanent Spark view cannot reference temp relations).
             spark.sql(query).createOrReplaceTempView(name)
+            catalog.save("views", name, DurableCatalog.ViewEntry(query))
             statusDf("CREATE VIEW", name)
+          case DropView(name) =>
+            catalog.delete("views", name)
+            spark.sql(statement) // keep Spark's errors (unknown view etc.)
           case TxnStmt(kw, _) =>
             // reference: handler/transaction.rs — transactions are
             // single-query read-only snapshots; BEGIN/COMMIT bracket
@@ -510,6 +558,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case DropTable(name) if mvs.get(name).isDefined =>
             mvs.drop(name)
             tableSchemas.remove(name)
+            tableDefaults.remove(name)
+            catalog.delete("tables", name)
             statusDf("DROP TABLE", name)
           case ShowTables() if tableSchemas.nonEmpty =>
             import spark.implicits._
@@ -547,6 +597,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
                 org.apache.spark.sql.types.StructField(cname, t))
             mvs.get(name).foreach(_.rewriteSchema(
               _.withColumn(cname, org.apache.spark.sql.functions.lit(null).cast(t))))
+            saveTableEntry(name)
             statusDf("ALTER TABLE", name)
           case AlterDropCol(name, cname) if tableSchemas.contains(name) =>
             require(tableSchemas(name).fieldNames.contains(cname),
@@ -556,15 +607,21 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             tableSchemas(name) = org.apache.spark.sql.types.StructType(
               tableSchemas(name).fields.filterNot(_.name == cname))
             mvs.get(name).foreach(_.rewriteSchema(_.drop(cname)))
+            saveTableEntry(name)
             statusDf("ALTER TABLE", name)
           case CreateSubscription(name, from) =>
             require(mvs.get(from).isDefined,
               s"CREATE SUBSCRIPTION $name: unknown materialized view $from")
             subscriptions(name) = from
+            catalog.save("subscriptions", name, DurableCatalog.SubEntry(from))
             statusDf("CREATE SUBSCRIPTION", name)
           case DropSubscription(name) =>
             subscriptions.remove(name)
-            cursors.filterInPlace { case (_, (sub, _)) => sub != name }
+            cursors.filterInPlace { case (cur, (sub, _)) =>
+              if (sub == name) catalog.delete("cursors", cur)
+              sub != name
+            }
+            catalog.delete("subscriptions", name)
             statusDf("DROP SUBSCRIPTION", name)
           case ShowSubscriptions() =>
             import spark.implicits._
@@ -578,9 +635,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               if (full != null) -1L
               else mvs.get(mvName).get.latestChangelogBatchId
             cursors(cur) = (sub, pos)
+            catalog.save("cursors", cur, DurableCatalog.CursorEntry(sub, pos))
             statusDf("DECLARE CURSOR", cur)
           case CloseCursor(cur) if cursors.contains(cur) =>
             cursors.remove(cur)
+            catalog.delete("cursors", cur)
             statusDf("CLOSE", cur)
           case FetchCursor(cur) if cursors.contains(cur) =>
             fetchCursor(cur)
@@ -597,6 +656,109 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     }
     }
   }
+
+  private def saveTableEntry(name: String): Unit =
+    catalog.save("tables", name, DurableCatalog.TableEntry(
+      tableSchemas(name).json,
+      mvs.get(name).map(_.primaryKey).getOrElse(Seq.empty),
+      tableDefaults.getOrElse(name, Map.empty)))
+
+  // ------------------------------------------------------------ recovery
+  //
+  // Re-create every persisted definition from $warehouse/_catalog — the
+  // reference's meta-store recovery (src/meta/src/controller/): tables
+  // first (their declared schemas), then sources (temp views the MV
+  // queries read), then views, then MVs (streaming ones re-plan their
+  // SQL and resume maintenance from the surviving checkpoint), then
+  // indexes/sinks/subscriptions/cursors. A definition that cannot
+  // recover yet — typically an MV whose query scans tables the session
+  // hasn't attached — parks in `pendingRecovery` and retries after
+  // [[attachTables]]; anything still unrecovered surfaces through
+  // [[recoveryPending]] rather than failing construction.
+
+  private val pendingRecovery =
+    scala.collection.mutable.Map[String, () => Unit]()
+
+  /** Catalog entries that have not finished recovering (name-qualified
+    * by kind); empty once recovery is complete.
+    */
+  def recoveryPending: Seq[String] = pendingRecovery.keys.toSeq.sorted
+
+  private def retryPendingRecovery(): Unit =
+    pendingRecovery.toSeq.foreach { case (key, attempt) =>
+      try { attempt(); pendingRecovery.remove(key) }
+      catch { case scala.util.control.NonFatal(_) => } // still blocked
+    }
+
+  private def recoverOrPark(key: String)(attempt: => Unit): Unit =
+    try attempt
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        pendingRecovery(key) = () => attempt
+    }
+
+  private def recoverCatalog(): Unit = {
+    import DurableCatalog._
+    import org.apache.spark.sql.types.{DataType, StructType}
+
+    catalog.list[TableEntry]("tables").foreach { case (name, e) =>
+      mvs.define(name, e.pk)
+      tableSchemas(name) = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
+      if (e.defaults.nonEmpty) tableDefaults(name) = e.defaults
+    }
+
+    catalog.list[SourceEntry]("sources").foreach { case (name, e) =>
+      recoverOrPark(s"source:$name") {
+        val d = SqlFrontend.parseCreateSource(e.ddl).getOrElse(
+          throw new IllegalStateException(s"unparseable source DDL for $name"))
+        val stream = SqlFrontend.planSource(spark, d)
+        sources(name) = stream
+        stream.createOrReplaceTempView(name)
+      }
+    }
+
+    catalog.list[ViewEntry]("views").foreach { case (name, e) =>
+      recoverOrPark(s"view:$name") {
+        spark.sql(e.query).createOrReplaceTempView(name)
+      }
+    }
+
+    catalog.list[MvEntry]("mvs").foreach { case (name, e) =>
+      val mv = mvs.define(name, e.pk, e.nBuckets)
+      if (e.streaming) e.query.foreach { q =>
+        recoverOrPark(s"mv:$name") {
+          val ckpt = mvs.checkpointDir(name)
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt))) {
+            val result =
+              spark.sql(Engine.TemporalJoinClause.replaceAllIn(q, ""))
+            jobs(name) = mv.start(result, ckpt, outputMode = e.outputMode)
+          }
+        }
+      }
+    }
+
+    catalog.list[IndexEntry]("indexes").foreach { case (name, e) =>
+      val keySchema = DataType.fromJson(e.keySchemaJson).asInstanceOf[StructType]
+      indexes(name) = IndexDef(e.table, e.keys, e.path, e.nBuckets,
+        e.keys.map(k => keySchema(k).dataType))
+    }
+
+    catalog.list[SinkEntry]("sinks").foreach { case (name, e) =>
+      recoverOrPark(s"sink:$name") {
+        startSink(SqlFrontend.SinkDef(name, e.from, e.options))
+      }
+    }
+
+    catalog.list[SubEntry]("subscriptions").foreach { case (name, e) =>
+      subscriptions(name) = e.from
+    }
+
+    catalog.list[CursorEntry]("cursors").foreach { case (name, e) =>
+      cursors(name) = (e.sub, e.pos)
+    }
+  }
+
+  recoverCatalog() // runs last: every field above is initialized
 }
 
 object Engine {
