@@ -7,9 +7,11 @@ import graft.operators.IterativeFixpoint
 import graft.streaming.Changelog
 
 /** Remaining SURVEY.md §2 surface: recursive CTE (driver fixpoint loop),
-  * table changelog derivation, approximate sketch aggregates (rows-only
-  * checks — sketch values are engine-specific; accuracy is asserted in
-  * ApproxAggSpec against exact counterparts).
+  * table changelog derivation, approximate sketch aggregates. Sketch
+  * VALUES are engine-specific, so each sketch query hashes its exact
+  * relational aggregate plus a bounded-error boolean the oracle asserts
+  * `true` — a hash match proves every estimate was in bound (fine-grained
+  * accuracy is additionally asserted in ApproxAggSpec).
   */
 object Advanced extends QueryPack {
 
@@ -75,19 +77,48 @@ object Advanced extends QueryPack {
         .orderBy("o_orderkey", Changelog.OpCol)
     },
 
-    // Approximate sketches: engine-specific values → rows-only checks.
+    // Approximate sketches: the sketch VALUE is engine-specific, so the
+    // hash-matched surface is (group, exact aggregate, bounded-error
+    // boolean): the engine computes `ok = |est − exact| / exact ≤ bound`
+    // with the exact side derived relationally in the same query; the
+    // oracle computes the same exact aggregate and asserts `true` — the
+    // hash matches iff every group's estimate was in bound.
     // reference: src/expr/impl/src/aggregate/approx_count_distinct/mod.rs:34
-    qNoOracle("q_approx_count_distinct") { (s, dir) =>
+    q("q_approx_count_distinct",
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+        |  true AS ok
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { s =>
+      // HLL++ rsd defaults to 0.05; 0.15 gives 3σ headroom at every SF
       s.table("orders").groupBy("o_orderstatus")
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
-          count(lit(1)).as("n"))
+        .agg(approx_count_distinct(col("o_custkey")).as("est"),
+          countDistinct(col("o_custkey")).as("exact_cust"))
+        .select(col("o_orderstatus"), col("exact_cust"),
+          (abs(col("est") - col("exact_cust")) /
+            col("exact_cust") <= 0.15).as("ok"))
         .orderBy("o_orderstatus")
     },
 
-    // Retraction-capable HLL over a changelog-shaped input (rows-only:
-    // sketch values are engine-specific; accuracy in RetractableHllSpec).
+    // Retraction-capable HLL over a changelog-shaped input: live distinct
+    // customers after the F-status inserts are retracted. Exact side is
+    // the net-count-positive distinct, computed relationally from the
+    // SAME changelog on both engines; a fully-retracted group must
+    // estimate exactly 0 (all registers decremented back).
     // reference: src/expr/impl/src/aggregate/approx_count_distinct/mod.rs
-    qNoOracle("q_retractable_hll") { (s, dir) =>
+    q("q_retractable_hll",
+      """WITH changelog AS (
+        |  SELECT o_orderstatus, o_custkey, 1 AS op FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_custkey, -1 AS op FROM orders
+        |  WHERE o_orderstatus = 'F'
+        |), net AS (
+        |  SELECT o_orderstatus, o_custkey, SUM(op) AS c
+        |  FROM changelog GROUP BY o_orderstatus, o_custkey
+        |)
+        |SELECT o_orderstatus,
+        |  CAST(COUNT(*) FILTER (WHERE c > 0) AS BIGINT) AS live_exact,
+        |  true AS ok
+        |FROM net GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { s =>
       val orders = s.table("orders")
       // synthetic changelog: all orders inserted, the F-status ones then
       // retracted → live distinct customers of non-F orders
@@ -95,18 +126,36 @@ object Advanced extends QueryPack {
           lit(1).as("op"))
         .union(orders.where(col("o_orderstatus") === "F")
           .select(col("o_orderstatus"), col("o_custkey"), lit(-1).as("op")))
-      changelog.groupBy("o_orderstatus")
+      val est = changelog.groupBy("o_orderstatus")
         .agg(graft.functions.RetractableHll
           .approxCountDistinctRetractable(col("o_custkey"), col("op"))
-          .as("live_approx_cust"))
+          .as("est"))
+      val exact = changelog.groupBy("o_orderstatus", "o_custkey")
+        .agg(sum("op").as("c"))
+        .groupBy("o_orderstatus")
+        .agg(sum(when(col("c") > 0, 1).otherwise(0)).cast("long")
+          .as("live_exact"))
+      exact.join(est, "o_orderstatus")
+        .select(col("o_orderstatus"), col("live_exact"),
+          when(col("live_exact") === 0, col("est") === 0)
+            .otherwise(abs(col("est") - col("live_exact")) /
+              col("live_exact") <= 0.15).as("ok"))
         .orderBy("o_orderstatus")
     },
 
-    // Retraction-capable approx percentile over a changelog-shaped input
-    // (rows-only: bucket-midpoint values are engine-specific; accuracy in
-    // RetractablePercentileSpec).
+    // Retraction-capable approx percentile over a changelog-shaped input:
+    // live p50 price of non-returned items after the 'R' inserts are
+    // retracted. The log-bucket histogram guarantees 1% relative error
+    // vs the rank element; the boolean checks 2% vs the exact
+    // interpolated percentile (interpolation adds sub-bucket noise).
+    // The hashed exact column is the live multiset size.
     // reference: src/stream/src/executor/approx_percentile/
-    qNoOracle("q_retractable_percentile") { (s, dir) =>
+    q("q_retractable_percentile",
+      """SELECT l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS live_n,
+        |  true AS ok
+        |FROM lineitem WHERE l_returnflag <> 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { s =>
       val li = s.table("lineitem")
       // synthetic changelog: every lineitem inserted, returned ('R') rows
       // then retracted → live p50 price of non-returned items
@@ -115,21 +164,42 @@ object Advanced extends QueryPack {
         .union(li.where(col("l_returnflag") === "R")
           .select(col("l_linestatus"), col("l_extendedprice"),
             lit(-1).as("op")))
-      changelog.groupBy("l_linestatus")
+      val est = changelog.groupBy("l_linestatus")
         .agg(graft.functions.RetractablePercentile
           .approxPercentileRetractable(col("l_extendedprice"), col("op"), 0.5)
-          .as("live_p50_price"))
+          .as("est"))
+      val exact = li.where(col("l_returnflag") =!= "R")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("live_n"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50x"))
+      exact.join(est, "l_linestatus")
+        .select(col("l_linestatus"), col("live_n"),
+          (abs(col("est") - col("p50x")) / col("p50x") <= 0.02).as("ok"))
         .orderBy("l_linestatus")
     },
 
-    // reference: src/stream/src/executor/approx_percentile/
-    // Scalar columns only — the driver harness cannot hash an array cell,
-    // so the multi-quantile form is split into p25/p75.
-    qNoOracle("q_approx_percentile") { (s, dir) =>
+    // Batch two-phase approx percentile (reference:
+    // src/stream/src/executor/approx_percentile/): three quantiles, each
+    // checked against the exact interpolated percentile at 2% relative.
+    // accuracy=10000 bounds rank error at n/10000 — far inside 2% in
+    // value space on this distribution at every SF.
+    q("q_approx_percentile",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  true AS ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { s =>
       s.table("lineitem").groupBy("l_returnflag")
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
-          percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("p25"),
-          percentile_approx(col("l_extendedprice"), lit(0.75), lit(10000)).as("p75"))
+        .agg(count(lit(1)).as("n"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("e50"),
+          percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("e25"),
+          percentile_approx(col("l_extendedprice"), lit(0.75), lit(10000)).as("e75"),
+          expr("percentile(l_extendedprice, 0.5)").as("x50"),
+          expr("percentile(l_extendedprice, 0.25)").as("x25"),
+          expr("percentile(l_extendedprice, 0.75)").as("x75"))
+        .select(col("l_returnflag"), col("n"),
+          ((abs(col("e50") - col("x50")) / col("x50") <= 0.02) &&
+            (abs(col("e25") - col("x25")) / col("x25") <= 0.02) &&
+            (abs(col("e75") - col("x75")) / col("x75") <= 0.02)).as("ok"))
         .orderBy("l_returnflag")
     }
   )
