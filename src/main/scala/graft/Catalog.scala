@@ -109,4 +109,9 @@ object DurableCatalog {
     * resumes the cursor exactly where the last fetch left it.
     */
   final case class CursorEntry(sub: String, pos: Long)
+
+  /** CREATE AGGREGATE: implementation key + WITH options — recovery
+    * re-binds the name in the session function registry.
+    */
+  final case class AggregateEntry(impl: String, options: Map[String, String])
 }

@@ -309,6 +309,34 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           .reduce(_ && _))
       .drop("__idx_bucket")
   }
+  // --- CREATE AGGREGATE (reference: handler/create_aggregate.rs — a
+  // named UDAF; external runtimes there, the native Aggregator registry
+  // here). The created name is immediately callable from SQL text.
+  private val CreateAggregateStmt =
+    """(?is)\s*CREATE\s+AGGREGATE\s+(\w+)\s*\(([^)]*)\)\s+RETURNS\s+([\w ]+?)\s+LANGUAGE\s+(\w+)\s+AS\s+'([\w.]+)'\s*(?:WITH\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val DropAggregateStmt =
+    """(?is)\s*DROP\s+AGGREGATE\s+(\w+)\s*;?\s*""".r
+  private val ShowAggregates = """(?is)\s*SHOW\s+AGGREGATES\s*;?\s*""".r
+
+  private val aggregates =
+    scala.collection.mutable.Map[String, (String, String)]() // name -> (impl, signature)
+
+  private def createAggregate(name: String, lang: String, impl: String,
+      opts: String): DataFrame = {
+    require(lang.equalsIgnoreCase("native"),
+      s"CREATE AGGREGATE $name: LANGUAGE '$lang' not supported (native only " +
+        "— python/js/wasm UDAF runtimes are a documented divergence)")
+    val options = Option(opts).map(SqlFrontend.splitAssignments(_).map {
+      case (k, v) => k.toLowerCase -> v.stripPrefix("'").stripSuffix("'")
+    }.toMap).getOrElse(Map.empty)
+    val sig = graft.functions.AggregateRegistry.register(
+      spark, name, impl.toLowerCase, options)
+    aggregates(name) = (impl.toLowerCase, sig)
+    catalog.save("aggregates", name,
+      DurableCatalog.AggregateEntry(impl.toLowerCase, options))
+    statusDf("CREATE AGGREGATE", name)
+  }
+
   private val TxnStmt =
     """(?is)\s*(BEGIN|START\s+TRANSACTION|COMMIT|ABORT|ROLLBACK)(\s+READ\s+ONLY)?\s*;?\s*""".r
   private val ShowSinks = """(?is)\s*SHOW\s+SINKS\s*;?\s*""".r
@@ -609,6 +637,18 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             mvs.get(name).foreach(_.rewriteSchema(_.drop(cname)))
             saveTableEntry(name)
             statusDf("ALTER TABLE", name)
+          case CreateAggregateStmt(name, _, _, lang, impl, opts) =>
+            createAggregate(name, lang, impl, opts)
+          case DropAggregateStmt(name) if aggregates.contains(name) =>
+            aggregates.remove(name)
+            spark.sessionState.catalog.dropTempFunction(name, ignoreIfNotExists = true)
+            catalog.delete("aggregates", name)
+            statusDf("DROP AGGREGATE", name)
+          case ShowAggregates() =>
+            import spark.implicits._
+            aggregates.toSeq.sortBy(_._1)
+              .map { case (n, (impl, sig)) => (n, impl, sig) }
+              .toDF("name", "implementation", "signature")
           case CreateSubscription(name, from) =>
             require(mvs.get(from).isDefined,
               s"CREATE SUBSCRIPTION $name: unknown materialized view $from")
@@ -755,6 +795,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
     catalog.list[CursorEntry]("cursors").foreach { case (name, e) =>
       cursors(name) = (e.sub, e.pos)
+    }
+
+    catalog.list[AggregateEntry]("aggregates").foreach { case (name, e) =>
+      recoverOrPark(s"aggregate:$name") {
+        val sig = graft.functions.AggregateRegistry.register(
+          spark, name, e.impl, e.options)
+        aggregates(name) = (e.impl, sig)
+      }
     }
   }
 

@@ -201,6 +201,36 @@ object Advanced extends QueryPack {
             (abs(col("e25") - col("x25")) / col("x25") <= 0.02) &&
             (abs(col("e75") - col("x75")) / col("x75") <= 0.02)).as("ok"))
         .orderBy("l_returnflag")
+    },
+
+    // CREATE AGGREGATE end to end (reference: handler/create_aggregate.rs):
+    // two aggregates are created through SQL DDL, then called from plain
+    // SQL text in the same session — estimates checked against exact
+    // aggregates computed in the same query, sketch-oracle style.
+    qDir("q_create_aggregate",
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+        |  true AS acd_ok, true AS p50_ok
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, _) =>
+      val eng = new graft.Engine(s,
+        java.nio.file.Files.createTempDirectory("graft-create-agg").toString)
+      eng.execute("CREATE AGGREGATE q_ca_acd(varchar) RETURNS bigint " +
+        "LANGUAGE native AS 'retractable_hll'")
+      eng.execute("CREATE AGGREGATE q_ca_p50(double precision) RETURNS double " +
+        "LANGUAGE native AS 'retractable_percentile' " +
+        "WITH (quantile = 0.5, relative_error = 0.01)")
+      s.sql(
+        """WITH est AS (
+          |  SELECT o_orderstatus,
+          |    q_ca_acd(CAST(o_custkey AS STRING), 1) AS est_cd,
+          |    q_ca_p50(o_totalprice, 1) AS est_p50,
+          |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+          |    percentile(o_totalprice, 0.5) AS p50x
+          |  FROM orders GROUP BY o_orderstatus)
+          |SELECT o_orderstatus, exact_cust,
+          |  abs(est_cd - exact_cust) / exact_cust <= 0.15 AS acd_ok,
+          |  abs(est_p50 - p50x) / p50x <= 0.02 AS p50_ok
+          |FROM est ORDER BY o_orderstatus""".stripMargin)
     }
   )
 }

@@ -105,13 +105,44 @@ object Gaps extends QueryPack {
         .orderBy("c_nationkey")
     },
 
-    // Multimodal feature pipeline (stub codec; rows-only driver check —
-    // the deterministic features are asserted in SimilaritySpec). The
-    // feature vector is serialized so the driver harness can hash rows.
-    qNoOracle("q_multimodal_features") { (s, dir) =>
-      Multimodal.decodeFeatures(Multimodal.demoAssets(s, dir))
-        .withColumn("feature",
-          array_join(col("feature").cast("array<string>"), ","))
+    // Multimodal feature pipeline with REAL pure-JVM codecs: each row
+    // synthesizes actual PPM (P6) / WAV (PCM16) bytes from a closed-form
+    // formula of doc_id, parses them back with the real header-walking
+    // decoders, and emits exact integer features. The oracle recomputes
+    // the same features from the generating formula (bounded series join
+    // — max 224 pixels / 89 samples per asset), so a decode bug anywhere
+    // in the binary path breaks the hash.
+    q("q_multimodal_features",
+      """WITH ids AS (SELECT doc_id AS a FROM documents),
+        |ser AS (SELECT i FROM generate_series(0, 255) t(i)),
+        |img AS (
+        |  SELECT a AS asset_id, CAST('image' AS VARCHAR) AS modality,
+        |         CAST(8 + a % 9 AS INTEGER) AS width, CAST(8 + a % 7 AS INTEGER) AS height,
+        |         CAST(sum((a*31 + 3*i) % 256) AS BIGINT) AS sum_r,
+        |         CAST(sum((a*17 + 5*i) % 256) AS BIGINT) AS sum_g,
+        |         CAST(sum((a*7 + 11*i) % 256) AS BIGINT) AS sum_b
+        |  FROM ids JOIN ser ON i < (8 + a % 9) * (8 + a % 7)
+        |  WHERE a % 2 = 0 GROUP BY a),
+        |aud AS (
+        |  SELECT a AS asset_id, CAST('audio' AS VARCHAR) AS modality,
+        |         CAST(8000 + (a % 4) * 4000 AS INTEGER) AS sample_rate,
+        |         CAST(40 + a % 50 AS BIGINT) AS n_samples,
+        |         CAST(sum((a*131 + 37*i) % 2001 - 1000) AS BIGINT) AS sum_amp,
+        |         CAST(max(abs((a*131 + 37*i) % 2001 - 1000)) AS INTEGER) AS peak
+        |  FROM ids JOIN ser ON i < 40 + a % 50
+        |  WHERE a % 2 = 1 GROUP BY a)
+        |SELECT asset_id, modality, width, height, sum_r, sum_g, sum_b,
+        |       CAST(NULL AS INTEGER) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
+        |       CAST(NULL AS BIGINT) AS sum_amp, CAST(NULL AS INTEGER) AS peak
+        |FROM img
+        |UNION ALL
+        |SELECT asset_id, modality, CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+        |       CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g, CAST(NULL AS BIGINT) AS sum_b,
+        |       sample_rate, n_samples, sum_amp, peak
+        |FROM aud
+        |ORDER BY asset_id""".stripMargin) { s =>
+      Multimodal.decodeBinaryAssets(
+        s.table("documents").select(col("doc_id").as("asset_id")))
         .orderBy("asset_id")
     }
   )

@@ -34,6 +34,11 @@ package object queries {
   def qNoOracle(name: String)(f: (SparkSession, String) => DataFrame): GraftQuery =
     GraftQuery(name, (s, d) => { Tables.register(s, d); f(s, d) }, None)
 
+  /** Oracle query whose runner also needs the data dir. */
+  def qDir(name: String, oracle: String)(
+      f: (SparkSession, String) => DataFrame): GraftQuery =
+    GraftQuery(name, (s, d) => { Tables.register(s, d); f(s, d) }, Some(oracle))
+
   /** Exact, order-independent sum of a double expression: per-row cast to
     * DECIMAL (deterministic IEEE→decimal rounding in both engines), exact
     * decimal addition, single deterministic cast back to DOUBLE.

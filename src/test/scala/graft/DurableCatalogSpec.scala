@@ -41,6 +41,8 @@ class DurableCatalogSpec extends SparkSpecBase {
 
     e1.execute("CREATE INDEX items_by_name ON items (name)")
     e1.execute("CREATE VIEW vconst AS SELECT 41 + 1 AS answer")
+    e1.execute("CREATE AGGREGATE dc_acd(varchar) RETURNS bigint " +
+      "LANGUAGE native AS 'retractable_hll'")
 
     // ----- shutdown: stop maintenance, drop the session (temp views die)
     e1.streamingJob("totals").get.stop()
@@ -90,6 +92,12 @@ class DurableCatalogSpec extends SparkSpecBase {
     // view: re-registered in the new session
     assert(e2.execute("SELECT * FROM vconst").collect().head.getInt(0) == 42)
 
+    // aggregate: re-bound in the new session's function registry
+    val acd = e2.execute("SELECT dc_acd(CAST(id AS STRING), 1) AS n FROM " +
+      "(SELECT 1 AS id UNION ALL SELECT 2 UNION ALL SELECT 1)")
+      .collect().head.getLong(0)
+    assert(acd == 2L)
+
     // subscription is listed; a new cursor over it works
     import s2.implicits._
     assert(e2.execute("SHOW SUBSCRIPTIONS").as[String].collect().toSeq ==
@@ -102,11 +110,13 @@ class DurableCatalogSpec extends SparkSpecBase {
     e2.execute("DROP TABLE items")
     e2.execute("DROP INDEX items_by_name")
     e2.execute("DROP SUBSCRIPTION sub_t")
+    e2.execute("DROP AGGREGATE dc_acd")
     val s3 = spark.newSession()
     val e3 = new Engine(s3, wh)
     assert(e3.mvs.get("totals").isEmpty)
     assert(e3.mvs.get("items").isEmpty)
     assert(e3.execute("SHOW SUBSCRIPTIONS").isEmpty)
+    assert(e3.execute("SHOW AGGREGATES").isEmpty)
   }
 
   test("MV over not-yet-attached tables parks and recovers after attachTables") {

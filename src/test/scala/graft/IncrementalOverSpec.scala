@@ -67,4 +67,70 @@ class IncrementalOverSpec extends SparkSpecBase {
       .select("id", "run_sum", "rn").as[(Long, Double, Int)].collect().toSeq
     assert(yRow == Seq((2L, 2.0, 1)))
   }
+
+  // ---- frame-granular path (the frame_finder analog) ----
+
+  private def rangeFrameFn(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user").orderBy("ts").rangeBetween(-10, 0)
+    df.withColumn("win_sum",
+      sum(col("v").cast("decimal(18,2)")).over(w).cast("double"))
+  }
+
+  test("frame reach is inferred from the plan; unbounded/rank falls back") {
+    val dir = tmpDir("iow3")
+    val base = new MaterializedView(spark, "b3", Seq("id"), s"$dir/b", 4)
+    val result = new MaterializedView(spark, "r3", Seq("id"), s"$dir/r", 4)
+    val schema = Seq((1L, "a", 1L, 1.0)).toDF("id", "user", "ts", "v").schema
+
+    val bounded = new IncrementalOver(base, result, Seq("user"), rangeFrameFn, Seq("id"))
+    val fr = bounded.frameReachOf(schema)
+    assert(fr.isDefined && fr.get.orderCol == "ts" &&
+      fr.get.lookback == 10L && fr.get.lookahead == 0L)
+
+    // running sum + row_number: ROWS frames / rank shift globally → no bound
+    val unbounded = new IncrementalOver(base, result, Seq("user"), windowFn, Seq("id"))
+    assert(unbounded.frameReachOf(schema).isEmpty)
+  }
+
+  test("frame-granular recompute reads a frame-reach band, not the hot partition") {
+    val dir = tmpDir("iow4")
+    val base = new MaterializedView(spark, "b4", Seq("id"), s"$dir/b", 4,
+      bucketKeys = Seq("user"))
+    val result = new MaterializedView(spark, "r4", Seq("id"), s"$dir/r", 4,
+      bucketKeys = Seq("user"))
+    val iow = new IncrementalOver(base, result, Seq("user"), rangeFrameFn, Seq("id"))
+
+    // skewed fixture: one hot partition with 10k rows, one small
+    val hot = (1 to 10000).map(i => (i.toLong, "h", i.toLong, 1.0))
+    val small = Seq((20001L, "s", 1L, 2.0), (20002L, "s", 5L, 3.0))
+    iow.applyDelta((hot ++ small).toDF("id", "user", "ts", "v"))
+
+    // single-row delta into the hot partition
+    val delta = Seq((30001L, "h", 5000L, 9.0)).toDF("id", "user", "ts", "v")
+    iow.applyDelta(delta)
+
+    // the recompute INPUT is bounded by frame reach (L=10, A=0 → a
+    // ≤21-key band around the delta), nowhere near the 10k-row partition
+    val fr = iow.frameReachOf(delta.schema).get
+    val (input, _) = iow.frameInput(delta, fr)
+    val n = input.count()
+    assert(n <= 25, s"frame input read $n rows; expected ≤ 25 (reach-bounded)")
+
+    // and the spliced result matches a full batch recompute
+    val expected = rangeFrameFn(base.read())
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val actual = iow.read().select("id", "user", "ts", "v", "win_sum")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(actual == expected)
+
+    // delete from the hot partition via changelog: neighbors within reach
+    // get new sums, the rest of the partition is untouched verbatim
+    iow.applyDelta(Seq((4999L, "h", 4999L, 1.0, Changelog.Delete, 0L))
+      .toDF("id", "user", "ts", "v", Changelog.OpCol, Changelog.SeqCol))
+    val expected2 = rangeFrameFn(base.read())
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val actual2 = iow.read().select("id", "user", "ts", "v", "win_sum")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(actual2 == expected2)
+  }
 }

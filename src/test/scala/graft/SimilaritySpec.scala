@@ -43,7 +43,7 @@ class SimilaritySpec extends SparkSpecBase {
     assert(pairs == Set((0L, 1L)))
   }
 
-  test("multimodal decode stub: deterministic features, streamed batches") {
+  test("multimodal generic digest path: deterministic features, streamed batches") {
     val assets = Multimodal.demoAssets(spark, "/root/testdata/sf0.001")
     val f1 = Multimodal.decodeFeatures(assets).orderBy("asset_id")
       .select("asset_id", "feature").as[(Long, Seq[Float])].collect()

@@ -585,4 +585,54 @@ class SqlFrontendSpec extends SparkSpecBase {
       e.execute("ALTER TABLE alt_t DROP COLUMN id")
     }
   }
+
+  test("CREATE AGGREGATE: native UDAFs callable from SQL text, retraction-correct") {
+    val e = new Engine(spark, tmpDir("sqlagg"))
+    e.execute("CREATE AGGREGATE agg_cd(varchar) RETURNS bigint " +
+      "LANGUAGE native AS 'retractable_hll'")
+    e.execute("CREATE AGGREGATE agg_p90(double precision) RETURNS double " +
+      "LANGUAGE native AS 'retractable_percentile' WITH (quantile = 0.9)")
+
+    // changelog input: group 'a' holds 300 live values; group 'x' has all
+    // 300 inserts retracted — its registers must decrement back to empty
+    val rows = (1 to 300).map(i => ("a", i.toString, 1)) ++
+      (1 to 300).map(i => ("x", i.toString, 1)) ++
+      (1 to 300).map(i => ("x", i.toString, -1))
+    rows.toDF("g", "v", "op").createOrReplaceTempView("agg_in")
+    val cd = spark.sql(
+      "SELECT g, agg_cd(v, op) AS cd FROM agg_in GROUP BY g ORDER BY g")
+      .as[(String, Long)].collect().toSeq
+    assert(cd.map(_._1) == Seq("a", "x"))
+    assert(math.abs(cd(0)._2 - 300) <= 45, s"estimate ${cd(0)._2} off >15%")
+    assert(cd(1)._2 == 0L, "fully-retracted group must estimate exactly 0")
+
+    // percentile under retraction: 1..100 inserted, 91..100 retracted →
+    // p90 of the live multiset 1..90 ≈ 81 (1% bucket error)
+    val p = spark.sql(
+      """SELECT agg_p90(v, op) AS p FROM (
+        |  SELECT CAST(id AS DOUBLE) AS v, 1 AS op FROM range(1, 101)
+        |  UNION ALL
+        |  SELECT CAST(id AS DOUBLE) AS v, -1 AS op FROM range(91, 101))""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(p > 75 && p < 95, s"retracted p90 $p outside (75, 95)")
+
+    // surface: SHOW lists both; DROP unbinds; bad DDL fails loudly
+    assert(e.execute("SHOW AGGREGATES").select("name").as[String]
+      .collect().toSeq == Seq("agg_cd", "agg_p90"))
+    e.execute("DROP AGGREGATE agg_p90")
+    assert(e.execute("SHOW AGGREGATES").count() == 1)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT agg_p90(1.0, 1)").collect()
+    }
+    intercept[IllegalArgumentException] { // external runtimes are out of scope
+      e.execute("CREATE AGGREGATE b1(v INT) RETURNS INT LANGUAGE python AS 'x'")
+    }
+    intercept[IllegalArgumentException] { // unknown implementation key
+      e.execute("CREATE AGGREGATE b2(v INT) RETURNS INT LANGUAGE native AS 'nope'")
+    }
+    intercept[IllegalArgumentException] { // percentile requires quantile
+      e.execute("CREATE AGGREGATE b3(v DOUBLE) RETURNS DOUBLE " +
+        "LANGUAGE native AS 'retractable_percentile'")
+    }
+  }
 }
