@@ -24,7 +24,11 @@ object RetractableHll {
 
   case class In(hash: Long, op: Int) // op: +1 insert, -1 delete
 
-  type Buf = Map[Int, Long] // (register << 6 | rank) -> live count
+  // (register << 6 | rank) -> live count. Mutable: reduce/merge run once
+  // per input row in the aggregation hot loop, and the Aggregator
+  // contract allows mutating and returning the buffer — a persistent map
+  // would allocate tree nodes per row for nothing.
+  type Buf = scala.collection.mutable.HashMap[Int, Long]
 
   private def regRank(hash: Long): Int = {
     val reg = (hash & (NumRegisters - 1)).toInt
@@ -35,20 +39,23 @@ object RetractableHll {
   }
 
   val aggregator: Aggregator[In, Buf, Long] = new Aggregator[In, Buf, Long] {
-    def zero: Buf = Map.empty
+    def zero: Buf = scala.collection.mutable.HashMap.empty
     // Counts may go NEGATIVE transiently: partial aggregation can apply a
     // delete before the matching insert arrives in another partition's
     // buffer — only an exact zero may be dropped, or merge cannot cancel.
     def reduce(b: Buf, a: In): Buf = {
       val k = regRank(a.hash)
       val n = b.getOrElse(k, 0L) + a.op
-      if (n == 0) b - k else b.updated(k, n)
+      if (n == 0) b.remove(k) else b.update(k, n)
+      b
     }
-    def merge(x: Buf, y: Buf): Buf =
-      y.foldLeft(x) { case (acc, (k, n)) =>
-        val m = acc.getOrElse(k, 0L) + n
-        if (m == 0) acc - k else acc.updated(k, m)
+    def merge(x: Buf, y: Buf): Buf = {
+      y.foreach { case (k, n) =>
+        val m = x.getOrElse(k, 0L) + n
+        if (m == 0) x.remove(k) else x.update(k, m)
       }
+      x
+    }
     def finish(b: Buf): Long = {
       val maxRank = new Array[Int](NumRegisters)
       b.foreach { case (k, n) =>

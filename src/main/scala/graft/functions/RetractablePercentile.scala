@@ -24,9 +24,11 @@ object RetractablePercentile {
   case class In(value: Double, isNull: Boolean, op: Int)
 
   /** Bucket key: `2·ceil(log_base |v|) + signBit`; zeros tracked under
-    * the dedicated key [[ZeroKey]] (log of 0 has no bucket).
+    * the dedicated key [[ZeroKey]] (log of 0 has no bucket). Mutable:
+    * reduce/merge run once per input row in the aggregation hot loop and
+    * the Aggregator contract allows in-place buffer mutation.
     */
-  type Buf = Map[Int, Long]
+  type Buf = scala.collection.mutable.HashMap[Int, Long]
 
   private val ZeroKey = Int.MinValue
 
@@ -44,22 +46,25 @@ object RetractablePercentile {
       : Aggregator[In, Buf, Option[Double]] =
     new Aggregator[In, Buf, Option[Double]] {
       private val b = base(relativeError)
-      def zero: Buf = Map.empty
+      def zero: Buf = scala.collection.mutable.HashMap.empty
       // Counts may go NEGATIVE transiently: a partial buffer can see the
       // delete before another partition's buffer sees the matching
       // insert — only exact zero may be dropped, or merge can't cancel.
-      def reduce(buf: Buf, a: In): Buf =
-        if (a.isNull || a.op == 0) buf
-        else {
+      def reduce(buf: Buf, a: In): Buf = {
+        if (!a.isNull && a.op != 0) {
           val k = bucketOf(a.value, b)
           val n = buf.getOrElse(k, 0L) + a.op
-          if (n == 0) buf - k else buf.updated(k, n)
+          if (n == 0) buf.remove(k) else buf.update(k, n)
         }
-      def merge(x: Buf, y: Buf): Buf =
-        y.foldLeft(x) { case (acc, (k, n)) =>
-          val m = acc.getOrElse(k, 0L) + n
-          if (m == 0) acc - k else acc.updated(k, m)
+        buf
+      }
+      def merge(x: Buf, y: Buf): Buf = {
+        y.foreach { case (k, n) =>
+          val m = x.getOrElse(k, 0L) + n
+          if (m == 0) x.remove(k) else x.update(k, m)
         }
+        x
+      }
       def finish(buf: Buf): Option[Double] = {
         val live = buf.filter(_._2 > 0)
         val total = live.values.sum

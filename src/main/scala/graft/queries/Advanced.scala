@@ -106,34 +106,28 @@ object Advanced extends QueryPack {
     // estimate exactly 0 (all registers decremented back).
     // reference: src/expr/impl/src/aggregate/approx_count_distinct/mod.rs
     q("q_retractable_hll",
-      """WITH changelog AS (
-        |  SELECT o_orderstatus, o_custkey, 1 AS op FROM orders
-        |  UNION ALL
-        |  SELECT o_orderstatus, o_custkey, -1 AS op FROM orders
-        |  WHERE o_orderstatus = 'F'
-        |), net AS (
-        |  SELECT o_orderstatus, o_custkey, SUM(op) AS c
-        |  FROM changelog GROUP BY o_orderstatus, o_custkey
-        |)
-        |SELECT o_orderstatus,
-        |  CAST(COUNT(*) FILTER (WHERE c > 0) AS BIGINT) AS live_exact,
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(DISTINCT CASE WHEN o_orderstatus <> 'F'
+        |                           THEN o_custkey END) AS BIGINT) AS live_exact,
         |  true AS ok
-        |FROM net GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { s =>
-      val orders = s.table("orders")
-      // synthetic changelog: all orders inserted, the F-status ones then
-      // retracted → live distinct customers of non-F orders
-      val changelog = orders.select(col("o_orderstatus"), col("o_custkey"),
-          lit(1).as("op"))
-        .union(orders.where(col("o_orderstatus") === "F")
-          .select(col("o_orderstatus"), col("o_custkey"), lit(-1).as("op")))
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { s =>
+      // synthetic changelog in ONE scan: every order inserts, F-status
+      // orders also retract (explode emits both ops per row) → live
+      // distinct customers of non-F orders. The exact side rides the
+      // SAME aggregation (live = distinct non-F custkeys), so the whole
+      // check is one scan + one agg — no second pass, no join.
+      val changelog = s.table("orders").select(
+        col("o_orderstatus"), col("o_custkey"),
+        explode(when(col("o_orderstatus") === "F", array(lit(1), lit(-1)))
+          .otherwise(array(lit(1)))).as("op"))
       val est = changelog.groupBy("o_orderstatus")
         .agg(graft.functions.RetractableHll
           .approxCountDistinctRetractable(col("o_custkey"), col("op"))
           .as("est"))
-      val exact = changelog.groupBy("o_orderstatus", "o_custkey")
-        .agg(sum("op").as("c"))
-        .groupBy("o_orderstatus")
-        .agg(sum(when(col("c") > 0, 1).otherwise(0)).cast("long")
+      // exact side separate (a distinct-agg fused with the UDAF would
+      // Expand-duplicate the UDAF's input); the join is 3 rows × 3 rows
+      val exact = s.table("orders").groupBy("o_orderstatus")
+        .agg(countDistinct(when(col("o_orderstatus") =!= "F", col("o_custkey")))
           .as("live_exact"))
       exact.join(est, "o_orderstatus")
         .select(col("o_orderstatus"), col("live_exact"),
@@ -156,22 +150,23 @@ object Advanced extends QueryPack {
         |  true AS ok
         |FROM lineitem WHERE l_returnflag <> 'R'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { s =>
-      val li = s.table("lineitem")
-      // synthetic changelog: every lineitem inserted, returned ('R') rows
-      // then retracted → live p50 price of non-returned items
-      val changelog = li.select(col("l_linestatus"), col("l_extendedprice"),
-          lit(1).as("op"))
-        .union(li.where(col("l_returnflag") === "R")
-          .select(col("l_linestatus"), col("l_extendedprice"),
-            lit(-1).as("op")))
+      // synthetic changelog in ONE scan: every lineitem inserts, returned
+      // ('R') rows also retract → live p50 price of non-returned items.
+      // Exact side (count + interpolated percentile over the live rows)
+      // rides the same aggregation — one scan, one agg, no join.
+      val changelog = s.table("lineitem").select(
+        col("l_linestatus"), col("l_extendedprice"),
+        explode(when(col("l_returnflag") === "R", array(lit(1), lit(-1)))
+          .otherwise(array(lit(1)))).as("op"))
       val est = changelog.groupBy("l_linestatus")
         .agg(graft.functions.RetractablePercentile
           .approxPercentileRetractable(col("l_extendedprice"), col("op"), 0.5)
           .as("est"))
-      val exact = li.where(col("l_returnflag") =!= "R")
+      val exact = s.table("lineitem").where(col("l_returnflag") =!= "R")
         .groupBy("l_linestatus")
         .agg(count(lit(1)).as("live_n"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50x"))
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(20000))
+            .as("p50x"))
       exact.join(est, "l_linestatus")
         .select(col("l_linestatus"), col("live_n"),
           (abs(col("est") - col("p50x")) / col("p50x") <= 0.02).as("ok"))
