@@ -474,8 +474,22 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     out
   }
 
+  /** Bind every engine-managed table/MV the statement mentions as a
+    * fresh temp view, so plain Spark SQL (the fall-through branch, CREATE
+    * MV/VIEW bodies, INSERT … SELECT sources) resolves them. Re-bound per
+    * statement because MV merges rewrite the backing files — a view
+    * created once would pin a stale file listing. Registration is
+    * metadata-only (no materialization).
+    */
+  private def bindMvTables(stmt: String): Unit =
+    mvs.list.foreach { n =>
+      if (java.util.regex.Pattern.compile(s"(?i)\\b$n\\b").matcher(stmt).find())
+        table(n).createOrReplaceTempView(n)
+    }
+
   def execute(statement0: String): DataFrame = {
     val statement = rewriteTvfs(statement0)
+    bindMvTables(statement)
     SqlFrontend.parseCreateTable(statement) match {
       case Some(SqlFrontend.TableDef(name, schema, pk, defaults)) =>
         // a user table IS a PK-merged MV with DML as its only writer

@@ -1,0 +1,247 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, IOException}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** PostgreSQL wire-protocol (v3) server — the reference's actual client
+  * surface (reference: src/utils/pgwire/src/pg_protocol.rs — startup,
+  * simple query, row description/data/command-complete framing; any psql
+  * or Postgres driver connects to it). This is the same protocol spoken
+  * here over `java.net` sockets, with [[Engine.execute]] as the handler
+  * behind the `Query` message, so every DDL/DML/SELECT in the SQL
+  * frontend is reachable from a vanilla Postgres client.
+  *
+  * Protocol subset (the public spec,
+  * https://www.postgresql.org/docs/current/protocol-message-formats.html):
+  *  - SSLRequest / GSSENCRequest → 'N' (cleartext), then StartupMessage
+  *  - AuthenticationOk (trust), ParameterStatus, BackendKeyData,
+  *    ReadyForQuery
+  *  - Simple query: 'Q' → RowDescription / DataRow* / CommandComplete /
+  *    ReadyForQuery; empty string → EmptyQueryResponse; failures →
+  *    ErrorResponse (severity/code/message) + ReadyForQuery
+  *  - Terminate 'X'
+  * All values travel in text format (format code 0), NULL as length −1.
+  * The extended protocol (Parse/Bind/Execute) is not implemented —
+  * documented divergence; psql's default path is the simple protocol.
+  *
+  * Statements execute serially under the engine lock (one engine, many
+  * connections); result collection is client-bound delivery by
+  * definition, not a data-path operation.
+  */
+final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
+
+  private val server = new ServerSocket(requestedPort)
+  @volatile private var running = false
+
+  /** The bound port (useful with requestedPort = 0). */
+  def port: Int = server.getLocalPort
+
+  def start(): Unit = {
+    running = true
+    val t = new Thread(() => acceptLoop(), s"pgwire-accept-$port")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  def stop(): Unit = {
+    running = false
+    try server.close() catch { case _: IOException => }
+  }
+
+  private def acceptLoop(): Unit =
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), s"pgwire-conn-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: SocketException => // closed in stop()
+        case _: IOException if !running =>
+      }
+    }
+
+  // ------------------------------------------------------------ framing
+
+  private def writeMsg(out: DataOutputStream, tpe: Byte)(body: DataOutputStream => Unit): Unit = {
+    val buf = new java.io.ByteArrayOutputStream()
+    body(new DataOutputStream(buf))
+    out.writeByte(tpe)
+    out.writeInt(4 + buf.size())
+    buf.writeTo(out)
+  }
+
+  private def cstr(out: DataOutputStream, s: String): Unit = {
+    out.write(s.getBytes(UTF_8)); out.writeByte(0)
+  }
+
+  private def readCString(in: DataInputStream): String = {
+    val b = new java.io.ByteArrayOutputStream()
+    var c = in.readByte()
+    while (c != 0) { b.write(c); c = in.readByte() }
+    new String(b.toByteArray, UTF_8)
+  }
+
+  // ------------------------------------------------------ type mapping
+
+  /** Spark type → Postgres type OID (pg_type.dat, public catalog). */
+  private def oidOf(dt: DataType): Int = dt match {
+    case BooleanType => 16
+    case LongType => 20
+    case ShortType | ByteType => 21
+    case IntegerType => 23
+    case FloatType => 700
+    case DoubleType => 701
+    case DateType => 1082
+    case TimestampType | TimestampNTZType => 1114
+    case _: DecimalType => 1700
+    case _ => 25 // text for strings and anything rendered as text
+  }
+
+  private def render(v: Any): String = v match {
+    case null => null
+    case b: Boolean => if (b) "t" else "f"
+    case s: Seq[_] => s.map(x => if (x == null) "NULL" else x.toString)
+      .mkString("{", ",", "}") // pg array text form
+    case a: Array[_] => render(a.toSeq)
+    case m: Map[_, _] => m.map { case (k, x) => s"$k=>$x" }.mkString(",")
+    case other => other.toString
+  }
+
+  // ------------------------------------------------------- connection
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    try {
+      if (!handshake(in, out)) return
+      var open = true
+      while (open) {
+        val tpe = try in.readByte() catch { case _: EOFException => 'X'.toByte }
+        val len = if (tpe == 'X') 4 else in.readInt()
+        tpe match {
+          case 'Q' =>
+            val sqlBytes = new Array[Byte](len - 4)
+            in.readFully(sqlBytes)
+            val sql = new String(sqlBytes, UTF_8).stripSuffix("\u0000").trim
+            if (sql.isEmpty) writeMsg(out, 'I') { _ => } // EmptyQueryResponse
+            else runQuery(out, sql)
+            readyForQuery(out)
+          case 'X' => open = false
+          case _ => // unsupported (extended protocol etc.): drain + error
+            in.skipBytes(len - 4)
+            errorResponse(out, "0A000",
+              s"unsupported frontend message '${tpe.toChar}' " +
+                "(simple query protocol only)")
+            readyForQuery(out)
+        }
+      }
+    } catch {
+      case _: EOFException | _: SocketException => // client went away
+    } finally {
+      try sock.close() catch { case _: IOException => }
+    }
+  }
+
+  /** SSL/GSS negotiation + StartupMessage → auth ok + parameters. */
+  private def handshake(in: DataInputStream, out: DataOutputStream): Boolean = {
+    var negotiating = true
+    while (negotiating) {
+      val len = in.readInt()
+      val code = in.readInt()
+      code match {
+        case 80877103 | 80877104 => // SSLRequest / GSSENCRequest
+          out.writeByte('N'); out.flush()
+        case 196608 => // protocol 3.0: key\0value\0 … \0
+          // body is NUL-separated key/value pairs (user, database, …) —
+          // read and discard: trust auth accepts any identity
+          val body = new Array[Byte](len - 8)
+          in.readFully(body)
+          negotiating = false
+        case 80877102 => // CancelRequest: no query registry — ignore
+          return false
+        case other =>
+          errorResponse(out, "08P01", s"unsupported protocol $other")
+          out.flush()
+          return false
+      }
+    }
+    writeMsg(out, 'R')(_.writeInt(0)) // AuthenticationOk (trust)
+    Seq("server_version" -> "14.0 (graft)", "server_encoding" -> "UTF8",
+      "client_encoding" -> "UTF8", "DateStyle" -> "ISO",
+      "integer_datetimes" -> "on").foreach { case (k, v) =>
+      writeMsg(out, 'S') { b => cstr(b, k); cstr(b, v) }
+    }
+    writeMsg(out, 'K') { b => b.writeInt(0); b.writeInt(0) } // BackendKeyData
+    readyForQuery(out)
+    true
+  }
+
+  private def readyForQuery(out: DataOutputStream): Unit = {
+    writeMsg(out, 'Z')(_.writeByte('I'))
+    out.flush()
+  }
+
+  private def errorResponse(out: DataOutputStream, code: String, msg: String): Unit =
+    writeMsg(out, 'E') { b =>
+      b.writeByte('S'); cstr(b, "ERROR")
+      b.writeByte('C'); cstr(b, code)
+      b.writeByte('M'); cstr(b, msg)
+      b.writeByte(0)
+    }
+
+  private def commandTag(sql: String, rows: Long): String = {
+    val head = sql.trim.split("\\s+").headOption.getOrElse("").toUpperCase
+    head match {
+      case "INSERT" => s"INSERT 0 $rows"
+      case "UPDATE" => s"UPDATE $rows"
+      case "DELETE" => s"DELETE $rows"
+      case "SELECT" | "FETCH" | "SHOW" | "VALUES" | "WITH" | "DESCRIBE" |
+           "DESC" | "EXPLAIN" | "TABLE" => s"SELECT $rows"
+      case "" => "OK"
+      case verb => verb // CREATE/DROP/FLUSH/…: pg answers the verb phrase
+    }
+  }
+
+  private def runQuery(out: DataOutputStream, sql: String): Unit =
+    try {
+      // one engine, many connections: serialize statement execution
+      val df: DataFrame = engine.synchronized(engine.execute(sql))
+      val schema = df.schema
+      val rows = engine.synchronized(df.collect()) // client-bound delivery
+      writeMsg(out, 'T') { b => // RowDescription
+        b.writeShort(schema.fields.length)
+        schema.fields.foreach { f =>
+          cstr(b, f.name)
+          b.writeInt(0); b.writeShort(0) // origin table/attr: none
+          b.writeInt(oidOf(f.dataType))
+          b.writeShort(-1); b.writeInt(-1) // typlen/typmod: variable
+          b.writeShort(0) // text format
+        }
+      }
+      rows.foreach { row =>
+        writeMsg(out, 'D') { b => // DataRow
+          b.writeShort(schema.fields.length)
+          var i = 0
+          while (i < schema.fields.length) {
+            val s = render(row.get(i))
+            if (s == null) b.writeInt(-1)
+            else {
+              val bytes = s.getBytes(UTF_8)
+              b.writeInt(bytes.length); b.write(bytes)
+            }
+            i += 1
+          }
+        }
+      }
+      writeMsg(out, 'C')(cstr(_, commandTag(sql, rows.length.toLong)))
+    } catch {
+      case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+        errorResponse(out, "XX000", msg.linesIterator.take(4).mkString(" | "))
+    }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Drives [[PgWireServer]] with a from-scratch Postgres frontend client
+  * (raw sockets, wire bytes assembled against the public protocol spec —
+  * not the server's own code), covering SSL negotiation, startup, simple
+  * queries, DDL/DML through the engine, NULLs, and the error path.
+  */
+class PgWireSpec extends SparkSpecBase {
+
+  private case class Msg(tpe: Char, body: Array[Byte])
+
+  private final class Client(port: Int) {
+    private val sock = new Socket("127.0.0.1", port)
+    private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+
+    def startup(): Seq[Msg] = {
+      out.writeInt(8); out.writeInt(80877103); out.flush() // SSLRequest
+      assert(in.readByte() == 'N', "expected cleartext refusal")
+      val params = ("user\u0000graft\u0000database\u0000dev\u0000\u0000").getBytes(UTF_8)
+      out.writeInt(8 + params.length); out.writeInt(196608)
+      out.write(params); out.flush()
+      drainUntilReady()
+    }
+
+    private def readMsg(): Msg = {
+      val t = in.readByte().toChar
+      val len = in.readInt()
+      val b = new Array[Byte](len - 4)
+      in.readFully(b)
+      Msg(t, b)
+    }
+
+    private def drainUntilReady(): Seq[Msg] = {
+      val buf = scala.collection.mutable.ArrayBuffer[Msg]()
+      var m = readMsg()
+      while (m.tpe != 'Z') { buf += m; m = readMsg() }
+      buf += m
+      buf.toSeq
+    }
+
+    def query(sql: String): Seq[Msg] = {
+      val b = (sql + "\u0000").getBytes(UTF_8)
+      out.writeByte('Q'); out.writeInt(4 + b.length); out.write(b); out.flush()
+      drainUntilReady()
+    }
+
+    def close(): Unit = {
+      out.writeByte('X'); out.writeInt(4); out.flush()
+      sock.close()
+    }
+  }
+
+  /** RowDescription body → (name, typeOid) per column. */
+  private def parseRowDesc(m: Msg): Seq[(String, Int)] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(m.body))
+    val n = in.readShort()
+    (0 until n).map { _ =>
+      val name = new StringBuilder
+      var c = in.readByte()
+      while (c != 0) { name.append(c.toChar); c = in.readByte() }
+      in.readInt(); in.readShort()
+      val oid = in.readInt()
+      in.readShort(); in.readInt(); in.readShort()
+      (name.toString, oid)
+    }
+  }
+
+  /** DataRow body → column values (None = SQL NULL). */
+  private def parseDataRow(m: Msg): Seq[Option[String]] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(m.body))
+    val n = in.readShort()
+    (0 until n).map { _ =>
+      val len = in.readInt()
+      if (len < 0) None
+      else {
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        Some(new String(b, UTF_8))
+      }
+    }
+  }
+
+  private def tagOf(msgs: Seq[Msg]): String =
+    msgs.find(_.tpe == 'C').map(m =>
+      new String(m.body, UTF_8).stripSuffix("\u0000")).getOrElse("")
+
+  test("pgwire: handshake, typed result sets, DDL+DML, error recovery") {
+    val e = new Engine(spark, tmpDir("pgwire"))
+    val srv = new PgWireServer(e)
+    srv.start()
+    try {
+      val c = new Client(srv.port)
+      val hello = c.startup()
+      assert(hello.exists(m => m.tpe == 'R'), "missing AuthenticationOk")
+      assert(hello.exists(m => m.tpe == 'S'), "missing ParameterStatus")
+      assert(hello.last.tpe == 'Z')
+
+      // typed SELECT with a NULL: row description carries pg OIDs,
+      // values travel as text, NULL as length -1
+      val sel = c.query(
+        "SELECT CAST(1 AS BIGINT) AS one, 'ab' AS s, " +
+          "CAST(NULL AS INT) AS n, true AS f")
+      val cols = parseRowDesc(sel.find(_.tpe == 'T').get)
+      assert(cols.map(_._1) == Seq("one", "s", "n", "f"))
+      assert(cols.map(_._2) == Seq(20, 25, 23, 16)) // int8, text, int4, bool
+      val rows = sel.filter(_.tpe == 'D').map(parseDataRow)
+      assert(rows == Seq(Seq(Some("1"), Some("ab"), None, Some("t"))))
+      assert(tagOf(sel) == "SELECT 1")
+
+      // the whole SQL frontend is behind the socket: DDL + DML + readback
+      c.query("CREATE TABLE pw (id BIGINT PRIMARY KEY, v DOUBLE)")
+      val ins = c.query("INSERT INTO pw VALUES (1, 1.5), (2, 2.5)")
+      assert(tagOf(ins).startsWith("INSERT"))
+      val back = c.query("SELECT id, v FROM pw ORDER BY id")
+      assert(back.filter(_.tpe == 'D').map(parseDataRow) ==
+        Seq(Seq(Some("1"), Some("1.5")), Seq(Some("2"), Some("2.5"))))
+
+      // an error mid-session answers ErrorResponse and stays usable
+      val err = c.query("SELECT definitely not sql !!!")
+      assert(err.exists(_.tpe == 'E'), "expected ErrorResponse")
+      assert(err.last.tpe == 'Z')
+      val again = c.query("SELECT 2 AS two")
+      assert(again.filter(_.tpe == 'D').map(parseDataRow) ==
+        Seq(Seq(Some("2"))))
+
+      // empty query → EmptyQueryResponse
+      assert(c.query("").exists(_.tpe == 'I'))
+
+      // two concurrent clients share one engine safely
+      val c2 = new Client(srv.port)
+      c2.startup()
+      assert(c2.query("SELECT count(*) AS n FROM pw")
+        .filter(_.tpe == 'D').map(parseDataRow) == Seq(Seq(Some("2"))))
+      c2.close()
+      c.close()
+    } finally srv.stop()
+  }
+}
