@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Changelog, MaterializedView}
+
+/** Direct change-data-capture from a JDBC database — the sandbox-honest
+  * analog of the reference's embedded CDC sources (reference:
+  * src/connector/src/source/cdc/, postgres-cdc / mysql-cdc: snapshot
+  * backfill + continuous change stream merged into a local table).
+  *
+  * Without WAL/binlog access (no server processes here), capture is
+  * polling-based incremental snapshotting over a MONOTONIC VERSION
+  * column — the standard JDBC-capture pattern when log access is
+  * unavailable (and the same snapshot→tail contract the reference's
+  * `CdcBackfill` implements: a consistent full read, then only rows past
+  * the frontier):
+  *
+  *  - [[backfill]]: full snapshot of the remote table → insert-op
+  *    changelog → MV merge; frontier = max(version) seen.
+  *  - [[pollOnce]]: `WHERE version > frontier` pushed down to the remote
+  *    DB (one indexed range scan remotely, only changed rows travel);
+  *    rows with the soft-delete marker become Delete ops, the rest
+  *    UpdateInsert ops (PK merge makes insert-vs-update uniform, exactly
+  *    like the reference's upsert semantics on CDC tables). The frontier
+  *    advances to the max polled version and persists ATOMICALLY, and
+  *    only AFTER the merge commits: a crash between merge and frontier
+  *    write replays the same rows, which the PK upsert absorbs
+  *    idempotently (at-least-once poll, exactly-once state).
+  *
+  * Scale shape: each poll moves O(changed rows); the remote side does
+  * one range probe on its version index; the local merge rewrites only
+  * the touched PK buckets. A 1000-executor deployment points many such
+  * sources at many tables — each is driver-light (two small jobs per
+  * poll).
+  */
+final class JdbcCdc(
+    spark: SparkSession,
+    url: String,
+    tableName: String,
+    versionCol: String,
+    deletedCol: Option[String],
+    mv: MaterializedView,
+    stateDir: String) {
+
+  private val frontierFile = Paths.get(stateDir, "cdc_frontier")
+
+  /** The committed version frontier (−MaxValue before any capture). */
+  def frontier: Long =
+    if (Files.exists(frontierFile))
+      new String(Files.readAllBytes(frontierFile), "UTF-8").trim.toLong
+    else Long.MinValue
+
+  private def commitFrontier(v: Long): Unit = {
+    Files.createDirectories(frontierFile.getParent)
+    val tmp = frontierFile.resolveSibling(".cdc_frontier.tmp")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    Files.move(tmp, frontierFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Remote rows as a pushdown scan; the version predicate reaches the
+    * remote SQL (JDBC source filter pushdown).
+    */
+  private def remote(): DataFrame = Jdbc.table(spark, url, tableName)
+
+  private def dataCols(df: DataFrame): Seq[String] =
+    df.columns.toSeq.filterNot(c =>
+      c == versionCol || deletedCol.contains(c))
+
+  /** Initial consistent snapshot → insert changelog → MV. Returns the
+    * number of rows backfilled. Live (non-deleted) rows only.
+    */
+  def backfill(): Long = {
+    val snap0 = remote()
+    val live = deletedCol.fold(snap0)(d => snap0.where(!col(d)))
+    val maxV = snap0.agg(max(col(versionCol))).collect().head
+    val n = live.count()
+    mv.merge(Changelog.ofInserts(
+      live.select(dataCols(snap0).map(col): _*)))
+    if (!maxV.isNullAt(0)) commitFrontier(maxV.getLong(0))
+    n
+  }
+
+  /** Capture every change past the frontier; returns rows captured.
+    * Idempotent under replay (PK merge), monotone frontier.
+    */
+  def pollOnce(): Long = {
+    val fr = frontier
+    val changed = remote().where(col(versionCol) > fr)
+    val ops = changed.withColumn(Changelog.OpCol,
+        deletedCol.fold(lit(Changelog.UpdateInsert))(d =>
+          when(col(d), Changelog.Delete).otherwise(Changelog.UpdateInsert)))
+      .withColumn(Changelog.SeqCol, col(versionCol).cast("long"))
+    val batch = ops.select(
+      (dataCols(changed).map(col) :+ col(Changelog.OpCol) :+
+        col(Changelog.SeqCol)): _*)
+    val stats = changed.agg(count(lit(1)), max(col(versionCol))).collect().head
+    val n = stats.getLong(0)
+    if (n > 0) {
+      mv.merge(batch)
+      commitFrontier(stats.getLong(1))
+    }
+    n
+  }
+
+  /** The local replica (the `CREATE TABLE … WITH (connector='…-cdc')`
+    * table surface).
+    */
+  def replica(): DataFrame = mv.read()
+}
