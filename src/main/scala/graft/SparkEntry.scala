@@ -32,7 +32,8 @@ object SparkEntry {
     Gaps,
     LlmText,
     LlmDedup,
-    LlmSimilarity
+    LlmSimilarity,
+    LlmPipeline
   )
 
   private lazy val allQueries: Seq[GraftQuery] = packs.flatMap(_.queries)

@@ -37,6 +37,37 @@ object IterativeFixpoint {
     acc
   }
 
+  /** Connected components of an undirected edge set (columns `src`,
+    * `dst`) by min-label propagation: each node repeatedly adopts the
+    * smallest component id among itself and its neighbors, converging in
+    * O(component diameter) rounds — each round one join + one
+    * aggregation, both on the node id (a single hash partitioning
+    * reused), never materializing the O(n²) transitive closure. This is
+    * the dedup-clustering primitive: near-dup PAIRS in, duplicate
+    * CLUSTERS out (keep min-id representative per component).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint(true)
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      val viaNeighbor = und
+        .join(labels.select(col("id").as("dst"), col("component")), "dst")
+        .select(col("src").as("id"), col("component"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      changed = !next.join(labels, Seq("id", "component"), "left_anti").isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Generic fixpoint: iterate `step` over the accumulated set until no
     * new distinct rows appear (UNION semantics of a recursive CTE).
     */

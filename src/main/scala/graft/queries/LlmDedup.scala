@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, IterativeFixpoint}
 
 /** Deduplication pipeline over `documents` — exact, MinHash+LSH, SimHash,
   * n-gram Jaccard (BASELINE.json north-star ops), all via graft.operators
@@ -161,6 +161,74 @@ object LlmDedup extends QueryPack {
       a.join(b, col("doc_id_b") === col("doc_id") + 10000)
         .select(col("doc_id"), col("simhash"),
           Dedup.hammingDistance(col("simhash"), col("simhash_b"), 16).as("hamming"))
+        .orderBy("doc_id")
+    },
+
+    // Duplicate CLUSTERS: near-dup pairs chained into components — the
+    // step after pair discovery in a real dedup pipeline (doc A ~ B and
+    // B ~ C must collapse to ONE survivor even when A !~ C directly).
+    // Corpus plants two near-dup generations (a → a+10000 → a+20000);
+    // edges are Jaccard-verified pairs; components via min-label
+    // propagation (IterativeFixpoint.connectedComponents); the oracle
+    // recomputes reachability with a recursive CTE.
+    q("q_dedup_clusters",
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' zz9' FROM documents WHERE doc_id < 40
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text || ' zz9 zz9' FROM documents WHERE doc_id < 20
+         |),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_distinct($grams3Sql)) AS g FROM corpus
+         |),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+         |cands AS (
+         |  SELECT doc_id AS id_a, doc_id + 10000 AS id_b
+         |  FROM documents WHERE doc_id < 40
+         |  UNION ALL
+         |  SELECT doc_id + 10000, doc_id + 20000
+         |  FROM documents WHERE doc_id < 20
+         |),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+         |  FROM cands c
+         |  JOIN grams ga ON ga.doc_id = c.id_a
+         |  JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+         |  GROUP BY c.id_a, c.id_b
+         |),
+         |edges AS (
+         |  SELECT i.id_a AS a, i.id_b AS b FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.id_a
+         |  JOIN sizes sb ON sb.doc_id = i.id_b
+         |  WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.5
+         |),
+         |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM und
+         |  UNION
+         |  SELECT re.id, u.b FROM reach re JOIN und u ON u.a = re.r
+         |)
+         |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { s =>
+      val d = s.table("documents").select("doc_id", "text")
+      val corpus = d
+        .union(d.where(col("doc_id") < 40)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" zz9")).as("text")))
+        .union(d.where(col("doc_id") < 20)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" zz9 zz9")).as("text")))
+      val cands = d.where(col("doc_id") < 40)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 10000).as("id_b"))
+        .union(d.where(col("doc_id") < 20)
+          .select((col("doc_id") + 10000).as("id_a"),
+            (col("doc_id") + 20000).as("id_b")))
+      val edges = Dedup.jaccardPairs(corpus, "doc_id", "text", cands, shingleLen = 3)
+        .where(col("jaccard") >= 0.5)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      IterativeFixpoint.connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
     }
   )
