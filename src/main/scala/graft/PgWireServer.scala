@@ -117,26 +117,99 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
   private def serve(sock: Socket): Unit = {
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    // extended-protocol session state: prepared statements ("" = unnamed)
+    // and portals (bound statement + spliced SQL)
+    val statements = scala.collection.mutable.Map[String, String]()
+    val portals = scala.collection.mutable.Map[String, String]()
+    val described = scala.collection.mutable.Set[String]() // portals with 'T' sent
     try {
       if (!handshake(in, out)) return
       var open = true
       while (open) {
         val tpe = try in.readByte() catch { case _: EOFException => 'X'.toByte }
         val len = if (tpe == 'X') 4 else in.readInt()
+        val body = new Array[Byte](math.max(len - 4, 0))
+        in.readFully(body)
+        val msg = new DataInputStream(new java.io.ByteArrayInputStream(body))
         tpe match {
           case 'Q' =>
-            val sqlBytes = new Array[Byte](len - 4)
-            in.readFully(sqlBytes)
-            val sql = new String(sqlBytes, UTF_8).stripSuffix("\u0000").trim
+            val sql = new String(body, UTF_8).stripSuffix("\u0000").trim
             if (sql.isEmpty) writeMsg(out, 'I') { _ => } // EmptyQueryResponse
             else runQuery(out, sql)
             readyForQuery(out)
+
+          // ---- extended protocol (Parse/Bind/Describe/Execute/Sync) ----
+          case 'P' => // Parse: name, query with $n placeholders, param oids
+            val name = readCString(msg)
+            val query = readCString(msg)
+            statements(name) = query
+            writeMsg(out, '1') { _ => } // ParseComplete
+          case 'B' => // Bind: portal, statement, formats, params
+            val portal = readCString(msg)
+            val stmt = readCString(msg)
+            val nFmt = msg.readShort()
+            val fmts = (0 until nFmt).map(_ => msg.readShort())
+            val nParams = msg.readShort()
+            val params = (0 until nParams).map { i =>
+              val plen = msg.readInt()
+              if (plen < 0) null
+              else {
+                val b = new Array[Byte](plen)
+                msg.readFully(b)
+                require(fmts.isEmpty || fmts(math.min(i, fmts.size - 1)) == 0,
+                  "binary parameter format not supported (text only)")
+                new String(b, UTF_8)
+              }
+            }
+            statements.get(stmt) match {
+              case Some(q) =>
+                portals(portal) = spliceParams(q, params)
+                writeMsg(out, '2') { _ => } // BindComplete
+              case None =>
+                errorResponse(out, "26000", s"unknown prepared statement '$stmt'")
+            }
+          case 'D' => // Describe statement/portal -> RowDescription or NoData
+            val kind = msg.readByte().toChar
+            val name = readCString(msg)
+            val sqlOpt =
+              if (kind == 'P') portals.get(name) else statements.get(name)
+            sqlOpt match {
+              case Some(sql) if isPureQuery(sql) =>
+                // schema from the analyzed plan only - no job runs, no
+                // side effects (the reason non-queries answer NoData)
+                try {
+                  val schema = engine.synchronized(engine.execute(sql).schema)
+                  rowDescription(out, schema)
+                  if (kind == 'P') described += name
+                } catch {
+                  case e: Throwable => errorResponse(out, "XX000",
+                    Option(e.getMessage).getOrElse("describe failed"))
+                }
+              case Some(_) => writeMsg(out, 'n') { _ => } // NoData (DDL/DML)
+              case None => errorResponse(out, "34000", s"unknown $kind '$name'")
+            }
+          case 'E' => // Execute portal (maxRows ignored: full result)
+            val portal = readCString(msg)
+            portals.get(portal) match {
+              case Some(sql) =>
+                if (sql.trim.isEmpty) writeMsg(out, 'I') { _ => }
+                else runQuery(out, sql, withRowDesc = !described.contains(portal))
+              case None =>
+                errorResponse(out, "34000", s"unknown portal '$portal'")
+            }
+          case 'C' => // Close statement/portal
+            val kind = msg.readByte().toChar
+            val name = readCString(msg)
+            if (kind == 'P') { portals.remove(name); described -= name }
+            else statements.remove(name)
+            writeMsg(out, '3') { _ => } // CloseComplete
+          case 'S' => // Sync: end of extended-protocol batch
+            readyForQuery(out)
+          case 'H' => out.flush() // Flush
           case 'X' => open = false
-          case _ => // unsupported (extended protocol etc.): drain + error
-            in.skipBytes(len - 4)
+          case _ =>
             errorResponse(out, "0A000",
-              s"unsupported frontend message '${tpe.toChar}' " +
-                "(simple query protocol only)")
+              s"unsupported frontend message '${tpe.toChar}'")
             readyForQuery(out)
         }
       }
@@ -144,6 +217,29 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
       case _: EOFException | _: SocketException => // client went away
     } finally {
       try sock.close() catch { case _: IOException => }
+    }
+  }
+
+  /** Statements with no side effects - safe to plan for Describe. */
+  private def isPureQuery(sql: String): Boolean =
+    Seq("SELECT", "WITH", "VALUES", "TABLE", "EXPLAIN")
+      .contains(sql.trim.split("\\s+").headOption.getOrElse("").toUpperCase)
+
+  /** Splice text-format parameters into `$n` placeholders. Numeric
+    * literals go in bare (so `$1 + 1` stays arithmetic); everything else
+    * as a single-quoted literal with quote doubling. NULL -> literal NULL.
+    */
+  private def spliceParams(query: String, params: Seq[String]): String = {
+    if (params.isEmpty) query
+    else {
+      // replace highest-numbered placeholders first ($12 before $1)
+      params.zipWithIndex.sortBy(-_._2).foldLeft(query) { case (q, (v, i)) =>
+        val lit =
+          if (v == null) "NULL"
+          else if (v.matches("[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")) v
+          else "'" + v.replace("'", "''") + "'"
+        q.replace("$" + (i + 1), lit)
+      }
     }
   }
 
@@ -207,22 +303,30 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     }
   }
 
-  private def runQuery(out: DataOutputStream, sql: String): Unit =
+  private def rowDescription(out: DataOutputStream, schema: StructType): Unit =
+    writeMsg(out, 'T') { b =>
+      b.writeShort(schema.fields.length)
+      schema.fields.foreach { f =>
+        cstr(b, f.name)
+        b.writeInt(0); b.writeShort(0) // origin table/attr: none
+        b.writeInt(oidOf(f.dataType))
+        b.writeShort(-1); b.writeInt(-1) // typlen/typmod: variable
+        b.writeShort(0) // text format
+      }
+    }
+
+  /** Execute + stream the result. `withRowDesc = false` when a Describe
+    * already announced the schema (extended-protocol flow — Execute must
+    * not repeat RowDescription there).
+    */
+  private def runQuery(out: DataOutputStream, sql: String,
+      withRowDesc: Boolean = true): Unit =
     try {
       // one engine, many connections: serialize statement execution
       val df: DataFrame = engine.synchronized(engine.execute(sql))
       val schema = df.schema
       val rows = engine.synchronized(df.collect()) // client-bound delivery
-      writeMsg(out, 'T') { b => // RowDescription
-        b.writeShort(schema.fields.length)
-        schema.fields.foreach { f =>
-          cstr(b, f.name)
-          b.writeInt(0); b.writeShort(0) // origin table/attr: none
-          b.writeInt(oidOf(f.dataType))
-          b.writeShort(-1); b.writeInt(-1) // typlen/typmod: variable
-          b.writeShort(0) // text format
-        }
-      }
+      if (withRowDesc) rowDescription(out, schema)
       rows.foreach { row =>
         writeMsg(out, 'D') { b => // DataRow
           b.writeShort(schema.fields.length)

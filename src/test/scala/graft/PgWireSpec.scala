@@ -53,6 +53,44 @@ class PgWireSpec extends SparkSpecBase {
       out.writeByte('X'); out.writeInt(4); out.flush()
       sock.close()
     }
+
+    // ---- extended protocol ----
+
+    private def send(tpe: Char)(body: DataOutputStream => Unit): Unit = {
+      val buf = new java.io.ByteArrayOutputStream()
+      body(new DataOutputStream(buf))
+      out.writeByte(tpe); out.writeInt(4 + buf.size()); buf.writeTo(out)
+    }
+    private def c(b: DataOutputStream, s: String): Unit = {
+      b.write(s.getBytes(UTF_8)); b.writeByte(0)
+    }
+
+    def parse(name: String, sql: String): Unit = send('P') { b =>
+      c(b, name); c(b, sql); b.writeShort(0)
+    }
+    def bind(portal: String, stmt: String, params: Seq[Option[String]]): Unit =
+      send('B') { b =>
+        c(b, portal); c(b, stmt)
+        b.writeShort(0) // param format codes: default text
+        b.writeShort(params.size)
+        params.foreach {
+          case Some(v) =>
+            val bytes = v.getBytes(UTF_8)
+            b.writeInt(bytes.length); b.write(bytes)
+          case None => b.writeInt(-1)
+        }
+        b.writeShort(0) // result formats: default text
+      }
+    def describePortal(portal: String): Unit = send('D') { b =>
+      b.writeByte('P'); c(b, portal)
+    }
+    def executePortal(portal: String): Unit = send('E') { b =>
+      c(b, portal); b.writeInt(0)
+    }
+    def sync(): Seq[Msg] = {
+      out.writeByte('S'); out.writeInt(4); out.flush()
+      drainUntilReady()
+    }
   }
 
   /** RowDescription body → (name, typeOid) per column. */
@@ -137,6 +175,38 @@ class PgWireSpec extends SparkSpecBase {
       assert(c2.query("SELECT count(*) AS n FROM pw")
         .filter(_.tpe == 'D').map(parseDataRow) == Seq(Seq(Some("2"))))
       c2.close()
+
+      // ---- extended protocol: Parse/Bind/Describe/Execute/Sync (the
+      // flow pgjdbc/psycopg drive for prepared statements) ----
+      c.parse("st1", "SELECT id, v FROM pw WHERE id >= $1 ORDER BY id")
+      c.bind("p1", "st1", Seq(Some("2")))
+      c.describePortal("p1")
+      c.executePortal("p1")
+      val ext = c.sync()
+      assert(ext.exists(_.tpe == '1'), "missing ParseComplete")
+      assert(ext.exists(_.tpe == '2'), "missing BindComplete")
+      val extCols = parseRowDesc(ext.find(_.tpe == 'T').get)
+      assert(extCols.map(_._1) == Seq("id", "v"))
+      // Execute must NOT repeat RowDescription after Describe
+      assert(ext.count(_.tpe == 'T') == 1)
+      assert(ext.filter(_.tpe == 'D').map(parseDataRow) ==
+        Seq(Seq(Some("2"), Some("2.5"))))
+
+      // re-Bind the same prepared statement with a different parameter —
+      // and a string parameter goes through quoted (injection-safe)
+      c.parse("st2", "SELECT $1 AS s")
+      c.bind("p2", "st2", Seq(Some("o'brien")))
+      c.executePortal("p2")
+      val ext2 = c.sync()
+      assert(ext2.filter(_.tpe == 'D').map(parseDataRow) ==
+        Seq(Seq(Some("o'brien"))))
+
+      // NULL parameter
+      c.bind("p3", "st2", Seq(None))
+      c.executePortal("p3")
+      assert(c.sync().filter(_.tpe == 'D').map(parseDataRow) ==
+        Seq(Seq(None)))
+
       c.close()
     } finally srv.stop()
   }
