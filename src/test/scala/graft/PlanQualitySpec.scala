@@ -176,4 +176,22 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(scan.contains("PartitionFilters") && scan.contains("__bucket"),
       s"expected bucket partition pruning:\n$scan")
   }
+
+  test("training-pipeline queries keep their scale shapes") {
+    Tables.register(spark, dir)
+    // split assignment: pure per-row hashing — the only exchange is the
+    // final presentation sort (range partitioning), never a hash shuffle
+    val split = plan(SparkEntry.queries("q_split_assign")(spark, dir))
+    assert(!split.contains("hashpartitioning"),
+      s"split assignment must not hash-shuffle:\n$split")
+    // stratified sample: per-group limit pushed before the shuffle
+    val samp = plan(SparkEntry.queries("q_sample_stratified")(spark, dir))
+    assert(samp.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in stratified sample:\n$samp")
+    // vocab top-k: partial aggregation + TakeOrdered, no global sort
+    val vocab = plan(SparkEntry.queries("q_vocab_topk")(spark, dir))
+    assert(vocab.contains("HashAggregate") &&
+      vocab.contains("TakeOrderedAndProject"),
+      s"expected partial agg + TakeOrdered in vocab top-k:\n$vocab")
+  }
 }
