@@ -243,6 +243,52 @@ object Functions3 extends QueryPack {
               ArrayType(IntegerType)),
             col("n_nationkey") % 7).as("jc"))
         .orderBy("n_nationkey")
+    },
+
+    // Array surgery family (reference: src/expr/impl/src/scalar/
+    // array_{positions,remove,min_max,...}.rs): position (0 when
+    // absent), prepend/append, remove, min/max, slice, null compaction,
+    // and the three set operations — all rendered to ':'-joined strings
+    // for engine-neutral hashing.
+    q("q_fn_array2",
+      """SELECT n_nationkey,
+        |  CAST(coalesce(list_position([n_nationkey % 5, n_regionkey, 7], 7), 0) AS BIGINT) AS pos7,
+        |  array_to_string(list_prepend(99, [n_nationkey, n_regionkey]), ':') AS pre,
+        |  array_to_string(list_append([n_nationkey, n_regionkey], 99), ':') AS app,
+        |  coalesce(array_to_string(list_filter([n_nationkey % 3, 1, n_regionkey], x -> x <> 1), ':'), '') AS rem1,
+        |  CAST(list_min([n_nationkey, n_regionkey, 7]) AS INT) AS amin,
+        |  CAST(list_max([n_nationkey, n_regionkey, 7]) AS INT) AS amax,
+        |  array_to_string(list_slice([n_nationkey, n_regionkey, 7, 8], 2, 3), ':') AS sl,
+        |  array_to_string(list_filter([n_nationkey, nullif(n_regionkey, 2), 5], x -> x IS NOT NULL), ':') AS cmp,
+        |  array_to_string(list_sort(list_distinct([n_nationkey % 5, n_regionkey] || [n_regionkey, 3])), ':') AS uni,
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct([n_nationkey % 5, n_regionkey]),
+        |    x -> list_contains([n_regionkey, 3], x))), ':'), '') AS inter,
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct([n_nationkey % 5, n_regionkey]),
+        |    x -> NOT list_contains([n_regionkey, 3], x))), ':'), '') AS xcept
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { s =>
+      def str(c: org.apache.spark.sql.Column) =
+        array_join(c.cast("array<string>"), ":")
+      val ab = array(col("n_nationkey") % 5, col("n_regionkey"))
+      val b = array(col("n_regionkey"), lit(3))
+      s.table("nation").select(col("n_nationkey"),
+        array_position(array(col("n_nationkey") % 5, col("n_regionkey"), lit(7)),
+          7).as("pos7"),
+        str(array_prepend(array(col("n_nationkey"), col("n_regionkey")), lit(99)))
+          .as("pre"),
+        str(array_append(array(col("n_nationkey"), col("n_regionkey")), lit(99)))
+          .as("app"),
+        str(array_remove(array(col("n_nationkey") % 3, lit(1), col("n_regionkey")),
+          1)).as("rem1"),
+        array_min(array(col("n_nationkey"), col("n_regionkey"), lit(7))).as("amin"),
+        array_max(array(col("n_nationkey"), col("n_regionkey"), lit(7))).as("amax"),
+        str(slice(array(col("n_nationkey"), col("n_regionkey"), lit(7), lit(8)),
+          2, 2)).as("sl"),
+        str(array_compact(array(col("n_nationkey"),
+          nullif(col("n_regionkey"), lit(2)), lit(5)))).as("cmp"),
+        str(array_sort(array_union(ab, b))).as("uni"),
+        str(array_sort(array_intersect(ab, b))).as("inter"),
+        str(array_sort(array_except(ab, b))).as("xcept"))
+        .orderBy("n_nationkey")
     }
   )
 }
