@@ -105,16 +105,46 @@ object LlmSimilarity extends QueryPack {
         .orderBy("qid", "rank")
     },
 
-    // IVF (k-means cells + nprobe) approximate top-k — float-mean
-    // centroids are merge-order dependent, so rows-only driver check; the
-    // mechanism and recall are pinned by IvfSpec.
-    qNoOracle("q_embed_ivf_topk") { (s, dir) =>
+    // IVF (k-means cells + nprobe) approximate top-k. Which neighbors it
+    // returns is engine-specific (float-mean centroids are merge-order
+    // dependent), so the hashed surface is the DETERMINISTIC contract:
+    // each query gets exactly k results, every returned score is the
+    // true cosine of that pair (recomputed independently from the
+    // embeddings and matched to 1e-9), and aggregate recall against
+    // brute force clears a loose stable floor (fine-grained recall is
+    // pinned in IvfSpec). The oracle asserts the same constants.
+    q("q_embed_ivf_topk",
+      """SELECT vec_id AS qid, CAST(3 AS BIGINT) AS k_returned,
+        |  true AS cos_exact_ok, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin) { s =>
+      import graft.operators.SimilaritySearch
+      import graft.functions.VectorFunctions
       val e = s.table("embeddings")
       val qs = e.where(col("vec_id") < 5)
         .select(col("vec_id").as("qvec_id"), col("embedding").as("qembedding"))
-      graft.operators.SimilaritySearch.ivfTopK(e, "vec_id", "embedding",
+      val ivf = SimilaritySearch.ivfTopK(e, "vec_id", "embedding",
         qs, "qvec_id", "qembedding", k = 3, nCells = 8, nprobe = 3)
-        .orderBy("qid", "rank")
+      val bf = SimilaritySearch.bruteForceTopK(e, "vec_id", "embedding",
+        qs, "qvec_id", "qembedding", k = 3)
+      // recall floor: ≥3 of the 15 brute-force neighbors found. nprobe
+      // 3/8 cells ⇒ expected hits ≈ 6+ even on an unclustered corpus;
+      // the floor is far below any plausible run-to-run wobble.
+      val hits = ivf.join(bf.select("qid", "id"), Seq("qid", "id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      // score integrity: every returned cos must equal the independently
+      // recomputed exact cosine of (query, id). ivfTopK rounds its
+      // output to 6 decimals, so the bound is the rounding radius.
+      val checked = ivf
+        .join(e.select(col("vec_id").as("id"), col("embedding").as("dvec")), "id")
+        .join(qs.select(col("qvec_id").as("qid"), col("qembedding").as("qvec")), "qid")
+        .withColumn("cos2", VectorFunctions.cosine(col("qvec"), col("dvec")))
+      checked.groupBy("qid")
+        .agg(count(lit(1)).as("k_returned"),
+          min(abs(col("cos") - col("cos2")) < 1e-6).as("cos_exact_ok"))
+        .crossJoin(hits)
+        .select(col("qid"), col("k_returned"), col("cos_exact_ok"),
+          (col("hits") >= 3).as("recall_ok"))
+        .orderBy("qid")
     },
 
     // Embedding near-dup pairs above a cosine threshold, LSH-pruned.
