@@ -87,7 +87,9 @@ object DurableCatalog {
     * checkpoint dir survives.
     */
   final case class MvEntry(pk: Seq[String], query: Option[String],
-      streaming: Boolean, outputMode: String, nBuckets: Int)
+      streaming: Boolean, outputMode: String, nBuckets: Int,
+      over: Option[Boolean] = None) // Some(true): OVER-window MV
+      // (maintained by IncrementalOver, not a plain streaming sink)
 
   /** CREATE SOURCE / CREATE SINK / CREATE VIEW / CREATE SUBSCRIPTION:
     * definitions small enough to persist as their raw DDL or parts.

@@ -227,6 +227,57 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*;?\s*""".r
 
   private val ShowMv = """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
+  private val ShowCreate =
+    """(?is)\s*SHOW\s+CREATE\s+(TABLE|MATERIALIZED\s+VIEW|VIEW|SOURCE|SINK|INDEX)\s+(\w+)\s*;?\s*""".r
+
+  /** `SHOW CREATE <kind> <name>` (reference: handler/show.rs
+    * handle_show_create_object): one (name, create_sql) row reconstructed
+    * from the durable catalog — the DDL a user would re-issue to recreate
+    * the object.
+    */
+  private def showCreate(kind: String, name: String): DataFrame = {
+    import spark.implicits._
+    import DurableCatalog._
+    val k = kind.toUpperCase.replaceAll("\\s+", " ")
+    val ddl: String = k match {
+      case "TABLE" =>
+        val e = catalog.load[TableEntry]("tables", name).getOrElse(
+          throw new IllegalArgumentException(s"no such table $name"))
+        val schema = org.apache.spark.sql.types.DataType.fromJson(e.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val cols = schema.fields.map { f =>
+          val d = e.defaults.get(f.name).map(x => s" DEFAULT $x").getOrElse("")
+          s"${f.name} ${f.dataType.sql}$d"
+        }
+        s"CREATE TABLE $name (${cols.mkString(", ")}, " +
+          s"PRIMARY KEY (${e.pk.mkString(", ")}))"
+      case "MATERIALIZED VIEW" =>
+        val e = catalog.load[MvEntry]("mvs", name).getOrElse(
+          throw new IllegalArgumentException(s"no such materialized view $name"))
+        val q = e.query.getOrElse(
+          throw new IllegalArgumentException(
+            s"$name was defined programmatically — no SQL text to show"))
+        s"CREATE MATERIALIZED VIEW $name (PRIMARY KEY (${e.pk.mkString(", ")})) AS $q"
+      case "VIEW" =>
+        val e = catalog.load[ViewEntry]("views", name).getOrElse(
+          throw new IllegalArgumentException(s"no such view $name"))
+        s"CREATE VIEW $name AS ${e.query}"
+      case "SOURCE" =>
+        catalog.load[SourceEntry]("sources", name).getOrElse(
+          throw new IllegalArgumentException(s"no such source $name")).ddl.trim
+      case "SINK" =>
+        val e = catalog.load[SinkEntry]("sinks", name).getOrElse(
+          throw new IllegalArgumentException(s"no such sink $name"))
+        val opts = e.options.toSeq.sortBy(_._1)
+          .map { case (ok, ov) => s"$ok = '$ov'" }.mkString(", ")
+        s"CREATE SINK $name FROM ${e.from} WITH ($opts)"
+      case "INDEX" =>
+        val e = catalog.load[IndexEntry]("indexes", name).getOrElse(
+          throw new IllegalArgumentException(s"no such index $name"))
+        s"CREATE INDEX $name ON ${e.table} (${e.keys.mkString(", ")})"
+    }
+    Seq((name, ddl)).toDF("name", "create_sql")
+  }
   private val ShowTables = """(?is)\s*SHOW\s+TABLES\s*;?\s*""".r
   private val DropTable =
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
@@ -422,6 +473,58 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     statusDf("CREATE SINK", d.name)
   }
 
+  /** `CREATE MATERIALIZED VIEW … AS SELECT …, f() OVER (PARTITION BY …)`
+    * on a STREAMING source — the reference's StreamOverWindow
+    * (src/stream/src/executor/over_window/general.rs). Structured
+    * Streaming rejects non-time windows outright, so the maintenance
+    * loop is [[graft.streaming.IncrementalOver]]: each micro-batch delta
+    * merges into a base MV and recomputes only the touched partitions
+    * (frame-granular when the plan's RANGE frames are bounded). The
+    * window query itself is re-planned per batch as BATCH SQL over the
+    * base table — identical semantics to running it on the full input.
+    */
+  private def createOverMv(name: String, pk: Seq[String], query: String,
+      resume: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical
+    val srcName = sources.keys.find(sn =>
+      java.util.regex.Pattern.compile(s"(?i)\\b$sn\\b").matcher(query).find())
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW $name: OVER-window MV requires a " +
+          "registered streaming source in FROM"))
+    val stream = sources(srcName)
+    val tmp = s"__${name}_over_base"
+    val rewritten = query.replaceAll(s"(?i)\\b$srcName\\b",
+      java.util.regex.Matcher.quoteReplacement(tmp))
+    val windowFn: DataFrame => DataFrame = df => {
+      df.createOrReplaceTempView(tmp)
+      spark.sql(rewritten)
+    }
+    // window partition columns from the analyzed plan (drives bucket
+    // layout + touched-partition pruning)
+    val emptyBase = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
+    val partCols = windowFn(emptyBase).queryExecution.analyzed
+      .collect { case w: logical.Window => w.partitionSpec }
+      .flatten.collect { case a: AttributeReference => a.name }.distinct
+    require(partCols.nonEmpty,
+      s"CREATE MATERIALIZED VIEW $name: streaming OVER requires PARTITION BY " +
+        "(an unpartitioned global window cannot be maintained incrementally)")
+    val baseMv = mvs.define(s"${name}__base", pk, bucketKeys = partCols)
+    val resultMv = mvs.define(name, pk, bucketKeys = partCols)
+    val iow = new graft.streaming.IncrementalOver(
+      baseMv, resultMv, partCols, windowFn, pk)
+    val q = stream.writeStream
+      .option("checkpointLocation", mvs.checkpointDir(name))
+      .foreachBatch((batch: DataFrame, _: Long) => iow.applyDelta(batch))
+      .start()
+    jobs(name) = q
+    if (!resume)
+      catalog.save("mvs", name, DurableCatalog.MvEntry(
+        pk, Some(query), streaming = true, "update", 32, over = Some(true)))
+    statusDf("CREATE MATERIALIZED VIEW (streaming over-window)", name)
+  }
+
   /** SQL entry point — the reference's `run_statement`
     * (src/frontend/src/session.rs:1168):
     *
@@ -529,12 +632,18 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               "(PRIMARY KEY (…)) clause — merging on a guessed key would " +
               "silently drop rows"))
           if (result.isStreaming) {
-            // EMIT ON WINDOW CLOSE → append mode: only watermark-
-            // finalized rows reach the MV (reference EmitMode::OnWindowClose)
-            val mode = if (emitOnClose) "append" else "update"
-            jobs(name) = createMaterializedView(name, pk, result,
-              outputMode = mode, queryText = Some(query))
-            statusDf("CREATE MATERIALIZED VIEW (streaming)", name)
+            val hasOver = result.queryExecution.analyzed.collectFirst {
+              case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+            }.isDefined
+            if (hasOver) createOverMv(name, pk, query)
+            else {
+              // EMIT ON WINDOW CLOSE → append mode: only watermark-
+              // finalized rows reach the MV (reference EmitMode::OnWindowClose)
+              val mode = if (emitOnClose) "append" else "update"
+              jobs(name) = createMaterializedView(name, pk, result,
+                outputMode = mode, queryText = Some(query))
+              statusDf("CREATE MATERIALIZED VIEW (streaming)", name)
+            }
           } else {
             refreshMaterializedView(name, pk, result,
               queryText = Some(query)).read()
@@ -545,6 +654,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case DropMv(name) =>
             jobs.remove(name).foreach(_.stop())
             mvs.drop(name)
+            mvs.drop(s"${name}__base") // OVER-window MV's base table, if any
             catalog.delete("mvs", name)
             statusDf("DROP MATERIALIZED VIEW", name)
           case DropSink(name) =>
@@ -554,7 +664,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             statusDf("DROP SINK", name)
           case ShowMv() =>
             import spark.implicits._
-            mvs.list.toDF("name")
+            mvs.list.filterNot(_.endsWith("__base")).toDF("name")
+          case ShowCreate(kind, name) => showCreate(kind, name)
           case ShowSources() =>
             import spark.implicits._
             sources.keys.toSeq.sorted.toDF("name")
@@ -778,14 +889,28 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     }
 
     catalog.list[MvEntry]("mvs").foreach { case (name, e) =>
-      val mv = mvs.define(name, e.pk, e.nBuckets)
-      if (e.streaming) e.query.foreach { q =>
-        recoverOrPark(s"mv:$name") {
-          val ckpt = mvs.checkpointDir(name)
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt))) {
-            val result =
-              spark.sql(Engine.TemporalJoinClause.replaceAllIn(q, ""))
-            jobs(name) = mv.start(result, ckpt, outputMode = e.outputMode)
+      if (e.over.contains(true)) {
+        // OVER-window MV: rebuild the IncrementalOver maintenance loop;
+        // the checkpoint resumes the source offsets, the base/result MV
+        // storage is already on disk
+        e.query.foreach { q =>
+          recoverOrPark(s"mv:$name") {
+            if (java.nio.file.Files.exists(
+                java.nio.file.Paths.get(mvs.checkpointDir(name))))
+              createOverMv(name, e.pk, q, resume = true)
+            else mvs.define(name, e.pk, e.nBuckets)
+          }
+        }
+      } else {
+        val mv = mvs.define(name, e.pk, e.nBuckets)
+        if (e.streaming) e.query.foreach { q =>
+          recoverOrPark(s"mv:$name") {
+            val ckpt = mvs.checkpointDir(name)
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt))) {
+              val result =
+                spark.sql(Engine.TemporalJoinClause.replaceAllIn(q, ""))
+              jobs(name) = mv.start(result, ckpt, outputMode = e.outputMode)
+            }
           }
         }
       }

@@ -586,6 +586,85 @@ class SqlFrontendSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming CREATE MATERIALIZED VIEW with OVER windows (StreamOverWindow)") {
+    val e = new Engine(spark, tmpDir("overmv"))
+    val srcDir = tmpDir("overmv-src")
+    Seq((1L, "a", 10L, 1.0), (2L, "a", 20L, 2.0), (3L, "b", 10L, 5.0))
+      .toDF("id", "usr", "ts", "v")
+      .write.mode("append").parquet(srcDir)
+
+    e.execute(s"CREATE SOURCE ovsrc WITH (path = '$srcDir', format = 'parquet')")
+    val out = e.execute(
+      """CREATE MATERIALIZED VIEW ov_mv (PRIMARY KEY (id)) AS
+        |SELECT id, usr, ts, v,
+        |  sum(v) OVER (PARTITION BY usr ORDER BY ts) AS run_sum,
+        |  row_number() OVER (PARTITION BY usr ORDER BY ts) AS rn
+        |FROM ovsrc""".stripMargin)
+    assert(out.head().getString(0).contains("over-window"))
+    e.streamingJob("ov_mv").get.processAllAvailable()
+    def rows(en: Engine) = en.table("ov_mv").orderBy("id")
+      .select("id", "run_sum", "rn")
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(rows(e) == Seq((1L, 1.0, 1), (2L, 3.0, 2), (3L, 5.0, 1)))
+
+    // a mid-stream insert shifts downstream frames of ONLY its partition
+    Seq((4L, "a", 15L, 0.5)).toDF("id", "usr", "ts", "v")
+      .write.mode("append").parquet(srcDir)
+    e.streamingJob("ov_mv").get.processAllAvailable()
+    assert(rows(e) ==
+      Seq((1L, 1.0, 1), (2L, 3.5, 3), (3L, 5.0, 1), (4L, 1.5, 2)))
+
+    // restart: a fresh engine over the same warehouse resumes the
+    // over-window maintenance loop from the checkpoint
+    e.streamingJob("ov_mv").get.stop()
+    val s2 = spark.newSession()
+    val e2 = new Engine(s2, e.mvs.checkpointDir("ov_mv")
+      .stripSuffix("/ov_mv/checkpoint")) // same warehouse root
+    assert(e2.recoveryPending.isEmpty,
+      s"unrecovered: ${e2.recoveryPending.mkString(", ")}")
+    Seq((5L, "b", 20L, 1.0)).toDF("id", "usr", "ts", "v")
+      .write.mode("append").parquet(srcDir)
+    val job2 = e2.streamingJob("ov_mv")
+    assert(job2.isDefined, "over-window maintenance not resumed")
+    job2.get.processAllAvailable()
+    assert(rows(e2) ==
+      Seq((1L, 1.0, 1), (2L, 3.5, 3), (3L, 5.0, 1), (4L, 1.5, 2), (5L, 6.0, 2)))
+    job2.get.stop()
+
+    // base table is internal: not listed, dropped with the MV
+    import s2.implicits._
+    assert(!e2.execute("SHOW MATERIALIZED VIEWS").as[String]
+      .collect().contains("ov_mv__base"))
+    e2.execute("DROP MATERIALIZED VIEW ov_mv")
+    assert(e2.mvs.get("ov_mv").isEmpty && e2.mvs.get("ov_mv__base").isEmpty)
+  }
+
+  test("SHOW CREATE reconstructs re-issuable DDL from the catalog") {
+    val e = new Engine(spark, tmpDir("showcreate"))
+    e.execute("CREATE TABLE sc_t (id BIGINT PRIMARY KEY, v DOUBLE DEFAULT 1.5)")
+    val ddl = e.execute("SHOW CREATE TABLE sc_t").head().getString(1)
+    assert(ddl.contains("PRIMARY KEY (id)") && ddl.contains("DEFAULT 1.5"), ddl)
+    // the shown DDL is re-issuable verbatim on a fresh engine
+    val e2 = new Engine(spark.newSession(), tmpDir("showcreate2"))
+    e2.execute(ddl)
+    assert(e2.execute("DESCRIBE sc_t").count() == 2)
+
+    e.execute("CREATE VIEW sc_v AS SELECT 1 AS one")
+    assert(e.execute("SHOW CREATE VIEW sc_v").head().getString(1) ==
+      "CREATE VIEW sc_v AS SELECT 1 AS one")
+    e.execute("INSERT INTO sc_t VALUES (1, 2.0)")
+    e.execute("CREATE MATERIALIZED VIEW sc_m (PRIMARY KEY (id)) AS " +
+      "SELECT id, v * 2 AS v2 FROM sc_t")
+    assert(e.execute("SHOW CREATE MATERIALIZED VIEW sc_m").head().getString(1)
+      .startsWith("CREATE MATERIALIZED VIEW sc_m (PRIMARY KEY (id)) AS"))
+    e.execute("CREATE INDEX sc_i ON sc_t (v)")
+    assert(e.execute("SHOW CREATE INDEX sc_i").head().getString(1) ==
+      "CREATE INDEX sc_i ON sc_t (v)")
+    intercept[IllegalArgumentException] {
+      e.execute("SHOW CREATE TABLE nope")
+    }
+  }
+
   test("CREATE AGGREGATE: native UDAFs callable from SQL text, retraction-correct") {
     val e = new Engine(spark, tmpDir("sqlagg"))
     e.execute("CREATE AGGREGATE agg_cd(varchar) RETURNS bigint " +
