@@ -148,4 +148,35 @@ class PropertySpec extends SparkSpecBase {
     assert(back.orderBy("id").collect().toSeq ==
       norm.orderBy("id").collect().toSeq)
   }
+
+  test("property: PPM codec roundtrips random rasters of any geometry") {
+    val rnd = new Random(19)
+    (1 to 20).foreach { trial =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val pix = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val img = graft.operators.Multimodal.decodePpm(
+        graft.operators.Multimodal.encodePpm(w, h, pix))
+      assert(img.width == w && img.height == h, s"trial $trial")
+      def sumCh(off: Int) =
+        pix.indices.collect { case i if i % 3 == off => pix(i) & 0xff }.map(_.toLong).sum
+      assert(img.sumR == sumCh(0) && img.sumG == sumCh(1) && img.sumB == sumCh(2),
+        s"trial $trial ($w x $h)")
+    }
+  }
+
+  test("property: WAV codec roundtrips random PCM16 streams, any rate") {
+    val rnd = new Random(23)
+    (1 to 20).foreach { trial =>
+      val n = rnd.nextInt(2000)
+      val rate = 1 + rnd.nextInt(192000)
+      val samples = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val au = graft.operators.Multimodal.decodeWav(
+        graft.operators.Multimodal.encodeWav(rate, samples))
+      assert(au.sampleRate == rate && au.nSamples == n, s"trial $trial")
+      assert(au.sumAmp == samples.map(_.toLong).sum, s"trial $trial")
+      assert(au.peak == (if (n == 0) 0 else samples.map(s => math.abs(s.toInt)).max),
+        s"trial $trial")
+    }
+  }
 }
