@@ -45,6 +45,8 @@ object IterativeFixpoint {
     * reused), never materializing the O(n²) transitive closure. This is
     * the dedup-clustering primitive: near-dup PAIRS in, duplicate
     * CLUSTERS out (keep min-id representative per component).
+    * Node ids must be integral (min-label ordering + the sum-based
+    * convergence check).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
@@ -52,17 +54,24 @@ object IterativeFixpoint {
       .distinct().localCheckpoint(true)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint(true)
+    // labels only ever DECREASE, so the global sum strictly decreases on
+    // any effective round — equal consecutive sums mean convergence.
+    // One cheap aggregate per round instead of an anti-join + isEmpty.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("component"))).collect().head.getLong(0)
+    var prevSum = labelSum(labels)
     var changed = true
     var i = 0
     while (changed && i < maxIter) {
       val viaNeighbor = und
         .join(labels.select(col("id").as("dst"), col("component")), "dst")
         .select(col("src").as("id"), col("component"))
-      val next = labels.union(viaNeighbor)
+      labels = labels.union(viaNeighbor)
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint(true)
-      changed = !next.join(labels, Seq("id", "component"), "left_anti").isEmpty
-      labels = next
+      val s = labelSum(labels)
+      changed = s != prevSum
+      prevSum = s
       i += 1
     }
     labels
