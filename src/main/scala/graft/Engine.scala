@@ -656,6 +656,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             mvs.drop(name)
             mvs.drop(s"${name}__base") // OVER-window MV's base table, if any
             catalog.delete("mvs", name)
+            // the bindMvTables temp view must die with the definition, or
+            // the dropped MV stays silently queryable with stale data
+            spark.catalog.dropTempView(name)
             statusDf("DROP MATERIALIZED VIEW", name)
           case DropSink(name) =>
             jobs.remove(name).foreach(_.stop())
@@ -713,6 +716,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             tableSchemas.remove(name)
             tableDefaults.remove(name)
             catalog.delete("tables", name)
+            spark.catalog.dropTempView(name) // see DropMv
             statusDf("DROP TABLE", name)
           case ShowTables() if tableSchemas.nonEmpty =>
             import spark.implicits._
@@ -849,11 +853,20 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     */
   def recoveryPending: Seq[String] = pendingRecovery.keys.toSeq.sorted
 
-  private def retryPendingRecovery(): Unit =
-    pendingRecovery.toSeq.foreach { case (key, attempt) =>
-      try { attempt(); pendingRecovery.remove(key) }
-      catch { case scala.util.control.NonFatal(_) => } // still blocked
+  private def retryPendingRecovery(): Unit = {
+    // parked entries can depend on EACH OTHER (a view over a source, an
+    // MV over a view) and the map iterates in arbitrary order — loop
+    // until a full pass makes no progress so chains resolve regardless
+    // of ordering
+    var progressed = true
+    while (progressed) {
+      progressed = false
+      pendingRecovery.toSeq.foreach { case (key, attempt) =>
+        try { attempt(); pendingRecovery.remove(key); progressed = true }
+        catch { case scala.util.control.NonFatal(_) => } // still blocked
+      }
     }
+  }
 
   private def recoverOrPark(key: String)(attempt: => Unit): Unit =
     try attempt
@@ -884,6 +897,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
     catalog.list[ViewEntry]("views").foreach { case (name, e) =>
       recoverOrPark(s"view:$name") {
+        bindMvTables(e.query) // the view may read engine-managed tables
         spark.sql(e.query).createOrReplaceTempView(name)
       }
     }
@@ -907,6 +921,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           recoverOrPark(s"mv:$name") {
             val ckpt = mvs.checkpointDir(name)
             if (java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt))) {
+              bindMvTables(q) // the MV may join engine-managed tables
               val result =
                 spark.sql(Engine.TemporalJoinClause.replaceAllIn(q, ""))
               jobs(name) = mv.start(result, ckpt, outputMode = e.outputMode)

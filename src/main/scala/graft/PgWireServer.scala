@@ -120,6 +120,7 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     // extended-protocol session state: prepared statements ("" = unnamed)
     // and portals (bound statement + spliced SQL)
     val statements = scala.collection.mutable.Map[String, String]()
+    val stmtParamOids = scala.collection.mutable.Map[String, Seq[Int]]()
     val portals = scala.collection.mutable.Map[String, String]()
     val described = scala.collection.mutable.Set[String]() // portals with 'T' sent
     try {
@@ -131,6 +132,14 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
         val body = new Array[Byte](math.max(len - 4, 0))
         in.readFully(body)
         val msg = new DataInputStream(new java.io.ByteArrayInputStream(body))
+        // each message body is fully consumed above, so a handler failure
+        // cannot desync the stream - answer ErrorResponse and keep the
+        // connection (the client's Sync gets its ReadyForQuery as usual)
+        def guarded(handler: => Unit): Unit =
+          try handler catch {
+            case scala.util.control.NonFatal(e) => errorResponse(out, "XX000",
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+          }
         tpe match {
           case 'Q' =>
             val sql = new String(body, UTF_8).stripSuffix("\u0000").trim
@@ -139,12 +148,15 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
             readyForQuery(out)
 
           // ---- extended protocol (Parse/Bind/Describe/Execute/Sync) ----
-          case 'P' => // Parse: name, query with $n placeholders, param oids
+          case 'P' => guarded { // Parse: name, query, declared param oids
             val name = readCString(msg)
             val query = readCString(msg)
+            val nTypes = msg.readShort()
+            stmtParamOids(name) = (0 until nTypes).map(_ => msg.readInt())
             statements(name) = query
             writeMsg(out, '1') { _ => } // ParseComplete
-          case 'B' => // Bind: portal, statement, formats, params
+          }
+          case 'B' => guarded { // Bind: portal, statement, formats, params
             val portal = readCString(msg)
             val stmt = readCString(msg)
             val nFmt = msg.readShort()
@@ -168,27 +180,42 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
               case None =>
                 errorResponse(out, "26000", s"unknown prepared statement '$stmt'")
             }
-          case 'D' => // Describe statement/portal -> RowDescription or NoData
+          }
+          case 'D' => guarded { // Describe statement/portal
             val kind = msg.readByte().toChar
             val name = readCString(msg)
             val sqlOpt =
               if (kind == 'P') portals.get(name) else statements.get(name)
             sqlOpt match {
-              case Some(sql) if isPureQuery(sql) =>
-                // schema from the analyzed plan only - no job runs, no
-                // side effects (the reason non-queries answer NoData)
-                try {
-                  val schema = engine.synchronized(engine.execute(sql).schema)
-                  rowDescription(out, schema)
-                  if (kind == 'P') described += name
-                } catch {
-                  case e: Throwable => errorResponse(out, "XX000",
-                    Option(e.getMessage).getOrElse("describe failed"))
+              case Some(sql) =>
+                if (kind == 'S') {
+                  // ParameterDescription precedes the row description on
+                  // statement describes: declared OIDs, or 0 (unspecified)
+                  // per placeholder actually used in the text
+                  val declared = stmtParamOids.getOrElse(name, Seq.empty)
+                  val used = "\\$(\\d+)".r.findAllMatchIn(sql)
+                    .map(_.group(1).toInt).maxOption.getOrElse(0)
+                  val oids = if (declared.nonEmpty) declared
+                    else Seq.fill(used)(0)
+                  writeMsg(out, 't') { b =>
+                    b.writeShort(oids.size); oids.foreach(b.writeInt)
+                  }
                 }
-              case Some(_) => writeMsg(out, 'n') { _ => } // NoData (DDL/DML)
+                val unbound = kind == 'S' && sql.contains("$")
+                if (!isPureQuery(sql) || unbound) writeMsg(out, 'n') { _ => }
+                else // schema from the analyzed plan only - no job runs
+                  try {
+                    val schema = engine.synchronized(engine.execute(sql).schema)
+                    rowDescription(out, schema)
+                    if (kind == 'P') described += name
+                  } catch {
+                    case e: Throwable => errorResponse(out, "XX000",
+                      Option(e.getMessage).getOrElse("describe failed"))
+                  }
               case None => errorResponse(out, "34000", s"unknown $kind '$name'")
             }
-          case 'E' => // Execute portal (maxRows ignored: full result)
+          }
+          case 'E' => guarded { // Execute portal (maxRows ignored)
             val portal = readCString(msg)
             portals.get(portal) match {
               case Some(sql) =>
@@ -197,12 +224,14 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
               case None =>
                 errorResponse(out, "34000", s"unknown portal '$portal'")
             }
-          case 'C' => // Close statement/portal
+          }
+          case 'C' => guarded { // Close statement/portal
             val kind = msg.readByte().toChar
             val name = readCString(msg)
             if (kind == 'P') { portals.remove(name); described -= name }
-            else statements.remove(name)
+            else { statements.remove(name); stmtParamOids.remove(name) }
             writeMsg(out, '3') { _ => } // CloseComplete
+          }
           case 'S' => // Sync: end of extended-protocol batch
             readyForQuery(out)
           case 'H' => out.flush() // Flush
@@ -225,23 +254,25 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     Seq("SELECT", "WITH", "VALUES", "TABLE", "EXPLAIN")
       .contains(sql.trim.split("\\s+").headOption.getOrElse("").toUpperCase)
 
-  /** Splice text-format parameters into `$n` placeholders. Numeric
+  /** Splice text-format parameters into `$n` placeholders in ONE regex
+    * pass (sequential replaces would rescan already-spliced values — a
+    * `$1` inside a bound string would be re-substituted). Numeric
     * literals go in bare (so `$1 + 1` stays arithmetic); everything else
     * as a single-quoted literal with quote doubling. NULL -> literal NULL.
     */
-  private def spliceParams(query: String, params: Seq[String]): String = {
+  private def spliceParams(query: String, params: Seq[String]): String =
     if (params.isEmpty) query
-    else {
-      // replace highest-numbered placeholders first ($12 before $1)
-      params.zipWithIndex.sortBy(-_._2).foldLeft(query) { case (q, (v, i)) =>
-        val lit =
-          if (v == null) "NULL"
-          else if (v.matches("[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")) v
-          else "'" + v.replace("'", "''") + "'"
-        q.replace("$" + (i + 1), lit)
-      }
-    }
-  }
+    else """\$(\d+)""".r.replaceAllIn(query, m => {
+      val i = m.group(1).toInt
+      require(i >= 1 && i <= params.size,
+        s"parameter $$$i out of range (${params.size} bound)")
+      val v = params(i - 1)
+      val lit =
+        if (v == null) "NULL"
+        else if (v.matches("[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")) v
+        else "'" + v.replace("'", "''") + "'"
+      java.util.regex.Matcher.quoteReplacement(lit)
+    })
 
   /** SSL/GSS negotiation + StartupMessage → auth ok + parameters. */
   private def handshake(in: DataInputStream, out: DataOutputStream): Boolean = {

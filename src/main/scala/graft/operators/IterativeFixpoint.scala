@@ -58,7 +58,8 @@ object IterativeFixpoint {
     // any effective round — equal consecutive sums mean convergence.
     // One cheap aggregate per round instead of an anti-join + isEmpty.
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("component"))).collect().head.getLong(0)
+      // coalesce: sum over an EMPTY label set is null (zero edges in)
+      df.agg(coalesce(sum(col("component")), lit(0L))).collect().head.getLong(0)
     var prevSum = labelSum(labels)
     var changed = true
     var i = 0

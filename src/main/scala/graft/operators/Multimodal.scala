@@ -213,7 +213,11 @@ object Multimodal {
           if (a.nSamples == 0) 0f else a.sumAmp.toFloat / a.nSamples,
           a.peak.toFloat, 0f, 0f, 0f, 0f)
       } else digest
-    } catch { case _: IllegalArgumentException => digest }
+    } catch {
+      // any parse failure (require → IllegalArgument, truncated buffers →
+      // BufferUnderflow/IndexOutOfBounds) degrades to the fingerprint
+      case scala.util.control.NonFatal(_) => digest
+    }
   }
 
   /** Batch feature extraction: one pass per partition, rows streamed —

@@ -77,7 +77,8 @@ final class JdbcCdc(
   def backfill(): Long = {
     val snap0 = remote()
     val live = deletedCol.fold(snap0)(d => snap0.where(!col(d)))
-    val maxV = snap0.agg(max(col(versionCol))).collect().head
+    // cast before aggregating: the remote version column may be INTEGER
+    val maxV = snap0.agg(max(col(versionCol).cast("long"))).collect().head
     val n = live.count()
     mv.merge(Changelog.ofInserts(
       live.select(dataCols(snap0).map(col): _*)))
@@ -98,7 +99,8 @@ final class JdbcCdc(
     val batch = ops.select(
       (dataCols(changed).map(col) :+ col(Changelog.OpCol) :+
         col(Changelog.SeqCol)): _*)
-    val stats = changed.agg(count(lit(1)), max(col(versionCol))).collect().head
+    val stats = changed.agg(count(lit(1)), max(col(versionCol).cast("long")))
+      .collect().head
     val n = stats.getLong(0)
     if (n > 0) {
       mv.merge(batch)

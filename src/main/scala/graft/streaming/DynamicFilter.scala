@@ -153,6 +153,15 @@ final class DynamicFilter(
       // threshold rides inside the atomically-renamed epoch dir
       resultMv.merge(out, batchId,
         sidecar = newThreshold.map(t => "_threshold" -> t.toString).toMap)
+      // ALSO cache it in the side file AFTER the commit: changelog
+      // retention (expireChangelog) may later delete the sidecar-bearing
+      // epoch dirs, and currentThreshold must survive that. The sidecar
+      // stays authoritative while it exists (committedThreshold is
+      // consulted first), so crash-replay semantics are unchanged.
+      newThreshold.foreach { t =>
+        Files.createDirectories(thresholdPath.getParent)
+        Files.write(thresholdPath, t.toString.getBytes)
+      }
     } else {
       resultMv.merge(out)
       newThreshold.foreach { t =>

@@ -43,6 +43,9 @@ class DurableCatalogSpec extends SparkSpecBase {
     e1.execute("CREATE VIEW vconst AS SELECT 41 + 1 AS answer")
     e1.execute("CREATE AGGREGATE dc_acd(varchar) RETURNS bigint " +
       "LANGUAGE native AS 'retractable_hll'")
+    // a view over an ENGINE-managed table (recovery must bind it before
+    // re-planning — Tables.register never registers CREATE TABLE tables)
+    e1.execute("CREATE VIEW v_items AS SELECT name FROM items")
 
     // ----- shutdown: stop maintenance, drop the session (temp views die)
     e1.streamingJob("totals").get.stop()
@@ -91,6 +94,8 @@ class DurableCatalogSpec extends SparkSpecBase {
 
     // view: re-registered in the new session
     assert(e2.execute("SELECT * FROM vconst").collect().head.getInt(0) == 42)
+    // view over the engine table recovered without any attachTables
+    assert(e2.execute("SELECT * FROM v_items").count() >= 2)
 
     // aggregate: re-bound in the new session's function registry
     val acd = e2.execute("SELECT dc_acd(CAST(id AS STRING), 1) AS n FROM " +

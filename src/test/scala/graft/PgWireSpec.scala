@@ -84,9 +84,21 @@ class PgWireSpec extends SparkSpecBase {
     def describePortal(portal: String): Unit = send('D') { b =>
       b.writeByte('P'); c(b, portal)
     }
+    def describeStatement(stmt: String): Unit = send('D') { b =>
+      b.writeByte('S'); c(b, stmt)
+    }
     def executePortal(portal: String): Unit = send('E') { b =>
       c(b, portal); b.writeInt(0)
     }
+    def sendBinaryBind(portal: String, stmt: String, v: String): Unit =
+      send('B') { b =>
+        c(b, portal); c(b, stmt)
+        b.writeShort(1); b.writeShort(1) // one format code: binary
+        b.writeShort(1)
+        val bytes = v.getBytes(UTF_8)
+        b.writeInt(bytes.length); b.write(bytes)
+        b.writeShort(0)
+      }
     def sync(): Seq[Msg] = {
       out.writeByte('S'); out.writeInt(4); out.flush()
       drainUntilReady()
@@ -206,6 +218,28 @@ class PgWireSpec extends SparkSpecBase {
       c.executePortal("p3")
       assert(c.sync().filter(_.tpe == 'D').map(parseDataRow) ==
         Seq(Seq(None)))
+
+      // a parameter value CONTAINING "$1" must not be re-substituted
+      // (single-pass splice — sequential replace would corrupt it)
+      c.bind("p4", "st2", Seq(Some("costs $1 total")))
+      c.executePortal("p4")
+      assert(c.sync().filter(_.tpe == 'D').map(parseDataRow) ==
+        Seq(Seq(Some("costs $1 total"))))
+
+      // Describe on a parameterized STATEMENT: ParameterDescription ('t')
+      // then NoData (un-bound placeholders cannot be planned)
+      c.describeStatement("st2")
+      val descS = c.sync()
+      assert(descS.exists(_.tpe == 't'), "missing ParameterDescription")
+      assert(descS.exists(_.tpe == 'n'), "expected NoData for unbound statement")
+
+      // a malformed Bind (binary format code) answers ErrorResponse and
+      // the connection stays usable
+      c.sendBinaryBind("p5", "st2", "x")
+      val bad = c.sync()
+      assert(bad.exists(_.tpe == 'E'), "expected ErrorResponse for binary bind")
+      assert(c.query("SELECT 3 AS three").filter(_.tpe == 'D')
+        .map(parseDataRow) == Seq(Seq(Some("3"))))
 
       c.close()
     } finally srv.stop()

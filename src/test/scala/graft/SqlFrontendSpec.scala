@@ -318,8 +318,12 @@ class SqlFrontendSpec extends SparkSpecBase {
     e.execute("INSERT INTO kv VALUES ('a', 1)")
     assert(e.table("kv").as[(String, Long)].collect().toSeq == Seq(("a", 1L)))
 
+    // SELECT binds kv as a temp view; DROP must unbind it too, or the
+    // dropped table stays silently queryable with stale data
+    assert(e.execute("SELECT count(*) AS n FROM kv").head().getLong(0) == 1L)
     e.execute("DROP TABLE kv")
     assert(e.execute("SHOW TABLES").as[String].collect().toSeq == Seq("users"))
+    intercept[Exception] { e.execute("SELECT * FROM kv").collect() }
 
     // missing PK is rejected, not guessed
     intercept[IllegalArgumentException] {
