@@ -221,6 +221,50 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case _ => None
     }
   }
+  private val AlterRename =
+    """(?is)\s*ALTER\s+(TABLE|MATERIALIZED\s+VIEW)\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*;?\s*""".r
+
+  /** `ALTER TABLE/MATERIALIZED VIEW x RENAME TO y` (reference:
+    * handler/alter_rename.rs): storage dir, catalog entry, declared
+    * schema/defaults, and the session binding all move. Streaming MVs
+    * must have their maintenance stopped first (the job plan captures
+    * the old paths); OVER-window MVs re-create under the new name.
+    */
+  private def renameObject(kindS: String, from: String, to: String): DataFrame = {
+    val isTable = kindS.equalsIgnoreCase("TABLE")
+    require(mvs.get(to).isEmpty && !tableSchemas.contains(to),
+      s"RENAME: $to already exists")
+    require(jobs.get(from).forall(q => !q.isActive),
+      s"RENAME: stop $from's streaming maintenance job first")
+    require(mvs.get(s"${from}__base").isEmpty,
+      s"RENAME: $from is an over-window MV — re-create it under the new name")
+    val old = mvs.get(from).getOrElse(
+      throw new IllegalArgumentException(s"RENAME: no such $kindS $from"))
+    val fromDir = java.nio.file.Paths.get(warehouseDir, from)
+    val toDir = java.nio.file.Paths.get(warehouseDir, to)
+    if (java.nio.file.Files.exists(fromDir))
+      java.nio.file.Files.move(fromDir, toDir)
+    mvs.drop(from)
+    val nb = catalog.load[DurableCatalog.MvEntry]("mvs", from)
+      .map(_.nBuckets).getOrElse(32)
+    mvs.define(to, old.primaryKey, nb)
+    if (isTable) {
+      tableSchemas.remove(from).foreach(s => tableSchemas(to) = s)
+      tableDefaults.remove(from).foreach(d => tableDefaults(to) = d)
+      catalog.load[DurableCatalog.TableEntry]("tables", from).foreach { e =>
+        catalog.delete("tables", from); catalog.save("tables", to, e)
+      }
+    } else {
+      catalog.load[DurableCatalog.MvEntry]("mvs", from).foreach { e =>
+        catalog.delete("mvs", from); catalog.save("mvs", to, e)
+      }
+      jobs.remove(from)
+    }
+    spark.catalog.dropTempView(from)
+    statusDf(s"ALTER ${kindS.toUpperCase.replaceAll("\\s+", " ")} RENAME",
+      s"$from -> $to")
+  }
+
   private val AlterAddCol =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()0-9, ]+?)\s*;?\s*""".r
   private val AlterDropCol =
@@ -745,6 +789,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           // schema evolution on CREATE TABLE tables (reference:
           // handler/alter_table_column.rs): declared schema updates +
           // eager store rewrite so merges stay schema-uniform
+          case AlterRename(kindS, from, to) if mvs.get(from).isDefined =>
+            renameObject(kindS, from, to)
           case AlterAddCol(name, cname, ctype) if tableSchemas.contains(name) =>
             val t = SqlFrontend.sqlType(ctype)
             require(!tableSchemas(name).fieldNames.contains(cname),

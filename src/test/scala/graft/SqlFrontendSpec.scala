@@ -643,6 +643,30 @@ class SqlFrontendSpec extends SparkSpecBase {
     assert(e2.mvs.get("ov_mv").isEmpty && e2.mvs.get("ov_mv__base").isEmpty)
   }
 
+  test("ALTER ... RENAME TO moves storage, catalog, bindings, and survives restart") {
+    val wh = tmpDir("rename")
+    val e = new Engine(spark, wh)
+    e.execute("CREATE TABLE rn_t (id BIGINT PRIMARY KEY, v DOUBLE DEFAULT 2.0)")
+    e.execute("INSERT INTO rn_t (id) VALUES (1), (2)")
+    e.execute("ALTER TABLE rn_t RENAME TO rn_u")
+    assert(e.execute("SELECT count(*) AS n FROM rn_u").head().getLong(0) == 2)
+    // DML and DEFAULT fill follow the rename; the old name is gone
+    e.execute("INSERT INTO rn_u (id) VALUES (3)")
+    assert(e.table("rn_u").where("id = 3").select("v").head().getDouble(0) == 2.0)
+    intercept[Exception] { e.execute("SELECT * FROM rn_t").collect() }
+
+    e.execute("CREATE MATERIALIZED VIEW rn_m (PRIMARY KEY (id)) AS " +
+      "SELECT id, v * 10 AS v10 FROM rn_u")
+    e.execute("ALTER MATERIALIZED VIEW rn_m RENAME TO rn_m2")
+    assert(e.execute("SELECT count(*) AS n FROM rn_m2").head().getLong(0) == 3)
+
+    // the renamed definitions persist: a fresh engine sees only new names
+    val e2 = new Engine(spark.newSession(), wh)
+    assert(e2.table("rn_u").count() == 3)
+    assert(e2.table("rn_m2").count() == 3)
+    assert(e2.mvs.get("rn_t").isEmpty && e2.mvs.get("rn_m").isEmpty)
+  }
+
   test("SHOW CREATE reconstructs re-issuable DDL from the catalog") {
     val e = new Engine(spark, tmpDir("showcreate"))
     e.execute("CREATE TABLE sc_t (id BIGINT PRIMARY KEY, v DOUBLE DEFAULT 1.5)")
