@@ -137,31 +137,32 @@ object Functions3 extends QueryPack {
         .orderBy("n_nationkey")
     },
 
-    // Exact decimal arithmetic (the reference's rw_int256/decimal lane):
-    // every result is cast to an explicit DECIMAL so precision/scale
-    // agree across engines, and every value is exact. The division column
-    // uses integer cent math (cents * 10000 floor-div 7) so both engines
-    // compute the identical quotient — decimal division rounding modes
-    // never enter the picture.
+    // Exact decimal arithmetic (the reference's rw_int256/decimal lane),
+    // carried entirely in BIGINT integer cents / milli-units: addition in
+    // cents, multiplication by 1.1 as cents*11 milli-units, division as
+    // cents*10000 floor-div 7, modulo 97 as cents mod 9700. Every value is
+    // exact, and neither engine ever materializes a DECIMAL in the result
+    // (decimal rendering differs across readers, integer cents never do).
     q("q_fn_decimal",
       """SELECT o_orderkey,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2))
-        |     + CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(20,2)) AS d_add,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2))
-        |     * CAST(1.1 AS DECIMAL(3,1)) AS DECIMAL(22,3)) AS d_mul,
-        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |    * 10000 // 7 AS BIGINT) AS d_div6,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 97 AS DECIMAL(18,2)) AS d_mod
-        |FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""".stripMargin) { s =>
-      val d = col("o_totalprice").cast(DecimalType(18, 2))
+        |  c + c AS d_add_cents,
+        |  c * 11 AS d_mul_milli,
+        |  c * 10000 // 7 AS d_div6,
+        |  c % 9700 AS d_mod_cents
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey < 400
+        |) ORDER BY o_orderkey""".stripMargin) { s =>
+      val c = col("o_totalprice").cast(DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType)
       s.table("orders").where(col("o_orderkey") < 400)
+        .select(col("o_orderkey"), c.as("c"))
         .select(col("o_orderkey"),
-          (d + d).cast(DecimalType(20, 2)).as("d_add"),
-          (d * lit(BigDecimal("1.1")).cast(DecimalType(3, 1)))
-            .cast(DecimalType(22, 3)).as("d_mul"),
-          expr("CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000 div 7 AS BIGINT)")
-            .as("d_div6"),
-          (d % 97).cast(DecimalType(18, 2)).as("d_mod"))
+          (col("c") + col("c")).as("d_add_cents"),
+          (col("c") * 11).as("d_mul_milli"),
+          expr("c * 10000 div 7").as("d_div6"),
+          (col("c") % 9700).as("d_mod_cents"))
         .orderBy("o_orderkey")
     },
 
