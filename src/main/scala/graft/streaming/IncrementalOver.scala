@@ -86,7 +86,16 @@ final class IncrementalOver(
                     .contains(a.dataType) => Some(a.name)
               case _ => None
             }
-          } yield (name, math.max(-lo, 0L), math.max(hi, 0L))
+          } yield {
+            // FrameReach is in KEY space. For ASC, PRECEDING reaches
+            // toward smaller keys; for DESC it reaches toward LARGER
+            // keys, so lookback/lookahead swap (the reference's
+            // frame_finder keys reach off the order type the same way).
+            val back = math.max(-lo, 0L)
+            val ahead = math.max(hi, 0L)
+            if (order.head.direction == Descending) (name, ahead, back)
+            else (name, back, ahead)
+          }
         case _ => None // ROWS frame or unspecified
       }
     }
@@ -107,7 +116,13 @@ final class IncrementalOver(
     if (inferredReach.isEmpty)
       inferredReach = Some(frameReachOf(dataDelta.schema))
     inferredReach.get match {
-      case Some(fr) => applyFrameGranular(dataDelta, fr)
+      case Some(fr) =>
+        // NULL order keys escape the min/max band arithmetic entirely
+        // (NULL lo/hi, NULL band predicates) — a batch carrying any
+        // routes through the always-correct partition-granular path.
+        if (!dataDelta.where(col(fr.orderCol).isNull).isEmpty)
+          applyPartitionGranular(dataDelta)
+        else applyFrameGranular(dataDelta, fr)
       case None => applyPartitionGranular(dataDelta)
     }
   }

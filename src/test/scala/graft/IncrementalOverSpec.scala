@@ -133,4 +133,71 @@ class IncrementalOverSpec extends SparkSpecBase {
       .orderBy("id").collect().map(_.toSeq).toSeq
     assert(actual2 == expected2)
   }
+
+  // ORDER BY ts DESC with an ASYMMETRIC frame: PRECEDING now reaches
+  // toward LARGER keys, so the key-space lookback/lookahead swap.
+  private def descFrameFn(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user").orderBy(col("ts").desc)
+      .rangeBetween(-10, 2)
+    df.withColumn("win_sum",
+      sum(col("v").cast("decimal(18,2)")).over(w).cast("double"))
+  }
+
+  test("DESC order: frame reach swaps lookback/lookahead in key space") {
+    val dir = tmpDir("iow5")
+    val base = new MaterializedView(spark, "b5", Seq("id"), s"$dir/b", 4,
+      bucketKeys = Seq("user"))
+    val result = new MaterializedView(spark, "r5", Seq("id"), s"$dir/r", 4,
+      bucketKeys = Seq("user"))
+    val iow = new IncrementalOver(base, result, Seq("user"), descFrameFn, Seq("id"))
+
+    // 10 PRECEDING toward larger keys, 2 FOLLOWING toward smaller keys
+    val schema = Seq((1L, "a", 1L, 1.0)).toDF("id", "user", "ts", "v").schema
+    val fr = iow.frameReachOf(schema).get
+    assert(fr.lookback == 2L && fr.lookahead == 10L,
+      s"DESC reach not swapped: $fr")
+
+    // contiguous keys → any stale band is visible as a wrong sum
+    val rows = (1 to 200).map(i => (i.toLong, "h", i.toLong, 1.0))
+    iow.applyDelta(rows.toDF("id", "user", "ts", "v"))
+    iow.applyDelta(Seq((901L, "h", 100L, 7.0)).toDF("id", "user", "ts", "v"))
+    val expected = descFrameFn(base.read())
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val actual = iow.read().select("id", "user", "ts", "v", "win_sum")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(actual == expected)
+  }
+
+  test("NULL order keys: delta and base null rows stay consistent") {
+    val dir = tmpDir("iow6")
+    val base = new MaterializedView(spark, "b6", Seq("id"), s"$dir/b", 4,
+      bucketKeys = Seq("user"))
+    val result = new MaterializedView(spark, "r6", Seq("id"), s"$dir/r", 4,
+      bucketKeys = Seq("user"))
+    val iow = new IncrementalOver(base, result, Seq("user"), rangeFrameFn, Seq("id"))
+
+    def check(): Unit = {
+      val expected = rangeFrameFn(base.read())
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      val actual = iow.read().select("id", "user", "ts", "v", "win_sum")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      assert(actual == expected)
+    }
+
+    // base with a NULL-key row from the start
+    iow.applyDelta(Seq((1L, "a", Some(5L), 1.0), (2L, "a", None, 2.0),
+      (3L, "a", Some(9L), 3.0)).toDF("id", "user", "ts", "v"))
+    check()
+    // non-NULL delta into a partition holding NULL base rows
+    iow.applyDelta(Seq((4L, "a", Some(7L), 4.0)).toDF("id", "user", "ts", "v"))
+    check()
+    // NULL-key delta (would previously vanish from the band arithmetic)
+    iow.applyDelta(Seq((5L, "a", Option.empty[Long], 8.0))
+      .toDF("id", "user", "ts", "v"))
+    check()
+    // delete the NULL-key row via changelog
+    iow.applyDelta(Seq((2L, "a", Option.empty[Long], 2.0, Changelog.Delete, 0L))
+      .toDF("id", "user", "ts", "v", Changelog.OpCol, Changelog.SeqCol))
+    check()
+  }
 }
