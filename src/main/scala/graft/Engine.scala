@@ -245,9 +245,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     if (java.nio.file.Files.exists(fromDir))
       java.nio.file.Files.move(fromDir, toDir)
     mvs.drop(from)
-    val nb = catalog.load[DurableCatalog.MvEntry]("mvs", from)
-      .map(_.nBuckets).getOrElse(32)
-    mvs.define(to, old.primaryKey, nb)
+    // bucket layout travels with the rename: the on-disk files are the
+    // old layout, so the new binding must keep nBuckets AND bucketKeys
+    // (a mismatch would silently break bucket-pruned reads/merges)
+    val newMv = mvs.define(to, old.primaryKey, old.nBuckets, old.bucketKeys)
     if (isTable) {
       tableSchemas.remove(from).foreach(s => tableSchemas(to) = s)
       tableDefaults.remove(from).foreach(d => tableDefaults(to) = d)
@@ -255,10 +256,20 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         catalog.delete("tables", from); catalog.save("tables", to, e)
       }
     } else {
+      jobs.remove(from)
       catalog.load[DurableCatalog.MvEntry]("mvs", from).foreach { e =>
         catalog.delete("mvs", from); catalog.save("mvs", to, e)
+        // restart streaming maintenance under the new name — the moved
+        // checkpoint dir resumes source offsets (same shape as recovery)
+        if (e.streaming && !e.over.contains(true)) e.query.foreach { q =>
+          val ckpt = mvs.checkpointDir(to)
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt))) {
+            bindMvTables(q)
+            val result = spark.sql(Engine.TemporalJoinClause.replaceAllIn(q, ""))
+            jobs(to) = newMv.start(result, ckpt, outputMode = e.outputMode)
+          }
+        }
       }
-      jobs.remove(from)
     }
     spark.catalog.dropTempView(from)
     statusDf(s"ALTER ${kindS.toUpperCase.replaceAll("\\s+", " ")} RENAME",

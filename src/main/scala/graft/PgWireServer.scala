@@ -23,14 +23,17 @@ import org.apache.spark.sql.types._
   *  - Simple query: 'Q' → RowDescription / DataRow* / CommandComplete /
   *    ReadyForQuery; empty string → EmptyQueryResponse; failures →
   *    ErrorResponse (severity/code/message) + ReadyForQuery
+  *  - Extended protocol: Parse/Bind/Describe/Execute/Close/Sync/Flush,
+  *    text-format parameters spliced literal-aware into `$n`, Execute's
+  *    maxRows honored with PortalSuspended, and error recovery per the
+  *    spec (after an error, messages are discarded until Sync)
   *  - Terminate 'X'
-  * All values travel in text format (format code 0), NULL as length −1.
-  * The extended protocol (Parse/Bind/Execute) is not implemented —
-  * documented divergence; psql's default path is the simple protocol.
+  * All values travel in text format (format code 0), NULL as length −1;
+  * binary format codes are a documented divergence.
   *
-  * Statements execute serially under the engine lock (one engine, many
-  * connections); result collection is client-bound delivery by
-  * definition, not a data-path operation.
+  * Statements plan serially under the engine lock (one engine, many
+  * connections); rows stream to the socket via toLocalIterator, so
+  * client-bound delivery never materializes a full result server-side.
   */
 final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
 
@@ -123,6 +126,12 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     val stmtParamOids = scala.collection.mutable.Map[String, Seq[Int]]()
     val portals = scala.collection.mutable.Map[String, String]()
     val described = scala.collection.mutable.Set[String]() // portals with 'T' sent
+    // suspended portal iterators (Execute with maxRows → PortalSuspended)
+    val suspended = scala.collection.mutable.Map[
+      String, (java.util.Iterator[org.apache.spark.sql.Row], StructType, Long)]()
+    // after an ErrorResponse inside the extended protocol, the backend
+    // must discard everything until Sync (protocol spec, error recovery)
+    var inErrorState = false
     try {
       if (!handshake(in, out)) return
       var open = true
@@ -132,30 +141,76 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
         val body = new Array[Byte](math.max(len - 4, 0))
         in.readFully(body)
         val msg = new DataInputStream(new java.io.ByteArrayInputStream(body))
+        // extended-protocol error → swallow the pipelined tail: a Bind/
+        // Execute the client sent before seeing the error must NOT run
+        // (it would bind whatever statement the name held previously)
+        def extErr(code: String, m: String): Unit = {
+          inErrorState = true
+          errorResponse(out, code, m)
+        }
         // each message body is fully consumed above, so a handler failure
         // cannot desync the stream - answer ErrorResponse and keep the
         // connection (the client's Sync gets its ReadyForQuery as usual)
         def guarded(handler: => Unit): Unit =
           try handler catch {
-            case scala.util.control.NonFatal(e) => errorResponse(out, "XX000",
+            case scala.util.control.NonFatal(e) => extErr("XX000",
               Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
           }
-        tpe match {
+        /** Run (or resume) a portal, honoring Execute's maxRows with
+          * PortalSuspended; rows stream via toLocalIterator — the full
+          * result never materializes server-side.
+          */
+        def executePortal(portal: String, sql: String, maxRows: Int): Unit = {
+          val (it, schema, prior) = suspended.get(portal) match {
+            case Some(t) => t
+            case None =>
+              val df = engine.synchronized(engine.execute(sql))
+              if (!described.contains(portal)) rowDescription(out, df.schema)
+              (df.toLocalIterator(), df.schema, 0L)
+          }
+          var n = 0L
+          while (it.hasNext && (maxRows <= 0 || n < maxRows)) {
+            dataRow(out, schema, it.next()); n += 1
+          }
+          if (it.hasNext) {
+            suspended(portal) = (it, schema, prior + n)
+            described += portal // a resume must not resend RowDescription
+            writeMsg(out, 's') { _ => } // PortalSuspended
+          } else {
+            suspended.remove(portal)
+            writeMsg(out, 'C')(cstr(_, commandTag(sql, prior + n)))
+          }
+        }
+        if (inErrorState && tpe != 'S' && tpe != 'Q' && tpe != 'X') {
+          // discarded: waiting for Sync
+        } else tpe match {
           case 'Q' =>
+            inErrorState = false // simple query resets extended-proto state
             val sql = new String(body, UTF_8).stripSuffix("\u0000").trim
             if (sql.isEmpty) writeMsg(out, 'I') { _ => } // EmptyQueryResponse
             else runQuery(out, sql)
             readyForQuery(out)
 
           // ---- extended protocol (Parse/Bind/Describe/Execute/Sync) ----
-          case 'P' => guarded { // Parse: name, query, declared param oids
-            val name = readCString(msg)
-            val query = readCString(msg)
-            val nTypes = msg.readShort()
-            stmtParamOids(name) = (0 until nTypes).map(_ => msg.readInt())
-            statements(name) = query
-            writeMsg(out, '1') { _ => } // ParseComplete
-          }
+          case 'P' => // Parse: name, query, declared param oids
+            var name: String = null
+            try {
+              name = readCString(msg)
+              val query = readCString(msg)
+              val nTypes = msg.readShort()
+              stmtParamOids(name) = (0 until nTypes).map(_ => msg.readInt())
+              statements(name) = query
+              writeMsg(out, '1') { _ => } // ParseComplete
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                // a failed Parse must not leave the name bound to the
+                // PREVIOUS statement — a pipelined Bind would run it
+                if (name != null) {
+                  statements.remove(name); stmtParamOids.remove(name)
+                }
+                extErr("42601",
+                  Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+            }
           case 'B' => guarded { // Bind: portal, statement, formats, params
             val portal = readCString(msg)
             val stmt = readCString(msg)
@@ -176,9 +231,10 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
             statements.get(stmt) match {
               case Some(q) =>
                 portals(portal) = spliceParams(q, params)
+                suspended.remove(portal); described -= portal
                 writeMsg(out, '2') { _ => } // BindComplete
               case None =>
-                errorResponse(out, "26000", s"unknown prepared statement '$stmt'")
+                extErr("26000", s"unknown prepared statement '$stmt'")
             }
           }
           case 'D' => guarded { // Describe statement/portal
@@ -209,30 +265,33 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
                     rowDescription(out, schema)
                     if (kind == 'P') described += name
                   } catch {
-                    case e: Throwable => errorResponse(out, "XX000",
+                    case e: Throwable => extErr("XX000",
                       Option(e.getMessage).getOrElse("describe failed"))
                   }
-              case None => errorResponse(out, "34000", s"unknown $kind '$name'")
+              case None => extErr("34000", s"unknown $kind '$name'")
             }
           }
-          case 'E' => guarded { // Execute portal (maxRows ignored)
+          case 'E' => guarded { // Execute portal (maxRows honored)
             val portal = readCString(msg)
+            val maxRows = msg.readInt()
             portals.get(portal) match {
               case Some(sql) =>
                 if (sql.trim.isEmpty) writeMsg(out, 'I') { _ => }
-                else runQuery(out, sql, withRowDesc = !described.contains(portal))
+                else executePortal(portal, sql, maxRows)
               case None =>
-                errorResponse(out, "34000", s"unknown portal '$portal'")
+                extErr("34000", s"unknown portal '$portal'")
             }
           }
           case 'C' => guarded { // Close statement/portal
             val kind = msg.readByte().toChar
             val name = readCString(msg)
-            if (kind == 'P') { portals.remove(name); described -= name }
-            else { statements.remove(name); stmtParamOids.remove(name) }
+            if (kind == 'P') {
+              portals.remove(name); described -= name; suspended.remove(name)
+            } else { statements.remove(name); stmtParamOids.remove(name) }
             writeMsg(out, '3') { _ => } // CloseComplete
           }
           case 'S' => // Sync: end of extended-protocol batch
+            inErrorState = false
             readyForQuery(out)
           case 'H' => out.flush() // Flush
           case 'X' => open = false
@@ -254,25 +313,50 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     Seq("SELECT", "WITH", "VALUES", "TABLE", "EXPLAIN")
       .contains(sql.trim.split("\\s+").headOption.getOrElse("").toUpperCase)
 
-  /** Splice text-format parameters into `$n` placeholders in ONE regex
-    * pass (sequential replaces would rescan already-spliced values — a
-    * `$1` inside a bound string would be re-substituted). Numeric
-    * literals go in bare (so `$1 + 1` stays arithmetic); everything else
-    * as a single-quoted literal with quote doubling. NULL -> literal NULL.
+  /** Splice text-format parameters into `$n` placeholders in ONE
+    * left-to-right scan: spliced values are appended to the output and
+    * never rescanned (a `$1` inside a bound string cannot be
+    * re-substituted), and `$n` sequences INSIDE single-quoted literals
+    * in the query text are left untouched (`SELECT '$1'` stays a
+    * string). Numeric values go in bare (so `$1 + 1` stays arithmetic);
+    * everything else as a single-quoted literal with quote doubling AND
+    * backslash doubling — Spark's parser treats backslash as an escape
+    * in string literals, so an unescaped `C:\temp` would gain a tab and
+    * a crafted `\' OR …` would escape the literal. NULL → literal NULL.
     */
-  private def spliceParams(query: String, params: Seq[String]): String =
-    if (params.isEmpty) query
-    else """\$(\d+)""".r.replaceAllIn(query, m => {
-      val i = m.group(1).toInt
+  private def spliceParams(query: String, params: Seq[String]): String = {
+    if (params.isEmpty) return query
+    def litOf(i: Int): String = {
       require(i >= 1 && i <= params.size,
         s"parameter $$$i out of range (${params.size} bound)")
       val v = params(i - 1)
-      val lit =
-        if (v == null) "NULL"
-        else if (v.matches("[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")) v
-        else "'" + v.replace("'", "''") + "'"
-      java.util.regex.Matcher.quoteReplacement(lit)
-    })
+      if (v == null) "NULL"
+      else if (v.matches("[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")) v
+      else "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+    }
+    val sb = new StringBuilder(query.length + 16)
+    var i = 0
+    var inQuote = false
+    while (i < query.length) {
+      val c = query.charAt(i)
+      if (inQuote) {
+        // '' doubling closes then immediately reopens — handled naturally
+        sb.append(c)
+        if (c == '\'') inQuote = false
+        i += 1
+      } else if (c == '\'') {
+        sb.append(c); inQuote = true; i += 1
+      } else if (c == '$' && i + 1 < query.length && query.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < query.length && query.charAt(j).isDigit) j += 1
+        sb.append(litOf(query.substring(i + 1, j).toInt))
+        i = j
+      } else {
+        sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
 
   /** SSL/GSS negotiation + StartupMessage → auth ok + parameters. */
   private def handshake(in: DataInputStream, out: DataOutputStream): Boolean = {
@@ -346,34 +430,37 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
       }
     }
 
-  /** Execute + stream the result. `withRowDesc = false` when a Describe
-    * already announced the schema (extended-protocol flow — Execute must
-    * not repeat RowDescription there).
+  private def dataRow(out: DataOutputStream, schema: StructType,
+      row: org.apache.spark.sql.Row): Unit =
+    writeMsg(out, 'D') { b => // DataRow
+      b.writeShort(schema.fields.length)
+      var i = 0
+      while (i < schema.fields.length) {
+        val s = render(row.get(i))
+        if (s == null) b.writeInt(-1)
+        else {
+          val bytes = s.getBytes(UTF_8)
+          b.writeInt(bytes.length); b.write(bytes)
+        }
+        i += 1
+      }
+    }
+
+  /** Execute + stream the result row by row (`toLocalIterator` — one
+    * partition resident at a time, so a large SELECT from one client
+    * cannot OOM the shared engine process).
     */
-  private def runQuery(out: DataOutputStream, sql: String,
-      withRowDesc: Boolean = true): Unit =
+  private def runQuery(out: DataOutputStream, sql: String): Unit =
     try {
-      // one engine, many connections: serialize statement execution
+      // one engine, many connections: serialize statement planning; row
+      // delivery streams outside the lock (Spark jobs are thread-safe)
       val df: DataFrame = engine.synchronized(engine.execute(sql))
       val schema = df.schema
-      val rows = engine.synchronized(df.collect()) // client-bound delivery
-      if (withRowDesc) rowDescription(out, schema)
-      rows.foreach { row =>
-        writeMsg(out, 'D') { b => // DataRow
-          b.writeShort(schema.fields.length)
-          var i = 0
-          while (i < schema.fields.length) {
-            val s = render(row.get(i))
-            if (s == null) b.writeInt(-1)
-            else {
-              val bytes = s.getBytes(UTF_8)
-              b.writeInt(bytes.length); b.write(bytes)
-            }
-            i += 1
-          }
-        }
-      }
-      writeMsg(out, 'C')(cstr(_, commandTag(sql, rows.length.toLong)))
+      rowDescription(out, schema)
+      val it = df.toLocalIterator()
+      var n = 0L
+      while (it.hasNext) { dataRow(out, schema, it.next()); n += 1 }
+      writeMsg(out, 'C')(cstr(_, commandTag(sql, n)))
     } catch {
       case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)

@@ -28,8 +28,8 @@ final class MaterializedView(
     val name: String,
     pk: Seq[String],
     val targetDir: String,
-    nBuckets: Int = 32,
-    bucketKeys: Seq[String] = Seq.empty) {
+    val nBuckets: Int = 32,
+    val bucketKeys: Seq[String] = Seq.empty) {
 
   private val bucketCol = "__bucket"
 

@@ -87,8 +87,14 @@ class PgWireSpec extends SparkSpecBase {
     def describeStatement(stmt: String): Unit = send('D') { b =>
       b.writeByte('S'); c(b, stmt)
     }
-    def executePortal(portal: String): Unit = send('E') { b =>
-      c(b, portal); b.writeInt(0)
+    def executePortal(portal: String, maxRows: Int = 0): Unit = send('E') { b =>
+      c(b, portal); b.writeInt(maxRows)
+    }
+    /** A Parse whose body lies about its param-oid count — the server
+      * must error without corrupting the statement namespace.
+      */
+    def parseTruncated(name: String, sql: String): Unit = send('P') { b =>
+      c(b, name); c(b, sql); b.writeShort(2) // declares 2 oids, sends none
     }
     def sendBinaryBind(portal: String, stmt: String, v: String): Unit =
       send('B') { b =>
@@ -240,6 +246,82 @@ class PgWireSpec extends SparkSpecBase {
       assert(bad.exists(_.tpe == 'E'), "expected ErrorResponse for binary bind")
       assert(c.query("SELECT 3 AS three").filter(_.tpe == 'D')
         .map(parseDataRow) == Seq(Seq(Some("3"))))
+
+      c.close()
+    } finally srv.stop()
+  }
+
+  test("pgwire: extended-protocol error recovery, maxRows, literal-aware splice") {
+    val e = new Engine(spark, tmpDir("pgwire2"))
+    val srv = new PgWireServer(e)
+    srv.start()
+    try {
+      val c = new Client(srv.port)
+      c.startup()
+      c.query("CREATE TABLE pw2 (id BIGINT PRIMARY KEY, v DOUBLE)")
+      c.query("INSERT INTO pw2 VALUES (1,1.0),(2,2.0),(3,3.0),(4,4.0),(5,5.0)")
+
+      // -- error recovery: a failed Parse of the unnamed statement must
+      // not leave the PREVIOUS query bound to '', and the pipelined
+      // Bind/Execute sent before the client saw the error must be
+      // DISCARDED until Sync (not answer the old query's rows)
+      c.parse("", "SELECT 111 AS a")
+      c.bind("", "", Seq.empty)
+      c.executePortal("")
+      assert(c.sync().filter(_.tpe == 'D').map(parseDataRow) ==
+        Seq(Seq(Some("111"))))
+      c.parseTruncated("", "SELECT 222 AS b")
+      c.bind("", "", Seq.empty) // pipelined before seeing the error
+      c.executePortal("")
+      val rec = c.sync()
+      assert(rec.exists(_.tpe == 'E'), "expected ErrorResponse")
+      assert(rec.count(_.tpe == 'E') == 1, "pipelined tail must be discarded")
+      assert(!rec.exists(_.tpe == 'D'),
+        s"stale statement executed after failed Parse: ${rec.map(_.tpe)}")
+      assert(!rec.exists(_.tpe == '2'), "Bind must be discarded in error state")
+      // the failed name is gone — binding it reports unknown statement,
+      // not the stale 111 query
+      c.bind("", "", Seq.empty)
+      val gone = c.sync()
+      assert(gone.exists(_.tpe == 'E') && !gone.exists(_.tpe == 'D'))
+      // and the connection is fully usable again
+      c.parse("", "SELECT 333 AS cx")
+      c.bind("", "", Seq.empty)
+      c.executePortal("")
+      assert(c.sync().filter(_.tpe == 'D').map(parseDataRow) ==
+        Seq(Seq(Some("333"))))
+
+      // -- Execute maxRows: rows arrive in chunks with PortalSuspended,
+      // final chunk carries CommandComplete with the TOTAL count
+      c.parse("stm", "SELECT id FROM pw2 ORDER BY id")
+      c.bind("pm", "stm", Seq.empty)
+      c.executePortal("pm", maxRows = 2)
+      c.executePortal("pm", maxRows = 2)
+      c.executePortal("pm") // drain the rest
+      val chunks = c.sync()
+      assert(chunks.count(_.tpe == 's') == 2, "expected two PortalSuspended")
+      assert(chunks.filter(_.tpe == 'D').map(parseDataRow).flatten.flatten ==
+        Seq("1", "2", "3", "4", "5"))
+      assert(chunks.count(_.tpe == 'T') == 1, "one RowDescription total")
+      assert(tagOf(chunks) == "SELECT 5")
+
+      // -- a '$1' INSIDE a quoted literal in the query text is not a
+      // parameter; the real $1 outside still splices
+      c.parse("stl", "SELECT '$1' AS lit, $1 AS v")
+      c.bind("pl", "stl", Seq(Some("X")))
+      c.executePortal("pl")
+      assert(c.sync().filter(_.tpe == 'D').map(parseDataRow) ==
+        Seq(Seq(Some("$1"), Some("X"))))
+
+      // -- backslashes in bound text survive byte-identically (Spark's
+      // parser escape processing must not eat or weaponize them)
+      c.parse("stb", "SELECT $1 AS s")
+      for (v <- Seq("C:\\temp\\new", "\\' OR 1=1 --", "a\\nb")) {
+        c.bind("pb", "stb", Seq(Some(v)))
+        c.executePortal("pb")
+        assert(c.sync().filter(_.tpe == 'D').map(parseDataRow) ==
+          Seq(Seq(Some(v))), s"backslash value corrupted: $v")
+      }
 
       c.close()
     } finally srv.stop()

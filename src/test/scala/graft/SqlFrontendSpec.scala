@@ -660,6 +660,33 @@ class SqlFrontendSpec extends SparkSpecBase {
     e.execute("ALTER MATERIALIZED VIEW rn_m RENAME TO rn_m2")
     assert(e.execute("SELECT count(*) AS n FROM rn_m2").head().getLong(0) == 3)
 
+    // bucket layout travels with the rename: non-default nBuckets keeps
+    // driving the new binding (a silent 32 would break bucket-pruned
+    // reads and scatter merges across a mismatched on-disk layout)
+    e.refreshMaterializedView("rn_b", Seq("id"),
+      e.table("rn_u").select("id"), nBuckets = 7)
+    e.execute("ALTER MATERIALIZED VIEW rn_b RENAME TO rn_b2")
+    assert(e.mvs.get("rn_b2").get.nBuckets == 7)
+    e.refreshMaterializedView("rn_b2", Seq("id"),
+      e.table("rn_u").select("id"), nBuckets = 7)
+    assert(e.table("rn_b2").count() == 3)
+
+    // a renamed STREAMING MV restarts maintenance under the new name
+    // (the moved checkpoint resumes source offsets — no re-backfill)
+    val srcDir = tmpDir("rename-src")
+    Seq((10L, 1.0)).toDF("id", "v").write.mode("append").parquet(srcDir)
+    e.execute(s"CREATE SOURCE rn_src WITH (path = '$srcDir')")
+    e.execute("CREATE MATERIALIZED VIEW rn_sm (PRIMARY KEY (id)) AS " +
+      "SELECT id, v FROM rn_src")
+    e.execute("FLUSH")
+    assert(e.table("rn_sm").count() == 1)
+    e.streamingJob("rn_sm").foreach(_.stop())
+    e.execute("ALTER MATERIALIZED VIEW rn_sm RENAME TO rn_sm2")
+    Seq((20L, 2.0)).toDF("id", "v").write.mode("append").parquet(srcDir)
+    e.execute("FLUSH")
+    assert(e.table("rn_sm2").count() == 2,
+      "renamed streaming MV did not resume maintenance")
+
     // the renamed definitions persist: a fresh engine sees only new names
     val e2 = new Engine(spark.newSession(), wh)
     assert(e2.table("rn_u").count() == 3)
