@@ -88,8 +88,14 @@ object DurableCatalog {
     */
   final case class MvEntry(pk: Seq[String], query: Option[String],
       streaming: Boolean, outputMode: String, nBuckets: Int,
-      over: Option[Boolean] = None) // Some(true): OVER-window MV
+      over: Option[Boolean] = None, // Some(true): OVER-window MV
       // (maintained by IncrementalOver, not a plain streaming sink)
+      // MV-on-MV chain: the upstream MV whose changelog this MV tails,
+      // and the changelog frontier the original subscription started
+      // after (recovery re-filters from it; the checkpoint's file log
+      // dedups anything already absorbed)
+      chainedFrom: Option[String] = None,
+      chainFrontier: Option[Long] = None)
 
   /** CREATE SOURCE / CREATE SINK / CREATE VIEW / CREATE SUBSCRIPTION:
     * definitions small enough to persist as their raw DDL or parts.

@@ -95,6 +95,28 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   /** Streaming sources registered by `CREATE SOURCE`. */
   private val sources = scala.collection.mutable.Map[String, DataFrame]()
 
+  /** Snapshot of every user-visible object for the pg_catalog /
+    * information_schema system relations (reference:
+    * src/frontend/src/catalog/system_catalog/). Schemas come from the
+    * declared table schema / the MV or source plan — metadata only, no
+    * job runs.
+    */
+  private def systemObjects: Seq[SystemCatalog.Obj] = {
+    def schemaOf(df: => DataFrame) = scala.util.Try(df.schema).toOption
+    val tableObjs = tableSchemas.keys.toSeq.sorted.map(n =>
+      SystemCatalog.Obj(n, "r", Some(tableSchemas(n))))
+    val mvObjs = mvs.list
+      .filterNot(n => tableSchemas.contains(n) || n.endsWith("__base"))
+      .map(n => SystemCatalog.Obj(n, "m", schemaOf(table(n))))
+    val viewObjs = catalog.list[DurableCatalog.ViewEntry]("views")
+      .map { case (n, _) => SystemCatalog.Obj(n, "v", schemaOf(spark.table(n))) }
+    val srcObjs = sources.keys.toSeq.sorted.map(n =>
+      SystemCatalog.Obj(n, "f", schemaOf(sources(n))))
+    val idxObjs = indexes.keys.toSeq.sorted.map(n =>
+      SystemCatalog.Obj(n, "i", None))
+    tableObjs ++ mvObjs ++ viewObjs ++ srcObjs ++ idxObjs
+  }
+
   /** Maintenance jobs of streaming MVs created through [[execute]] —
     * exposed so callers can await/stop them (the reference's
     * SHOW/DROP stream-job surface).
@@ -221,6 +243,117 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case _ => None
     }
   }
+  /** MV-on-MV chain eligibility: the query must reference exactly ONE
+    * relation, that relation must be a plain streaming-maintained MV
+    * (not OVER-window — its maintenance publishes ad-hoc merges, not
+    * epoch-published changelog entries), and the planned transform must
+    * be per-row (Project/Filter only) — a per-delta replay of anything
+    * stateful (agg/join/window/distinct) would not equal the delta of
+    * the result. Stateful MV-on-MV stays on the programmatic
+    * IncrementalAgg/IncrementalOver path.
+    */
+  /** Relation names a query's FROM clauses reference (parse-only). */
+  private def referencedRelations(query: String): Seq[String] =
+    spark.sessionState.sqlParser.parsePlan(query).collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last
+    }.distinct
+
+  /** Per-row plans (Project/Filter over a relation) are the shapes whose
+    * per-delta replay equals the delta of the result — the only shapes
+    * changelog rows may flow through unchanged.
+    */
+  private def isPerRowPlan(planned: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    planned.queryExecution.analyzed.collect { case n => n }.forall {
+      case _: Project | _: Filter | _: SubqueryAlias | _: View => true
+      case _: EventTimeWatermark => true
+      case _: LeafNode => true
+      case _ => false
+    }
+  }
+
+  private def prefixSelect(query: String, extras: Seq[String]): String =
+    query.replaceFirst("(?i)^\\s*SELECT\\s",
+      "SELECT " + extras.mkString(", ") + ", ")
+
+  /** A per-row streaming MV over a changelog-carrying source whose
+    * SELECT list dropped `_op`/`_seq` would silently turn deletes into
+    * upserts — re-plan with the changelog columns carried through
+    * (reference semantics: any projection of a changelog keeps being a
+    * changelog). Stateful plans and plain append sources are unchanged.
+    */
+  private def withChangelogOps(query: String, planned: DataFrame): DataFrame = {
+    import graft.streaming.Changelog
+    if (planned.columns.contains(Changelog.OpCol) || !isPerRowPlan(planned))
+      return planned
+    val carriesOps = referencedRelations(query).exists(n =>
+      sources.get(n).exists(_.columns.contains(Changelog.OpCol)))
+    if (!carriesOps) return planned
+    try {
+      val out = spark.sql(Engine.TemporalJoinClause.replaceAllIn(
+        prefixSelect(query, Seq(Changelog.OpCol, Changelog.SeqCol)), ""))
+      if (out.columns.distinct.length != out.columns.length) planned else out
+    } catch { case scala.util.control.NonFatal(_) => planned }
+  }
+
+  private def chainableUpstream(query: String, planned: DataFrame)
+      : Option[String] =
+    referencedRelations(query) match {
+      case Seq(up) if isPerRowPlan(planned) =>
+        Some(up).filter(n =>
+          catalog.load[DurableCatalog.MvEntry]("mvs", n)
+            .exists(e => e.streaming && !e.over.contains(true)))
+      case _ => None
+    }
+
+  /** The chained MV's transform over (a) the upstream snapshot at
+    * subscribe time and (b) the upstream changelog stream: the defining
+    * query re-targeted at the input DataFrame, with the changelog
+    * op/seq columns carried through when present so deletes propagate.
+    */
+  private def chainTransform(name: String, query: String, upName: String)
+      (df: DataFrame): DataFrame = {
+    val extras = Seq(graft.streaming.Changelog.OpCol,
+      graft.streaming.Changelog.SeqCol).filter(df.columns.contains)
+    val view = s"__chain_src_$name"
+    df.createOrReplaceTempView(view)
+    val q1 = query.replaceAll(
+      "(?i)\\b" + java.util.regex.Pattern.quote(upName) + "\\b", view)
+    if (extras.isEmpty) spark.sql(q1)
+    else {
+      val out = spark.sql(prefixSelect(q1, extras))
+      // `SELECT *` already passed the op/seq columns through — the
+      // explicit prefix then duplicates them; fall back to the plain text
+      if (out.columns.distinct.length != out.columns.length) spark.sql(q1)
+      else out
+    }
+  }
+
+  /** FLUSH ordering for chained MVs: depth 0 = fed by sources/DML,
+    * depth n+1 = tails a depth-n MV's changelog.
+    */
+  private val chainDepth = scala.collection.mutable.Map[String, Int]()
+
+  private def createChainedMv(name: String, pk: Seq[String], query: String,
+      upName: String): DataFrame = {
+    val up = mvs.get(upName).getOrElse(throw new IllegalArgumentException(
+      s"chained upstream MV $upName is not registered"))
+    // the subscription needs the upstream's changelog schema — drain the
+    // upstream job once so at least one epoch has published (the
+    // reference's create-MV barrier plays the same role)
+    jobs.get(upName).foreach(_.processAllAvailable())
+    val down = mvs.define(name, pk)
+    val frontier = up.latestChangelogBatchId
+    catalog.save("mvs", name, DurableCatalog.MvEntry(
+      pk, Some(query), streaming = true, "update", 32,
+      chainedFrom = Some(upName), chainFrontier = Some(frontier)))
+    chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
+    jobs(name) = up.subscribeWithBackfill(down, mvs.checkpointDir(name),
+      chainTransform(name, query, upName))
+    statusDf("CREATE MATERIALIZED VIEW (streaming chain)", name)
+  }
+
   private val AlterRename =
     """(?is)\s*ALTER\s+(TABLE|MATERIALIZED\s+VIEW)\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*;?\s*""".r
 
@@ -645,8 +778,26 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         table(n).createOrReplaceTempView(n)
     }
 
-  def execute(statement0: String): DataFrame = {
-    val statement = rewriteTvfs(statement0)
+  def execute(statement00: String): DataFrame = {
+    // interactive clients (psql) terminate statements with ';' — most
+    // frontend regexes tolerate it, but DML and passthrough SQL don't
+    val statement0 = statement00.replaceAll("[;\\s]+$", "")
+    val statement1 = rewriteTvfs(statement0)
+    // introspection (psql \dt, pgjdbc getTables, ORMs): (re)bind the
+    // pg_catalog/information_schema relations from the live catalog and
+    // translate the Postgres dialect bits those clients emit
+    val statement =
+      if (SystemCatalog.referenced(statement1)) {
+        SystemCatalog.bind(spark, systemObjects)
+        val rw = SystemCatalog.rewrite(statement1)
+        // probes against catalog concepts this engine does not model
+        // (policies, publications, …) answer empty, so psql's \d flow
+        // and ORM introspection complete instead of erroring midway
+        if (SystemCatalog.probesUnmodeled(rw))
+          return try spark.sql(rw)
+            catch { case scala.util.control.NonFatal(_) => spark.emptyDataFrame }
+        rw
+      } else statement1
     bindMvTables(statement)
     SqlFrontend.parseCreateTable(statement) match {
       case Some(SqlFrontend.TableDef(name, schema, pk, defaults)) =>
@@ -676,6 +827,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case Some(d: SqlFrontend.SinkDef) => startSink(d)
       case None => SqlFrontend.parseCreateMv(statement) match {
         case Some(CreateMvDef(name, pkOpt, query, emitOnClose)) =>
+          // a query over a just-created streaming MV would plan against
+          // an empty zero-column binding — drain referenced MV jobs once
+          // (the reference's create-MV barrier), then re-bind
+          referencedRelations(query)
+            .foreach(n => jobs.get(n).foreach(_.processAllAvailable()))
+          bindMvTables(query)
           // the reference's temporal-join clause (`JOIN dim FOR SYSTEM_TIME
           // AS OF PROCTIME() ON …`, src/frontend/src/binder/relation/join.rs):
           // in Spark a stream-static join already has lookup semantics —
@@ -695,13 +852,24 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               // EMIT ON WINDOW CLOSE → append mode: only watermark-
               // finalized rows reach the MV (reference EmitMode::OnWindowClose)
               val mode = if (emitOnClose) "append" else "update"
-              jobs(name) = createMaterializedView(name, pk, result,
+              jobs(name) = createMaterializedView(name, pk,
+                withChangelogOps(query, result),
                 outputMode = mode, queryText = Some(query))
               statusDf("CREATE MATERIALIZED VIEW (streaming)", name)
             }
           } else {
-            refreshMaterializedView(name, pk, result,
-              queryText = Some(query)).read()
+            // SQL-level MV-on-MV (reference: docs/dev/src/design/
+            // mv-on-mv.md): when the single upstream relation is itself
+            // a streaming-maintained MV and the transform is per-row,
+            // chain continuously through the upstream's changelog —
+            // `CREATE MV b AS SELECT … FROM a` then advances with `a`,
+            // no manual refresh
+            chainableUpstream(query, result) match {
+              case Some(upName) => createChainedMv(name, pk, query, upName)
+              case None =>
+                refreshMaterializedView(name, pk, result,
+                  queryText = Some(query)).read()
+            }
           }
         case None if SqlFrontend.isRecursiveCte(statement) =>
           SqlFrontend.executeRecursive(spark, statement)
@@ -871,8 +1039,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             fetchCursor(cur)
           case Flush() =>
             // the reference's FLUSH: block until every stream job has
-            // processed all available input (barrier-completion analog)
-            jobs.values.foreach(_.processAllAvailable())
+            // processed all available input (barrier-completion analog).
+            // Chained MVs drain AFTER their upstream — depth order —
+            // so one pass settles a whole a→b→c chain
+            jobs.toSeq.sortBy { case (n, _) => chainDepth.getOrElse(n, 0) }
+              .foreach(_._2.processAllAvailable())
             statusDf("FLUSH", "")
           case other =>
             tryDml(other).getOrElse(spark.sql(other))
@@ -978,10 +1149,26 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           recoverOrPark(s"mv:$name") {
             val ckpt = mvs.checkpointDir(name)
             if (java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt))) {
-              bindMvTables(q) // the MV may join engine-managed tables
-              val result =
-                spark.sql(Engine.TemporalJoinClause.replaceAllIn(q, ""))
-              jobs(name) = mv.start(result, ckpt, outputMode = e.outputMode)
+              e.chainedFrom match {
+                case Some(upName) =>
+                  // MV-on-MV chain: re-tail the upstream changelog from
+                  // the original frontier — the checkpoint's file log
+                  // dedups epochs already absorbed, so no re-backfill
+                  val upMv = mvs.get(upName).getOrElse(
+                    throw new IllegalStateException(
+                      s"chained upstream $upName not yet recovered"))
+                  chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
+                  jobs(name) = mv.start(
+                    chainTransform(name, q, upName)(
+                      upMv.changelogStreamFrom(e.chainFrontier.getOrElse(-1L))),
+                    ckpt, outputMode = e.outputMode)
+                case None =>
+                  bindMvTables(q) // the MV may join engine-managed tables
+                  val result =
+                    spark.sql(Engine.TemporalJoinClause.replaceAllIn(q, ""))
+                  jobs(name) = mv.start(withChangelogOps(q, result), ckpt,
+                    outputMode = e.outputMode)
+              }
             }
           }
         }
@@ -1018,6 +1205,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   }
 
   recoverCatalog() // runs last: every field above is initialized
+  // intra-catalog dependencies (an MV chained on a later-sorted MV, a
+  // view over a source …) park during the first pass — resolve them now;
+  // only entries needing EXTERNAL tables stay parked for attachTables
+  retryPendingRecovery()
 }
 
 object Engine {

@@ -91,19 +91,10 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
 
   // ------------------------------------------------------ type mapping
 
-  /** Spark type → Postgres type OID (pg_type.dat, public catalog). */
-  private def oidOf(dt: DataType): Int = dt match {
-    case BooleanType => 16
-    case LongType => 20
-    case ShortType | ByteType => 21
-    case IntegerType => 23
-    case FloatType => 700
-    case DoubleType => 701
-    case DateType => 1082
-    case TimestampType | TimestampNTZType => 1114
-    case _: DecimalType => 1700
-    case _ => 25 // text for strings and anything rendered as text
-  }
+  /** Spark type → Postgres type OID (shared with the pg_catalog
+    * relations so RowDescription and pg_attribute always agree).
+    */
+  private def oidOf(dt: DataType): Int = SystemCatalog.oidOf(dt)
 
   private def render(v: Any): String = v match {
     case null => null

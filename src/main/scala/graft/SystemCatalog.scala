@@ -1,0 +1,356 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Minimal `pg_catalog` + `information_schema` over the engine's durable
+  * catalog (reference: src/frontend/src/catalog/system_catalog/ — the
+  * reference materializes pg_type/pg_class/pg_namespace/pg_attribute etc.
+  * so psql's `\dt`, pgjdbc's `getTables`, and ORM introspection work).
+  *
+  * Approach: the system relations are tiny driver-built DataFrames
+  * (dozens of rows) (re)registered as temp views when — and only when —
+  * a statement references them, so they always reflect the live catalog.
+  * A dialect rewriter maps the Postgres-isms psql/pgjdbc actually emit
+  * (double-quoted identifiers, `~`/`!~` regex operators,
+  * `OPERATOR(pg_catalog.~)`, `::text`-style casts, `E'...'` strings)
+  * onto Spark SQL, and UDF shims cover the catalog helper functions
+  * (`pg_table_is_visible`, `format_type`, `pg_get_userbyid`, ...).
+  * Everything here is metadata-plane: no data-path query ever routes
+  * through these relations.
+  */
+object SystemCatalog {
+
+  /** One engine object as the system catalog sees it.
+    * kind: r = table, m = materialized view, v = view, i = index,
+    * f = source (surfaced as a foreign table).
+    */
+  final case class Obj(name: String, kind: String, schema: Option[StructType])
+
+  private val SysNames = Seq("pg_class", "pg_namespace", "pg_attribute",
+    "pg_type", "pg_description", "pg_database", "pg_tables", "pg_views",
+    "pg_matviews", "pg_am", "pg_attrdef", "pg_collation", "pg_index",
+    "pg_inherits", "pg_roles")
+  private val Trigger =
+    ("(?i)\\b(pg_catalog|information_schema|" + SysNames.mkString("|") + ")\\b").r
+
+  /** Does the statement touch any system relation / schema? */
+  def referenced(stmt: String): Boolean = Trigger.findFirstIn(stmt).isDefined
+
+  /** Catalog relations psql/ORMs probe that this engine deliberately
+    * does not model (policies, publications, inheritance, …). Probes
+    * against them answer an EMPTY result instead of an error, so a
+    * `\d`/introspection flow completes: every one of these concepts is
+    * "none defined" here, which an empty relation states truthfully.
+    */
+  private val Unmodeled = ("(?i)\\b(pg_policy|pg_publication\\w*|pg_rules|" +
+    "pg_statistic\\w*|pg_trigger|pg_rewrite|pg_constraint|pg_depend|" +
+    "pg_event_trigger|pg_extension|pg_foreign_\\w+|pg_partitioned_table|" +
+    "pg_sequence\\w*|pg_seclabel\\w*|pg_enum|pg_proc|pg_operator|" +
+    "pg_cast|pg_language|pg_largeobject\\w*|pg_replication\\w*|" +
+    "pg_shdepend|pg_tablespace|pg_ts_\\w+|pg_user_mapping)\\b").r
+
+  def probesUnmodeled(stmt: String): Boolean =
+    Unmodeled.findFirstIn(stmt).isDefined
+
+  // ------------------------------------------------------------ rewrite
+
+  /** Apply `f` to the segments of `sql` OUTSIDE single-quoted string
+    * literals; double-quoted spans (PG identifiers) become backticked
+    * identifiers; `E'...'` escape-string prefixes drop (Spark's string
+    * parser already processes backslash escapes the way E'' does).
+    */
+  private def mapOutsideLiterals(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var state = 0 // 0 plain, 1 in '...', 2 in "..."
+    def flush(): Unit = { out.append(f(seg.toString)); seg.clear() }
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      state match {
+        case 0 =>
+          if (c == '\'') {
+            // E'…' / e'…': drop the prefix, keep the literal
+            if (seg.nonEmpty && (seg.last == 'E' || seg.last == 'e') &&
+                (seg.length == 1 ||
+                  !Character.isLetterOrDigit(seg.charAt(seg.length - 2)) &&
+                  seg.charAt(seg.length - 2) != '_'))
+              seg.deleteCharAt(seg.length - 1)
+            flush(); out.append(c); state = 1
+          } else if (c == '"') { flush(); out.append('`'); state = 2 }
+          else seg.append(c)
+        case 1 =>
+          out.append(c)
+          if (c == '\'') state = 0 // '' doubling closes+reopens, harmless
+        case 2 =>
+          if (c == '"') { out.append('`'); state = 0 } else out.append(c)
+      }
+      i += 1
+    }
+    flush()
+    out.toString
+  }
+
+  /** Postgres introspection dialect → Spark SQL. Only ever applied to
+    * statements that reference a system relation (`referenced`).
+    */
+  def rewrite(stmt: String): String = mapOutsideLiterals(stmt) { s0 =>
+    var s = s0
+    // psql pattern operators: OPERATOR(pg_catalog.~) etc.
+    s = s.replaceAll("(?i)OPERATOR\\s*\\(\\s*pg_catalog\\.(!?~\\*?)\\s*\\)", " $1 ")
+    s = s.replaceAll("(?i)\\bCOLLATE\\s+pg_catalog\\.\"?default\"?", "")
+    s = s.replaceAll("(?i)\\bCOLLATE\\s+\"?default\"?", "")
+    // strip schema qualification: relations AND helper functions resolve flat
+    s = s.replaceAll("(?i)\\bpg_catalog\\.", "")
+    s = s.replaceAll("(?i)\\binformation_schema\\.(\\w+)", "information_schema_$1")
+    // regex match operators (case-insensitive variants approximated)
+    s = s.replaceAll("!~\\*?", " NOT RLIKE ")
+    s = s.replaceAll("~\\*", " RLIKE ")
+    s = s.replaceAll("(?<![<>!=^|~-])~", " RLIKE ")
+    // ::casts psql sprinkles around — the values are already the right
+    // shape on our side, so the casts erase
+    s = s.replaceAll("(?i)::(text|name|varchar|bpchar|char|regclass|regtype|" +
+      "regproc|oid|int4|int8|int2)\\b", "")
+    // pg_get_expr's optional 3rd arg (pretty-print) — one shim arity
+    s = s.replaceAll("(?i)\\bpg_get_expr\\s*\\(([^()]*?),\\s*(?:true|false)\\s*\\)",
+      "pg_get_expr($1)")
+    s
+  }
+
+  // ------------------------------------------------------ type mapping
+
+  /** Spark type → Postgres type OID (pg_type.dat, public catalog). */
+  def oidOf(dt: DataType): Int = dt match {
+    case BooleanType => 16
+    case BinaryType => 17
+    case LongType => 20
+    case ShortType | ByteType => 21
+    case IntegerType => 23
+    case FloatType => 700
+    case DoubleType => 701
+    case DateType => 1082
+    case TimestampType | TimestampNTZType => 1114
+    case _: DecimalType => 1700
+    case _ => 25 // text for strings and anything rendered as text
+  }
+
+  /** (oid, typname, typcategory, information_schema data_type). */
+  private val pgTypes: Seq[(Long, String, String, String)] = Seq(
+    (16L, "bool", "B", "boolean"),
+    (17L, "bytea", "U", "bytea"),
+    (18L, "char", "S", "\"char\""),
+    (19L, "name", "S", "name"),
+    (20L, "int8", "N", "bigint"),
+    (21L, "int2", "N", "smallint"),
+    (23L, "int4", "N", "integer"),
+    (25L, "text", "S", "text"),
+    (26L, "oid", "N", "oid"),
+    (114L, "json", "U", "json"),
+    (700L, "float4", "N", "real"),
+    (701L, "float8", "N", "double precision"),
+    (1042L, "bpchar", "S", "character"),
+    (1043L, "varchar", "S", "character varying"),
+    (1082L, "date", "D", "date"),
+    (1083L, "time", "D", "time without time zone"),
+    (1114L, "timestamp", "D", "timestamp without time zone"),
+    (1184L, "timestamptz", "D", "timestamp with time zone"),
+    (1186L, "interval", "T", "interval"),
+    (1700L, "numeric", "N", "numeric"),
+    (2950L, "uuid", "U", "uuid"),
+    (3802L, "jsonb", "U", "jsonb"))
+
+  private val typNameOf: Map[Long, String] =
+    pgTypes.map(t => t._1 -> t._2).toMap
+  private val dataTypeNameOf: Map[Long, String] =
+    pgTypes.map(t => t._1 -> t._4).toMap
+
+  /** information_schema.columns `data_type` name for a Spark type. */
+  private def dataTypeName(dt: DataType): String = dt match {
+    case StringType => "text"
+    case ArrayType(_, _) => "ARRAY"
+    case _: MapType | _: StructType => "jsonb"
+    case other => dataTypeNameOf.getOrElse(oidOf(other).toLong, "text")
+  }
+
+  // ---------------------------------------------------------- binding
+
+  private val NsPgCatalog = 11L
+  private val NsPublic = 2200L
+  private val NsInfoSchema = 13000L
+  private val FirstUserOid = 16384L
+  private val Owner = 10L // the bootstrap role ("graft")
+
+  /** (Re)register every system relation + helper-function shim. Cheap:
+    * all relations are driver-local rows; call per introspection query
+    * so the views always reflect the live catalog.
+    */
+  def bind(spark: SparkSession, objs0: Seq[Obj]): Unit = {
+    val s = spark
+    import s.implicits._
+
+    // stable oid per object: position in name-sorted order
+    val objs = objs0.sortBy(_.name)
+    val oidByName = objs.zipWithIndex
+      .map { case (o, i) => o.name -> (FirstUserOid + i) }.toMap
+
+    Seq((NsPgCatalog, "pg_catalog", Owner), (NsPublic, "public", Owner),
+      (NsInfoSchema, "information_schema", Owner))
+      .toDF("oid", "nspname", "nspowner")
+      .createOrReplaceTempView("pg_namespace")
+
+    objs.map { o =>
+      (oidByName(o.name), o.name, NsPublic, o.kind, Owner,
+        2L /*relam: heap*/, 0 /*relpages*/, 0.0f /*reltuples*/,
+        false /*relhasindex*/, "p" /*relpersistence*/, 0 /*relchecks*/,
+        false /*relhasrules*/, false /*relhastriggers*/,
+        false /*relrowsecurity*/, false /*relforcerowsecurity*/,
+        false /*relispartition*/, 0L /*reltablespace*/,
+        // STRING "0": psql CASEs reloftype against '' — a bigint would
+        // make Spark coerce '' to bigint and fail the cast
+        "0" /*reloftype*/,
+        "d" /*relreplident*/, 0L /*reltoastrelid*/,
+        Option.empty[String] /*relpartbound*/, Option.empty[String] /*relacl*/)
+    }.toDF("oid", "relname", "relnamespace", "relkind", "relowner",
+        "relam", "relpages", "reltuples", "relhasindex", "relpersistence",
+        "relchecks", "relhasrules", "relhastriggers", "relrowsecurity",
+        "relforcerowsecurity", "relispartition", "reltablespace",
+        "reloftype", "relreplident", "reltoastrelid", "relpartbound",
+        "relacl")
+      .createOrReplaceTempView("pg_class")
+
+    objs.flatMap { o =>
+      o.schema.toSeq.flatMap(_.fields.zipWithIndex.map { case (f, i) =>
+        (oidByName(o.name), f.name, oidOf(f.dataType).toLong, -1 /*typmod*/,
+          -1 /*attlen*/, i + 1, !f.nullable, false /*atthasdef*/,
+          false /*attisdropped*/, "" /*attidentity*/, "" /*attgenerated*/,
+          0L /*attcollation*/)
+      })
+    }.toDF("attrelid", "attname", "atttypid", "atttypmod", "attlen",
+        "attnum", "attnotnull", "atthasdef", "attisdropped", "attidentity",
+        "attgenerated", "attcollation")
+      .createOrReplaceTempView("pg_attribute")
+
+    pgTypes.map { case (oid, name, cat, _) =>
+      (oid, name, NsPgCatalog, -1, "b", cat, 0L /*typelem*/,
+        0L /*typrelid*/, 0L /*typbasetype*/, -1 /*typtypmod*/,
+        0L /*typcollation*/)
+    }.toDF("oid", "typname", "typnamespace", "typlen", "typtype",
+        "typcategory", "typelem", "typrelid", "typbasetype", "typtypmod",
+        "typcollation")
+      .createOrReplaceTempView("pg_type")
+
+    // deliberately-empty relations psql outer-joins against
+    Seq.empty[(Long, Long, Int, String)]
+      .toDF("objoid", "classoid", "objsubid", "description")
+      .createOrReplaceTempView("pg_description")
+    Seq.empty[(Long, Int, String)].toDF("adrelid", "adnum", "adbin")
+      .createOrReplaceTempView("pg_attrdef")
+    Seq.empty[(Long, String)].toDF("oid", "collname")
+      .createOrReplaceTempView("pg_collation")
+    Seq.empty[(Long, Long, Boolean, Boolean, Boolean)]
+      .toDF("indexrelid", "indrelid", "indisunique", "indisprimary",
+        "indisvalid")
+      .createOrReplaceTempView("pg_index")
+    Seq.empty[(Long, Long, Int, Boolean)]
+      .toDF("inhrelid", "inhparent", "inhseqno", "inhdetachpending")
+      .createOrReplaceTempView("pg_inherits")
+
+    Seq((2L, "heap")).toDF("oid", "amname")
+      .createOrReplaceTempView("pg_am")
+    Seq((Owner, "graft", true, true))
+      .toDF("oid", "rolname", "rolsuper", "rolcanlogin")
+      .createOrReplaceTempView("pg_roles")
+    Seq((1L, "dev", Owner, 6 /*UTF8*/, "C", "C", false, true,
+        Option.empty[Seq[String]]))
+      .toDF("oid", "datname", "datdba", "encoding", "datcollate",
+        "datctype", "datistemplate", "datallowconn", "datacl")
+      .createOrReplaceTempView("pg_database")
+
+    def ofKind(k: String) = objs.filter(_.kind == k)
+    ofKind("r").map(o => ("public", o.name, "graft",
+        Option.empty[String], false, false, false))
+      .toDF("schemaname", "tablename", "tableowner", "tablespace",
+        "hasindexes", "hasrules", "hastriggers")
+      .createOrReplaceTempView("pg_tables")
+    ofKind("m").map(o => ("public", o.name, "graft", true, ""))
+      .toDF("schemaname", "matviewname", "matviewowner", "ispopulated",
+        "definition")
+      .createOrReplaceTempView("pg_matviews")
+    ofKind("v").map(o => ("public", o.name, "graft", ""))
+      .toDF("schemaname", "viewname", "viewowner", "definition")
+      .createOrReplaceTempView("pg_views")
+
+    val isTables = objs.filter(o => "rmvf".contains(o.kind)).map { o =>
+      val tt = o.kind match {
+        case "r" => "BASE TABLE"
+        case "v" => "VIEW"
+        case "f" => "FOREIGN"
+        case _ => "MATERIALIZED VIEW" // info-schema extension, like the reference
+      }
+      ("dev", "public", o.name, tt)
+    }
+    isTables.toDF("table_catalog", "table_schema", "table_name", "table_type")
+      .createOrReplaceTempView("information_schema_tables")
+
+    objs.flatMap { o =>
+      o.schema.toSeq.flatMap(_.fields.zipWithIndex.map { case (f, i) =>
+        ("dev", "public", o.name, f.name, i + 1, Option.empty[String],
+          if (f.nullable) "YES" else "NO", dataTypeName(f.dataType),
+          typNameOf.getOrElse(oidOf(f.dataType).toLong, "text"))
+      })
+    }.toDF("table_catalog", "table_schema", "table_name", "column_name",
+        "ordinal_position", "column_default", "is_nullable", "data_type",
+        "udt_name")
+      .createOrReplaceTempView("information_schema_columns")
+
+    Seq(("public", Owner), ("pg_catalog", Owner),
+        ("information_schema", Owner))
+      .toDF("schema_name", "schema_owner")
+      .createOrReplaceTempView("information_schema_schemata")
+
+    registerShims(spark)
+  }
+
+  @volatile private var shimsDone = false
+
+  /** Catalog helper functions psql/pgjdbc call. Registered once per JVM
+    * (Spark UDF registry is session-wide).
+    */
+  private def registerShims(spark: SparkSession): Unit = {
+    if (shimsDone) return
+    shimsDone = true
+    spark.udf.register("pg_table_is_visible", (_: Long) => true)
+    spark.udf.register("pg_get_userbyid", (_: Long) => "graft")
+    spark.udf.register("pg_encoding_to_char", (_: Int) => "UTF8")
+    spark.udf.register("obj_description",
+      (_: Long, _: String) => null: String)
+    spark.udf.register("col_description",
+      (_: Long, _: Int) => null: String)
+    spark.udf.register("shobj_description",
+      (_: Long, _: String) => null: String)
+    spark.udf.register("pg_get_expr",
+      (adbin: String, _: Long) => adbin)
+    spark.udf.register("pg_get_indexdef",
+      (_: Long, _: Int, _: Boolean) => null: String)
+    spark.udf.register("pg_get_viewdef", (_: Long, _: Boolean) => "")
+    spark.udf.register("pg_backend_pid", () => 1)
+    spark.udf.register("pg_postmaster_start_time", () => "")
+    spark.udf.register("current_schemas",
+      (_: Boolean) => Seq("pg_catalog", "public"))
+    spark.udf.register("has_schema_privilege",
+      (_: String, _: String) => true)
+    spark.udf.register("has_table_privilege",
+      (_: String, _: String) => true)
+    // PG's array_to_string (Spark spells it array_join); psql \l uses it
+    spark.udf.register("array_to_string",
+      (a: Seq[String], sep: String) => if (a == null) null else a.mkString(sep))
+    spark.udf.register("format_type", (oid: Long, typmod: Integer) => {
+      val base = dataTypeNameOf.getOrElse(oid, "text")
+      if (base == "numeric" && typmod != null && typmod >= 4) {
+        val m = typmod - 4
+        s"numeric(${m >> 16},${m & 0xffff})"
+      } else base
+    })
+  }
+}

@@ -251,6 +251,115 @@ class PgWireSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("pgwire: pg_catalog/information_schema answer psql's introspection") {
+    val e = new Engine(spark, tmpDir("pgcat"))
+    val srv = new PgWireServer(e)
+    srv.start()
+    try {
+      val c = new Client(srv.port)
+      c.startup()
+      c.query("CREATE TABLE inv (id BIGINT PRIMARY KEY, qty INT, tag VARCHAR)")
+      c.query("INSERT INTO inv VALUES (1, 5, 'a')")
+      c.query("CREATE MATERIALIZED VIEW inv_mv (PRIMARY KEY (id)) AS " +
+        "SELECT id, qty FROM inv")
+
+      // psql 15's \dt, verbatim (double-quoted aliases, OPERATOR(~),
+      // COLLATE, !~, pg_catalog helper functions)
+      val dt = c.query(
+        """SELECT n.nspname as "Schema",
+          |  c.relname as "Name",
+          |  CASE c.relkind WHEN 'r' THEN 'table' WHEN 'v' THEN 'view' WHEN 'm' THEN 'materialized view' WHEN 'i' THEN 'index' WHEN 'S' THEN 'sequence' WHEN 't' THEN 'TOAST table' WHEN 'f' THEN 'foreign table' WHEN 'p' THEN 'partitioned table' WHEN 'I' THEN 'partitioned index' END as "Type",
+          |  pg_catalog.pg_get_userbyid(c.relowner) as "Owner"
+          |FROM pg_catalog.pg_class c
+          |     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+          |WHERE c.relkind IN ('r','p','')
+          |      AND n.nspname <> 'pg_catalog'
+          |      AND n.nspname !~ '^pg_toast'
+          |      AND n.nspname <> 'information_schema'
+          |  AND pg_catalog.pg_table_is_visible(c.oid)
+          |ORDER BY 1,2;""".stripMargin)
+      val dtRows = dt.filter(_.tpe == 'D').map(parseDataRow)
+      assert(dtRows == Seq(Seq(Some("public"), Some("inv"), Some("table"),
+        Some("graft"))), s"\\dt rows: $dtRows")
+
+      // psql's name→oid resolution, then the \d column query shape
+      val oid = {
+        val r = c.query(
+          """SELECT c.oid, n.nspname, c.relname
+            |FROM pg_catalog.pg_class c
+            |     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+            |WHERE c.relname OPERATOR(pg_catalog.~) '^(inv)$' COLLATE pg_catalog.default
+            |  AND pg_catalog.pg_table_is_visible(c.oid)
+            |ORDER BY 2, 3;""".stripMargin)
+        parseDataRow(r.filter(_.tpe == 'D').head).head.get
+      }
+      val cols = c.query(
+        s"""SELECT a.attname,
+           |  pg_catalog.format_type(a.atttypid, a.atttypmod),
+           |  a.attnotnull
+           |FROM pg_catalog.pg_attribute a
+           |WHERE a.attrelid = '$oid' AND a.attnum > 0 AND NOT a.attisdropped
+           |ORDER BY a.attnum;""".stripMargin)
+      assert(cols.filter(_.tpe == 'D').map(parseDataRow) == Seq(
+        Seq(Some("id"), Some("bigint"), Some("f")),
+        Seq(Some("qty"), Some("integer"), Some("f")),
+        Seq(Some("tag"), Some("text"), Some("f"))))
+
+      // information_schema: the ORM/JDBC introspection path
+      val ist = c.query("SELECT table_name, table_type FROM " +
+        "information_schema.tables ORDER BY table_name")
+      assert(ist.filter(_.tpe == 'D').map(parseDataRow) == Seq(
+        Seq(Some("inv"), Some("BASE TABLE")),
+        Seq(Some("inv_mv"), Some("MATERIALIZED VIEW"))))
+      val isc = c.query("SELECT column_name, data_type, is_nullable FROM " +
+        "information_schema.columns WHERE table_name = 'inv_mv' " +
+        "ORDER BY ordinal_position")
+      assert(isc.filter(_.tpe == 'D').map(parseDataRow) == Seq(
+        Seq(Some("id"), Some("bigint"), Some("YES")),
+        Seq(Some("qty"), Some("integer"), Some("YES"))))
+
+      // matviews are discoverable the PG way too
+      val dm = c.query("SELECT schemaname, matviewname FROM pg_matviews")
+      assert(dm.filter(_.tpe == 'D').map(parseDataRow) ==
+        Seq(Seq(Some("public"), Some("inv_mv"))))
+
+      // probes against unmodeled catalog concepts (policies, triggers …)
+      // answer EMPTY, not an error — psql's \d flow must complete
+      val pol = c.query(s"SELECT pol.polname FROM pg_catalog.pg_policy pol " +
+        s"WHERE pol.polrelid = '$oid' ORDER BY 1")
+      assert(!pol.exists(_.tpe == 'E') && !pol.exists(_.tpe == 'D'))
+
+      c.close()
+    } finally srv.stop()
+  }
+
+  test("pgwire: a real psql session introspects and queries the engine") {
+    val psql = new java.io.File("/usr/bin/psql")
+    assume(psql.canExecute, "psql not installed — skipping live-client test")
+    val e = new Engine(spark, tmpDir("pgpsql"))
+    val srv = new PgWireServer(e)
+    srv.start()
+    try {
+      def run(cmds: String*): String = {
+        val pb = new ProcessBuilder(
+          (Seq("/usr/bin/psql", "-h", "127.0.0.1", "-p", srv.port.toString,
+            "-d", "dev", "-X", "-A") ++ cmds.flatMap(Seq("-c", _))): _*)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val outS = new String(p.getInputStream.readAllBytes(), UTF_8)
+        p.waitFor()
+        outS
+      }
+      run("CREATE TABLE pt (id BIGINT PRIMARY KEY, v DOUBLE)",
+        "INSERT INTO pt VALUES (1, 2.5)")
+      val out = run("\\dt", "\\d pt", "SELECT id, v FROM pt")
+      assert(out.contains("public|pt|table|graft"), out)
+      assert(out.contains("id|bigint") && out.contains("v|double precision"), out)
+      assert(out.contains("1|2.5"), out)
+      assert(!out.toLowerCase.contains("error"), out)
+    } finally srv.stop()
+  }
+
   test("pgwire: extended-protocol error recovery, maxRows, literal-aware splice") {
     val e = new Engine(spark, tmpDir("pgwire2"))
     val srv = new PgWireServer(e)

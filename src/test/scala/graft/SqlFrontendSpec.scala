@@ -694,6 +694,73 @@ class SqlFrontendSpec extends SparkSpecBase {
     assert(e2.mvs.get("rn_t").isEmpty && e2.mvs.get("rn_m").isEmpty)
   }
 
+  test("SQL MV-on-MV: downstream chains continuously, deletes propagate, restart re-wires") {
+    val wh = tmpDir("mvchainsql")
+    val e = new Engine(spark, wh)
+    val srcDir = tmpDir("mvchainsql-src")
+    // Debezium file source → streaming MV a → chained MV b (SQL only)
+    Seq("""{"before": null, "after": {"id": 1, "v": 5.0}, "op": "c"}""",
+        """{"before": null, "after": {"id": 2, "v": 50.0}, "op": "c"}""")
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute(
+      s"""CREATE SOURCE ch_src (id BIGINT, v DOUBLE)
+         |WITH (path = '$srcDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute(
+      """CREATE MATERIALIZED VIEW ch_a (PRIMARY KEY (id)) AS
+        |SELECT id, v FROM ch_src""".stripMargin)
+    e.execute(
+      """CREATE MATERIALIZED VIEW ch_b (PRIMARY KEY (id)) AS
+        |SELECT id, v * 10 AS v10 FROM ch_a WHERE v < 40""".stripMargin)
+    e.execute("FLUSH")
+    // b backfilled from a's snapshot, filtered + transformed
+    assert(e.table("ch_b").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 50.0)))
+
+    // new input advances BOTH a and b with one FLUSH — no manual refresh
+    Seq("""{"before": null, "after": {"id": 3, "v": 7.0}, "op": "c"}""")
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(e.table("ch_a").count() == 3)
+    assert(e.table("ch_b").orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 50.0), (3L, 70.0)))
+
+    // a delete at the SOURCE propagates through a INTO b
+    Seq("""{"before": {"id": 1, "v": 5.0}, "after": null, "op": "d"}""")
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(e.table("ch_a").count() == 2)
+    assert(e.table("ch_b").as[(Long, Double)].collect().toSeq ==
+      Seq((3L, 70.0)))
+
+    // restart: recovery re-wires source → a → b; the chain keeps moving
+    e.streamingJob("ch_a").foreach(_.stop())
+    e.streamingJob("ch_b").foreach(_.stop())
+    val e2 = new Engine(spark.newSession(), wh)
+    Seq("""{"before": null, "after": {"id": 4, "v": 9.0}, "op": "c"}""")
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e2.execute("FLUSH")
+    assert(e2.table("ch_b").orderBy("id")
+      .as[(Long, Double)].collect().toSeq == Seq((3L, 70.0), (4L, 90.0)),
+      "restarted chain did not advance")
+    e2.streamingJob("ch_a").foreach(_.stop())
+    e2.streamingJob("ch_b").foreach(_.stop())
+
+    // a stateful transform over a streaming MV does NOT silently chain —
+    // it materializes as a batch-refresh MV (documented boundary)
+    val e3 = new Engine(spark, tmpDir("mvchainsql3"))
+    val src3 = tmpDir("mvchainsql3-src")
+    Seq((1L, 2.0)).toDF("id", "v").write.mode("append").parquet(src3)
+    e3.execute(s"CREATE SOURCE agg_src WITH (path = '$src3')")
+    e3.execute("CREATE MATERIALIZED VIEW agg_a (PRIMARY KEY (id)) AS " +
+      "SELECT id, v FROM agg_src")
+    e3.execute("FLUSH")
+    e3.execute("CREATE MATERIALIZED VIEW agg_b (PRIMARY KEY (n)) AS " +
+      "SELECT count(*) AS n, sum(v) AS sv FROM agg_a")
+    assert(e3.streamingJob("agg_b").isEmpty, "stateful MV-on-MV must not chain")
+    assert(e3.table("agg_b").count() == 1)
+    e3.streamingJob("agg_a").foreach(_.stop())
+  }
+
   test("SHOW CREATE reconstructs re-issuable DDL from the catalog") {
     val e = new Engine(spark, tmpDir("showcreate"))
     e.execute("CREATE TABLE sc_t (id BIGINT PRIMARY KEY, v DOUBLE DEFAULT 1.5)")
