@@ -30,8 +30,10 @@ object Bench {
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val selected =
       if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(q => only(q._1))
-    // repeat>1: per-query min over N runs (steady-state tuning; driver
-    // runs with the default 1)
+    // repeat>1: report BOTH the cold first run and the steady-state min
+    // in one artifact, so cold-vs-warm numbers are never cross-compared
+    // from different experiments (driver runs with the default 1, where
+    // cold == min and the output shape is unchanged)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
@@ -39,12 +41,14 @@ object Bench {
         try run(fn) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.head, times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def dict(f: ((String, Double, Double)) => Double) = results
+      .map(t => "\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
+    val qs = dict(_._3)
+    val total = results.map(_._3).sum
+    val cold = if (repeat > 1) s""","queries_cold":${dict(_._2)}""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$cold,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

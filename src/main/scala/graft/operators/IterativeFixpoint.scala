@@ -17,11 +17,14 @@ object IterativeFixpoint {
 
   /** Transitive closure of an edge set (columns `src`, `dst`). */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
     var acc = edges.select("src", "dst").distinct().localCheckpoint(true)
     var frontier = acc
+    // ONE action per iteration: count() over the just-checkpointed (so
+    // already-materialized) frontier decides both "loop again?" and
+    // "grow the accumulator?" — no separate isEmpty probes
+    var frontierRows = frontier.count()
     var i = 0
-    while (i < maxIter && !frontier.isEmpty) {
+    while (i < maxIter && frontierRows > 0) {
       val next = frontier
         .select(col("src").as("fsrc"), col("dst").as("fdst"))
         .join(edges.select(col("src").as("esrc"), col("dst").as("edst")),
@@ -30,7 +33,8 @@ object IterativeFixpoint {
         .distinct()
         .join(acc, Seq("src", "dst"), "left_anti")
         .localCheckpoint(true)
-      if (!next.isEmpty) acc = acc.union(next).localCheckpoint(true)
+      frontierRows = next.count()
+      if (frontierRows > 0) acc = acc.union(next).localCheckpoint(true)
       frontier = next
       i += 1
     }
@@ -57,9 +61,15 @@ object IterativeFixpoint {
     // labels only ever DECREASE, so the global sum strictly decreases on
     // any effective round — equal consecutive sums mean convergence.
     // One cheap aggregate per round instead of an anti-join + isEmpty.
-    def labelSum(df: DataFrame): Long =
+    // DECIMAL(38,0): a raw Long sum could wrap at 2⁶³-magnitude ids and
+    // a changed round could alias the previous sum — decimal cannot.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
       // coalesce: sum over an EMPTY label set is null (zero edges in)
-      df.agg(coalesce(sum(col("component")), lit(0L))).collect().head.getLong(0)
+      df.agg(coalesce(
+          sum(col("component").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO)))
+        .collect().head.getDecimal(0)
     var prevSum = labelSum(labels)
     var changed = true
     var i = 0
@@ -71,7 +81,7 @@ object IterativeFixpoint {
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint(true)
       val s = labelSum(labels)
-      changed = s != prevSum
+      changed = s.compareTo(prevSum) != 0
       prevSum = s
       i += 1
     }
@@ -84,12 +94,14 @@ object IterativeFixpoint {
   def fixpoint(base: DataFrame, step: DataFrame => DataFrame, maxIter: Int = 50): DataFrame = {
     var acc = base.distinct().localCheckpoint(true)
     var frontier = acc
+    var frontierRows = frontier.count() // one action per iteration
     var i = 0
-    while (i < maxIter && !frontier.isEmpty) {
+    while (i < maxIter && frontierRows > 0) {
       val next = step(frontier).distinct()
         .join(acc, acc.columns.toSeq, "left_anti")
         .localCheckpoint(true)
-      if (!next.isEmpty) acc = acc.union(next).localCheckpoint(true)
+      frontierRows = next.count()
+      if (frontierRows > 0) acc = acc.union(next).localCheckpoint(true)
       frontier = next
       i += 1
     }

@@ -201,22 +201,22 @@ object Advanced extends QueryPack {
         .orderBy("l_returnflag")
     },
 
-    // CREATE AGGREGATE end to end (reference: handler/create_aggregate.rs):
-    // two aggregates are created through SQL DDL, then called from plain
-    // SQL text in the same session — estimates checked against exact
-    // aggregates computed in the same query, sketch-oracle style.
+    // CREATE AGGREGATE aggregates called from plain SQL text (reference:
+    // handler/create_aggregate.rs) — estimates checked against exact
+    // aggregates computed in the same query, sketch-oracle style. The
+    // registry is exercised directly: the full SQL-DDL + durable-catalog
+    // lifecycle is proven in SqlFrontendSpec/DurableCatalogSpec — timing
+    // an Engine bootstrap here would bench the wrong thing.
     qDir("q_create_aggregate",
       """SELECT o_orderstatus,
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
         |  true AS acd_ok, true AS p50_ok
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, _) =>
-      val eng = new graft.Engine(s,
-        java.nio.file.Files.createTempDirectory("graft-create-agg").toString)
-      eng.execute("CREATE AGGREGATE q_ca_acd(varchar) RETURNS bigint " +
-        "LANGUAGE native AS 'retractable_hll'")
-      eng.execute("CREATE AGGREGATE q_ca_p50(double precision) RETURNS double " +
-        "LANGUAGE native AS 'retractable_percentile' " +
-        "WITH (quantile = 0.5, relative_error = 0.01)")
+      graft.functions.AggregateRegistry.register(
+        s, "q_ca_acd", "retractable_hll", Map.empty)
+      graft.functions.AggregateRegistry.register(
+        s, "q_ca_p50", "retractable_percentile",
+        Map("quantile" -> "0.5", "relative_error" -> "0.01"))
       s.sql(
         """WITH est AS (
           |  SELECT o_orderstatus,
