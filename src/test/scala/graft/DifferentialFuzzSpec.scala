@@ -1,0 +1,264 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.util.Random
+
+import org.apache.spark.sql.Row
+
+/** Differential fuzzing — the sqlsmith analog (reference:
+  * src/tests/sqlsmith/): a SEEDED generator composes random SELECTs
+  * from a small grammar (scan/filter/join/agg/window over the fixture
+  * tables) restricted to the Spark∩DuckDB dialect subset, runs every
+  * query through `Engine.execute` AND DuckDB, and diffs canonical row
+  * renderings. Catches dialect-shim and expression-semantics
+  * divergences no hand-written pack covers.
+  *
+  * Determinism rules (same as the oracle corpus): doubles only ever
+  * reach the output as DECIMAL(18,2) casts, timestamps as DATE casts,
+  * sums over decimals/integers — so canonical rendering is exact on
+  * both engines and row sets compare byte-identically after sorting.
+  */
+class DifferentialFuzzSpec extends SparkSpecBase {
+
+  private val SfDir = "/root/testdata/sf0.001"
+  private val NQueries = 250
+  private val Seed = 20260813L
+
+  // (name, columns as (colName, kind)): I integral, D double, S string,
+  // T timestamp; first column doubles as the unique/order key
+  private val tables: Seq[(String, Seq[(String, Char)])] = Seq(
+    "region" -> Seq("r_regionkey" -> 'I', "r_name" -> 'S'),
+    "nation" -> Seq("n_nationkey" -> 'I', "n_name" -> 'S',
+      "n_regionkey" -> 'I'),
+    "customer" -> Seq("c_custkey" -> 'I', "c_name" -> 'S',
+      "c_nationkey" -> 'I', "c_acctbal" -> 'D', "c_mktsegment" -> 'S'),
+    "supplier" -> Seq("s_suppkey" -> 'I', "s_name" -> 'S',
+      "s_nationkey" -> 'I', "s_acctbal" -> 'D'),
+    "part" -> Seq("p_partkey" -> 'I', "p_name" -> 'S', "p_brand" -> 'S',
+      "p_type" -> 'S', "p_size" -> 'I', "p_retailprice" -> 'D'),
+    "orders" -> Seq("o_orderkey" -> 'I', "o_custkey" -> 'I',
+      "o_orderstatus" -> 'S', "o_totalprice" -> 'D', "o_orderdate" -> 'T',
+      "o_orderpriority" -> 'S'),
+    "lineitem" -> Seq("l_orderkey" -> 'I', "l_partkey" -> 'I',
+      "l_suppkey" -> 'I', "l_linenumber" -> 'I', "l_quantity" -> 'D',
+      "l_extendedprice" -> 'D', "l_discount" -> 'D', "l_tax" -> 'D',
+      "l_returnflag" -> 'S', "l_linestatus" -> 'S', "l_shipdate" -> 'T'))
+
+  // FK join pairs: (left, right, leftKey, rightKey)
+  private val joins = Seq(
+    ("nation", "region", "n_regionkey", "r_regionkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"))
+
+  private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.size))
+
+  /** Output-safe select expression for a column (exact rendering on
+    * both engines; doubles → DECIMAL, timestamps → DATE).
+    */
+  private def selExpr(r: Random, c: String, kind: Char): String = kind match {
+    case 'I' => pick(r, Seq(c, s"$c + 3", s"$c % 7", s"abs($c - 10)",
+      s"CASE WHEN $c % 2 = 0 THEN $c ELSE -$c END"))
+    case 'D' => s"CAST($c AS DECIMAL(18,2))"
+    case 'S' => pick(r, Seq(c, s"upper($c)", s"substr($c, 1, 4)",
+      s"length($c)", s"$c || '_z'"))
+    case 'T' => s"CAST($c AS DATE)"
+  }
+
+  private def predicate(r: Random, c: String, kind: Char): String = kind match {
+    case 'I' => pick(r, Seq(s"$c > ${r.nextInt(200)}",
+      s"$c <= ${r.nextInt(2000)}", s"$c % ${2 + r.nextInt(5)} = 1",
+      s"$c IN (${Seq.fill(3)(r.nextInt(100)).mkString(", ")})"))
+    case 'D' => pick(r, Seq(s"$c > ${100 + r.nextInt(5000)}",
+      s"$c BETWEEN ${r.nextInt(500)} AND ${1000 + r.nextInt(9000)}"))
+    case 'S' => pick(r, Seq(s"$c LIKE '${('A' + r.nextInt(26)).toChar}%'",
+      s"$c > '${('A' + r.nextInt(26)).toChar}'", s"$c IS NOT NULL",
+      s"length($c) > ${3 + r.nextInt(12)}"))
+    case 'T' =>
+      s"$c >= TIMESTAMP '199${2 + r.nextInt(6)}-0${1 + r.nextInt(9)}-01 00:00:00'"
+  }
+
+  private def wherePred(r: Random, cols: Seq[(String, Char)]): String = {
+    val n = 1 + r.nextInt(2)
+    val ps = Seq.fill(n) { val (c, k) = pick(r, cols); predicate(r, c, k) }
+    ps.mkString(if (r.nextBoolean()) " AND " else " OR ")
+  }
+
+  private def genScan(r: Random): String = {
+    val (t, cols) = pick(r, tables)
+    val sel = (0 until 1 + r.nextInt(4)).map { i =>
+      val (c, k) = pick(r, cols); s"${selExpr(r, c, k)} AS c$i"
+    }
+    s"SELECT ${sel.mkString(", ")} FROM $t WHERE ${wherePred(r, cols)}"
+  }
+
+  private def genJoin(r: Random): String = {
+    val (lt, rt, lk, rk) = pick(r, joins)
+    val lcols = tables.toMap.apply(lt)
+    val rcols = tables.toMap.apply(rt)
+    val jt = pick(r, Seq("JOIN", "LEFT JOIN"))
+    val sel = (0 until 2 + r.nextInt(3)).map { i =>
+      val side = if (r.nextBoolean()) (lt, lcols) else (rt, rcols)
+      val (c, k) = pick(r, side._2)
+      s"${selExpr(r, s"${side._1}.$c", k)} AS c$i"
+    }
+    // predicate on the LEFT side only: a right-side filter under a LEFT
+    // JOIN is dialect-identical too, but left keeps null rows in play
+    s"SELECT ${sel.mkString(", ")} FROM $lt $jt $rt ON $lt.$lk = $rt.$rk " +
+      s"WHERE ${wherePred(r, lcols.map { case (c, k) => (s"$lt.$c", k) })}"
+  }
+
+  private def genAgg(r: Random): String = {
+    val (t, cols) = pick(r, tables)
+    val (g, _) = pick(r, cols.filter(c => c._2 == 'S' || c._2 == 'I'))
+    val aggs = (0 until 1 + r.nextInt(3)).map { i =>
+      val (c, k) = pick(r, cols)
+      val a = k match {
+        case 'D' => pick(r, Seq(s"sum(CAST($c AS DECIMAL(18,2)))",
+          s"min(CAST($c AS DECIMAL(18,2)))", s"max(CAST($c AS DECIMAL(18,2)))"))
+        case 'I' => pick(r, Seq(s"CAST(sum($c) AS BIGINT)", s"min($c)",
+          s"max($c)", s"count($c)"))
+        case 'S' => pick(r, Seq(s"min($c)", s"max($c)", s"count($c)"))
+        case 'T' => s"count($c)"
+      }
+      s"$a AS a$i"
+    }
+    val having = if (r.nextBoolean()) s" HAVING count(*) > ${r.nextInt(3)}" else ""
+    s"SELECT $g, count(*) AS cnt, ${aggs.mkString(", ")} FROM $t " +
+      s"WHERE ${wherePred(r, cols)} GROUP BY $g$having"
+  }
+
+  private def genJoinAgg(r: Random): String = {
+    val (lt, rt, lk, rk) = pick(r, joins)
+    val rcols = tables.toMap.apply(rt)
+    val lcols = tables.toMap.apply(lt)
+    val (g, _) = pick(r, rcols.filter(c => c._2 == 'S' || c._2 == 'I'))
+    val (m, mk) = pick(r, lcols)
+    val agg = mk match {
+      case 'D' => s"sum(CAST($lt.$m AS DECIMAL(18,2)))"
+      case 'T' => s"count($lt.$m)"
+      case _ => s"min($lt.$m)"
+    }
+    s"SELECT $rt.$g AS g, count(*) AS cnt, $agg AS a0 FROM $lt " +
+      s"JOIN $rt ON $lt.$lk = $rt.$rk " +
+      s"WHERE ${wherePred(r, lcols.map { case (c, k) => (s"$lt.$c", k) })} " +
+      s"GROUP BY $rt.$g"
+  }
+
+  // tie-FREE window order keys (engine tie-breaks differ — memory rule)
+  private val uniqueKey: Map[String, String] = Map(
+    "lineitem" -> "l_orderkey, l_linenumber").withDefault(t =>
+    tables.toMap.apply(t).head._1)
+
+  private def genWindow(r: Random): String = {
+    val (t, cols) = pick(r, tables)
+    val pkCol = uniqueKey(t)
+    val (p, _) = pick(r, cols.filter(c => c._2 == 'S' || c._2 == 'I'))
+    val fn = pick(r, Seq("row_number()", "rank()", "dense_rank()"))
+    val (d, dk) = pick(r, cols)
+    val runSum = if (dk == 'D')
+      s", CAST(sum(CAST($d AS DECIMAL(18,2))) OVER (PARTITION BY $p " +
+        s"ORDER BY $pkCol ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS DECIMAL(28,2)) AS rs"
+    else ""
+    s"SELECT ${cols.head._1}, $fn OVER (PARTITION BY $p ORDER BY $pkCol) AS rn$runSum " +
+      s"FROM $t WHERE ${wherePred(r, cols)}"
+  }
+
+  private def gen(r: Random): String = r.nextInt(10) match {
+    case 0 | 1 | 2 | 3 => genScan(r)
+    case 4 | 5 => genJoin(r)
+    case 6 | 7 => genAgg(r)
+    case 8 => genJoinAgg(r)
+    case _ => genWindow(r)
+  }
+
+  /** Canonical row rendering — must match tools/fuzz_oracle.py. */
+  private def canon(rows: Array[Row]): Seq[String] =
+    rows.toSeq.map { row =>
+      (0 until row.length).map { i =>
+        row.get(i) match {
+          case null => "∅"
+          case b: Boolean => if (b) "true" else "false"
+          case d: java.math.BigDecimal => d.toPlainString
+          case other => other.toString
+        }
+      }.mkString("\u0001")
+    }.sorted
+
+  test(s"$NQueries seeded random queries match DuckDB") {
+    assume(Files.exists(Paths.get(SfDir)), s"fixture dir $SfDir missing")
+    val e = new Engine(spark, tmpDir("fuzz-wh"))
+    e.attachTables(SfDir)
+
+    val r = new Random(Seed)
+    val queries = (0 until NQueries).map(i => f"fz$i%03d" -> gen(r))
+
+    // engine side
+    val sparkResults: Map[String, Either[String, Seq[String]]] =
+      queries.map { case (name, sql) =>
+        name -> (try Right(canon(e.execute(sql).collect()))
+        catch { case ex: Throwable =>
+          Left(Option(ex.getMessage).getOrElse("?").linesIterator.next())
+        })
+      }.toMap
+
+    // oracle side (driver-side python + duckdb)
+    val dir = tmpDir("fuzz")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    Files.writeString(Paths.get(s"$dir/queries.json"),
+      queries.map { case (n, q) => s"${jstr(n)}: ${jstr(q)}" }
+        .mkString("{", ",", "}"))
+    val pb = new ProcessBuilder("python3",
+      Paths.get("tools/fuzz_oracle.py").toAbsolutePath.toString,
+      SfDir, s"$dir/queries.json", s"$dir/oracle.json")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val procOut = new String(proc.getInputStream.readAllBytes())
+    assert(proc.waitFor() == 0, s"fuzz_oracle.py failed: $procOut")
+
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val oracle = JsonMethods.parse(Files.readString(Paths.get(s"$dir/oracle.json")))
+      .asInstanceOf[JObject].obj.toMap
+
+    val failures = queries.flatMap { case (name, sql) =>
+      val ours = sparkResults(name)
+      val theirs = oracle(name) match {
+        case JObject(fields) =>
+          fields.toMap.get("rows") match {
+            case Some(JArray(vs)) => Right(vs.map(_.asInstanceOf[JString].s))
+            case _ => Left(fields.toMap.get("error")
+              .collect { case JString(s) => s }.getOrElse("?"))
+          }
+        case _ => Left("bad oracle entry")
+      }
+      (ours, theirs) match {
+        // both engines rejecting a query is not a divergence
+        case (Left(_), Left(_)) => None
+        case (Right(a), Right(b)) if a == b => None
+        case (Right(a), Right(b)) =>
+          val firstDiff = a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }
+          Some(s"$name: ${a.size} vs ${b.size} rows; first diff $firstDiff\n  $sql")
+        case (Left(err), Right(_)) => Some(s"$name: engine error [$err]\n  $sql")
+        case (Right(_), Left(err)) => Some(s"$name: duckdb error [$err]\n  $sql")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size}/${queries.size} divergences:\n" +
+        failures.take(8).mkString("\n"))
+    // keep the test honest: "both engines errored" counts as
+    // non-divergent above, so a grammar regression could silently turn
+    // the whole corpus into agreed-upon failures
+    val ran = queries.count { case (n, _) => sparkResults(n).isRight }
+    assert(ran >= (NQueries * 95) / 100,
+      s"only $ran/$NQueries generated queries executed on the engine")
+  }
+}
