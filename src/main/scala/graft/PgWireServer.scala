@@ -96,11 +96,140 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     */
   private def oidOf(dt: DataType): Int = SystemCatalog.oidOf(dt)
 
+  // ------------------------------------------------- binary wire format
+
+  private val Epoch2000Micros = 946684800000000L // 2000-01-01 in µs
+  private val Epoch2000Days = 10957 // days 1970-01-01 → 2000-01-01
+
+  /** Types with a binary send/recv implemented here (the set psycopg3 /
+    * pgjdbc request in binary mode). Anything else stays text and the
+    * RowDescription advertises format 0 for that column.
+    */
+  private def binarySupported(dt: DataType): Boolean = dt match {
+    case BooleanType | ShortType | ByteType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Resolved format code for column `i` (protocol: zero codes = all
+    * text, one code = applies to all, else per-column), downgraded to
+    * text when no binary encoding exists for the type.
+    */
+  private def fmtOf(resFmts: Seq[Int], i: Int, dt: DataType): Int = {
+    val raw =
+      if (resFmts.isEmpty) 0
+      else if (resFmts.size == 1) resFmts.head
+      else resFmts(i)
+    if (raw == 1 && binarySupported(dt)) 1 else 0
+  }
+
+  /** Postgres binary wire encoding (network order; pg_type send
+    * functions — public format documented in the protocol spec).
+    */
+  private def binEncode(dt: DataType, v: Any): Array[Byte] = {
+    import java.nio.ByteBuffer
+    def bb(n: Int)(f: ByteBuffer => Unit): Array[Byte] = {
+      val b = ByteBuffer.allocate(n); f(b); b.array()
+    }
+    (dt, v) match {
+      case (BooleanType, b: Boolean) => Array[Byte](if (b) 1 else 0)
+      case (ShortType, s: Short) => bb(2)(_.putShort(s))
+      case (ByteType, x: Byte) => bb(2)(_.putShort(x.toShort))
+      case (IntegerType, i: Int) => bb(4)(_.putInt(i))
+      case (LongType, l: Long) => bb(8)(_.putLong(l))
+      case (FloatType, f: Float) => bb(4)(_.putFloat(f))
+      case (DoubleType, d: Double) => bb(8)(_.putDouble(d))
+      case (StringType, s: String) => s.getBytes(UTF_8)
+      case (BinaryType, a: Array[Byte]) => a
+      case (DateType, d: java.sql.Date) =>
+        bb(4)(_.putInt((d.toLocalDate.toEpochDay - Epoch2000Days).toInt))
+      case (DateType, d: java.time.LocalDate) =>
+        bb(4)(_.putInt((d.toEpochDay - Epoch2000Days).toInt))
+      case (TimestampType | TimestampNTZType, t: java.sql.Timestamp) =>
+        bb(8)(_.putLong(
+          t.getTime * 1000L + t.getNanos / 1000L % 1000L - Epoch2000Micros))
+      case (TimestampType, t: java.time.Instant) =>
+        bb(8)(_.putLong(t.getEpochSecond * 1000000L +
+          t.getNano / 1000L - Epoch2000Micros))
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        bb(8)(_.putLong(
+          t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            t.getNano / 1000L - Epoch2000Micros))
+      case (_: DecimalType, d: java.math.BigDecimal) => numericBin(d)
+      case (_, other) => // declared-vs-runtime mismatch: text bytes
+        render(other).getBytes(UTF_8)
+    }
+  }
+
+  /** pg `numeric` binary: i16 ndigits, i16 weight (base-10000 exponent
+    * of the FIRST digit group), i16 sign, i16 dscale, then base-10000
+    * digit groups.
+    */
+  private def numericBin(d0: java.math.BigDecimal): Array[Byte] = {
+    val dscale = math.max(d0.scale, 0)
+    val d = if (d0.scale < 0) d0.setScale(0) else d0
+    val neg = d.signum < 0
+    val plain = d.abs.toPlainString
+    val (intPart0, fracPart0) = plain.indexOf('.') match {
+      case -1 => (plain, "")
+      case i => (plain.substring(0, i), plain.substring(i + 1))
+    }
+    val intPart = "0" * ((4 - intPart0.length % 4) % 4) + intPart0
+    val fracPart = fracPart0 + "0" * ((4 - fracPart0.length % 4) % 4)
+    var groups = (intPart + fracPart).grouped(4).map(_.toShort).toVector
+    var weight = intPart.length / 4 - 1
+    while (groups.headOption.contains(0.toShort) && groups.size > 1) {
+      groups = groups.tail; weight -= 1
+    }
+    while (groups.lastOption.contains(0.toShort) && groups.size > 1)
+      groups = groups.dropRight(1)
+    if (groups == Vector(0.toShort)) { groups = Vector.empty; weight = 0 }
+    val buf = java.nio.ByteBuffer.allocate(8 + 2 * groups.size)
+    buf.putShort(groups.size.toShort)
+    buf.putShort(weight.toShort)
+    buf.putShort(if (neg) 0x4000.toShort else 0.toShort)
+    buf.putShort(dscale.toShort)
+    groups.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Binary Bind parameter → its text-equivalent value (spliceParams
+    * then quotes/bares it exactly like a text-format parameter).
+    */
+  private def binParam(oid: Int, b: Array[Byte]): String = {
+    val buf = java.nio.ByteBuffer.wrap(b)
+    oid match {
+      case 16 => if (b.nonEmpty && b(0) != 0) "true" else "false"
+      case 21 => buf.getShort.toString
+      case 23 => buf.getInt.toString
+      case 20 => buf.getLong.toString
+      case 700 => buf.getFloat.toString
+      case 701 => buf.getDouble.toString
+      case 25 | 1043 | 19 | 18 => new String(b, UTF_8)
+      case 1082 =>
+        java.time.LocalDate.ofEpochDay(buf.getInt.toLong + Epoch2000Days)
+          .toString
+      case 1114 | 1184 =>
+        val micros = buf.getLong + Epoch2000Micros
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+          .toString.replace('T', ' ')
+      case other => throw new IllegalArgumentException(
+        s"binary parameter format not supported for type oid $other")
+    }
+  }
+
   private def render(v: Any): String = v match {
     case null => null
     case b: Boolean => if (b) "t" else "f"
-    case s: Seq[_] => s.map(x => if (x == null) "NULL" else x.toString)
-      .mkString("{", ",", "}") // pg array text form
+    // collection.Seq, not the immutable default: Row.get returns
+    // mutable.ArraySeq for array columns
+    case s: scala.collection.Seq[_] =>
+      s.map(x => if (x == null) "NULL" else x.toString)
+        .mkString("{", ",", "}") // pg array text form
     case a: Array[_] => render(a.toSeq)
     case m: Map[_, _] => m.map { case (k, x) => s"$k=>$x" }.mkString(",")
     case other => other.toString
@@ -115,7 +244,8 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     // and portals (bound statement + spliced SQL)
     val statements = scala.collection.mutable.Map[String, String]()
     val stmtParamOids = scala.collection.mutable.Map[String, Seq[Int]]()
-    val portals = scala.collection.mutable.Map[String, String]()
+    // portal → (spliced sql, requested result-format codes)
+    val portals = scala.collection.mutable.Map[String, (String, Seq[Int])]()
     val described = scala.collection.mutable.Set[String]() // portals with 'T' sent
     // suspended portal iterators (Execute with maxRows → PortalSuspended)
     val suspended = scala.collection.mutable.Map[
@@ -151,17 +281,19 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
           * PortalSuspended; rows stream via toLocalIterator — the full
           * result never materializes server-side.
           */
-        def executePortal(portal: String, sql: String, maxRows: Int): Unit = {
+        def executePortal(portal: String, sql: String, maxRows: Int,
+            resFmts: Seq[Int]): Unit = {
           val (it, schema, prior) = suspended.get(portal) match {
             case Some(t) => t
             case None =>
               val df = engine.synchronized(engine.execute(sql))
-              if (!described.contains(portal)) rowDescription(out, df.schema)
+              if (!described.contains(portal))
+                rowDescription(out, df.schema, resFmts)
               (df.toLocalIterator(), df.schema, 0L)
           }
           var n = 0L
           while (it.hasNext && (maxRows <= 0 || n < maxRows)) {
-            dataRow(out, schema, it.next()); n += 1
+            dataRow(out, schema, it.next(), resFmts); n += 1
           }
           if (it.hasNext) {
             suspended(portal) = (it, schema, prior + n)
@@ -207,6 +339,7 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
             val stmt = readCString(msg)
             val nFmt = msg.readShort()
             val fmts = (0 until nFmt).map(_ => msg.readShort())
+            val declaredOids = stmtParamOids.getOrElse(stmt, Seq.empty)
             val nParams = msg.readShort()
             val params = (0 until nParams).map { i =>
               val plen = msg.readInt()
@@ -214,14 +347,26 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
               else {
                 val b = new Array[Byte](plen)
                 msg.readFully(b)
-                require(fmts.isEmpty || fmts(math.min(i, fmts.size - 1)) == 0,
-                  "binary parameter format not supported (text only)")
-                new String(b, UTF_8)
+                val fmt =
+                  if (fmts.isEmpty) 0
+                  else fmts(math.min(i, fmts.size - 1)).toInt
+                if (fmt == 0) new String(b, UTF_8)
+                else {
+                  // binary parameter: decode by the Parse-declared OID
+                  val oid = declaredOids.lift(i).filter(_ != 0).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"binary parameter $$${i + 1} needs a declared type " +
+                        "oid in Parse"))
+                  binParam(oid, b)
+                }
               }
             }
+            // trailing result-format codes (0 text / 1 binary per column)
+            val nRes = msg.readShort()
+            val resFmts = (0 until nRes).map(_ => msg.readShort().toInt)
             statements.get(stmt) match {
               case Some(q) =>
-                portals(portal) = spliceParams(q, params)
+                portals(portal) = (spliceParams(q, params), resFmts)
                 suspended.remove(portal); described -= portal
                 writeMsg(out, '2') { _ => } // BindComplete
               case None =>
@@ -232,9 +377,10 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
             val kind = msg.readByte().toChar
             val name = readCString(msg)
             val sqlOpt =
-              if (kind == 'P') portals.get(name) else statements.get(name)
+              if (kind == 'P') portals.get(name)
+              else statements.get(name).map((_, Seq.empty[Int]))
             sqlOpt match {
-              case Some(sql) =>
+              case Some((sql, resFmts)) =>
                 if (kind == 'S') {
                   // ParameterDescription precedes the row description on
                   // statement describes: declared OIDs, or 0 (unspecified)
@@ -253,7 +399,7 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
                 else // schema from the analyzed plan only - no job runs
                   try {
                     val schema = engine.synchronized(engine.execute(sql).schema)
-                    rowDescription(out, schema)
+                    rowDescription(out, schema, resFmts)
                     if (kind == 'P') described += name
                   } catch {
                     case e: Throwable => extErr("XX000",
@@ -266,9 +412,9 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
             val portal = readCString(msg)
             val maxRows = msg.readInt()
             portals.get(portal) match {
-              case Some(sql) =>
+              case Some((sql, resFmts)) =>
                 if (sql.trim.isEmpty) writeMsg(out, 'I') { _ => }
-                else executePortal(portal, sql, maxRows)
+                else executePortal(portal, sql, maxRows, resFmts)
               case None =>
                 extErr("34000", s"unknown portal '$portal'")
             }
@@ -409,28 +555,34 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     }
   }
 
-  private def rowDescription(out: DataOutputStream, schema: StructType): Unit =
+  private def rowDescription(out: DataOutputStream, schema: StructType,
+      resFmts: Seq[Int] = Seq.empty): Unit =
     writeMsg(out, 'T') { b =>
       b.writeShort(schema.fields.length)
-      schema.fields.foreach { f =>
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
         cstr(b, f.name)
         b.writeInt(0); b.writeShort(0) // origin table/attr: none
         b.writeInt(oidOf(f.dataType))
         b.writeShort(-1); b.writeInt(-1) // typlen/typmod: variable
-        b.writeShort(0) // text format
+        // advertised format matches what dataRow will send — binary
+        // only where requested AND implemented for the type
+        b.writeShort(fmtOf(resFmts, i, f.dataType))
       }
     }
 
   private def dataRow(out: DataOutputStream, schema: StructType,
-      row: org.apache.spark.sql.Row): Unit =
+      row: org.apache.spark.sql.Row, resFmts: Seq[Int] = Seq.empty): Unit =
     writeMsg(out, 'D') { b => // DataRow
       b.writeShort(schema.fields.length)
       var i = 0
       while (i < schema.fields.length) {
-        val s = render(row.get(i))
-        if (s == null) b.writeInt(-1)
-        else {
-          val bytes = s.getBytes(UTF_8)
+        val v = row.get(i)
+        if (v == null) b.writeInt(-1)
+        else if (fmtOf(resFmts, i, schema.fields(i).dataType) == 1) {
+          val bytes = binEncode(schema.fields(i).dataType, v)
+          b.writeInt(bytes.length); b.write(bytes)
+        } else {
+          val bytes = render(v).getBytes(UTF_8)
           b.writeInt(bytes.length); b.write(bytes)
         }
         i += 1

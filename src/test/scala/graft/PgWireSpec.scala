@@ -96,6 +96,21 @@ class PgWireSpec extends SparkSpecBase {
     def parseTruncated(name: String, sql: String): Unit = send('P') { b =>
       c(b, name); c(b, sql); b.writeShort(2) // declares 2 oids, sends none
     }
+    /** Parse with declared parameter type OIDs (binary params need them). */
+    def parseTyped(name: String, sql: String, oids: Seq[Int]): Unit =
+      send('P') { b =>
+        c(b, name); c(b, sql)
+        b.writeShort(oids.size); oids.foreach(b.writeInt)
+      }
+    /** Bind with binary parameter values and one result-format code. */
+    def bindBin(portal: String, stmt: String, params: Seq[Array[Byte]],
+        resFmt: Int): Unit = send('B') { b =>
+      c(b, portal); c(b, stmt)
+      b.writeShort(1); b.writeShort(1) // all params binary
+      b.writeShort(params.size)
+      params.foreach { p => b.writeInt(p.length); b.write(p) }
+      b.writeShort(1); b.writeShort(resFmt)
+    }
     def sendBinaryBind(portal: String, stmt: String, v: String): Unit =
       send('B') { b =>
         c(b, portal); c(b, stmt)
@@ -111,8 +126,8 @@ class PgWireSpec extends SparkSpecBase {
     }
   }
 
-  /** RowDescription body → (name, typeOid) per column. */
-  private def parseRowDesc(m: Msg): Seq[(String, Int)] = {
+  /** RowDescription body → (name, typeOid, formatCode) per column. */
+  private def parseRowDescFull(m: Msg): Seq[(String, Int, Int)] = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(m.body))
     val n = in.readShort()
     (0 until n).map { _ =>
@@ -121,8 +136,23 @@ class PgWireSpec extends SparkSpecBase {
       while (c != 0) { name.append(c.toChar); c = in.readByte() }
       in.readInt(); in.readShort()
       val oid = in.readInt()
-      in.readShort(); in.readInt(); in.readShort()
-      (name.toString, oid)
+      in.readShort(); in.readInt()
+      val fmt = in.readShort()
+      (name.toString, oid, fmt.toInt)
+    }
+  }
+
+  private def parseRowDesc(m: Msg): Seq[(String, Int)] =
+    parseRowDescFull(m).map(t => (t._1, t._2))
+
+  /** DataRow body → raw column bytes (None = SQL NULL). */
+  private def parseDataRowRaw(m: Msg): Seq[Option[Array[Byte]]] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(m.body))
+    val n = in.readShort()
+    (0 until n).map { _ =>
+      val len = in.readInt()
+      if (len < 0) None
+      else { val b = new Array[Byte](len); in.readFully(b); Some(b) }
     }
   }
 
@@ -357,6 +387,71 @@ class PgWireSpec extends SparkSpecBase {
       assert(out.contains("id|bigint") && out.contains("v|double precision"), out)
       assert(out.contains("1|2.5"), out)
       assert(!out.toLowerCase.contains("error"), out)
+    } finally srv.stop()
+  }
+
+  test("pgwire: binary result and parameter formats (psycopg3/pgjdbc binary mode)") {
+    val e = new Engine(spark, tmpDir("pgbin"))
+    val srv = new PgWireServer(e)
+    srv.start()
+    try {
+      val c = new Client(srv.port)
+      c.startup()
+
+      // -- binary RESULTS: golden bytes per the public send-function
+      // formats (int8/int4/int2/bool/float8/text/date/timestamp/numeric)
+      c.parse("", "SELECT CAST(7 AS BIGINT) AS l, CAST(3 AS INT) AS i, " +
+        "CAST(2 AS SMALLINT) AS s, true AS b, CAST(2.5 AS DOUBLE) AS d, " +
+        "'ab' AS t, DATE '2000-01-02' AS dt, " +
+        "TIMESTAMP '2000-01-01 00:00:01' AS ts, " +
+        "CAST(-12345.678 AS DECIMAL(10,3)) AS n")
+      c.bindBin("", "", Seq.empty, resFmt = 1)
+      c.describePortal("")
+      c.executePortal("")
+      val bin = c.sync()
+      val desc = parseRowDescFull(bin.find(_.tpe == 'T').get)
+      assert(desc.forall(_._3 == 1), s"all columns binary-capable: $desc")
+      val row = parseDataRowRaw(bin.filter(_.tpe == 'D').head).map(_.get)
+      def be(n: Long, w: Int): Seq[Byte] =
+        (w - 1 to 0 by -1).map(i => ((n >> (8 * i)) & 0xff).toByte)
+      assert(row(0).toSeq == be(7, 8), "int8")
+      assert(row(1).toSeq == be(3, 4), "int4")
+      assert(row(2).toSeq == be(2, 2), "int2")
+      assert(row(3).toSeq == Seq[Byte](1), "bool")
+      assert(row(4).toSeq == be(java.lang.Double.doubleToLongBits(2.5), 8),
+        "float8")
+      assert(new String(row(5), UTF_8) == "ab", "text")
+      assert(row(6).toSeq == be(1, 4), "date: days since 2000-01-01")
+      assert(row(7).toSeq == be(1000000L, 8), "timestamp: µs since 2000")
+      // numeric -12345.678: 3 base-10000 digits [1, 2345, 6780],
+      // weight 1, sign 0x4000 (negative), dscale 3
+      assert(row(8).toSeq ==
+        (be(3, 2) ++ be(1, 2) ++ be(0x4000, 2) ++ be(3, 2) ++
+          be(1, 2) ++ be(2345, 2) ++ be(6780, 2)), "numeric")
+
+      // -- binary PARAMETERS: declared OIDs drive the decode
+      c.parseTyped("stp", "SELECT $1 + 1 AS x, $2 AS d2", Seq(20, 1082))
+      c.bindBin("pp", "stp",
+        Seq(be(41, 8).toArray, be(370, 4).toArray), resFmt = 0) // 370 days → 2001-01-05
+      c.executePortal("pp")
+      val pr = c.sync()
+      assert(pr.filter(_.tpe == 'D').map(parseDataRow) ==
+        Seq(Seq(Some("42"), Some("2001-01-05"))))
+
+      // -- a type with no binary encoding downgrades THAT column to
+      // text and advertises format 0 (psycopg3 reads per-column codes)
+      c.parse("sta", "SELECT array(1, 2) AS a, CAST(9 AS BIGINT) AS l9")
+      c.bindBin("pa", "sta", Seq.empty, resFmt = 1)
+      c.describePortal("pa")
+      c.executePortal("pa")
+      val mixed = c.sync()
+      val mdesc = parseRowDescFull(mixed.find(_.tpe == 'T').get)
+      assert(mdesc.map(_._3) == Seq(0, 1), s"array text, bigint binary: $mdesc")
+      val mrow = parseDataRowRaw(mixed.filter(_.tpe == 'D').head).map(_.get)
+      assert(new String(mrow(0), UTF_8) == "{1,2}")
+      assert(mrow(1).toSeq == be(9, 8))
+
+      c.close()
     } finally srv.stop()
   }
 
