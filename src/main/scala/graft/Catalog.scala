@@ -95,7 +95,10 @@ object DurableCatalog {
       // after (recovery re-filters from it; the checkpoint's file log
       // dedups anything already absorbed)
       chainedFrom: Option[String] = None,
-      chainFrontier: Option[Long] = None)
+      chainFrontier: Option[Long] = None,
+      // aggregate MV-on-MV: the GROUP BY column names the chained
+      // recompute touches per epoch (None = per-row chain)
+      chainAggGroups: Option[Seq[String]] = None)
 
   /** CREATE SOURCE / CREATE SINK / CREATE VIEW / CREATE SUBSCRIPTION:
     * definitions small enough to persist as their raw DDL or parts.

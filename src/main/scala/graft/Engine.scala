@@ -307,6 +307,47 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case _ => None
     }
 
+  /** Aggregate MV-on-MV eligibility (reference: docs/dev/src/design/
+    * mv-on-mv.md — the reference chains aggregates the same way it
+    * chains projections; here the per-epoch maintenance is the
+    * [[graft.streaming.IncrementalAgg]] touched-group recompute): the
+    * query must reference exactly ONE streaming-maintained plain MV,
+    * plan as a single Aggregate whose grouping keys are plain upstream
+    * columns (so the delta rows locate their touched groups by name),
+    * the rest per-row, and the declared PK must be exactly the group
+    * keys (the aggregate row's identity — a narrower PK would merge
+    * distinct groups into one stored row).
+    */
+  private def chainableAggUpstream(query: String, planned: DataFrame,
+      pk: Seq[String]): Option[(String, Seq[String])] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val nodes = planned.queryExecution.analyzed.collect { case n => n }
+    val aggs = nodes.collect { case a: Aggregate => a }
+    val restPerRow = nodes.forall {
+      case _: Aggregate => true
+      case _: Project | _: Filter | _: SubqueryAlias | _: View => true
+      case _: EventTimeWatermark => true
+      case _: LeafNode => true
+      case _ => false
+    }
+    if (aggs.length != 1 || !restPerRow) return None
+    val groupNames = aggs.head.groupingExpressions.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (groupNames.isEmpty || groupNames.toSet != pk.toSet) return None
+    if (!groupNames.forall(planned.columns.contains)) return None
+    referencedRelations(query) match {
+      case Seq(up) =>
+        Some(up).filter(n =>
+          catalog.load[DurableCatalog.MvEntry]("mvs", n)
+            .exists(e => e.streaming && !e.over.contains(true)))
+          .map(n => (n, groupNames))
+      case _ => None
+    }
+  }
+
   /** The chained MV's transform over (a) the upstream snapshot at
     * subscribe time and (b) the upstream changelog stream: the defining
     * query re-targeted at the input DataFrame, with the changelog
@@ -352,6 +393,64 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     jobs(name) = up.subscribeWithBackfill(down, mvs.checkpointDir(name),
       chainTransform(name, query, upName))
     statusDf("CREATE MATERIALIZED VIEW (streaming chain)", name)
+  }
+
+  /** The aggregate chain's recompute function: the defining query
+    * re-targeted at a view over whatever slice of the upstream the
+    * maintenance hands it (full snapshot at backfill, touched-group
+    * survivors per epoch).
+    */
+  private def chainAggFn(name: String, query: String, upName: String)
+      (df: DataFrame): DataFrame = {
+    val view = s"__chainagg_src_$name"
+    df.createOrReplaceTempView(view)
+    spark.sql(query.replaceAll(
+      "(?i)\\b" + java.util.regex.Pattern.quote(upName) + "\\b", view))
+  }
+
+  /** Tail `up`'s changelog and maintain the chained aggregate MV via
+    * touched-group recompute ([[graft.streaming.IncrementalAgg]] with a
+    * borrowed base: the upstream maintains its own storage). Each epoch
+    * re-publishes the aggregate delta on `down`'s changelog, so chains
+    * stack to any depth.
+    */
+  private def startChainedAggJob(name: String, down: MaterializedView,
+      up: MaterializedView, query: String, upName: String,
+      groupCols: Seq[String], frontier: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val inc = new graft.streaming.IncrementalAgg(
+      up, down, groupCols, chainAggFn(name, query, upName), ownsBase = false)
+    up.changelogStreamFrom(frontier).writeStream
+      .option("checkpointLocation", mvs.checkpointDir(name))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch((batch: DataFrame, id: Long) => inc.applyDelta(batch, id))
+      .start()
+  }
+
+  private def createChainedAggMv(name: String, pk: Seq[String],
+      query: String, upName: String, groupCols: Seq[String]): DataFrame = {
+    val up = mvs.get(upName).getOrElse(throw new IllegalArgumentException(
+      s"chained upstream MV $upName is not registered"))
+    jobs.get(upName).foreach(_.processAllAvailable())
+    val down = mvs.define(name, pk)
+    // frontier + backfill snapshot under the upstream's read lock: the
+    // pair must be consistent (epochs after the frontier re-apply through
+    // the tail; the touched-group recompute is idempotent over them)
+    val frontier = up.withReadLock {
+      val f = up.latestChangelogBatchId
+      val snapshot = up.read()
+      if (snapshot.columns.nonEmpty)
+        down.merge(chainAggFn(name, query, upName)(snapshot))
+      f
+    }
+    catalog.save("mvs", name, DurableCatalog.MvEntry(
+      pk, Some(query), streaming = true, "update", 32,
+      chainedFrom = Some(upName), chainFrontier = Some(frontier),
+      chainAggGroups = Some(groupCols)))
+    chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
+    jobs(name) = startChainedAggJob(name, down, up, query, upName,
+      groupCols, frontier)
+    statusDf("CREATE MATERIALIZED VIEW (streaming agg chain)", name)
   }
 
   private val AlterRename =
@@ -866,10 +965,13 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             // no manual refresh
             chainableUpstream(query, result) match {
               case Some(upName) => createChainedMv(name, pk, query, upName)
+              case None => chainableAggUpstream(query, result, pk) match {
+              case Some((upName, groupCols)) =>
+                createChainedAggMv(name, pk, query, upName, groupCols)
               case None =>
                 refreshMaterializedView(name, pk, result,
                   queryText = Some(query)).read()
-            }
+            } }
           }
         case None if SqlFrontend.isRecursiveCte(statement) =>
           SqlFrontend.executeRecursive(spark, statement)
@@ -1158,10 +1260,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
                     throw new IllegalStateException(
                       s"chained upstream $upName not yet recovered"))
                   chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
-                  jobs(name) = mv.start(
-                    chainTransform(name, q, upName)(
-                      upMv.changelogStreamFrom(e.chainFrontier.getOrElse(-1L))),
-                    ckpt, outputMode = e.outputMode)
+                  jobs(name) = e.chainAggGroups match {
+                    case Some(groups) => startChainedAggJob(name, mv, upMv,
+                      q, upName, groups, e.chainFrontier.getOrElse(-1L))
+                    case None => mv.start(
+                      chainTransform(name, q, upName)(
+                        upMv.changelogStreamFrom(e.chainFrontier.getOrElse(-1L))),
+                      ckpt, outputMode = e.outputMode)
+                  }
                 case None =>
                   bindMvTables(q) // the MV may join engine-managed tables
                   val result =

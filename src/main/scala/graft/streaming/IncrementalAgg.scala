@@ -24,28 +24,60 @@ final class IncrementalAgg(
     baseMv: MaterializedView,
     aggMv: MaterializedView,
     groupCols: Seq[String],
-    aggFn: DataFrame => DataFrame) {
+    aggFn: DataFrame => DataFrame,
+    // false when `baseMv` is maintained by its OWN job (SQL-level
+    // aggregate MV-on-MV: the upstream MV merges its deltas itself and
+    // this instance only tails its changelog) — then applyDelta must
+    // not merge the delta a second time
+    ownsBase: Boolean = true) {
+
+  /** Null-safe semi-join on the group columns: a delta touching the
+    * NULL group must select the base's NULL-group rows (plain equi-join
+    * semantics would silently skip them).
+    */
+  private def semiOnGroups(left: DataFrame, keys: DataFrame): DataFrame = {
+    val k = broadcast(keys).as("__k")
+    val l = left.as("__l")
+    l.join(k, groupCols.map(c => l(c) <=> k(c)).reduce(_ && _), "left_semi")
+  }
 
   /** Apply one changelog/upsert delta to the base table and bring the
     * aggregate MV up to date (deleting groups that emptied out).
+    * `batchId >= 0` publishes the aggregate delta as that changelog
+    * epoch, so further MVs can chain off `aggMv` in turn.
+    *
+    * The published delta is RETRACTION-COMPLETE (the reference's
+    * U-/U+ pairing, src/common/src/array/stream_chunk.rs:45-50): every
+    * touched group's OLD aggregate row goes out as UpdateDelete (full
+    * before-image, seq 0) and its recomputed row as UpdateInsert
+    * (seq 1) — a group present in both settles to the new row, a group
+    * with only the retraction is deleted with its true old values. A
+    * downstream chained aggregate grouping on any column (not just this
+    * MV's PK) can therefore locate every group the change affects.
     */
-  def applyDelta(delta: DataFrame): Unit = {
-    baseMv.merge(delta)
+  def applyDelta(delta: DataFrame, batchId: Long = -1L): Unit = {
+    if (ownsBase) baseMv.merge(delta)
+    // hold the base's read lock across plan AND execution: with a
+    // borrowed base, its own maintenance job rewrites the bucket files
+    // this recompute reads — the lock pins a consistent file set
+    baseMv.withReadLock {
     val touched = delta.select(groupCols.map(col): _*).distinct()
     val scopedBase = baseMv.readTouched(touched)
     if (scopedBase.columns.isEmpty) return
-    val survivors = scopedBase.join(broadcast(touched), groupCols, "left_semi")
+    val survivors = semiOnGroups(scopedBase, touched)
     val recomputed = aggFn(survivors)
-    // touched groups with no surviving rows → delete from the agg MV
-    val gone0 = touched.join(recomputed, groupCols, "left_anti")
-    val gone = recomputed.columns.foldLeft(gone0) { (df, c) =>
-      if (groupCols.contains(c)) df
-      else df.withColumn(c, lit(null).cast(recomputed.schema(c).dataType))
-    }.select(recomputed.columns.map(col): _*)
-      .withColumn(Changelog.OpCol, lit(Changelog.Delete))
+    val oldRows = aggMv.readTouched(touched)
+    val retractions =
+      (if (oldRows.columns.isEmpty) recomputed.where(lit(false)) // empty agg MV
+       else semiOnGroups(oldRows, touched)
+         .select(recomputed.columns.map(col): _*))
+      .withColumn(Changelog.OpCol, lit(Changelog.UpdateDelete))
+      .withColumn(Changelog.SeqCol, lit(0L))
     val upserts = recomputed
       .withColumn(Changelog.OpCol, lit(Changelog.UpdateInsert))
-    aggMv.merge(upserts.unionByName(gone))
+      .withColumn(Changelog.SeqCol, lit(1L))
+    aggMv.merge(upserts.unionByName(retractions), batchId)
+    }
   }
 
   def read(): DataFrame = aggMv.read()

@@ -33,6 +33,33 @@ final class MaterializedView(
 
   private val bucketCol = "__bucket"
 
+  /** Serializes storage rewrites against in-JVM readers that must see a
+    * consistent file set across plan+execute (a chained aggregate MV's
+    * touched-group recompute reads THIS MV's buckets while this MV's own
+    * job keeps rewriting them). [[merge]] holds the write lock for the
+    * bucket-rewrite window; [[withReadLock]] lets such readers pin the
+    * file set for the duration of a lazy plan's execution. Keyed by
+    * storage path so two Engine instances over one warehouse in the same
+    * JVM (restart tests) share the lock. On a real cluster the same role
+    * is played by the table format's snapshot isolation (Delta/Iceberg
+    * MERGE), per the class doc.
+    */
+  private val storeLock = MaterializedView.lockFor(targetDir)
+
+  /** Run `f` with this MV's storage pinned against concurrent [[merge]]
+    * rewrites — required around any action that executes a plan over
+    * [[read]]/[[readTouched]] while this MV's maintenance job may run.
+    */
+  def withReadLock[T](f: => T): T = {
+    storeLock.readLock().lock()
+    try f finally storeLock.readLock().unlock()
+  }
+
+  private def withWriteLock[T](f: => T): T = {
+    storeLock.writeLock().lock()
+    try f finally storeLock.writeLock().unlock()
+  }
+
   /** The PK the merge dedups on — sink encoders key payloads by it. */
   def primaryKey: Seq[String] = pk
 
@@ -91,12 +118,17 @@ final class MaterializedView(
     * provenance, so a late subscriber never double-applies history it
     * took from the snapshot.
     */
-  def changelogStreamFrom(afterBatchId: Long): DataFrame =
+  def changelogStreamFrom(afterBatchId: Long): DataFrame = {
+    // non-epoch files (ad-hoc DML / backfill appends sit directly in the
+    // changelog dir) extract as '' → null epoch → excluded, per the
+    // contract that tails deliver epoch-published batches only
+    val epoch = regexp_extract(col("__src_file"), "batch-(\\d+)", 1)
     changelogStream()
       .withColumn("__src_file", input_file_name())
-      .where(regexp_extract(col("__src_file"), "batch-(\\d+)", 1)
+      .where(when(epoch === "", lit(null)).otherwise(epoch)
         .cast("long") > afterBatchId)
       .drop("__src_file")
+  }
 
   /** Subscribe a NEW downstream MV after this MV's changelog was
     * compacted ([[expireChangelog]]): expired epochs are unrecoverable
@@ -266,37 +298,18 @@ final class MaterializedView(
       else if (!delta.columns.contains(Changelog.SeqCol))
         delta.withColumn(Changelog.SeqCol, monotonically_increasing_id())
       else delta
-    val norm = norm0.withColumn(bucketCol, bucketOf(norm0)).cache()
+    // localCheckpoint, NOT cache(): the delta's lineage often reads THIS
+    // MV's storage (DML update/delete deltas, a chained aggregate's
+    // retraction rows), and the storage overwrite below invalidates any
+    // cache over that path (refreshByPath) — a later scan would then
+    // re-execute the plan against rewritten files: stale listing crash
+    // or, worse, a silently different delta. Checkpointing pins the
+    // delta's actual rows, lineage-free, before anything is rewritten.
+    val norm = norm0.withColumn(bucketCol, bucketOf(norm0)).localCheckpoint()
     try {
-      // Publish the delta on the changelog channel first — downstream
-      // MVs consume this, never the rewritten storage. Publication is
-      // idempotent per epoch: the delta is staged then ATOMICALLY
-      // renamed to batch-<id>; a foreachBatch retry of an
-      // already-published epoch is a no-op, so downstream subscribers
-      // can never double-count (the exactly-once epoch contract,
-      // reference: docs/dev/src/design/checkpoint.md).
-      if (batchId >= 0) {
-        val batchDir = Paths.get(changelogDir, s"batch-$batchId")
-        if (!Files.exists(batchDir)) {
-          val stage = Paths.get(s"$targetDir.cl-stage-$batchId")
-          deleteRecursively(stage)
-          norm.drop(bucketCol).write.mode("overwrite").parquet(stage.toString)
-          sidecar.foreach { case (fname, content) =>
-            Files.write(stage.resolve(fname), content.getBytes)
-          }
-          Files.createDirectories(batchDir.getParent)
-          try Files.move(stage, batchDir,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch { // lost a race with a concurrent retry: theirs is equivalent
-            case _: java.nio.file.FileAlreadyExistsException =>
-              deleteRecursively(stage)
-          }
-        }
-      } else // ad-hoc DML merge outside a streaming epoch: plain append
-        norm.drop(bucketCol).write.mode("append").parquet(changelogDir)
       val affected = norm.select(bucketCol).distinct()
         .collect().map(_.getInt(0)).toSeq
-      if (affected.nonEmpty) {
+      if (affected.nonEmpty) withWriteLock {
         val existingOpt = readBuckets().map(_.where(col(bucketCol).isin(affected: _*)))
         val dataCols = norm.columns.toSeq
           .filterNot(Seq(Changelog.OpCol, Changelog.SeqCol, bucketCol).contains)
@@ -328,7 +341,44 @@ final class MaterializedView(
         }
         deleteRecursively(Paths.get(staging))
       }
-    } finally norm.unpersist()
+      // Publish the delta on the changelog channel AFTER the storage
+      // rewrite: the publication is the signal downstream subscribers
+      // act on, and a chained-aggregate recompute reads THIS MV's
+      // storage when its epoch arrives — publish-first would let it
+      // observe pre-rewrite state and resurrect stale groups. Storage
+      // newer than the consumed epoch is safe (those later epochs
+      // re-touch their own groups on delivery). Publication is
+      // idempotent per epoch: the delta is staged then ATOMICALLY
+      // renamed to batch-<id>; a foreachBatch retry of an
+      // already-published epoch is a no-op (and its storage re-merge is
+      // PK-last-write-wins idempotent), so downstream subscribers can
+      // never double-count (the exactly-once epoch contract,
+      // reference: docs/dev/src/design/checkpoint.md).
+      if (batchId >= 0) {
+        val batchDir = Paths.get(changelogDir, s"batch-$batchId")
+        if (!Files.exists(batchDir)) {
+          val stage = Paths.get(s"$targetDir.cl-stage-$batchId")
+          deleteRecursively(stage)
+          norm.drop(bucketCol).write.mode("overwrite").parquet(stage.toString)
+          sidecar.foreach { case (fname, content) =>
+            Files.write(stage.resolve(fname), content.getBytes)
+          }
+          Files.createDirectories(batchDir.getParent)
+          try Files.move(stage, batchDir,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { // lost a race with a concurrent retry: theirs is equivalent
+            case _: java.nio.file.FileAlreadyExistsException =>
+              deleteRecursively(stage)
+          }
+        }
+      } else // ad-hoc DML merge outside a streaming epoch: plain append
+        norm.drop(bucketCol).write.mode("append").parquet(changelogDir)
+    } finally norm.queryExecution.logical match {
+      // free the checkpointed delta promptly (Dataset.unpersist does not
+      // reach a localCheckpoint's RDD; ContextCleaner would be late)
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ =>
+    }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -353,6 +403,15 @@ final class MaterializedView(
       .trigger(trigger)
       .foreachBatch((batch: DataFrame, id: Long) => merge(batch, id))
       .start()
+}
+
+object MaterializedView {
+  private val locks =
+    scala.collection.concurrent.TrieMap
+      .empty[String, java.util.concurrent.locks.ReentrantReadWriteLock]
+
+  private def lockFor(dir: String) = locks.getOrElseUpdate(
+    dir, new java.util.concurrent.locks.ReentrantReadWriteLock())
 }
 
 /** Catalog of MVs — the meta-node analog (reference: src/meta/ catalog).

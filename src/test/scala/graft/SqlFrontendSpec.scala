@@ -761,6 +761,79 @@ class SqlFrontendSpec extends SparkSpecBase {
     e3.streamingJob("agg_a").foreach(_.stop())
   }
 
+  test("SQL aggregate MV-on-MV: grouped agg chains, emptied groups delete, restart re-wires") {
+    val wh = tmpDir("aggchain")
+    val e = new Engine(spark, wh)
+    val srcDir = tmpDir("aggchain-src")
+    def ins(id: Int, g: Int, v: Double) =
+      s"""{"before": null, "after": {"id": $id, "g": $g, "v": $v}, "op": "c"}"""
+    def del(id: Int, g: Int, v: Double) =
+      s"""{"before": {"id": $id, "g": $g, "v": $v}, "after": null, "op": "d"}"""
+    Seq(ins(1, 10, 5.0), ins(2, 10, 7.0), ins(3, 20, 1.0))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute(
+      s"""CREATE SOURCE ag_src (id BIGINT, g BIGINT, v DOUBLE)
+         |WITH (path = '$srcDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute(
+      """CREATE MATERIALIZED VIEW ag_a (PRIMARY KEY (id)) AS
+        |SELECT id, g, v FROM ag_src""".stripMargin)
+    e.execute(
+      """CREATE MATERIALIZED VIEW ag_sum (PRIMARY KEY (g)) AS
+        |SELECT g, count(*) AS n, sum(v) AS sv FROM ag_a GROUP BY g""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("ag_sum").nonEmpty,
+      "grouped agg over a streaming MV must chain continuously")
+    assert(e.table("ag_sum").orderBy("g").as[(Long, Long, Double)]
+      .collect().toSeq == Seq((10L, 2L, 12.0), (20L, 1L, 1.0)))
+
+    // new input advances the whole chain with one FLUSH
+    Seq(ins(4, 20, 3.0))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(e.table("ag_sum").orderBy("g").as[(Long, Long, Double)]
+      .collect().toSeq == Seq((10L, 2L, 12.0), (20L, 2L, 4.0)))
+
+    // chains STACK: a second grouped aggregate over the first — and its
+    // group key (n) is NOT ag_sum's PK, so correctness depends on
+    // ag_sum's changelog being retraction-complete (U-/U+ pairs)
+    e.execute(
+      """CREATE MATERIALIZED VIEW ag_cnt (PRIMARY KEY (n)) AS
+        |SELECT n, count(*) AS c FROM ag_sum GROUP BY n""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("ag_cnt").nonEmpty,
+      "agg-on-agg must chain continuously")
+    assert(e.table("ag_cnt").orderBy("n").as[(Long, Long)]
+      .collect().toSeq == Seq((2L, 2L)))
+
+    // deleting a group's LAST rows retracts the aggregate row entirely;
+    // the U- before-image carries old n=2 down to ag_cnt
+    Seq(del(1, 10, 5.0), del(2, 10, 7.0))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(e.table("ag_sum").orderBy("g").as[(Long, Long, Double)]
+      .collect().toSeq == Seq((20L, 2L, 4.0)),
+      "emptied group must be deleted from the aggregate MV")
+    assert(e.table("ag_cnt").orderBy("n").as[(Long, Long)]
+      .collect().toSeq == Seq((2L, 1L)),
+      "level-2 aggregate must see the retracted group")
+
+    // restart: recovery re-wires source → ag_a → ag_sum → ag_cnt
+    Seq("ag_a", "ag_sum", "ag_cnt")
+      .foreach(n => e.streamingJob(n).foreach(_.stop()))
+    val e2 = new Engine(spark.newSession(), wh)
+    Seq(ins(5, 30, 9.0))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e2.execute("FLUSH")
+    assert(e2.table("ag_sum").orderBy("g").as[(Long, Long, Double)]
+      .collect().toSeq == Seq((20L, 2L, 4.0), (30L, 1L, 9.0)),
+      "restarted aggregate chain did not advance")
+    assert(e2.table("ag_cnt").orderBy("n").as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 1L), (2L, 1L)),
+      "restarted level-2 aggregate chain did not advance")
+    Seq("ag_a", "ag_sum", "ag_cnt")
+      .foreach(n => e2.streamingJob(n).foreach(_.stop()))
+  }
+
   test("SHOW CREATE reconstructs re-issuable DDL from the catalog") {
     val e = new Engine(spark, tmpDir("showcreate"))
     e.execute("CREATE TABLE sc_t (id BIGINT PRIMARY KEY, v DOUBLE DEFAULT 1.5)")
