@@ -22,7 +22,7 @@ import org.apache.spark.sql.Row
 class DifferentialFuzzSpec extends SparkSpecBase {
 
   private val SfDir = "/root/testdata/sf0.001"
-  private val NQueries = 250
+  private val NQueries = 400
   private val Seed = 20260813L
 
   // (name, columns as (colName, kind)): I integral, D double, S string,
@@ -61,11 +61,14 @@ class DifferentialFuzzSpec extends SparkSpecBase {
     */
   private def selExpr(r: Random, c: String, kind: Char): String = kind match {
     case 'I' => pick(r, Seq(c, s"$c + 3", s"$c % 7", s"abs($c - 10)",
-      s"CASE WHEN $c % 2 = 0 THEN $c ELSE -$c END"))
+      s"CASE WHEN $c % 2 = 0 THEN $c ELSE -$c END",
+      s"greatest($c, 50)", s"least($c, 50)"))
     case 'D' => s"CAST($c AS DECIMAL(18,2))"
-    case 'S' => pick(r, Seq(c, s"upper($c)", s"substr($c, 1, 4)",
-      s"length($c)", s"$c || '_z'"))
-    case 'T' => s"CAST($c AS DATE)"
+    case 'S' => pick(r, Seq(c, s"upper($c)", s"lower($c)",
+      s"substr($c, 1, 4)", s"length($c)", s"$c || '_z'",
+      s"replace($c, 'a', '#')"))
+    case 'T' => pick(r, Seq(s"CAST($c AS DATE)",
+      s"EXTRACT(YEAR FROM $c)", s"EXTRACT(MONTH FROM $c)"))
   }
 
   private def predicate(r: Random, c: String, kind: Char): String = kind match {
@@ -148,9 +151,13 @@ class DifferentialFuzzSpec extends SparkSpecBase {
       s"GROUP BY $rt.$g"
   }
 
-  // tie-FREE window order keys (engine tie-breaks differ — memory rule)
+  // tie-FREE window order keys (engine tie-breaks differ — memory rule).
+  // The synthetic lineitem does NOT have a unique (l_orderkey,
+  // l_linenumber): order by the full row — identical rows contribute
+  // identically under any tie-break, so prefixes stay deterministic.
   private val uniqueKey: Map[String, String] = Map(
-    "lineitem" -> "l_orderkey, l_linenumber").withDefault(t =>
+    "lineitem" -> ("l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+      "l_quantity, l_extendedprice")).withDefault(t =>
     tables.toMap.apply(t).head._1)
 
   private def genWindow(r: Random): String = {
@@ -168,12 +175,115 @@ class DifferentialFuzzSpec extends SparkSpecBase {
       s"FROM $t WHERE ${wherePred(r, cols)}"
   }
 
-  private def gen(r: Random): String = r.nextInt(10) match {
-    case 0 | 1 | 2 | 3 => genScan(r)
-    case 4 | 5 => genJoin(r)
-    case 6 | 7 => genAgg(r)
-    case 8 => genJoinAgg(r)
-    case _ => genWindow(r)
+  /** Two branches with IDENTICAL select lists, different predicates. */
+  private def genSetOp(r: Random): String = {
+    val (t, cols) = pick(r, tables)
+    val op = pick(r, Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT"))
+    val sel = (0 until 1 + r.nextInt(3)).map { i =>
+      val (c, k) = pick(r, cols); s"${selExpr(r, c, k)} AS c$i"
+    }.mkString(", ")
+    s"SELECT $sel FROM $t WHERE ${wherePred(r, cols)} " +
+      s"$op SELECT $sel FROM $t WHERE ${wherePred(r, cols)}"
+  }
+
+  private def genRollup(r: Random): String = {
+    val (t, cols) = pick(r, tables)
+    val gcands = r.shuffle(cols.filter(c => c._2 == 'S' || c._2 == 'I'))
+    val (g1, g2) = (gcands(0)._1, gcands(1)._1)
+    val form = pick(r, Seq(s"ROLLUP($g1, $g2)", s"CUBE($g1, $g2)",
+      s"GROUPING SETS (($g1), ($g1, $g2), ())"))
+    // no WHERE: over EMPTY input Spark emits zero rows for the ()
+    // grouping set where DuckDB/Postgres emit the standard 1-row global
+    // aggregate — a pinned dialect divergence, not a bug to chase
+    s"SELECT $g1, $g2, count(*) AS cnt FROM $t GROUP BY $form"
+  }
+
+  private def genInSub(r: Random): String = {
+    val (lt, rt, lk, rk) = pick(r, joins)
+    val lcols = tables.toMap.apply(lt)
+    val rcols = tables.toMap.apply(rt)
+    val neg = if (r.nextBoolean()) "NOT " else ""
+    val sel = (0 until 1 + r.nextInt(3)).map { i =>
+      val (c, k) = pick(r, lcols); s"${selExpr(r, c, k)} AS c$i"
+    }
+    s"SELECT ${sel.mkString(", ")} FROM $lt WHERE $lk ${neg}IN " +
+      s"(SELECT $rk FROM $rt WHERE ${wherePred(r, rcols)})"
+  }
+
+  private def genExists(r: Random): String = {
+    val (lt, rt, lk, rk) = pick(r, joins)
+    val lcols = tables.toMap.apply(lt)
+    val rcols = tables.toMap.apply(rt)
+    val neg = if (r.nextBoolean()) "NOT " else ""
+    val sel = (0 until 1 + r.nextInt(3)).map { i =>
+      val (c, k) = pick(r, lcols); s"${selExpr(r, s"$lt.$c", k)} AS c$i"
+    }
+    s"SELECT ${sel.mkString(", ")} FROM $lt WHERE ${neg}EXISTS " +
+      s"(SELECT 1 FROM $rt WHERE $rt.$rk = $lt.$lk AND " +
+      s"${wherePred(r, rcols.map { case (c, k) => (s"$rt.$c", k) })})"
+  }
+
+  /** min/max (exact on both engines) scalar subquery in a predicate. */
+  private def genScalarSub(r: Random): String = {
+    val (t, cols) = pick(r, tables)
+    val (c, _) = pick(r, cols.filter(_._2 == 'I'))
+    val (t2, cols2) = pick(r, tables)
+    val i2 = pick(r, cols2.filter(_._2 == 'I'))._1
+    val agg = pick(r, Seq("min", "max"))
+    val cmp = pick(r, Seq("<=", ">", "="))
+    val sel = (0 until 1 + r.nextInt(3)).map { i =>
+      val (sc, k) = pick(r, cols); s"${selExpr(r, sc, k)} AS c$i"
+    }
+    s"SELECT ${sel.mkString(", ")} FROM $t WHERE $c $cmp " +
+      s"(SELECT $agg($i2) FROM $t2 WHERE ${wherePred(r, cols2)}) " +
+      s"AND ${wherePred(r, cols)}"
+  }
+
+  /** Offset/navigation window functions over a tie-free order. */
+  private def genLagWindow(r: Random): String = {
+    val (t, cols) = pick(r, tables)
+    val pkCol = uniqueKey(t)
+    val (p, _) = pick(r, cols.filter(c => c._2 == 'S' || c._2 == 'I'))
+    val (v, _) = pick(r, cols.filter(_._2 == 'I'))
+    val fn = pick(r, Seq(s"lag($v, 1)", s"lead($v, 1)",
+      s"first_value($v)", s"last_value($v)"))
+    s"SELECT ${cols.head._1}, $fn OVER (PARTITION BY $p ORDER BY $pkCol) " +
+      s"AS w FROM $t WHERE ${wherePred(r, cols)}"
+  }
+
+  /** Deterministic top-N: full ORDER BY a unique key. */
+  private def genTopN(r: Random): String = {
+    val (t, cols) = pick(r, tables)
+    val sel = (0 until 1 + r.nextInt(3)).map { i =>
+      val (c, k) = pick(r, cols); s"${selExpr(r, c, k)} AS c$i"
+    }
+    s"SELECT ${sel.mkString(", ")} FROM $t WHERE ${wherePred(r, cols)} " +
+      s"ORDER BY ${uniqueKey(t)} LIMIT ${1 + r.nextInt(50)}"
+  }
+
+  private def genDistinct(r: Random): String = {
+    val (t, cols) = pick(r, tables)
+    val sel = (0 until 1 + r.nextInt(2)).map { i =>
+      val (c, k) = pick(r, cols); s"${selExpr(r, c, k)} AS c$i"
+    }
+    s"SELECT DISTINCT ${sel.mkString(", ")} FROM $t " +
+      s"WHERE ${wherePred(r, cols)}"
+  }
+
+  private def gen(r: Random): String = r.nextInt(18) match {
+    case 0 | 1 | 2 => genScan(r)
+    case 3 | 4 => genJoin(r)
+    case 5 | 6 => genAgg(r)
+    case 7 => genJoinAgg(r)
+    case 8 => genWindow(r)
+    case 9 => genSetOp(r)
+    case 10 => genRollup(r)
+    case 11 => genInSub(r)
+    case 12 => genExists(r)
+    case 13 => genScalarSub(r)
+    case 14 => genLagWindow(r)
+    case 15 => genTopN(r)
+    case _ => genDistinct(r)
   }
 
   /** Canonical row rendering — must match tools/fuzz_oracle.py. */
