@@ -98,7 +98,11 @@ object DurableCatalog {
       chainFrontier: Option[Long] = None,
       // aggregate MV-on-MV: the GROUP BY column names the chained
       // recompute touches per epoch (None = per-row chain)
-      chainAggGroups: Option[Seq[String]] = None)
+      chainAggGroups: Option[Seq[String]] = None,
+      // join MV-on-MV (delta join): the RIGHT upstream + its frontier
+      // (chainedFrom/chainFrontier hold the left side)
+      chainedFromRight: Option[String] = None,
+      chainFrontierRight: Option[Long] = None)
 
   /** CREATE SOURCE / CREATE SINK / CREATE VIEW / CREATE SUBSCRIPTION:
     * definitions small enough to persist as their raw DDL or parts.

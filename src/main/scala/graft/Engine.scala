@@ -348,6 +348,54 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     }
   }
 
+  /** Join MV-on-MV eligibility (reference: docs/dev/src/design/
+    * delta-join.md): the query references exactly TWO distinct
+    * streaming-maintained plain MVs, plans as a single INNER equi-join
+    * (And-tree of attribute equalities), the rest per-row, and the
+    * declared PK is exactly leftPK ∪ rightPK appearing unaliased in the
+    * output — the joined row's identity, addressable from either side
+    * for retraction.
+    */
+  private def chainableJoinUpstream(query: String, planned: DataFrame,
+      pk: Seq[String]): Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
+    val nodes = planned.queryExecution.analyzed.collect { case n => n }
+    val joins = nodes.collect { case j: Join => j }
+    val restPerRow = nodes.forall {
+      case _: Join => true
+      case _: Project | _: Filter | _: SubqueryAlias | _: View => true
+      case _: EventTimeWatermark => true
+      case _: LeafNode => true
+      case _ => false
+    }
+    def equiOnly(e: Expression): Boolean = e match {
+      case And(l, r) => equiOnly(l) && equiOnly(r)
+      case EqualTo(_: AttributeReference, _: AttributeReference) => true
+      case _ => false
+    }
+    if (joins.length != 1 || !restPerRow) return None
+    val j = joins.head
+    if (j.joinType != Inner || !j.condition.exists(equiOnly)) return None
+    referencedRelations(query) match {
+      case Seq(l, r) if l != r =>
+        def entry(n: String) = catalog.load[DurableCatalog.MvEntry]("mvs", n)
+          .filter(e => e.streaming && !e.over.contains(true))
+        (entry(l), entry(r)) match {
+          case (Some(le), Some(re)) =>
+            val (lpk, rpk) = (le.pk, re.pk)
+            val ok = lpk.nonEmpty && rpk.nonEmpty &&
+              lpk.intersect(rpk).isEmpty &&
+              pk.toSet == (lpk ++ rpk).toSet &&
+              (lpk ++ rpk).forall(planned.columns.contains)
+            if (ok) Some((l, r)) else None
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** The chained MV's transform over (a) the upstream snapshot at
     * subscribe time and (b) the upstream changelog stream: the defining
     * query re-targeted at the input DataFrame, with the changelog
@@ -451,6 +499,85 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     jobs(name) = startChainedAggJob(name, down, up, query, upName,
       groupCols, frontier)
     statusDf("CREATE MATERIALIZED VIEW (streaming agg chain)", name)
+  }
+
+  /** The join chain's recompute: the defining query re-targeted at views
+    * over the two input slices (a delta on one side, the other side's
+    * storage — or both snapshots at backfill).
+    */
+  private val chainViewSeq = new java.util.concurrent.atomic.AtomicLong
+
+  private def chainJoinFn(name: String, query: String, leftName: String,
+      rightName: String)(leftDf: DataFrame, rightDf: DataFrame): DataFrame = {
+    // UNIQUE view names per invocation: the two maintenance tails run
+    // concurrently in one session — shared names would let one tail
+    // plan against the other's slices. spark.sql analyzes eagerly (the
+    // views inline into the plan), so they drop right after.
+    val n = chainViewSeq.incrementAndGet()
+    val lv = s"__chainjoin_l_${name}_$n"
+    val rv = s"__chainjoin_r_${name}_$n"
+    leftDf.createOrReplaceTempView(lv)
+    rightDf.createOrReplaceTempView(rv)
+    try spark.sql(query
+      .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(leftName) + "\\b", lv)
+      .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(rightName) + "\\b", rv))
+    finally {
+      spark.catalog.dropTempView(lv)
+      spark.catalog.dropTempView(rv)
+    }
+  }
+
+  /** The single maintenance job of a chained join MV: both upstream
+    * changelog tails side-tagged and unioned into ONE stream — one
+    * epoch sequence (stackable downstream), one writer (no stage-dir
+    * races), the reference's barrier-aligned two-input executor.
+    */
+  private def startChainedJoinJob(name: String,
+      inc: graft.streaming.IncrementalJoin, left: MaterializedView,
+      right: MaterializedView, fL: Long, fR: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.IncrementalJoin.taggedUnion(
+        left.changelogStreamFrom(fL), right.changelogStreamFrom(fR))
+      .writeStream
+      .option("checkpointLocation", mvs.checkpointDir(name))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch((batch: DataFrame, id: Long) => inc.applyDelta(batch, id))
+      .start()
+
+  private def createChainedJoinMv(name: String, pk: Seq[String],
+      query: String, leftName: String, rightName: String): DataFrame = {
+    val left = mvs.get(leftName).getOrElse(throw new IllegalArgumentException(
+      s"chained upstream MV $leftName is not registered"))
+    val right = mvs.get(rightName).getOrElse(throw new IllegalArgumentException(
+      s"chained upstream MV $rightName is not registered"))
+    jobs.get(leftName).foreach(_.processAllAvailable())
+    jobs.get(rightName).foreach(_.processAllAvailable())
+    // bucket the joined MV by the LEFT side's PK: left-side retraction
+    // lookups prune to touched buckets (the right side pays a full
+    // downstream scan — the reference keeps one arrangement per side;
+    // one pruned side is the single-layout compromise)
+    val down = mvs.define(name, pk, bucketKeys = left.primaryKey)
+    val fn = chainJoinFn(name, query, leftName, rightName) _
+    // both frontiers + the backfill snapshot under both read locks: one
+    // consistent cut across the diamond (epochs after either frontier
+    // re-apply through that side's tail, idempotently)
+    val (fL, fR) = left.withReadLock { right.withReadLock {
+      val fl = left.latestChangelogBatchId
+      val fr = right.latestChangelogBatchId
+      val snap = fn(left.read(), right.read())
+      if (snap.columns.nonEmpty) down.merge(snap)
+      (fl, fr)
+    } }
+    catalog.save("mvs", name, DurableCatalog.MvEntry(
+      pk, Some(query), streaming = true, "update", 32,
+      chainedFrom = Some(leftName), chainFrontier = Some(fL),
+      chainedFromRight = Some(rightName), chainFrontierRight = Some(fR)))
+    chainDepth(name) = math.max(chainDepth.getOrElse(leftName, 0),
+      chainDepth.getOrElse(rightName, 0)) + 1
+    val inc = new graft.streaming.IncrementalJoin(left, right, down,
+      left.primaryKey, right.primaryKey, fn)
+    jobs(name) = startChainedJoinJob(name, inc, left, right, fL, fR)
+    statusDf("CREATE MATERIALIZED VIEW (streaming join chain)", name)
   }
 
   private val AlterRename =
@@ -968,10 +1095,13 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               case None => chainableAggUpstream(query, result, pk) match {
               case Some((upName, groupCols)) =>
                 createChainedAggMv(name, pk, query, upName, groupCols)
+              case None => chainableJoinUpstream(query, result, pk) match {
+              case Some((leftName, rightName)) =>
+                createChainedJoinMv(name, pk, query, leftName, rightName)
               case None =>
                 refreshMaterializedView(name, pk, result,
                   queryText = Some(query)).read()
-            } }
+            } } }
           }
         case None if SqlFrontend.isRecursiveCte(statement) =>
           SqlFrontend.executeRecursive(spark, statement)
@@ -1246,7 +1376,13 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           }
         }
       } else {
-        val mv = mvs.define(name, e.pk, e.nBuckets)
+        // a chained-join MV is bucketed by its LEFT upstream's PK — the
+        // binding must match the on-disk layout (catalog, not mvs: the
+        // upstream may not have been re-defined yet at this point)
+        val bucketKeys = e.chainedFromRight.flatMap(_ => e.chainedFrom)
+          .flatMap(l => catalog.load[MvEntry]("mvs", l))
+          .map(_.pk).getOrElse(Seq.empty)
+        val mv = mvs.define(name, e.pk, e.nBuckets, bucketKeys)
         if (e.streaming) e.query.foreach { q =>
           recoverOrPark(s"mv:$name") {
             val ckpt = mvs.checkpointDir(name)
@@ -1260,10 +1396,25 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
                     throw new IllegalStateException(
                       s"chained upstream $upName not yet recovered"))
                   chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
-                  jobs(name) = e.chainAggGroups match {
-                    case Some(groups) => startChainedAggJob(name, mv, upMv,
-                      q, upName, groups, e.chainFrontier.getOrElse(-1L))
-                    case None => mv.start(
+                  jobs(name) = (e.chainedFromRight, e.chainAggGroups) match {
+                    case (Some(rightName), _) =>
+                      val rightMv = mvs.get(rightName).getOrElse(
+                        throw new IllegalStateException(
+                          s"chained upstream $rightName not yet recovered"))
+                      chainDepth(name) = math.max(
+                        chainDepth.getOrElse(upName, 0),
+                        chainDepth.getOrElse(rightName, 0)) + 1
+                      val inc = new graft.streaming.IncrementalJoin(
+                        upMv, rightMv, mv, upMv.primaryKey,
+                        rightMv.primaryKey,
+                        chainJoinFn(name, q, upName, rightName) _)
+                      startChainedJoinJob(name, inc, upMv, rightMv,
+                        e.chainFrontier.getOrElse(-1L),
+                        e.chainFrontierRight.getOrElse(-1L))
+                    case (None, Some(groups)) => startChainedAggJob(name,
+                      mv, upMv, q, upName, groups,
+                      e.chainFrontier.getOrElse(-1L))
+                    case (None, None) => mv.start(
                       chainTransform(name, q, upName)(
                         upMv.changelogStreamFrom(e.chainFrontier.getOrElse(-1L))),
                       ckpt, outputMode = e.outputMode)

@@ -834,6 +834,90 @@ class SqlFrontendSpec extends SparkSpecBase {
       .foreach(n => e2.streamingJob(n).foreach(_.stop()))
   }
 
+  test("SQL join MV-on-MV: delta join chains, both-side deletes retract, restart re-wires") {
+    val wh = tmpDir("joinchain")
+    val e = new Engine(spark, wh)
+    val (aDir, bDir) = (tmpDir("joinchain-a"), tmpDir("joinchain-b"))
+    def ev(id: Int, k: Int, v: Double) =
+      s"""{"before": null, "after": {"id": $id, "k": $k, "v": $v}, "op": "c"}"""
+    def evd(id: Int, k: Int, v: Double) =
+      s"""{"before": {"id": $id, "k": $k, "v": $v}, "after": null, "op": "d"}"""
+    def od(oid: Int, k: Int, w: Double) =
+      s"""{"before": null, "after": {"oid": $oid, "k": $k, "w": $w}, "op": "c"}"""
+    def odd(oid: Int, k: Int, w: Double) =
+      s"""{"before": {"oid": $oid, "k": $k, "w": $w}, "after": null, "op": "d"}"""
+    Seq(ev(1, 7, 1.0), ev(2, 8, 2.0))
+      .toDF("value").coalesce(1).write.mode("append").text(aDir)
+    Seq(od(10, 7, 5.0), od(11, 7, 6.0), od(12, 9, 7.0))
+      .toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute(s"""CREATE SOURCE jc_asrc (id BIGINT, k BIGINT, v DOUBLE)
+                 |WITH (path = '$aDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute(s"""CREATE SOURCE jc_bsrc (oid BIGINT, k BIGINT, w DOUBLE)
+                 |WITH (path = '$bDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute("CREATE MATERIALIZED VIEW jc_a (PRIMARY KEY (id)) AS " +
+      "SELECT id, k, v FROM jc_asrc")
+    e.execute("CREATE MATERIALIZED VIEW jc_b (PRIMARY KEY (oid)) AS " +
+      "SELECT oid, k AS bk, w FROM jc_bsrc")
+    e.execute("FLUSH")
+    // the join MV: PK = both sides' PKs; arbitrary per-row projection
+    e.execute(
+      """CREATE MATERIALIZED VIEW jc_j (PRIMARY KEY (id, oid)) AS
+        |SELECT jc_a.id, jc_b.oid, jc_a.v + jc_b.w AS s
+        |FROM jc_a JOIN jc_b ON jc_a.k = jc_b.bk""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("jc_j").nonEmpty,
+      "join over two streaming MVs must chain continuously")
+    assert(e.table("jc_j").orderBy("id", "oid").as[(Long, Long, Double)]
+      .collect().toSeq == Seq((1L, 10L, 6.0), (1L, 11L, 7.0)))
+
+    // inserts on BOTH sides advance through both tails with one FLUSH
+    Seq(ev(3, 9, 3.0)).toDF("value").coalesce(1).write.mode("append").text(aDir)
+    Seq(od(13, 8, 8.0)).toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute("FLUSH")
+    assert(e.table("jc_j").orderBy("id", "oid").as[(Long, Long, Double)]
+      .collect().toSeq == Seq((1L, 10L, 6.0), (1L, 11L, 7.0),
+        (2L, 13L, 10.0), (3L, 12L, 10.0)))
+
+    // the join publishes ONE epoch sequence → an aggregate chains on top
+    e.execute(
+      """CREATE MATERIALIZED VIEW jc_cnt (PRIMARY KEY (id)) AS
+        |SELECT id, count(*) AS n FROM jc_j GROUP BY id""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("jc_cnt").nonEmpty, "agg-on-join must chain")
+    assert(e.table("jc_cnt").orderBy("id").as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+
+    // CONCURRENT deletes of both halves of the pair (3,12) in one round:
+    // joining deletes against the other side's storage would orphan the
+    // pair — the downstream-storage retraction must remove it; also
+    // delete one b row of a surviving a row
+    Seq(evd(3, 9, 3.0)).toDF("value").coalesce(1).write.mode("append").text(aDir)
+    Seq(odd(12, 9, 7.0), odd(11, 7, 6.0))
+      .toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute("FLUSH")
+    assert(e.table("jc_j").orderBy("id", "oid").as[(Long, Long, Double)]
+      .collect().toSeq == Seq((1L, 10L, 6.0), (2L, 13L, 10.0)),
+      "concurrent both-side deletes must not orphan joined rows")
+    assert(e.table("jc_cnt").orderBy("id").as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 1L), (2L, 1L)),
+      "join deletes must retract through the stacked aggregate")
+
+    // restart: recovery re-wires sources → a,b → join tail → agg tail
+    Seq("jc_a", "jc_b", "jc_j", "jc_cnt")
+      .foreach(n => e.streamingJob(n).foreach(_.stop()))
+    val e2 = new Engine(spark.newSession(), wh)
+    Seq(ev(4, 7, 4.0)).toDF("value").coalesce(1).write.mode("append").text(aDir)
+    e2.execute("FLUSH")
+    assert(e2.table("jc_j").orderBy("id", "oid").as[(Long, Long, Double)]
+      .collect().toSeq == Seq((1L, 10L, 6.0), (2L, 13L, 10.0), (4L, 10L, 9.0)),
+      "restarted join chain did not advance")
+    assert(e2.table("jc_cnt").orderBy("id").as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 1L), (2L, 1L), (4L, 1L)),
+      "restarted agg-on-join chain did not advance")
+    Seq("jc_a", "jc_b", "jc_j", "jc_cnt")
+      .foreach(n => e2.streamingJob(n).foreach(_.stop()))
+  }
+
   test("SHOW CREATE reconstructs re-issuable DDL from the catalog") {
     val e = new Engine(spark, tmpDir("showcreate"))
     e.execute("CREATE TABLE sc_t (id BIGINT PRIMARY KEY, v DOUBLE DEFAULT 1.5)")
