@@ -77,6 +77,85 @@ object LlmPipeline extends QueryPack {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)
+    },
+
+    // Benchmark-contamination detection (the train/eval leak check every
+    // LLM data pipeline runs before training): a deterministic holdout
+    // (doc_id % 97 = 0 — "the benchmark") defines a set of word-3-grams;
+    // every other doc scores |its distinct 3-grams ∩ benchmark grams| /
+    // |its distinct 3-grams|. Scale shape: the benchmark gram set is
+    // tiny → broadcast semi-join against the exploded corpus grams, two
+    // map-side-combinable counts, no all-pairs comparison anywhere.
+    q("q_contamination",
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(
+        |      (CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+        |                                 t -> length(t) > 0)) >= 3
+        |        THEN list_transform(
+        |          range(1, len(list_filter(string_split_regex(text, '\s+'),
+        |                                   t -> length(t) > 0)) - 1),
+        |          j -> array_to_string(list_slice(
+        |            list_filter(string_split_regex(text, '\s+'),
+        |                        t -> length(t) > 0),
+        |            j, j + 2), ' '))
+        |        ELSE [] END))) AS g
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams
+        |          WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+        |inter AS (
+        |  SELECT gr.doc_id, COUNT(*) AS i
+        |  FROM grams gr JOIN bench b ON gr.g = b.g
+        |  WHERE gr.doc_id % 97 <> 0 GROUP BY gr.doc_id)
+        |SELECT s.doc_id, CAST(coalesce(i.i, 0) AS BIGINT) AS shared,
+        |  CAST(s.sz AS BIGINT) AS grams,
+        |  CAST(coalesce(i.i, 0) AS DOUBLE) / s.sz AS score
+        |FROM sizes s LEFT JOIN inter i ON i.doc_id = s.doc_id
+        |WHERE coalesce(i.i, 0) > 0
+        |ORDER BY s.doc_id""".stripMargin) { s =>
+      import graft.functions.TextFunctions
+      val grams = s.table("documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextFunctions.wordNgrams(col("text"), 3))).as("g"))
+      val bench = grams.where(col("doc_id") % 97 === 0).select("g").distinct()
+      val corpus = grams.where(col("doc_id") % 97 =!= 0)
+      val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = corpus.join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("i"))
+      sizes.join(inter, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("i"), lit(0L)).cast("bigint").as("shared"),
+          col("sz").cast("bigint").as("grams"),
+          (coalesce(col("i"), lit(0L)).cast("double") / col("sz")).as("score"))
+        .where(col("shared") > 0)
+        .orderBy("doc_id")
+    },
+
+    // Domain-mixture resampling: per-language keep-rates (the "mix 90%
+    // en, 30% everything else" step that shapes a training corpus)
+    // applied as a deterministic per-row hash draw — engine-portable,
+    // rerun-stable, shuffle-free until the final per-domain audit count.
+    q("q_sample_mixture",
+      """WITH drawn AS (
+        |  SELECT lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 1000 AS draw,
+        |    CASE WHEN lang = 'en' THEN 900 ELSE 300 END AS keep_mille
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS total,
+        |  CAST(sum(CASE WHEN draw < keep_mille THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept
+        |FROM drawn GROUP BY lang ORDER BY lang""".stripMargin) { s =>
+      val draw = HashFunctions.md5Long(col("doc_id").cast("string")) % 1000
+      val keepMille = when(col("lang") === "en", 900).otherwise(300)
+      s.table("documents")
+        .select(col("lang"), draw.as("draw"), keepMille.as("keep_mille"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("bigint").as("total"),
+          sum(when(col("draw") < col("keep_mille"), 1).otherwise(0))
+            .cast("bigint").as("kept"))
+        .orderBy("lang")
     }
   )
 }

@@ -193,5 +193,15 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(vocab.contains("HashAggregate") &&
       vocab.contains("TakeOrderedAndProject"),
       s"expected partial agg + TakeOrdered in vocab top-k:\n$vocab")
+    // contamination: the benchmark gram set broadcasts (tiny side),
+    // never a cartesian or sort-merge against the full corpus explode
+    val cont = plan(SparkEntry.queries("q_contamination")(spark, dir))
+    assert(cont.contains("BroadcastHashJoin") &&
+      !cont.contains("CartesianProduct"),
+      s"expected broadcast gram probe in contamination:\n$cont")
+    // mixture resampling: per-row draw + one partial-aggregated count
+    val mix = plan(SparkEntry.queries("q_sample_mixture")(spark, dir))
+    assert(mix.contains("HashAggregate") && !mix.contains("CartesianProduct"),
+      s"expected partial-agg audit count in mixture sample:\n$mix")
   }
 }
