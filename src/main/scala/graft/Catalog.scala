@@ -100,9 +100,11 @@ object DurableCatalog {
       // recompute touches per epoch (None = per-row chain)
       chainAggGroups: Option[Seq[String]] = None,
       // join MV-on-MV (delta join): the RIGHT upstream + its frontier
-      // (chainedFrom/chainFrontier hold the left side)
+      // (chainedFrom/chainFrontier hold the left side); type =
+      // "inner" | "left" | "right" | "full" (None = inner)
       chainedFromRight: Option[String] = None,
-      chainFrontierRight: Option[Long] = None)
+      chainFrontierRight: Option[Long] = None,
+      chainJoinType: Option[String] = None)
 
   /** CREATE SOURCE / CREATE SINK / CREATE VIEW / CREATE SUBSCRIPTION:
     * definitions small enough to persist as their raw DDL or parts.

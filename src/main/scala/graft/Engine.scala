@@ -324,18 +324,22 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val nodes = planned.queryExecution.analyzed.collect { case n => n }
     val aggs = nodes.collect { case a: Aggregate => a }
+    val dists = nodes.collect { case d: Distinct => d }
     val restPerRow = nodes.forall {
-      case _: Aggregate => true
+      case _: Aggregate | _: Distinct => true
       case _: Project | _: Filter | _: SubqueryAlias | _: View => true
       case _: EventTimeWatermark => true
       case _: LeafNode => true
       case _ => false
     }
-    if (aggs.length != 1 || !restPerRow) return None
-    val groupNames = aggs.head.groupingExpressions.map {
-      case a: AttributeReference => a.name
-      case _ => return None
-    }
+    if (aggs.length + dists.length != 1 || !restPerRow) return None
+    // SELECT DISTINCT ≡ GROUP BY every output column
+    val groupNames =
+      if (dists.nonEmpty) planned.columns.toSeq
+      else aggs.head.groupingExpressions.map {
+        case a: AttributeReference => a.name
+        case _ => return None
+      }
     if (groupNames.isEmpty || groupNames.toSet != pk.toSet) return None
     if (!groupNames.forall(planned.columns.contains)) return None
     referencedRelations(query) match {
@@ -357,9 +361,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * for retraction.
     */
   private def chainableJoinUpstream(query: String, planned: DataFrame,
-      pk: Seq[String]): Option[(String, String)] = {
+      pk: Seq[String]): Option[(String, String, String)] = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
     import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
     val nodes = planned.queryExecution.analyzed.collect { case n => n }
     val joins = nodes.collect { case j: Join => j }
@@ -377,7 +381,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     }
     if (joins.length != 1 || !restPerRow) return None
     val j = joins.head
-    if (j.joinType != Inner || !j.condition.exists(equiOnly)) return None
+    val joinKind = j.joinType match {
+      case Inner => "inner"
+      case LeftOuter => "left"
+      case RightOuter => "right"
+      case FullOuter => "full"
+      case _ => return None
+    }
+    if (!j.condition.exists(equiOnly)) return None
     referencedRelations(query) match {
       case Seq(l, r) if l != r =>
         def entry(n: String) = catalog.load[DurableCatalog.MvEntry]("mvs", n)
@@ -389,7 +400,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               lpk.intersect(rpk).isEmpty &&
               pk.toSet == (lpk ++ rpk).toSet &&
               (lpk ++ rpk).forall(planned.columns.contains)
-            if (ok) Some((l, r)) else None
+            if (ok) Some((l, r, joinKind)) else None
           case _ => None
         }
       case _ => None
@@ -441,6 +452,91 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     jobs(name) = up.subscribeWithBackfill(down, mvs.checkpointDir(name),
       chainTransform(name, query, upName))
     statusDf("CREATE MATERIALIZED VIEW (streaming chain)", name)
+  }
+
+  /** OVER-window MV-on-MV eligibility: the query has Window nodes, the
+    * rest is per-row (partition-local results — the IncrementalOver
+    * recompute re-runs the query over touched-partition slices), and
+    * the single FROM relation is a streaming plain MV.
+    */
+  private def chainableOverUpstream(query: String, planned: DataFrame)
+      : Option[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val nodes = planned.queryExecution.analyzed.collect { case n => n }
+    val hasWindow = nodes.exists { case _: Window => true; case _ => false }
+    val restPerRow = nodes.forall {
+      case _: Window => true
+      case _: Project | _: Filter | _: SubqueryAlias | _: View => true
+      case _: EventTimeWatermark => true
+      case _: LeafNode => true
+      case _ => false
+    }
+    if (!hasWindow || !restPerRow) None
+    else referencedRelations(query) match {
+      case Seq(up) =>
+        Some(up).filter(n =>
+          catalog.load[DurableCatalog.MvEntry]("mvs", n)
+            .exists(e => e.streaming && !e.over.contains(true)))
+      case _ => None
+    }
+  }
+
+  /** Chain an OVER-window MV off an upstream streaming MV: same
+    * [[graft.streaming.IncrementalOver]] maintenance as the source-fed
+    * path (own base copy — the operator's private state, per the
+    * reference's over_window state table), fed by the upstream
+    * changelog with a snapshot backfill.
+    */
+  private def createChainedOverMv(name: String, pk: Seq[String],
+      query: String, upName: String, resume: Boolean = false,
+      resumeFrontier: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical
+    val up = mvs.get(upName).getOrElse(throw new IllegalArgumentException(
+      s"chained upstream MV $upName is not registered"))
+    jobs.get(upName).foreach(_.processAllAvailable())
+    val tmp = s"__${name}_over_base"
+    val rewritten = query.replaceAll(s"(?i)\\b$upName\\b",
+      java.util.regex.Matcher.quoteReplacement(tmp))
+    val windowFn: DataFrame => DataFrame = df => {
+      df.createOrReplaceTempView(tmp)
+      spark.sql(rewritten)
+    }
+    val upSchema = up.read().schema
+    require(upSchema.nonEmpty,
+      s"CREATE MATERIALIZED VIEW $name: upstream MV $upName has no schema " +
+        "yet (never written) — FLUSH it first")
+    val emptyBase = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], upSchema)
+    val partCols = windowFn(emptyBase).queryExecution.analyzed
+      .collect { case w: logical.Window => w.partitionSpec }
+      .flatten.collect { case a: AttributeReference => a.name }.distinct
+    require(partCols.nonEmpty,
+      s"CREATE MATERIALIZED VIEW $name: streaming OVER requires PARTITION BY " +
+        "(an unpartitioned global window cannot be maintained incrementally)")
+    val baseMv = mvs.define(s"${name}__base", pk, bucketKeys = partCols)
+    val resultMv = mvs.define(name, pk, bucketKeys = partCols)
+    val iow = new graft.streaming.IncrementalOver(
+      baseMv, resultMv, partCols, windowFn, pk)
+    val frontier =
+      if (resume) resumeFrontier.getOrElse(-1L)
+      else up.withReadLock {
+        val f = up.latestChangelogBatchId
+        val snap = up.read()
+        if (snap.columns.nonEmpty && !snap.isEmpty) iow.applyDelta(snap)
+        f
+      }
+    chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
+    if (!resume)
+      catalog.save("mvs", name, DurableCatalog.MvEntry(
+        pk, Some(query), streaming = true, "update", 32, over = Some(true),
+        chainedFrom = Some(upName), chainFrontier = Some(frontier)))
+    jobs(name) = up.changelogStreamFrom(frontier).writeStream
+      .option("checkpointLocation", mvs.checkpointDir(name))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch((batch: DataFrame, _: Long) => iow.applyDelta(batch))
+      .start()
+    statusDf("CREATE MATERIALIZED VIEW (streaming over-window chain)", name)
   }
 
   /** The aggregate chain's recompute function: the defining query
@@ -545,7 +641,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       .start()
 
   private def createChainedJoinMv(name: String, pk: Seq[String],
-      query: String, leftName: String, rightName: String): DataFrame = {
+      query: String, leftName: String, rightName: String,
+      joinKind: String): DataFrame = {
     val left = mvs.get(leftName).getOrElse(throw new IllegalArgumentException(
       s"chained upstream MV $leftName is not registered"))
     val right = mvs.get(rightName).getOrElse(throw new IllegalArgumentException(
@@ -564,20 +661,105 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val (fL, fR) = left.withReadLock { right.withReadLock {
       val fl = left.latestChangelogBatchId
       val fr = right.latestChangelogBatchId
-      val snap = fn(left.read(), right.read())
-      if (snap.columns.nonEmpty) down.merge(snap)
+      // a NEVER-written side reads as a zero-column frame the query
+      // can't resolve against — skip the backfill (the tail fills in);
+      // an EMPTIED side reads schema-correct via the _schema sidecar
+      val (lr, rr) = (left.read(), right.read())
+      if (lr.columns.nonEmpty && rr.columns.nonEmpty) {
+        val snap = fn(lr, rr)
+        if (snap.columns.nonEmpty) down.merge(snap)
+      }
       (fl, fr)
     } }
     catalog.save("mvs", name, DurableCatalog.MvEntry(
       pk, Some(query), streaming = true, "update", 32,
       chainedFrom = Some(leftName), chainFrontier = Some(fL),
-      chainedFromRight = Some(rightName), chainFrontierRight = Some(fR)))
+      chainedFromRight = Some(rightName), chainFrontierRight = Some(fR),
+      chainJoinType = Some(joinKind)))
     chainDepth(name) = math.max(chainDepth.getOrElse(leftName, 0),
       chainDepth.getOrElse(rightName, 0)) + 1
     val inc = new graft.streaming.IncrementalJoin(left, right, down,
-      left.primaryKey, right.primaryKey, fn)
+      left.primaryKey, right.primaryKey, fn, joinKind)
     jobs(name) = startChainedJoinJob(name, inc, left, right, fL, fR)
     statusDf("CREATE MATERIALIZED VIEW (streaming join chain)", name)
+  }
+
+  /** UNION ALL MV-on-MV eligibility: the query is a two-branch UNION
+    * ALL whose branches are per-row over two DISTINCT streaming MVs.
+    * UNION DISTINCT (a Distinct over the union) is not linear in its
+    * inputs and stays on the batch-refresh path.
+    */
+  private def chainableUnionUpstream(query: String, planned: DataFrame,
+      pk: Seq[String]): Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val nodes = planned.queryExecution.analyzed.collect { case n => n }
+    val unions = nodes.collect { case u: Union => u }
+    val restPerRow = nodes.forall {
+      case _: Union => true
+      case _: Project | _: Filter | _: SubqueryAlias | _: View => true
+      case _: LeafNode => true
+      case _ => false
+    }
+    if (unions.length != 1 || unions.head.children.length != 2 || !restPerRow)
+      return None
+    if (!pk.forall(planned.columns.contains)) return None
+    referencedRelations(query) match {
+      case Seq(l, r) if l != r =>
+        def entry(n: String) = catalog.load[DurableCatalog.MvEntry]("mvs", n)
+        if (Seq(l, r).forall(n =>
+            entry(n).exists(e => e.streaming && !e.over.contains(true))))
+          Some((l, r))
+        else None
+      case _ => None
+    }
+  }
+
+  private def startChainedUnionJob(name: String,
+      inc: graft.streaming.IncrementalUnion, left: MaterializedView,
+      right: MaterializedView, fL: Long, fR: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.IncrementalJoin.taggedUnion(
+        left.changelogStreamFrom(fL), right.changelogStreamFrom(fR))
+      .writeStream
+      .option("checkpointLocation", mvs.checkpointDir(name))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch((batch: DataFrame, id: Long) => inc.applyDelta(batch, id))
+      .start()
+
+  private def createChainedUnionMv(name: String, pk: Seq[String],
+      query: String, leftName: String, rightName: String): DataFrame = {
+    val left = mvs.get(leftName).getOrElse(throw new IllegalArgumentException(
+      s"chained upstream MV $leftName is not registered"))
+    val right = mvs.get(rightName).getOrElse(throw new IllegalArgumentException(
+      s"chained upstream MV $rightName is not registered"))
+    jobs.get(leftName).foreach(_.processAllAvailable())
+    jobs.get(rightName).foreach(_.processAllAvailable())
+    val down = mvs.define(name, pk)
+    val fn = chainJoinFn(name, query, leftName, rightName) _
+    // backfill snapshot + both frontiers under both read locks: one
+    // consistent cut (epochs after either frontier re-apply through
+    // that side's tail, idempotently). Running Q(ΔA, ∅) needs BOTH
+    // view schemas, so both sides must have published at least once.
+    val (fL, fR) = left.withReadLock { right.withReadLock {
+      val (lr, rr) = (left.read(), right.read())
+      require(lr.columns.nonEmpty && rr.columns.nonEmpty,
+        s"CREATE MATERIALIZED VIEW $name: both UNION ALL upstreams must " +
+          "have a published schema — FLUSH them first")
+      val snap = fn(lr, rr)
+      if (snap.columns.nonEmpty) down.merge(snap)
+      (left.latestChangelogBatchId, right.latestChangelogBatchId)
+    } }
+    catalog.save("mvs", name, DurableCatalog.MvEntry(
+      pk, Some(query), streaming = true, "update", 32,
+      chainedFrom = Some(leftName), chainFrontier = Some(fL),
+      chainedFromRight = Some(rightName), chainFrontierRight = Some(fR),
+      chainJoinType = Some("unionall")))
+    chainDepth(name) = math.max(chainDepth.getOrElse(leftName, 0),
+      chainDepth.getOrElse(rightName, 0)) + 1
+    val inc = new graft.streaming.IncrementalUnion(left, right, down,
+      left.primaryKey, right.primaryKey, fn)
+    jobs(name) = startChainedUnionJob(name, inc, left, right, fL, fR)
+    statusDf("CREATE MATERIALIZED VIEW (streaming union chain)", name)
   }
 
   private val AlterRename =
@@ -1096,12 +1278,19 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               case Some((upName, groupCols)) =>
                 createChainedAggMv(name, pk, query, upName, groupCols)
               case None => chainableJoinUpstream(query, result, pk) match {
+              case Some((leftName, rightName, joinKind)) =>
+                createChainedJoinMv(name, pk, query, leftName, rightName,
+                  joinKind)
+              case None => chainableOverUpstream(query, result) match {
+              case Some(upName) =>
+                createChainedOverMv(name, pk, query, upName)
+              case None => chainableUnionUpstream(query, result, pk) match {
               case Some((leftName, rightName)) =>
-                createChainedJoinMv(name, pk, query, leftName, rightName)
+                createChainedUnionMv(name, pk, query, leftName, rightName)
               case None =>
                 refreshMaterializedView(name, pk, result,
                   queryText = Some(query)).read()
-            } } }
+            } } } } }
           }
         case None if SqlFrontend.isRecursiveCte(statement) =>
           SqlFrontend.executeRecursive(spark, statement)
@@ -1371,7 +1560,15 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           recoverOrPark(s"mv:$name") {
             if (java.nio.file.Files.exists(
                 java.nio.file.Paths.get(mvs.checkpointDir(name))))
-              createOverMv(name, e.pk, q, resume = true)
+              e.chainedFrom match {
+                case Some(upName) =>
+                  if (mvs.get(upName).isEmpty)
+                    throw new IllegalStateException(
+                      s"chained upstream $upName not yet recovered")
+                  createChainedOverMv(name, e.pk, q, upName,
+                    resume = true, resumeFrontier = e.chainFrontier)
+                case None => createOverMv(name, e.pk, q, resume = true)
+              }
             else mvs.define(name, e.pk, e.nBuckets)
           }
         }
@@ -1404,13 +1601,24 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
                       chainDepth(name) = math.max(
                         chainDepth.getOrElse(upName, 0),
                         chainDepth.getOrElse(rightName, 0)) + 1
+                      if (e.chainJoinType.contains("unionall")) {
+                        val inc = new graft.streaming.IncrementalUnion(
+                          upMv, rightMv, mv, upMv.primaryKey,
+                          rightMv.primaryKey,
+                          chainJoinFn(name, q, upName, rightName) _)
+                        startChainedUnionJob(name, inc, upMv, rightMv,
+                          e.chainFrontier.getOrElse(-1L),
+                          e.chainFrontierRight.getOrElse(-1L))
+                      } else {
                       val inc = new graft.streaming.IncrementalJoin(
                         upMv, rightMv, mv, upMv.primaryKey,
                         rightMv.primaryKey,
-                        chainJoinFn(name, q, upName, rightName) _)
+                        chainJoinFn(name, q, upName, rightName) _,
+                        e.chainJoinType.getOrElse("inner"))
                       startChainedJoinJob(name, inc, upMv, rightMv,
                         e.chainFrontier.getOrElse(-1L),
                         e.chainFrontierRight.getOrElse(-1L))
+                      }
                     case (None, Some(groups)) => startChainedAggJob(name,
                       mv, upMv, q, upName, groups,
                       e.chainFrontier.getOrElse(-1L))

@@ -27,6 +27,10 @@ object GraftSession {
     // vectorized reader rejects; read as long and convert in Tables.df.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+    // Changelog retention (MaterializedView.expireChangelog) deletes
+    // already-committed epoch files while subscribers may be mid-listing;
+    // a vanished file must degrade to "skip", not kill the stream.
+    .config("spark.sql.files.ignoreMissingFiles", "true")
     .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     // MV merge rewrites only the hash buckets a delta touches.
     .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

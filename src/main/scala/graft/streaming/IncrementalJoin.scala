@@ -34,7 +34,17 @@ final class IncrementalJoin(
     leftPk: Seq[String],
     rightPk: Seq[String],
     // (leftRows, rightRows) => the defining query over those slices
-    recompute: (DataFrame, DataFrame) => DataFrame) {
+    recompute: (DataFrame, DataFrame) => DataFrame,
+    // "inner" | "left" | "right" | "full". A preserved side's unmatched
+    // rows live downstream null-extended (null other-side PK); deltas
+    // on the opposite side additionally repair the preserved rows whose
+    // match-set changed (gaining a first match retracts the
+    // null-extension; losing the last one restores it). FULL OUTER
+    // preserves both sides — both repairs run.
+    joinType: String = "inner") {
+
+  private val preserveL = joinType == "left" || joinType == "full"
+  private val preserveR = joinType == "right" || joinType == "full"
 
   import IncrementalJoin.{LPrefix, RPrefix, SideCol}
 
@@ -82,29 +92,89 @@ final class IncrementalJoin(
     val addsR = latestAdds(r, rightPk)
     val remL = removedKeys(l, leftPk)
     val remR = removedKeys(r, rightPk)
+    // a fully-emptied MV store reads as a ZERO-COLUMN frame — substitute
+    // a schema-correct empty slice (derived from this batch) so the
+    // recompute still resolves; an inner join against it is just empty
+    def storeOr(mv: MaterializedView, shape: DataFrame): DataFrame = {
+      val d = mv.read()
+      if (d.columns.nonEmpty) d else shape.where(lit(false))
+    }
     leftMv.withReadLock { rightMv.withReadLock {
-      val added = recompute(addsL, rightMv.read())
-        .unionByName(recompute(leftMv.read(), addsR))
+      val rStore = storeOr(rightMv, addsR)
+      val lStore = storeOr(leftMv, addsL)
+      def notNull(pk: Seq[String]) = pk.map(col(_).isNotNull).reduce(_ && _)
+      // ΔA⟗B and A⟗ΔB through the ORIGINAL query. When the OTHER side
+      // is preserved, running the query with its full storage and only
+      // this side's delta fabricates null-extensions for every
+      // unmatched preserved row — keep only the rows this delta
+      // actually owns (the repair pass owns null-extension maintenance)
+      val rawL = recompute(addsL, rStore)
+      val rawR = recompute(lStore, addsR)
+      val addedL = if (preserveR) rawL.where(notNull(leftPk)) else rawL
+      val addedR = if (preserveL) rawR.where(notNull(rightPk)) else rawR
+      val added = addedL.unionByName(addedR)
         .withColumn(Changelog.OpCol, lit(Changelog.UpdateInsert))
         .withColumn(Changelog.SeqCol, lit(1L))
       // pin the retraction rows eagerly under the downstream's read
       // lock, then release it BEFORE merge (a read→write upgrade on the
-      // same lock would deadlock)
-      val gone = downMv.withReadLock {
+      // same lock would deadlock); kept split per side so the outer
+      // repair can harvest which preserved keys lost matches
+      val (goneL, goneR) = downMv.withReadLock {
         // per-side lookups: left keys bucket-prune (the MV is bucketed
         // by leftPK); right keys lack the bucket columns and correctly
         // fall back to a full downstream read inside readTouched
         val storedL = downMv.readTouched(remL)
         val storedR = downMv.readTouched(remR)
-        (if (storedL.columns.isEmpty)
-          added.where(lit(false)).drop(Changelog.OpCol, Changelog.SeqCol)
-         else nullSafeSemi(storedL, remL, leftPk)
-           .unionByName(nullSafeSemi(storedR, remR, rightPk)))
+        def shaped(df: DataFrame) = df
           .withColumn(Changelog.OpCol, lit(Changelog.Delete))
           .withColumn(Changelog.SeqCol, lit(0L))
           .localCheckpoint()
+        if (storedL.columns.isEmpty) {
+          val none = shaped(
+            added.where(lit(false)).drop(Changelog.OpCol, Changelog.SeqCol))
+          (none, none)
+        } else (shaped(nullSafeSemi(storedL, remL, leftPk)),
+          shaped(nullSafeSemi(storedR, remR, rightPk)))
       }
-      downMv.merge(added.unionByName(gone), batchId)
+      // outer repair: preserved-side keys whose match-set changed (the
+      // other side added or removed partners) get their truth
+      // regenerated — the null-extension row is retracted
+      // unconditionally (no-op when absent) and the query re-run over
+      // just those preserved rows re-emits pairs or the null-extension.
+      // For FULL OUTER both repairs run; the re-run output is filtered
+      // to rows the repaired side owns (a full-outer re-run fabricates
+      // other-side null-extensions for storage it didn't scan).
+      def repairSide(leftIsPreserved: Boolean): DataFrame = {
+        val (pk, mv, otherAdds, otherGone) =
+          if (leftIsPreserved) (leftPk, leftMv, addedR, goneR)
+          else (rightPk, rightMv, addedL, goneL)
+        val affected = otherAdds.select(pk.map(col): _*)
+          .unionByName(otherGone.select(pk.map(col): _*))
+          .where(notNull(pk)).distinct()
+        if (affected.isEmpty) added.where(lit(false))
+        else {
+          val rows = nullSafeSemi(mv.readTouched(affected), affected, pk)
+          val nullDel = recompute(
+              if (leftIsPreserved) rows else lStore.where(lit(false)),
+              if (leftIsPreserved) rStore.where(lit(false)) else rows)
+            .where(notNull(pk))
+            .withColumn(Changelog.OpCol, lit(Changelog.Delete))
+            .withColumn(Changelog.SeqCol, lit(0L))
+          recompute(
+              if (leftIsPreserved) rows else lStore,
+              if (leftIsPreserved) rStore else rows)
+            .where(notNull(pk))
+            .withColumn(Changelog.OpCol, lit(Changelog.UpdateInsert))
+            .withColumn(Changelog.SeqCol, lit(2L))
+            .unionByName(nullDel)
+        }
+      }
+      val none = added.where(lit(false))
+      val repair = (if (preserveL) repairSide(true) else none)
+        .unionByName(if (preserveR) repairSide(false) else none)
+      downMv.merge(
+        added.unionByName(goneL).unionByName(goneR).unionByName(repair),
+        batchId)
     } }
   }
 }

@@ -196,12 +196,18 @@ final class MaterializedView(
           n.stripPrefix("batch-").toLongOption.exists(_ > afterBatchId))
         .map(n => s"$changelogDir/$n").toSeq.sorted
       if (dirs.isEmpty) (spark.emptyDataFrame, frontier)
-      else {
-        val df = spark.read.parquet(dirs: _*)
-          .withColumn("_epoch",
-            regexp_extract(input_file_name(), "batch-(\\d+)", 1).cast("long"))
-        (df, frontier)
-      }
+      else
+        // every dir in range may have been emptied by expireChangelog
+        // (dirs outlive their files — see there) → nothing to infer from
+        try {
+          val df = spark.read.parquet(dirs: _*)
+            .withColumn("_epoch",
+              regexp_extract(input_file_name(), "batch-(\\d+)", 1).cast("long"))
+          (df, frontier)
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            (spark.emptyDataFrame, frontier)
+        }
     }
   }
 
@@ -214,6 +220,16 @@ final class MaterializedView(
     * only (backfill from the MV storage instead). This is the
     * subscriber-checkpoint retention the reference applies to its shared
     * log (reference: docs/dev/src/design/checkpoint.md).
+    *
+    * Only the DATA FILES inside an expired epoch dir are deleted; the
+    * `batch-N` directory itself stays. A live subscriber re-lists the
+    * whole log every micro-batch, and on a local filesystem a directory
+    * vanishing between its parent listing and its own enumeration is a
+    * hard IOException (not the FileNotFound that
+    * `spark.sql.files.ignoreMissingFiles` absorbs) — it would kill the
+    * subscription. Empty epoch dirs are a few inodes each, and keeping
+    * them means [[latestChangelogBatchId]] never regresses after a full
+    * expiry, so late backfill subscribers still see the true frontier.
     */
   def expireChangelog(upToBatchId: Long): Unit = {
     val dir = Paths.get(changelogDir)
@@ -225,24 +241,48 @@ final class MaterializedView(
           n.startsWith("batch-") &&
             n.stripPrefix("batch-").toLongOption.exists(_ <= upToBatchId)
         }
-        .toSeq.foreach(deleteRecursively)
+        .toSeq.foreach { epochDir =>
+          Files.list(epochDir).iterator().asScala.toSeq
+            .foreach(deleteRecursively)
+        }
     }
   }
 
-  /** Current MV contents. */
+  /** Current MV contents. A fully-emptied store (every row deleted)
+    * still reads with its SCHEMA — from the `_schema.json` sidecar each
+    * merge maintains — so joins/chains over a momentarily-empty MV keep
+    * resolving instead of seeing a zero-column frame.
+    */
   def read(): DataFrame = {
-    if (!Files.exists(Paths.get(targetDir))) spark.emptyDataFrame
+    def emptyWithSchema = storedSchema
+      .map(s => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+      .getOrElse(spark.emptyDataFrame)
+    if (!Files.exists(Paths.get(targetDir))) emptyWithSchema
     else
       try spark.read.parquet(targetDir).drop(bucketCol)
       catch {
         // fully-deleted MV: directory exists but holds no parquet files
-        case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame
+        case _: org.apache.spark.sql.AnalysisException => emptyWithSchema
       }
   }
 
+  private def schemaFile = Paths.get(targetDir, "_schema.json")
+
+  private def storedSchema: Option[org.apache.spark.sql.types.StructType] =
+    if (!Files.exists(schemaFile)) None
+    else scala.util.Try(
+      org.apache.spark.sql.types.DataType.fromJson(
+        new String(Files.readAllBytes(schemaFile), "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+
   private def readBuckets(): Option[DataFrame] =
-    if (Files.exists(Paths.get(targetDir))) Some(spark.read.parquet(targetDir))
-    else None
+    if (!Files.exists(Paths.get(targetDir))) None
+    else
+      try Some(spark.read.parquet(targetDir))
+      catch { // only the _schema sidecar present — no data files yet
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
 
   /** Rows from ONLY the storage buckets that can contain `keys` — the
     * O(delta × table/nBuckets) read that makes per-batch recompute
@@ -307,6 +347,15 @@ final class MaterializedView(
     // delta's actual rows, lineage-free, before anything is rewritten.
     val norm = norm0.withColumn(bucketCol, bucketOf(norm0)).localCheckpoint()
     try {
+      // remember the row schema (underscore name — invisible to parquet
+      // readers) so an emptied store still reads with its columns
+      if (!Files.exists(schemaFile)) {
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          norm.schema.fields.filterNot(f =>
+            Seq(Changelog.OpCol, Changelog.SeqCol, bucketCol).contains(f.name)))
+        Files.createDirectories(schemaFile.getParent)
+        Files.write(schemaFile, dataSchema.json.getBytes("UTF-8"))
+      }
       val affected = norm.select(bucketCol).distinct()
         .collect().map(_.getInt(0)).toSeq
       if (affected.nonEmpty) withWriteLock {

@@ -270,7 +270,30 @@ class DifferentialFuzzSpec extends SparkSpecBase {
       s"WHERE ${wherePred(r, cols)}"
   }
 
-  private def gen(r: Random): String = r.nextInt(18) match {
+  // two-hop FK chains for three-way joins
+  private val triples = Seq(
+    ("lineitem", "orders", "customer",
+      "l_orderkey", "o_orderkey", "o_custkey", "c_custkey"),
+    ("customer", "nation", "region",
+      "c_nationkey", "n_nationkey", "n_regionkey", "r_regionkey"),
+    ("supplier", "nation", "region",
+      "s_nationkey", "n_nationkey", "n_regionkey", "r_regionkey"))
+
+  private def genJoin3(r: Random): String = {
+    val (t1, t2, t3, k1, k2a, k2b, k3) = pick(r, triples)
+    val all = Seq(t1, t2, t3)
+    val sel = (0 until 2 + r.nextInt(3)).map { i =>
+      val t = pick(r, all)
+      val (c, k) = pick(r, tables.toMap.apply(t))
+      s"${selExpr(r, s"$t.$c", k)} AS c$i"
+    }
+    val cols1 = tables.toMap.apply(t1).map { case (c, k) => (s"$t1.$c", k) }
+    s"SELECT ${sel.mkString(", ")} FROM $t1 " +
+      s"JOIN $t2 ON $t1.$k1 = $t2.$k2a JOIN $t3 ON $t2.$k2b = $t3.$k3 " +
+      s"WHERE ${wherePred(r, cols1)}"
+  }
+
+  private def gen(r: Random): String = r.nextInt(19) match {
     case 0 | 1 | 2 => genScan(r)
     case 3 | 4 => genJoin(r)
     case 5 | 6 => genAgg(r)
@@ -283,7 +306,8 @@ class DifferentialFuzzSpec extends SparkSpecBase {
     case 13 => genScalarSub(r)
     case 14 => genLagWindow(r)
     case 15 => genTopN(r)
-    case _ => genDistinct(r)
+    case 16 => genDistinct(r)
+    case _ => genJoin3(r)
   }
 
   /** Canonical row rendering — must match tools/fuzz_oracle.py. */

@@ -918,6 +918,446 @@ class SqlFrontendSpec extends SparkSpecBase {
       .foreach(n => e2.streamingJob(n).foreach(_.stop()))
   }
 
+  test("SELECT DISTINCT over a streaming MV chains via the aggregate path") {
+    val wh = tmpDir("distchain")
+    val e = new Engine(spark, wh)
+    val srcDir = tmpDir("distchain-src")
+    def ins(id: Int, g: Int) =
+      s"""{"before": null, "after": {"id": $id, "g": $g}, "op": "c"}"""
+    def del(id: Int, g: Int) =
+      s"""{"before": {"id": $id, "g": $g}, "after": null, "op": "d"}"""
+    Seq(ins(1, 5), ins(2, 5), ins(3, 6))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute(s"""CREATE SOURCE dk_src (id BIGINT, g BIGINT)
+                 |WITH (path = '$srcDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute("CREATE MATERIALIZED VIEW dk_a (PRIMARY KEY (id)) AS " +
+      "SELECT id, g FROM dk_src")
+    // DISTINCT = grouped aggregate on all columns, PK = those columns
+    e.execute("CREATE MATERIALIZED VIEW dk_d (PRIMARY KEY (g)) AS " +
+      "SELECT DISTINCT g FROM dk_a")
+    e.execute("FLUSH")
+    assert(e.streamingJob("dk_d").nonEmpty,
+      "DISTINCT over a streaming MV must chain continuously")
+    assert(e.table("dk_d").orderBy("g").as[Long].collect().toSeq == Seq(5L, 6L))
+    // deleting the last row of a distinct value retracts it
+    Seq(del(3, 6)).toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(e.table("dk_d").orderBy("g").as[Long].collect().toSeq == Seq(5L))
+    // deleting ONE of two rows sharing a value keeps it
+    Seq(del(1, 5)).toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(e.table("dk_d").orderBy("g").as[Long].collect().toSeq == Seq(5L))
+    Seq("dk_a", "dk_d").foreach(n => e.streamingJob(n).foreach(_.stop()))
+  }
+
+  test("three-way streaming join: a join MV joins a third MV (join-on-join)") {
+    val wh = tmpDir("join3")
+    val e = new Engine(spark, wh)
+    val (aDir, bDir, cDir) =
+      (tmpDir("join3-a"), tmpDir("join3-b"), tmpDir("join3-c"))
+    def row(fields: String) = s"""{"before": null, "after": {$fields}, "op": "c"}"""
+    def drow(fields: String) = s"""{"before": {$fields}, "after": null, "op": "d"}"""
+    Seq(row("\"aid\": 1, \"k\": 7"), row("\"aid\": 2, \"k\": 8"))
+      .toDF("value").coalesce(1).write.mode("append").text(aDir)
+    Seq(row("\"bid\": 10, \"k\": 7, \"m\": 3"))
+      .toDF("value").coalesce(1).write.mode("append").text(bDir)
+    Seq(row("\"cid\": 100, \"m\": 3"), row("\"cid\": 101, \"m\": 4"))
+      .toDF("value").coalesce(1).write.mode("append").text(cDir)
+    e.execute(s"""CREATE SOURCE j3_asrc (aid BIGINT, k BIGINT)
+                 |WITH (path = '$aDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute(s"""CREATE SOURCE j3_bsrc (bid BIGINT, k BIGINT, m BIGINT)
+                 |WITH (path = '$bDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute(s"""CREATE SOURCE j3_csrc (cid BIGINT, m BIGINT)
+                 |WITH (path = '$cDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute("CREATE MATERIALIZED VIEW j3_a (PRIMARY KEY (aid)) AS " +
+      "SELECT aid, k FROM j3_asrc")
+    e.execute("CREATE MATERIALIZED VIEW j3_b (PRIMARY KEY (bid)) AS " +
+      "SELECT bid, k AS bk, m FROM j3_bsrc")
+    e.execute("CREATE MATERIALIZED VIEW j3_c (PRIMARY KEY (cid)) AS " +
+      "SELECT cid, m AS cm FROM j3_csrc")
+    e.execute("FLUSH")
+    e.execute(
+      """CREATE MATERIALIZED VIEW j3_ab (PRIMARY KEY (aid, bid)) AS
+        |SELECT j3_a.aid, j3_b.bid, j3_b.m
+        |FROM j3_a JOIN j3_b ON j3_a.k = j3_b.bk""".stripMargin)
+    e.execute("FLUSH")
+    // the second join consumes the FIRST join MV's changelog
+    e.execute(
+      """CREATE MATERIALIZED VIEW j3_abc (PRIMARY KEY (aid, bid, cid)) AS
+        |SELECT j3_ab.aid, j3_ab.bid, j3_c.cid
+        |FROM j3_ab JOIN j3_c ON j3_ab.m = j3_c.cm""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("j3_abc").nonEmpty, "join-on-join must chain")
+    assert(e.table("j3_abc").orderBy("aid", "bid", "cid")
+      .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 10L, 100L)))
+
+    // an insert at the FAR side (c) flows through the stacked join;
+    // an insert at a flows through both joins
+    Seq(row("\"cid\": 102, \"m\": 3"))
+      .toDF("value").coalesce(1).write.mode("append").text(cDir)
+    Seq(row("\"aid\": 3, \"k\": 7"))
+      .toDF("value").coalesce(1).write.mode("append").text(aDir)
+    e.execute("FLUSH")
+    assert(e.table("j3_abc").orderBy("aid", "bid", "cid")
+      .as[(Long, Long, Long)].collect().toSeq ==
+      Seq((1L, 10L, 100L), (1L, 10L, 102L), (3L, 10L, 100L), (3L, 10L, 102L)))
+
+    // a delete at b empties the whole pipeline
+    Seq(drow("\"bid\": 10, \"k\": 7, \"m\": 3"))
+      .toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute("FLUSH")
+    assert(e.table("j3_abc").count() == 0,
+      "mid-pipeline delete must cascade through both joins")
+    Seq("j3_a", "j3_b", "j3_c", "j3_ab", "j3_abc")
+      .foreach(n => e.streamingJob(n).foreach(_.stop()))
+  }
+
+  test("LEFT OUTER delta join: null-extensions retract on first match, restore on last unmatch") {
+    val wh = tmpDir("lojoin")
+    val e = new Engine(spark, wh)
+    val (aDir, bDir) = (tmpDir("lojoin-a"), tmpDir("lojoin-b"))
+    def a(id: Int, k: Int) =
+      s"""{"before": null, "after": {"id": $id, "k": $k}, "op": "c"}"""
+    def da(id: Int, k: Int) =
+      s"""{"before": {"id": $id, "k": $k}, "after": null, "op": "d"}"""
+    def b(oid: Int, k: Int, w: Double) =
+      s"""{"before": null, "after": {"oid": $oid, "k": $k, "w": $w}, "op": "c"}"""
+    def db(oid: Int, k: Int, w: Double) =
+      s"""{"before": {"oid": $oid, "k": $k, "w": $w}, "after": null, "op": "d"}"""
+    Seq(a(1, 7), a(2, 8)).toDF("value").coalesce(1).write.mode("append").text(aDir)
+    Seq(b(10, 7, 5.0)).toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute(s"""CREATE SOURCE lo_asrc (id BIGINT, k BIGINT)
+                 |WITH (path = '$aDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute(s"""CREATE SOURCE lo_bsrc (oid BIGINT, k BIGINT, w DOUBLE)
+                 |WITH (path = '$bDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute("CREATE MATERIALIZED VIEW lo_a (PRIMARY KEY (id)) AS " +
+      "SELECT id, k FROM lo_asrc")
+    e.execute("CREATE MATERIALIZED VIEW lo_b (PRIMARY KEY (oid)) AS " +
+      "SELECT oid, k AS bk, w FROM lo_bsrc")
+    e.execute("FLUSH")
+    e.execute(
+      """CREATE MATERIALIZED VIEW lo_j (PRIMARY KEY (id, oid)) AS
+        |SELECT lo_a.id, lo_b.oid, lo_b.w
+        |FROM lo_a LEFT JOIN lo_b ON lo_a.k = lo_b.bk""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("lo_j").nonEmpty, "LEFT OUTER join must chain")
+    def state() = e.table("lo_j").orderBy("id", "oid")
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq
+    // backfill: id=1 matched, id=2 null-extended
+    assert(state() == Seq((1L, Some(10L), Some(5.0)), (2L, None, None)))
+
+    // first match for id=2 retracts its null-extension
+    Seq(b(11, 8, 6.0)).toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute("FLUSH")
+    assert(state() == Seq((1L, Some(10L), Some(5.0)), (2L, Some(11L), Some(6.0))),
+      "first match must retract the null-extension row")
+
+    // deleting id=2's LAST match restores the null-extension
+    Seq(db(11, 8, 6.0)).toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute("FLUSH")
+    assert(state() == Seq((1L, Some(10L), Some(5.0)), (2L, None, None)),
+      "losing the last match must restore the null-extension row")
+
+    // an unmatched LEFT insert null-extends immediately; deleting a left
+    // row removes its null-extension
+    Seq(a(3, 9), da(2, 8)).toDF("value").coalesce(1).write.mode("append").text(aDir)
+    e.execute("FLUSH")
+    assert(state() == Seq((1L, Some(10L), Some(5.0)), (3L, None, None)))
+
+    // restart: recovery keeps the outer semantics (repair path included)
+    Seq("lo_a", "lo_b", "lo_j").foreach(n => e.streamingJob(n).foreach(_.stop()))
+    val e2 = new Engine(spark.newSession(), wh)
+    Seq(b(12, 9, 7.0)).toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e2.execute("FLUSH")
+    assert(e2.table("lo_j").orderBy("id", "oid")
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq ==
+      Seq((1L, Some(10L), Some(5.0)), (3L, Some(12L), Some(7.0))),
+      "restarted outer chain must retract the null-extension on new match")
+    Seq("lo_a", "lo_b", "lo_j").foreach(n => e2.streamingJob(n).foreach(_.stop()))
+
+    // RIGHT OUTER mirrors: preserved side is the right MV
+    val e3 = new Engine(spark, tmpDir("rojoin"))
+    val (a3, b3) = (tmpDir("rojoin-a"), tmpDir("rojoin-b"))
+    Seq(a(1, 7)).toDF("value").coalesce(1).write.mode("append").text(a3)
+    Seq(b(10, 7, 5.0), b(11, 8, 6.0))
+      .toDF("value").coalesce(1).write.mode("append").text(b3)
+    e3.execute(s"""CREATE SOURCE ro_asrc (id BIGINT, k BIGINT)
+                  |WITH (path = '$a3') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e3.execute(s"""CREATE SOURCE ro_bsrc (oid BIGINT, k BIGINT, w DOUBLE)
+                  |WITH (path = '$b3') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e3.execute("CREATE MATERIALIZED VIEW ro_a (PRIMARY KEY (id)) AS " +
+      "SELECT id, k FROM ro_asrc")
+    e3.execute("CREATE MATERIALIZED VIEW ro_b (PRIMARY KEY (oid)) AS " +
+      "SELECT oid, k AS bk, w FROM ro_bsrc")
+    e3.execute("FLUSH")
+    e3.execute(
+      """CREATE MATERIALIZED VIEW ro_j (PRIMARY KEY (id, oid)) AS
+        |SELECT ro_a.id, ro_b.oid, ro_b.w
+        |FROM ro_a RIGHT JOIN ro_b ON ro_a.k = ro_b.bk""".stripMargin)
+    e3.execute("FLUSH")
+    assert(e3.streamingJob("ro_j").nonEmpty, "RIGHT OUTER join must chain")
+    def st3() = e3.table("ro_j").orderBy("oid")
+      .as[(Option[Long], Long, Double)].collect().toSeq
+    assert(st3() == Seq((Some(1L), 10L, 5.0), (None, 11L, 6.0)))
+    // a new LEFT row matches oid=11 → its null-extension retracts
+    Seq(a(2, 8)).toDF("value").coalesce(1).write.mode("append").text(a3)
+    e3.execute("FLUSH")
+    assert(st3() == Seq((Some(1L), 10L, 5.0), (Some(2L), 11L, 6.0)),
+      "right-preserved null-extension must retract on first left match")
+    // deleting that left row restores it
+    Seq(da(2, 8)).toDF("value").coalesce(1).write.mode("append").text(a3)
+    e3.execute("FLUSH")
+    assert(st3() == Seq((Some(1L), 10L, 5.0), (None, 11L, 6.0)),
+      "right-preserved null-extension must restore on last left unmatch")
+    Seq("ro_a", "ro_b", "ro_j").foreach(n => e3.streamingJob(n).foreach(_.stop()))
+  }
+
+  test("FULL OUTER delta join: null-extensions maintained on BOTH sides") {
+    val wh = tmpDir("fojoin")
+    val e = new Engine(spark, wh)
+    val (aDir, bDir) = (tmpDir("fojoin-a"), tmpDir("fojoin-b"))
+    def a(id: Int, k: Int) =
+      s"""{"before": null, "after": {"id": $id, "k": $k}, "op": "c"}"""
+    def da(id: Int, k: Int) =
+      s"""{"before": {"id": $id, "k": $k}, "after": null, "op": "d"}"""
+    def b(oid: Int, k: Int, w: Double) =
+      s"""{"before": null, "after": {"oid": $oid, "k": $k, "w": $w}, "op": "c"}"""
+    def db(oid: Int, k: Int, w: Double) =
+      s"""{"before": {"oid": $oid, "k": $k, "w": $w}, "after": null, "op": "d"}"""
+    Seq(a(1, 7), a(2, 8)).toDF("value").coalesce(1).write.mode("append").text(aDir)
+    Seq(b(10, 7, 5.0), b(11, 9, 6.0))
+      .toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute(s"""CREATE SOURCE fo_asrc (id BIGINT, k BIGINT)
+                 |WITH (path = '$aDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute(s"""CREATE SOURCE fo_bsrc (oid BIGINT, k BIGINT, w DOUBLE)
+                 |WITH (path = '$bDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute("CREATE MATERIALIZED VIEW fo_a (PRIMARY KEY (id)) AS " +
+      "SELECT id, k FROM fo_asrc")
+    e.execute("CREATE MATERIALIZED VIEW fo_b (PRIMARY KEY (oid)) AS " +
+      "SELECT oid, k AS bk, w FROM fo_bsrc")
+    e.execute("FLUSH")
+    e.execute(
+      """CREATE MATERIALIZED VIEW fo_j (PRIMARY KEY (id, oid)) AS
+        |SELECT fo_a.id, fo_b.oid, fo_b.w
+        |FROM fo_a FULL JOIN fo_b ON fo_a.k = fo_b.bk""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("fo_j").nonEmpty, "FULL OUTER join must chain")
+    def state() = e.table("fo_j").orderBy("id", "oid")
+      .as[(Option[Long], Option[Long], Option[Double])].collect().toSeq
+    assert(state() == Seq((None, Some(11L), Some(6.0)),
+      (Some(1L), Some(10L), Some(5.0)), (Some(2L), None, None)))
+
+    // a new LEFT row matches the right-side orphan → ITS null row goes
+    Seq(a(3, 9)).toDF("value").coalesce(1).write.mode("append").text(aDir)
+    e.execute("FLUSH")
+    assert(state() == Seq((Some(1L), Some(10L), Some(5.0)),
+      (Some(2L), None, None), (Some(3L), Some(11L), Some(6.0))),
+      "right-side null-extension must retract when a left match arrives")
+
+    // deleting the left half of a pair restores the RIGHT null-extension
+    Seq(da(1, 7)).toDF("value").coalesce(1).write.mode("append").text(aDir)
+    e.execute("FLUSH")
+    assert(state() == Seq((None, Some(10L), Some(5.0)),
+      (Some(2L), None, None), (Some(3L), Some(11L), Some(6.0))),
+      "deleting the left half must null-extend the surviving right row")
+
+    // deleting the right half restores the LEFT null-extension
+    Seq(db(11, 9, 6.0)).toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute("FLUSH")
+    assert(state() == Seq((None, Some(10L), Some(5.0)),
+      (Some(2L), None, None), (Some(3L), None, None)),
+      "deleting the right half must null-extend the surviving left row")
+    Seq("fo_a", "fo_b", "fo_j").foreach(n => e.streamingJob(n).foreach(_.stop()))
+  }
+
+  test("OVER-window MV chains off a streaming MV (frame-granular maintenance)") {
+    val wh = tmpDir("ovchain")
+    val e = new Engine(spark, wh)
+    val srcDir = tmpDir("ovchain-src")
+    def ins(id: Int, g: Int, k: Int, v: Double) =
+      s"""{"before": null, "after": {"id": $id, "g": $g, "k": $k, "v": $v}, "op": "c"}"""
+    def del(id: Int, g: Int, k: Int, v: Double) =
+      s"""{"before": {"id": $id, "g": $g, "k": $k, "v": $v}, "after": null, "op": "d"}"""
+    Seq(ins(1, 1, 10, 1.0), ins(2, 1, 11, 2.0), ins(3, 1, 13, 4.0))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute(s"""CREATE SOURCE ov_src (id BIGINT, g BIGINT, k BIGINT, v DOUBLE)
+                 |WITH (path = '$srcDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute("CREATE MATERIALIZED VIEW ov_a (PRIMARY KEY (id)) AS " +
+      "SELECT id, g, k, v FROM ov_src")
+    e.execute("FLUSH")
+    e.execute(
+      """CREATE MATERIALIZED VIEW ov_w (PRIMARY KEY (id)) AS
+        |SELECT id, g, sum(v) OVER (PARTITION BY g ORDER BY k
+        |  RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS rs
+        |FROM ov_a""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("ov_w").nonEmpty,
+      "OVER window over a streaming MV must chain continuously")
+    def state() = e.table("ov_w").orderBy("id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(state() == Seq((1L, 1L, 1.0), (2L, 1L, 3.0), (3L, 1L, 4.0)))
+
+    // an insert INSIDE the frame reach recomputes only affected rows
+    Seq(ins(4, 1, 12, 8.0))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(state() == Seq((1L, 1L, 1.0), (2L, 1L, 3.0), (3L, 1L, 12.0),
+      (4L, 1L, 10.0)))
+
+    // a delete retracts its row and repairs frames that contained it
+    Seq(del(2, 1, 11, 2.0))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(state() == Seq((1L, 1L, 1.0), (3L, 1L, 12.0), (4L, 1L, 8.0)))
+
+    // restart: recovery re-wires source → ov_a → ov_w
+    Seq("ov_a", "ov_w").foreach(n => e.streamingJob(n).foreach(_.stop()))
+    val e2 = new Engine(spark.newSession(), wh)
+    Seq(ins(5, 2, 1, 5.0))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e2.execute("FLUSH")
+    assert(e2.table("ov_w").orderBy("id").as[(Long, Long, Double)]
+      .collect().toSeq == Seq((1L, 1L, 1.0), (3L, 1L, 12.0), (4L, 1L, 8.0),
+        (5L, 2L, 5.0)),
+      "restarted OVER chain did not advance")
+    Seq("ov_a", "ov_w").foreach(n => e2.streamingJob(n).foreach(_.stop()))
+  }
+
+  test("UNION ALL MV-on-MV: both branches chain, deletes retract, restart re-wires") {
+    val wh = tmpDir("unchain")
+    val e = new Engine(spark, wh)
+    val (aDir, bDir) = (tmpDir("unchain-a"), tmpDir("unchain-b"))
+    def av(id: Int, v: Double) =
+      s"""{"before": null, "after": {"id": $id, "v": $v}, "op": "c"}"""
+    def avd(id: Int, v: Double) =
+      s"""{"before": {"id": $id, "v": $v}, "after": null, "op": "d"}"""
+    def bv(id: Int, w: Double) =
+      s"""{"before": null, "after": {"id": $id, "w": $w}, "op": "c"}"""
+    def bvd(id: Int, w: Double) =
+      s"""{"before": {"id": $id, "w": $w}, "after": null, "op": "d"}"""
+    Seq(av(1, 1.0), av(2, -5.0))
+      .toDF("value").coalesce(1).write.mode("append").text(aDir)
+    Seq(bv(7, 3.0)).toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute(s"""CREATE SOURCE un_asrc (id BIGINT, v DOUBLE)
+                 |WITH (path = '$aDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute(s"""CREATE SOURCE un_bsrc (id BIGINT, w DOUBLE)
+                 |WITH (path = '$bDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute("CREATE MATERIALIZED VIEW un_a (PRIMARY KEY (id)) AS " +
+      "SELECT id, v FROM un_asrc")
+    e.execute("CREATE MATERIALIZED VIEW un_b (PRIMARY KEY (id)) AS " +
+      "SELECT id, w FROM un_bsrc")
+    e.execute("FLUSH")
+    // branches carry their own projections/filters; PK disambiguates
+    // provenance with a literal side tag
+    e.execute(
+      """CREATE MATERIALIZED VIEW un_u (PRIMARY KEY (src, id)) AS
+        |SELECT 'a' AS src, id, v AS x FROM un_a WHERE v > 0
+        |UNION ALL
+        |SELECT 'b' AS src, id, w * 10 AS x FROM un_b""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("un_u").nonEmpty,
+      "UNION ALL of two streaming MVs must chain continuously")
+    def state(en: Engine) = en.table("un_u").orderBy("src", "id")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(state(e) == Seq(("a", 1L, 1.0), ("b", 7L, 30.0)))
+
+    // inserts on BOTH sides advance through both tails with one FLUSH;
+    // the union publishes ONE epoch sequence → an aggregate chains on top
+    e.execute(
+      """CREATE MATERIALIZED VIEW un_cnt (PRIMARY KEY (src)) AS
+        |SELECT src, count(*) AS n FROM un_u GROUP BY src""".stripMargin)
+    Seq(av(3, 2.0)).toDF("value").coalesce(1).write.mode("append").text(aDir)
+    Seq(bv(8, 4.0)).toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute("FLUSH")
+    assert(state(e) == Seq(("a", 1L, 1.0), ("a", 3L, 2.0),
+      ("b", 7L, 30.0), ("b", 8L, 40.0)))
+    assert(e.streamingJob("un_cnt").nonEmpty, "agg-on-union must chain")
+    assert(e.table("un_cnt").orderBy("src").as[(String, Long)]
+      .collect().toSeq == Seq(("a", 2L), ("b", 2L)))
+
+    // deletes on both sides retract; a row the branch's WHERE never
+    // admitted deletes as a no-op
+    Seq(avd(1, 1.0), avd(2, -5.0))
+      .toDF("value").coalesce(1).write.mode("append").text(aDir)
+    Seq(bvd(7, 3.0)).toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute("FLUSH")
+    assert(state(e) == Seq(("a", 3L, 2.0), ("b", 8L, 40.0)),
+      "deletes must retract through both union branches")
+    assert(e.table("un_cnt").orderBy("src").as[(String, Long)]
+      .collect().toSeq == Seq(("a", 1L), ("b", 1L)),
+      "union deletes must retract through the stacked aggregate")
+
+    // restart: recovery re-wires sources → a,b → union tail → agg tail
+    Seq("un_a", "un_b", "un_u", "un_cnt")
+      .foreach(n => e.streamingJob(n).foreach(_.stop()))
+    val e2 = new Engine(spark.newSession(), wh)
+    Seq(av(4, 9.0)).toDF("value").coalesce(1).write.mode("append").text(aDir)
+    e2.execute("FLUSH")
+    assert(state(e2) == Seq(("a", 3L, 2.0), ("a", 4L, 9.0), ("b", 8L, 40.0)),
+      "restarted union chain did not advance")
+    assert(e2.table("un_cnt").orderBy("src").as[(String, Long)]
+      .collect().toSeq == Seq(("a", 2L), ("b", 1L)),
+      "restarted agg-on-union chain did not advance")
+    Seq("un_a", "un_b", "un_u", "un_cnt")
+      .foreach(n => e2.streamingJob(n).foreach(_.stop()))
+  }
+
+  test("group TOP-N (row_number + filter) over a streaming MV chains incrementally") {
+    val wh = tmpDir("tnchain")
+    val e = new Engine(spark, wh)
+    val srcDir = tmpDir("tnchain-src")
+    def ins(id: Int, g: Int, v: Int) =
+      s"""{"before": null, "after": {"id": $id, "g": $g, "v": $v}, "op": "c"}"""
+    def del(id: Int, g: Int, v: Int) =
+      s"""{"before": {"id": $id, "g": $g, "v": $v}, "after": null, "op": "d"}"""
+    Seq(ins(1, 1, 10), ins(2, 1, 20), ins(3, 1, 30), ins(6, 2, 5))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute(s"""CREATE SOURCE tn_src (id BIGINT, g BIGINT, v BIGINT)
+                 |WITH (path = '$srcDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute("CREATE MATERIALIZED VIEW tn_a (PRIMARY KEY (id)) AS " +
+      "SELECT id, g, v FROM tn_src")
+    e.execute("FLUSH")
+    // StreamGroupTopN: per-group top-2 by v — maintained via the OVER
+    // chain (row_number forces the partition-granular recompute; the
+    // old-vs-new diff evicts rows that fall out of the top k)
+    e.execute(
+      """CREATE MATERIALIZED VIEW tn_top (PRIMARY KEY (id)) AS
+        |SELECT id, g, v FROM (
+        |  SELECT id, g, v,
+        |         row_number() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn
+        |  FROM tn_a) t
+        |WHERE rn <= 2""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("tn_top").nonEmpty,
+      "group top-n over a streaming MV must chain continuously")
+    def state(en: Engine) = en.table("tn_top").orderBy("id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(state(e) == Seq((2L, 1L, 20L), (3L, 1L, 30L), (6L, 2L, 5L)))
+
+    // a new group-1 max EVICTS the old #2 (delete must propagate)
+    Seq(ins(4, 1, 40)).toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(state(e) == Seq((3L, 1L, 30L), (4L, 1L, 40L), (6L, 2L, 5L)),
+      "a new top row must evict the displaced rank-3 row")
+
+    // deleting the max RESTORES the previously-evicted row
+    Seq(del(4, 1, 40)).toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(state(e) == Seq((2L, 1L, 20L), (3L, 1L, 30L), (6L, 2L, 5L)),
+      "deleting a top row must restore the next-ranked row")
+
+    // restart: recovery re-wires source → tn_a → tn_top
+    Seq("tn_a", "tn_top").foreach(n => e.streamingJob(n).foreach(_.stop()))
+    val e2 = new Engine(spark.newSession(), wh)
+    Seq(ins(5, 2, 50)).toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e2.execute("FLUSH")
+    assert(e2.table("tn_top").orderBy("id").as[(Long, Long, Long)]
+      .collect().toSeq == Seq((2L, 1L, 20L), (3L, 1L, 30L), (5L, 2L, 50L),
+        (6L, 2L, 5L)),
+      "restarted top-n chain did not advance")
+    Seq("tn_a", "tn_top").foreach(n => e2.streamingJob(n).foreach(_.stop()))
+  }
+
   test("SHOW CREATE reconstructs re-issuable DDL from the catalog") {
     val e = new Engine(spark, tmpDir("showcreate"))
     e.execute("CREATE TABLE sc_t (id BIGINT PRIMARY KEY, v DOUBLE DEFAULT 1.5)")
