@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Native integer gcd/lcm (reference: src/expr/impl/src/scalar/arithmetic_op.rs
+  * registers `gcd`; PostgreSQL 13 added both) — Spark has no builtin, and
+  * a Scala UDF would box every row. Both are tight codegen'd loops that
+  * stay inside whole-stage codegen.
+  *
+  * Semantics follow PostgreSQL: results are non-negative,
+  * gcd(0,0) = lcm(0,0) = 0, and lcm overflow raises (Math.multiplyExact)
+  * rather than wrapping.
+  */
+case class Gcd(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NumericExpressions.gcd(NumericExpressions.toLong(a),
+      NumericExpressions.toLong(b))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.NumericExpressions.gcd((long) $a, (long) $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Gcd =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_gcd"
+}
+
+case class Lcm(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NumericExpressions.lcm(NumericExpressions.toLong(a),
+      NumericExpressions.toLong(b))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.NumericExpressions.lcm((long) $a, (long) $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Lcm =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_lcm"
+}
+
+object NumericExpressions {
+  private[plans] def toLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+  }
+
+  /** Euclid on magnitudes; public + JVM-static so codegen can call it. */
+  def gcd(a0: Long, b0: Long): Long = {
+    var a = math.abs(a0)
+    var b = math.abs(b0)
+    while (b != 0) { val t = a % b; a = b; b = t }
+    a
+  }
+
+  def lcm(a: Long, b: Long): Long =
+    if (a == 0 || b == 0) 0L
+    else math.abs(Math.multiplyExact(a / gcd(a, b), b))
+}

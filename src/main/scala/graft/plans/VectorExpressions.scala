@@ -91,7 +91,7 @@ case class DotProduct(left: Expression, right: Expression)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotFunction)
+    GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => NativeVectorRewrite)
   }
 }
@@ -102,10 +102,20 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
     (children: Seq[Expression]) => DotProduct(children(0), children(1)))
 
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    dotFunction,
+    (FunctionIdentifier("graft_gcd"),
+      new ExpressionInfo(classOf[Gcd].getName, "graft_gcd"),
+      (children: Seq[Expression]) => Gcd(children(0), children(1))),
+    (FunctionIdentifier("graft_lcm"),
+      new ExpressionInfo(classOf[Lcm].getName, "graft_lcm"),
+      (children: Seq[Expression]) => Lcm(children(0), children(1))))
+
   /** Register into an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      dotFunction._1, dotFunction._2, dotFunction._3)
+    functions.foreach { f =>
+      spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
+    }
     if (!spark.experimental.extraOptimizations.contains(NativeVectorRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ NativeVectorRewrite

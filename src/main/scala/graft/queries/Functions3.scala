@@ -290,6 +290,39 @@ object Functions3 extends QueryPack {
         str(array_sort(array_intersect(ab, b))).as("inter"),
         str(array_sort(array_except(ab, b))).as("xcept"))
         .orderBy("n_nationkey")
+    },
+
+    // hyperbolic trig + factorial + gcd/lcm (reference: math functions in
+    // src/expr/impl/src/scalar/{trigonometric,arithmetic_op}.rs; gcd/lcm
+    // are the graft_gcd/graft_lcm NATIVE codegen expressions — Spark has
+    // no builtin). DuckDB 1.0 lacks the hyperbolics — the oracle uses the
+    // exp/ln definitions; round(...,6) absorbs the ≤1-ULP libm-vs-formula
+    // divergence per the determinism rules.
+    q("q_fn_math2",
+      """SELECT p_partkey,
+        |  round((exp(p_size / 10.0) - exp(-(p_size / 10.0))) / 2.0, 6) AS sh,
+        |  round((exp(p_size / 10.0) + exp(-(p_size / 10.0))) / 2.0, 6) AS ch,
+        |  round((exp(2.0 * p_size / 10.0) - 1.0)
+        |      / (exp(2.0 * p_size / 10.0) + 1.0), 6) AS th,
+        |  round(ln(p_size / 10.0 + sqrt(p_size * p_size / 100.0 + 1.0)), 6) AS ash,
+        |  round(ln(1.0 + p_size / 10.0
+        |    + sqrt((1.0 + p_size / 10.0) * (1.0 + p_size / 10.0) - 1.0)), 6) AS ach,
+        |  round(0.5 * ln((1.0 + p_size / 100.0) / (1.0 - p_size / 100.0)), 6) AS ath,
+        |  CAST(factorial(p_size % 15) AS BIGINT) AS fact,
+        |  CAST(gcd(p_partkey, p_size) AS BIGINT) AS g,
+        |  CAST(lcm(p_size, p_partkey % 7 + 1) AS BIGINT) AS l
+        |FROM part WHERE p_partkey < 400 ORDER BY p_partkey""".stripMargin) { s =>
+      s.table("part").where(col("p_partkey") < 400).select(col("p_partkey"),
+        round(sinh(col("p_size") / 10.0), 6).as("sh"),
+        round(cosh(col("p_size") / 10.0), 6).as("ch"),
+        round(tanh(col("p_size") / 10.0), 6).as("th"),
+        round(asinh(col("p_size") / 10.0), 6).as("ash"),
+        round(acosh(col("p_size") / 10.0 + 1.0), 6).as("ach"),
+        round(atanh(col("p_size") / 100.0), 6).as("ath"),
+        factorial(col("p_size") % 15).as("fact"),
+        expr("graft_gcd(p_partkey, p_size)").as("g"),
+        expr("graft_lcm(p_size, p_partkey % 7 + 1)").as("l"))
+        .orderBy("p_partkey")
     }
   )
 }

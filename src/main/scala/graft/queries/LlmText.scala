@@ -215,6 +215,60 @@ object LlmText extends QueryPack {
           (lit(1.0) - size(array_distinct(col("bigrams"))).cast("double")
             / size(col("bigrams"))).as("bigram_rep"))
         .orderBy("doc_id")
+    },
+
+    // Bigram language-model scoring — the KenLM-shaped perplexity-proxy
+    // filter of LLM data pipelines, fully relational: corpus bigram /
+    // unigram-context counts (two map-side-combinable aggregates), add-one
+    // smoothing over the observed continuation vocabulary, then one join
+    // on the bigram key to score every document by mean log-likelihood.
+    // No model artifact, no UDF — at 100 TB this is two count shuffles +
+    // one scoring join, all on hashed string keys. Per-term casts to
+    // DECIMAL(18,10) make the per-doc sum order-independent.
+    q("q_lm_score",
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS toks
+         |  FROM documents WHERE doc_id < 300),
+         |pw AS (
+         |  SELECT doc_id, p[1] AS w1, p[2] AS w2
+         |  FROM (SELECT doc_id, unnest(list_zip(toks[:-2], toks[2:])) AS p
+         |        FROM toks WHERE len(toks) > 1)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pw GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM pw GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w2) AS v FROM pw),
+         |scored AS (
+         |  SELECT pw.doc_id,
+         |    CAST(ln((c12.c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE))
+         |      AS DECIMAL(18,10)) AS lp
+         |  FROM pw
+         |  JOIN c12 ON pw.w1 = c12.w1 AND pw.w2 = c12.w2
+         |  JOIN c1 ON pw.w1 = c1.w1
+         |  CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(CAST(SUM(lp) AS DOUBLE) / count(*) AS DOUBLE) AS lm_score
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { s =>
+      import org.apache.spark.sql.types.DecimalType
+      val docs = s.table("documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) > 1)
+      val pw = docs.select(col("doc_id"), explode(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+            |         slice(toks, 2, size(toks) - 1),
+            |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c12 = pw.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = pw.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = pw.agg(countDistinct(col("w2")).as("v"))
+      pw.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .withColumn("lp",
+          log((col("c12") + 1) / (col("c1") + col("v")).cast("double"))
+            .cast(DecimalType(18, 10)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score"))
+        .orderBy("doc_id")
     }
   )
 }

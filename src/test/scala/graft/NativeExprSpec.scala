@@ -74,4 +74,22 @@ class NativeExprSpec extends SparkSpecBase {
       .select("qid", "id", "cos").as[(Long, Long, Double)].collect().toSet
     assert(top == Set((0L, 1L, 0.6), (1L, 0L, 0.6)))
   }
+
+  test("graft_gcd/graft_lcm: PG semantics, int coercion, codegen path") {
+    // non-literal inputs so constant folding can't bypass doGenCode
+    val df = Seq((12L, 18), (0L, 0), (-4L, 6), (7L, 0), (270L, 192))
+      .toDF("a", "b")
+    val got = df.select(
+      call_function("graft_gcd", col("a"), col("b")).as("g"),
+      call_function("graft_lcm", col("a"), col("b")).as("l"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((6L, 36L), (0L, 0L), (2L, 12L), (7L, 0L), (6L, 8640L)))
+    assert(spark.sql("SELECT graft_gcd(NULL, 3L)").head().isNullAt(0))
+    assert(spark.sql("SELECT graft_lcm(21, 6)").head().getLong(0) == 42L)
+    // lcm overflow raises (PG errors too) instead of wrapping
+    intercept[Exception] {
+      Seq((Long.MaxValue - 1, Long.MaxValue - 2)).toDF("a", "b")
+        .selectExpr("graft_lcm(a, b)").collect()
+    }
+  }
 }
