@@ -22,7 +22,7 @@ import org.apache.spark.sql.Row
 class DifferentialFuzzSpec extends SparkSpecBase {
 
   private val SfDir = "/root/testdata/sf0.001"
-  private val NQueries = 400
+  private val NQueries = 500
   private val Seed = 20260813L
 
   // (name, columns as (colName, kind)): I integral, D double, S string,
@@ -293,7 +293,69 @@ class DifferentialFuzzSpec extends SparkSpecBase {
       s"WHERE ${wherePred(r, cols1)}"
   }
 
-  private def gen(r: Random): String = r.nextInt(19) match {
+  /** FULL OUTER join of two aggregates over disjointly-filtered slices
+    * of one table — real null-extensions on both sides.
+    */
+  private def genFullJoin(r: Random): String = {
+    val (t, cols) = pick(r, tables)
+    val (g, _) = pick(r, cols.filter(_._2 == 'I'))
+    s"SELECT COALESCE(a.g, b.g) AS g, a.cnt AS ac, b.cnt AS bc " +
+      s"FROM (SELECT $g AS g, count(*) AS cnt FROM $t " +
+      s"WHERE ${wherePred(r, cols)} GROUP BY 1) a " +
+      s"FULL JOIN (SELECT $g AS g, count(*) AS cnt FROM $t " +
+      s"WHERE ${wherePred(r, cols)} GROUP BY 1) b ON a.g = b.g"
+  }
+
+  /** Aggregate over a deterministic (totally-ordered LIMIT) derived
+    * table.
+    */
+  private def genFromSub(r: Random): String = {
+    val (t, cols) = pick(r, tables)
+    val (x, _) = pick(r, cols.filter(_._2 == 'I'))
+    s"SELECT count(*) AS cnt, CAST(sum(x) AS BIGINT) AS s, " +
+      s"min(x) AS mn, max(x) AS mx FROM " +
+      s"(SELECT $x AS x FROM $t WHERE ${wherePred(r, cols)} " +
+      s"ORDER BY ${uniqueKey(t)} LIMIT ${5 + r.nextInt(100)}) q"
+  }
+
+  /** COALESCE/NULLIF three-valued logic + IS [NOT] DISTINCT FROM. */
+  private def genNullLogic(r: Random): String = {
+    val (t, cols) = pick(r, tables)
+    val (i, _) = pick(r, cols.filter(_._2 == 'I'))
+    val (sC, _) = pick(r, cols.filter(_._2 == 'S'))
+    val m = 2 + r.nextInt(5)
+    val dist = if (r.nextBoolean()) "IS DISTINCT FROM" else "IS NOT DISTINCT FROM"
+    s"SELECT COALESCE(NULLIF($i % $m, ${r.nextInt(3)}), -1) AS c0, " +
+      s"NULLIF(substr($sC, 1, 1), '${('A' + r.nextInt(26)).toChar}') AS c1, " +
+      s"CASE WHEN NULLIF($i % $m, 1) IS NULL THEN 'n' ELSE 'v' END AS c2 " +
+      s"FROM $t WHERE ${wherePred(r, cols)} " +
+      s"AND NULLIF($i % $m, ${r.nextInt(m)}) $dist ${r.nextInt(m)}"
+  }
+
+  /** Calendar rollup: date_trunc (coarse units return DATE in DuckDB —
+    * cast both sides) + EXTRACT grouping.
+    */
+  private def genDateTrunc(r: Random): String = {
+    val (t, cols) = pick(r, Seq("orders", "lineitem")
+      .map(n => n -> tables.toMap.apply(n)))
+    val (tc, _) = pick(r, cols.filter(_._2 == 'T'))
+    val unit = pick(r, Seq("year", "quarter", "month", "week"))
+    s"SELECT CAST(date_trunc('$unit', $tc) AS DATE) AS p, " +
+      s"count(*) AS cnt FROM $t WHERE ${wherePred(r, cols)} GROUP BY 1"
+  }
+
+  /** Conditional aggregation — CASE inside aggregates, global (1 row). */
+  private def genCaseAgg(r: Random): String = {
+    val (t, cols) = pick(r, tables)
+    val (i, _) = pick(r, cols.filter(_._2 == 'I'))
+    s"SELECT CAST(sum(CASE WHEN ${predicate(r, i, 'I')} THEN 1 ELSE 0 END) " +
+      s"AS BIGINT) AS c0, " +
+      s"count(CASE WHEN ${wherePred(r, cols)} THEN 1 END) AS c1, " +
+      s"CAST(sum(CASE WHEN $i % ${2 + r.nextInt(4)} = 0 THEN $i END) " +
+      s"AS BIGINT) AS c2 FROM $t"
+  }
+
+  private def gen(r: Random): String = r.nextInt(24) match {
     case 0 | 1 | 2 => genScan(r)
     case 3 | 4 => genJoin(r)
     case 5 | 6 => genAgg(r)
@@ -307,7 +369,12 @@ class DifferentialFuzzSpec extends SparkSpecBase {
     case 14 => genLagWindow(r)
     case 15 => genTopN(r)
     case 16 => genDistinct(r)
-    case _ => genJoin3(r)
+    case 17 => genJoin3(r)
+    case 18 => genFullJoin(r)
+    case 19 => genFromSub(r)
+    case 20 => genNullLogic(r)
+    case 21 => genDateTrunc(r)
+    case _ => genCaseAgg(r)
   }
 
   /** Canonical row rendering — must match tools/fuzz_oracle.py. */
