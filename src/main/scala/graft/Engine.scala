@@ -261,12 +261,19 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
   /** Per-row plans (Project/Filter over a relation) are the shapes whose
     * per-delta replay equals the delta of the result — the only shapes
-    * changelog rows may flow through unchanged.
+    * changelog rows may flow through unchanged. Generate (explode /
+    * LATERAL VIEW — the reference's StreamProjectSet,
+    * src/stream/src/executor/project_set.rs) is row-LINEAR too:
+    * Δ(explode(R)) = explode(ΔR), and an update's U-/U+ before/after
+    * images explode to exactly the rows to retract/insert even when the
+    * element count changed. Each exploded row inherits its input row's
+    * op/seq.
     */
   private def isPerRowPlan(planned: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     planned.queryExecution.analyzed.collect { case n => n }.forall {
       case _: Project | _: Filter | _: SubqueryAlias | _: View => true
+      case _: Generate => true
       case _: EventTimeWatermark => true
       case _: LeafNode => true
       case _ => false
@@ -287,12 +294,17 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     import graft.streaming.Changelog
     if (planned.columns.contains(Changelog.OpCol) || !isPerRowPlan(planned))
       return planned
-    val carriesOps = referencedRelations(query).exists(n =>
-      sources.get(n).exists(_.columns.contains(Changelog.OpCol)))
-    if (!carriesOps) return planned
+    val opSources = referencedRelations(query).flatMap(sources.get)
+      .filter(_.columns.contains(Changelog.OpCol))
+    if (opSources.isEmpty) return planned
+    // `_seq` is optional on a source (a transport without a native order
+    // emits none; the MV merge assigns a per-batch ordinal) — prefix
+    // only the changelog columns the source actually carries
+    val extras = Changelog.OpCol +:
+      Some(Changelog.SeqCol).filter(c => opSources.exists(_.columns.contains(c))).toSeq
     try {
       val out = spark.sql(Engine.TemporalJoinClause.replaceAllIn(
-        prefixSelect(query, Seq(Changelog.OpCol, Changelog.SeqCol)), ""))
+        prefixSelect(query, extras), ""))
       if (out.columns.distinct.length != out.columns.length) planned else out
     } catch { case scala.util.control.NonFatal(_) => planned }
   }
@@ -328,11 +340,25 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val restPerRow = nodes.forall {
       case _: Aggregate | _: Distinct => true
       case _: Project | _: Filter | _: SubqueryAlias | _: View => true
+      case _: Generate => true // agg over explode: StreamProjectSet feed
       case _: EventTimeWatermark => true
       case _: LeafNode => true
       case _ => false
     }
     if (aggs.length + dists.length != 1 || !restPerRow) return None
+    // Generate mode derives touched groups by replaying the query over
+    // the delta — a HAVING (Filter ABOVE the aggregate) would drop
+    // groups whose delta-local aggregate fails it even though their
+    // base recompute differs: reject, falling back to batch refresh.
+    // WHERE clauses (below the aggregate) stay eligible.
+    if (nodes.exists(_.isInstanceOf[Generate])) {
+      def filterAbove(p: LogicalPlan, seen: Boolean): Boolean = p match {
+        case _: Aggregate | _: Distinct => seen
+        case f: Filter => f.children.exists(filterAbove(_, true))
+        case other => other.children.exists(filterAbove(_, seen))
+      }
+      if (filterAbove(planned.queryExecution.analyzed, false)) return None
+    }
     // SELECT DISTINCT ≡ GROUP BY every output column
     val groupNames =
       if (dists.nonEmpty) planned.columns.toSeq
@@ -563,7 +589,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       groupCols: Seq[String], frontier: Long)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val inc = new graft.streaming.IncrementalAgg(
-      up, down, groupCols, chainAggFn(name, query, upName), ownsBase = false)
+      up, down, groupCols, chainAggFn(name, query, upName), ownsBase = false,
+      // group keys born inside the query (agg over explode): derive a
+      // delta's touched groups by replaying the query on the delta slice
+      keysOf = Some(chainAggFn(name, query, upName)))
     up.changelogStreamFrom(frontier).writeStream
       .option("checkpointLocation", mvs.checkpointDir(name))
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))

@@ -115,20 +115,25 @@ object LlmPipeline extends QueryPack {
         |WHERE coalesce(i.i, 0) > 0
         |ORDER BY s.doc_id""".stripMargin) { s =>
       import graft.functions.TextFunctions
-      val grams = s.table("documents")
+      // one n-gram explode per side (benchmark docs are 1/97 of the
+      // corpus — negligible), then ONE broadcast left-join carrying a
+      // membership flag and ONE grouped count — not separate size /
+      // intersection aggregates that would re-explode the corpus
+      def gramsOf(df: org.apache.spark.sql.DataFrame) = df
         .select(col("doc_id"),
           explode(array_distinct(TextFunctions.wordNgrams(col("text"), 3))).as("g"))
-      val bench = grams.where(col("doc_id") % 97 === 0).select("g").distinct()
-      val corpus = grams.where(col("doc_id") % 97 =!= 0)
-      val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = corpus.join(broadcast(bench), "g")
-        .groupBy("doc_id").agg(count(lit(1)).as("i"))
-      sizes.join(inter, Seq("doc_id"), "left")
+      val docs = s.table("documents")
+      val bench = gramsOf(docs.where(col("doc_id") % 97 === 0))
+        .select("g").distinct().withColumn("__b", lit(1))
+      gramsOf(docs.where(col("doc_id") % 97 =!= 0))
+        .join(broadcast(bench), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("sz"), count(col("__b")).as("i"))
+        .where(col("i") > 0)
         .select(col("doc_id"),
-          coalesce(col("i"), lit(0L)).cast("bigint").as("shared"),
+          col("i").cast("bigint").as("shared"),
           col("sz").cast("bigint").as("grams"),
-          (coalesce(col("i"), lit(0L)).cast("double") / col("sz")).as("score"))
-        .where(col("shared") > 0)
+          (col("i").cast("double") / col("sz")).as("score"))
         .orderBy("doc_id")
     },
 

@@ -85,12 +85,16 @@ object Formats {
       .when(col("__e.op") === "d", Changelog.Delete)
     val image = when(col("__e.op") === "d", col("__e.before")).otherwise(col("__e.after"))
     // seqFrom: the transport's native order (e.g. the Kafka offset) —
-    // multi-change-per-PK batches resolve by it; defaults to 0 (merge
-    // assigns a partition ordinal when absent)
-    env.select(image.as("__row"), opCol.as(Changelog.OpCol),
+    // multi-change-per-PK batches resolve by it. Without one, NO `_seq`
+    // is emitted and the MV merge assigns a partition ordinal (file line
+    // order) per batch: a constant placeholder here would make a
+    // delete+reinsert of one PK in one batch TIE in the merge window and
+    // resolve nondeterministically.
+    val base = env.select(image.as("__row"), opCol.as(Changelog.OpCol),
         seqFrom.getOrElse(lit(0L)).cast("long").as(Changelog.SeqCol))
       .where(col(Changelog.OpCol).isNotNull)
       .select(col("__row.*"), col(Changelog.OpCol), col(Changelog.SeqCol))
+    if (seqFrom.isEmpty) base.drop(Changelog.SeqCol) else base
   }
 
   /** FORMAT MAXWELL ENCODE JSON → changelog: `{"type": "insert|update|
@@ -106,10 +110,11 @@ object Formats {
     val opCol = when(col("__e.type") === "insert", Changelog.Insert)
       .when(col("__e.type") === "update", Changelog.UpdateInsert)
       .when(col("__e.type") === "delete", Changelog.Delete)
-    e.select(col("__e.data").as("__row"), opCol.as(Changelog.OpCol),
+    val base = e.select(col("__e.data").as("__row"), opCol.as(Changelog.OpCol),
         seqFrom.getOrElse(lit(0L)).cast("long").as(Changelog.SeqCol))
       .where(col(Changelog.OpCol).isNotNull)
       .select(col("__row.*"), col(Changelog.OpCol), col(Changelog.SeqCol))
+    if (seqFrom.isEmpty) base.drop(Changelog.SeqCol) else base
   }
 
   /** FORMAT CANAL ENCODE JSON → changelog: one payload carries a BATCH

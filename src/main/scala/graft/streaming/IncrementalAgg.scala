@@ -29,7 +29,14 @@ final class IncrementalAgg(
     // aggregate MV-on-MV: the upstream MV merges its deltas itself and
     // this instance only tails its changelog) — then applyDelta must
     // not merge the delta a second time
-    ownsBase: Boolean = true) {
+    ownsBase: Boolean = true,
+    // Group-key derivation for aggregates whose group columns do NOT
+    // exist on the input rows (agg over a GENERATE/explode — the
+    // reference's StreamProjectSet feeding StreamHashAgg): replays the
+    // defining query over the tiny delta slice and projects the group
+    // keys. Retract-images explode to exactly the group keys they
+    // leave, insert-images to the keys they enter.
+    keysOf: Option[DataFrame => DataFrame] = None) {
 
   /** Null-safe semi-join on the group columns: a delta touching the
     * NULL group must select the base's NULL-group rows (plain equi-join
@@ -55,17 +62,38 @@ final class IncrementalAgg(
     * downstream chained aggregate grouping on any column (not just this
     * MV's PK) can therefore locate every group the change affects.
     */
-  def applyDelta(delta: DataFrame, batchId: Long = -1L): Unit = {
+  def applyDelta(delta0: DataFrame, batchId: Long = -1L): Unit = {
+    // re-bind to the ENGINE session: foreachBatch hands a DataFrame on
+    // the stream's cloned session, and the keysOf replay registers temp
+    // views the engine session's sql() must resolve — a stream-session
+    // registration would be invisible there, silently resolving a STALE
+    // prior view (wrong touched groups + a pinned pre-rewrite file list)
+    val delta =
+      if (delta0.sparkSession eq baseMv.spark) delta0
+      else baseMv.spark.createDataFrame(delta0.rdd, delta0.schema)
     if (ownsBase) baseMv.merge(delta)
     // hold the base's read lock across plan AND execution: with a
     // borrowed base, its own maintenance job rewrites the bucket files
     // this recompute reads — the lock pins a consistent file set
     baseMv.withReadLock {
-    val touched = delta.select(groupCols.map(col): _*).distinct()
+    // direct mode: group columns are plain input columns, so delta rows
+    // carry their group keys and the base semi-join prunes BEFORE the
+    // aggregate. Generate mode (group keys born inside the query's
+    // explode): keys come from replaying the query on the delta, and
+    // the touched-group restriction applies AFTER the aggregate — a
+    // base row's group membership is only known post-explode.
+    val direct = groupCols.forall(delta.columns.contains)
+    val touched =
+      if (direct) delta.select(groupCols.map(col): _*).distinct()
+      else keysOf.getOrElse(throw new IllegalStateException(
+          s"group columns ${groupCols.mkString(",")} are not delta columns " +
+            "and no keysOf derivation was provided"))
+        .apply(delta).select(groupCols.map(col): _*).distinct()
     val scopedBase = baseMv.readTouched(touched)
     if (scopedBase.columns.isEmpty) return
-    val survivors = semiOnGroups(scopedBase, touched)
-    val recomputed = aggFn(survivors)
+    val recomputed =
+      if (direct) aggFn(semiOnGroups(scopedBase, touched))
+      else semiOnGroups(aggFn(scopedBase), touched)
     val oldRows = aggMv.readTouched(touched)
     val retractions =
       (if (oldRows.columns.isEmpty) recomputed.where(lit(false)) // empty agg MV

@@ -1358,6 +1358,111 @@ class SqlFrontendSpec extends SparkSpecBase {
     Seq("tn_a", "tn_top").foreach(n => e2.streamingJob(n).foreach(_.stop()))
   }
 
+  test("explode MV chains (StreamProjectSet); vocabulary agg stacks on top") {
+    val wh = tmpDir("pschain")
+    val e = new Engine(spark, wh)
+    val srcDir = tmpDir("pschain-src")
+    def ins(id: Int, text: String) =
+      s"""{"before": null, "after": {"id": $id, "text": "$text"}, "op": "c"}"""
+    def del(id: Int, text: String) =
+      s"""{"before": {"id": $id, "text": "$text"}, "after": null, "op": "d"}"""
+    Seq(ins(1, "a b a"), ins(2, "b c"))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute(s"""CREATE SOURCE ps_src (id BIGINT, text STRING)
+                 |WITH (path = '$srcDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute("CREATE MATERIALIZED VIEW ps_d (PRIMARY KEY (id)) AS " +
+      "SELECT id, text FROM ps_src")
+    e.execute("FLUSH")
+    // per-row ProjectSet chain: Δ(explode) = explode(Δ); PK carries the
+    // ordinality so duplicate tokens of one doc stay distinct rows
+    e.execute(
+      """CREATE MATERIALIZED VIEW ps_tok (PRIMARY KEY (id, pos)) AS
+        |SELECT id, pos, tok FROM ps_d
+        |LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("ps_tok").nonEmpty,
+      "explode over a streaming MV must chain continuously")
+    // STREAMING VOCABULARY: a plain agg chain stacks on the exploded MV
+    e.execute(
+      """CREATE MATERIALIZED VIEW ps_vocab (PRIMARY KEY (tok)) AS
+        |SELECT tok, count(*) AS n FROM ps_tok GROUP BY tok""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("ps_vocab").nonEmpty, "vocab agg must chain")
+    def vocab(en: Engine) = en.table("ps_vocab").orderBy("tok")
+      .as[(String, Long)].collect().toSeq
+    assert(vocab(e) == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+
+    // an UPDATE whose new text explodes to a DIFFERENT element count:
+    // before-image retracts 3 tokens, after-image inserts 2
+    Seq(del(1, "a b a"), ins(1, "c d"))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(e.table("ps_tok").orderBy("id", "pos")
+      .as[(Long, Int, String)].collect().toSeq ==
+      Seq((1L, 0, "c"), (1L, 1, "d"), (2L, 0, "b"), (2L, 1, "c")),
+      "update with shrinking explode must retract the stale exploded rows")
+    assert(vocab(e) == Seq(("b", 1L), ("c", 2L), ("d", 1L)),
+      "vocabulary counts must follow through the stacked agg")
+
+    // restart: recovery re-wires source → docs → explode → vocab
+    Seq("ps_d", "ps_tok", "ps_vocab")
+      .foreach(n => e.streamingJob(n).foreach(_.stop()))
+    val e2 = new Engine(spark.newSession(), wh)
+    Seq(ins(3, "d d")).toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e2.execute("FLUSH")
+    assert(vocab(e2) == Seq(("b", 1L), ("c", 2L), ("d", 3L)),
+      "restarted explode chain did not advance")
+    Seq("ps_d", "ps_tok", "ps_vocab")
+      .foreach(n => e2.streamingJob(n).foreach(_.stop()))
+  }
+
+  test("aggregate over explode chains as ONE MV (StreamProjectSet→HashAgg)") {
+    val wh = tmpDir("aggexpl")
+    val e = new Engine(spark, wh)
+    val srcDir = tmpDir("aggexpl-src")
+    def ins(id: Int, text: String) =
+      s"""{"before": null, "after": {"id": $id, "text": "$text"}, "op": "c"}"""
+    def del(id: Int, text: String) =
+      s"""{"before": {"id": $id, "text": "$text"}, "after": null, "op": "d"}"""
+    Seq(ins(1, "a b a"), ins(2, "b c"))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute(s"""CREATE SOURCE ae_src (id BIGINT, text STRING)
+                 |WITH (path = '$srcDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute("CREATE MATERIALIZED VIEW ae_d (PRIMARY KEY (id)) AS " +
+      "SELECT id, text FROM ae_src")
+    e.execute("FLUSH")
+    // group key `tok` exists only AFTER the explode: the agg chain must
+    // derive touched groups by replaying the query over each delta
+    e.execute(
+      """CREATE MATERIALIZED VIEW ae_vocab (PRIMARY KEY (tok)) AS
+        |SELECT tok, count(*) AS n FROM ae_d
+        |LATERAL VIEW explode(split(text, ' ')) t AS tok
+        |GROUP BY tok""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("ae_vocab").nonEmpty,
+      "agg-over-explode must chain continuously as a single MV")
+    def vocab(en: Engine) = en.table("ae_vocab").orderBy("tok")
+      .as[(String, Long)].collect().toSeq
+    assert(vocab(e) == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+
+    // update shrinking the token multiset: group `a` disappears
+    // entirely, `b` decrements, `c`/`d` appear
+    Seq(del(1, "a b a"), ins(1, "c d"))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(vocab(e) == Seq(("b", 1L), ("c", 2L), ("d", 1L)),
+      "vanished group must be retracted, touched groups recomputed")
+
+    // restart: recovery re-wires the generate-mode agg chain
+    Seq("ae_d", "ae_vocab").foreach(n => e.streamingJob(n).foreach(_.stop()))
+    val e2 = new Engine(spark.newSession(), wh)
+    Seq(ins(3, "d d")).toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e2.execute("FLUSH")
+    assert(vocab(e2) == Seq(("b", 1L), ("c", 2L), ("d", 3L)),
+      "restarted agg-over-explode chain did not advance")
+    Seq("ae_d", "ae_vocab").foreach(n => e2.streamingJob(n).foreach(_.stop()))
+  }
+
   test("SHOW CREATE reconstructs re-issuable DDL from the catalog") {
     val e = new Engine(spark, tmpDir("showcreate"))
     e.execute("CREATE TABLE sc_t (id BIGINT PRIMARY KEY, v DOUBLE DEFAULT 1.5)")

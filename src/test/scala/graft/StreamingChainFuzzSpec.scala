@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import scala.util.Random
+
+/** Differential fuzzing of the streaming MV-on-MV machinery — the
+  * streaming analog of DifferentialFuzzSpec (reference:
+  * src/tests/sqlsmith fuzzes batch AND stream plans).
+  *
+  * Each scenario builds a random chain stack over a Debezium file
+  * source, drives random insert / update (delete+reinsert) / delete
+  * batches through it, and after every FLUSH checks EVERY chained MV
+  * against a batch recompute of its own defining query over its
+  * upstream's ACTUAL storage. Per-level checks compose into whole-chain
+  * correctness: if level k drifts, level k's own check fails first.
+  *
+  * This is the harness that would have caught the `_seq`-tie bug (a
+  * delete+reinsert of one PK in one batch resolving nondeterministically)
+  * and the cross-session temp-view leak in generate-mode touched-group
+  * derivation — both found by hand in round 4.
+  */
+class StreamingChainFuzzSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val Words = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+
+  private def randText(r: Random): String =
+    Seq.fill(1 + r.nextInt(4))(Words(r.nextInt(Words.length))).mkString(" ")
+
+  private def ins(id: Long, g: Long, v: Long, text: String): String =
+    s"""{"before": null, "after": {"id": $id, "g": $g, "v": $v, "text": "$text"}, "op": "c"}"""
+
+  private def del(id: Long, g: Long, v: Long, text: String): String =
+    s"""{"before": {"id": $id, "g": $g, "v": $v, "text": "$text"}, "after": null, "op": "d"}"""
+
+  /** One chainable layer: DDL over the upstream name + the same SELECT
+    * re-runnable as batch SQL for the oracle recompute.
+    */
+  private case class Layer(name: String, pk: String, select: String => String)
+
+  private def layerPool(r: Random): Vector[Layer] = Vector(
+    Layer("perrow", "(id)",
+      up => s"SELECT id, g, v, text FROM $up WHERE v % 3 <> 0"),
+    Layer("proj", "(id)",
+      up => s"SELECT id, g, v * 2 AS v2 FROM $up"),
+    Layer("agg", "(g)",
+      up => s"SELECT g, count(*) AS n, sum(v) AS sv FROM $up GROUP BY g"),
+    Layer("explode", "(id, pos)",
+      up => s"SELECT id, g, pos, tok FROM $up " +
+        "LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok"),
+    Layer("aggexplode", "(tok)",
+      up => s"SELECT tok, count(*) AS n FROM $up " +
+        "LATERAL VIEW explode(split(text, ' ')) t AS tok GROUP BY tok"),
+    Layer("aggtok", "(tok)", // direct agg stacked ON an exploded MV
+      up => s"SELECT tok, count(*) AS n FROM $up GROUP BY tok"))
+
+  /** Layers stackable on a given upstream's column set. */
+  private def eligible(pool: Vector[Layer], upCols: Set[String]): Vector[Layer] =
+    pool.filter {
+      case l if l.name == "perrow" || l.name == "explode" || l.name == "aggexplode" =>
+        Set("id", "g", "v", "text").subsetOf(upCols)
+      case l if l.name == "proj" || l.name == "agg" =>
+        Set("id", "g", "v").subsetOf(upCols)
+      case l if l.name == "aggtok" => upCols.contains("tok")
+      case _ => false
+    }
+
+  private def colsOf(l: Layer): Set[String] = l.name match {
+    case "perrow" => Set("id", "g", "v", "text")
+    case "proj" => Set("id", "g", "v2")
+    case "agg" => Set("g", "n", "sv")
+    case "explode" => Set("id", "g", "pos", "tok")
+    case "aggexplode" => Set("tok", "n")
+    case "aggtok" => Set("tok", "n")
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(_.toString).toSeq.sorted
+  }
+
+  private def runScenario(seed: Int): Unit = {
+    val r = new Random(seed)
+    val wh = tmpDir(s"chainfuzz$seed")
+    val srcDir = tmpDir(s"chainfuzz$seed-src")
+    val e = new Engine(spark, wh)
+    val live = scala.collection.mutable.Map[Long, (Long, Long, String)]()
+    var nextId = 0L
+
+    def writeBatch(lines: Seq[String]): Unit =
+      lines.toDF("value").coalesce(1).write.mode("append").text(srcDir)
+
+    // seed rows, then DDL
+    val seedLines = (0 until 4 + r.nextInt(4)).map { _ =>
+      val id = { nextId += 1; nextId }
+      val row = (r.nextInt(3).toLong, r.nextInt(20).toLong, randText(r))
+      live(id) = row
+      ins(id, row._1, row._2, row._3)
+    }
+    writeBatch(seedLines)
+    e.execute(s"""CREATE SOURCE fz_src_$seed (id BIGINT, g BIGINT, v BIGINT, text STRING)
+                 |WITH (path = '$srcDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute(s"CREATE MATERIALIZED VIEW fz_d_$seed (PRIMARY KEY (id)) AS " +
+      s"SELECT id, g, v, text FROM fz_src_$seed")
+    e.execute("FLUSH")
+
+    // random stack of 2-3 layers
+    var upName = s"fz_d_$seed"
+    var upCols = Set("id", "g", "v", "text")
+    val defs = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    val depth = 2 + r.nextInt(2)
+    for (i <- 0 until depth) {
+      val pool = eligible(layerPool(r), upCols)
+      if (pool.nonEmpty) {
+        val l = pool(r.nextInt(pool.size))
+        val name = s"fz_${l.name}_${seed}_$i"
+        val sql = l.select(upName)
+        e.execute(s"CREATE MATERIALIZED VIEW $name (PRIMARY KEY ${l.pk}) AS $sql")
+        defs += ((name, upName, sql))
+        upName = name
+        upCols = colsOf(l)
+      }
+    }
+    e.execute("FLUSH")
+    assert(defs.nonEmpty, s"seed $seed built no layers")
+    defs.foreach { case (n, _, _) =>
+      assert(e.streamingJob(n).nonEmpty,
+        s"seed $seed: $n did not chain continuously (fell back to batch refresh)")
+    }
+
+    def checkAll(tag: String): Unit = defs.foreach { case (name, up, sql) =>
+      // oracle: the defining query replayed as BATCH SQL over the
+      // upstream MV's actual storage
+      val upDf = e.table(up)
+      upDf.createOrReplaceTempView(s"__fz_oracle_$seed")
+      val expect = spark.sql(sql.replaceAll(
+        "(?i)\\b" + java.util.regex.Pattern.quote(up) + "\\b",
+        s"__fz_oracle_$seed"))
+      val got = e.table(name)
+      assert(sortedRows(got) == sortedRows(expect),
+        s"seed $seed $tag: $name diverged from batch recompute of its query")
+    }
+    checkAll("backfill")
+
+    // random op batches
+    for (b <- 0 until 3) {
+      val lines = scala.collection.mutable.ArrayBuffer[String]()
+      for (_ <- 0 until 2 + r.nextInt(4)) r.nextInt(3) match {
+        case 0 => // insert
+          val id = { nextId += 1; nextId }
+          val row = (r.nextInt(3).toLong, r.nextInt(20).toLong, randText(r))
+          live(id) = row
+          lines += ins(id, row._1, row._2, row._3)
+        case 1 if live.nonEmpty => // update = delete + reinsert, SAME batch
+          val id = live.keys.toSeq(r.nextInt(live.size))
+          val old = live(id)
+          val nu = (r.nextInt(3).toLong, r.nextInt(20).toLong, randText(r))
+          live(id) = nu
+          lines += del(id, old._1, old._2, old._3)
+          lines += ins(id, nu._1, nu._2, nu._3)
+        case 2 if live.nonEmpty => // delete
+          val id = live.keys.toSeq(r.nextInt(live.size))
+          val old = live.remove(id).get
+          lines += del(id, old._1, old._2, old._3)
+        case _ =>
+          val id = { nextId += 1; nextId }
+          val row = (r.nextInt(3).toLong, r.nextInt(20).toLong, randText(r))
+          live(id) = row
+          lines += ins(id, row._1, row._2, row._3)
+      }
+      writeBatch(lines.toSeq)
+      e.execute("FLUSH")
+      // the base MV itself must mirror the live map exactly
+      val base = e.table(s"fz_d_$seed").orderBy("id")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      val want = live.toSeq.map { case (id, (g, v, t)) => (id, g, v, t) }
+        .sortBy(_._1)
+      assert(base == want, s"seed $seed batch $b: base MV diverged from op log")
+      checkAll(s"batch $b")
+    }
+    (Seq(s"fz_d_$seed") ++ defs.map(_._1))
+      .foreach(n => e.streamingJob(n).foreach(_.stop()))
+  }
+
+  // 6 seeded scenarios: deterministic, covers per-row / projection /
+  // agg / explode / agg-over-explode stacked 2-3 deep in random orders
+  // with update-in-one-batch and delete ops throughout
+  for (seed <- Seq(11, 23, 37, 41, 59, 73)) {
+    test(s"random streaming chain matches batch recompute (seed $seed)") {
+      runScenario(seed)
+    }
+  }
+}
