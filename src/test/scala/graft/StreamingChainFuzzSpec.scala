@@ -191,4 +191,170 @@ class StreamingChainFuzzSpec extends SparkSpecBase {
       runScenario(seed)
     }
   }
+
+  // ------------------------------------------------------------------
+  // Two-input topologies: delta joins (all four types) and UNION ALL,
+  // with random layers stacked on the two-input MV — the maintenance
+  // code with the most intricate retraction logic (downstream-storage
+  // retraction for concurrent both-side deletes, null-extension
+  // repair, per-branch linear replay).
+  // ------------------------------------------------------------------
+
+  /** A two-input definition: name, BOTH upstreams, its defining SQL. */
+  private def checkDefs(e: Engine, seed: Int,
+      defs: Seq[(String, Seq[String], String)], tag: String): Unit =
+    defs.foreach { case (name, ups, sql) =>
+      var oracleSql = sql
+      ups.zipWithIndex.foreach { case (up, i) =>
+        val v = s"__fzo_${seed}_$i"
+        e.table(up).createOrReplaceTempView(v)
+        oracleSql = oracleSql.replaceAll(
+          "(?i)\\b" + java.util.regex.Pattern.quote(up) + "\\b", v)
+      }
+      val expect = spark.sql(oracleSql)
+      val got = e.table(name)
+      assert(sortedRows(got) == sortedRows(expect),
+        s"seed $seed $tag: $name diverged from batch recompute of its query")
+    }
+
+  private def runTwoInputScenario(seed: Int, topo: String): Unit = {
+    val r = new Random(seed)
+    val wh = tmpDir(s"fz2$seed")
+    val (aDir, bDir) = (tmpDir(s"fz2$seed-a"), tmpDir(s"fz2$seed-b"))
+    val e = new Engine(spark, wh)
+    // side a: (id, k, v); side b: (oid, bk, w). k/bk in a tiny domain so
+    // joins hit and un-hit constantly as rows come and go.
+    def insA(id: Long, k: Long, v: Long) =
+      s"""{"before": null, "after": {"id": $id, "k": $k, "v": $v}, "op": "c"}"""
+    def delA(id: Long, k: Long, v: Long) =
+      s"""{"before": {"id": $id, "k": $k, "v": $v}, "after": null, "op": "d"}"""
+    def insB(oid: Long, k: Long, w: Long) =
+      s"""{"before": null, "after": {"oid": $oid, "k": $k, "w": $w}, "op": "c"}"""
+    def delB(oid: Long, k: Long, w: Long) =
+      s"""{"before": {"oid": $oid, "k": $k, "w": $w}, "after": null, "op": "d"}"""
+    val liveA = scala.collection.mutable.Map[Long, (Long, Long)]()
+    val liveB = scala.collection.mutable.Map[Long, (Long, Long)]()
+    var nextId = 0L
+
+    def seedSide(live: scala.collection.mutable.Map[Long, (Long, Long)],
+        mk: (Long, Long, Long) => String): Seq[String] =
+      (0 until 3 + r.nextInt(3)).map { _ =>
+        val id = { nextId += 1; nextId }
+        val row = (r.nextInt(3).toLong, r.nextInt(10).toLong)
+        live(id) = row
+        mk(id, row._1, row._2)
+      }
+    seedSide(liveA, insA).toDF("value").coalesce(1).write.mode("append").text(aDir)
+    seedSide(liveB, insB).toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute(s"""CREATE SOURCE fz2_asrc_$seed (id BIGINT, k BIGINT, v BIGINT)
+                 |WITH (path = '$aDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute(s"""CREATE SOURCE fz2_bsrc_$seed (oid BIGINT, k BIGINT, w BIGINT)
+                 |WITH (path = '$bDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    val (an, bn) = (s"fz2_a_$seed", s"fz2_b_$seed")
+    e.execute(s"CREATE MATERIALIZED VIEW $an (PRIMARY KEY (id)) AS " +
+      s"SELECT id, k, v FROM fz2_asrc_$seed")
+    e.execute(s"CREATE MATERIALIZED VIEW $bn (PRIMARY KEY (oid)) AS " +
+      s"SELECT oid, k AS bk, w FROM fz2_bsrc_$seed")
+    e.execute("FLUSH")
+
+    val defs = scala.collection.mutable.ArrayBuffer[(String, Seq[String], String)]()
+    var (upName, upCols) = topo match {
+      case "union" =>
+        val n = s"fz2_u_$seed"
+        val sql = s"SELECT 'a' AS src, id, k, v AS x FROM $an WHERE v % 7 <> 0 " +
+          s"UNION ALL SELECT 'b' AS src, oid AS id, bk AS k, w * 2 AS x FROM $bn"
+        e.execute(s"CREATE MATERIALIZED VIEW $n (PRIMARY KEY (src, id)) AS $sql")
+        defs += ((n, Seq(an, bn), sql))
+        (n, Set("src", "id", "k", "x"))
+      case jt => // INNER | LEFT | RIGHT | FULL delta join
+        val n = s"fz2_j_$seed"
+        // jk = coalesce over both key columns: never NULL (some side is
+        // always present), so aggregates can group on it
+        val sql = s"SELECT $an.id, $bn.oid, coalesce($an.k, $bn.bk) AS jk, " +
+          s"$an.v + $bn.w AS s FROM $an $jt JOIN $bn ON $an.k = $bn.bk"
+        e.execute(s"CREATE MATERIALIZED VIEW $n (PRIMARY KEY (id, oid)) AS $sql")
+        defs += ((n, Seq(an, bn), sql))
+        (n, Set("id", "oid", "jk", "s"))
+    }
+    // 1-2 random single-input layers on top of the two-input MV
+    for (i <- 0 until 1 + r.nextInt(2)) {
+      val options: Seq[(String, String, String)] =
+        if (upCols == Set("id", "oid", "jk", "s")) Seq(
+          ("jagg", "(jk)",
+            s"SELECT jk, count(*) AS n, sum(coalesce(s, 0)) AS sv FROM $upName GROUP BY jk"),
+          ("jrow", "(id, oid)",
+            s"SELECT id, oid, jk, s FROM $upName WHERE coalesce(s, 0) % 2 = 0"))
+        else if (upCols == Set("src", "id", "k", "x")) Seq(
+          ("uagg", "(k)",
+            s"SELECT k, count(*) AS n, sum(x) AS sx FROM $upName GROUP BY k"),
+          ("urow", "(src, id)",
+            s"SELECT src, id, k, x FROM $upName WHERE x % 3 <> 0"))
+        else if (upCols.contains("n")) Seq(
+          ("nagg", "(n)", s"SELECT n, count(*) AS c FROM $upName GROUP BY n"))
+        else Seq.empty
+      if (options.nonEmpty) {
+        val (kind, pk, sql) = options(r.nextInt(options.size))
+        val name = s"fz2_${kind}_${seed}_$i"
+        e.execute(s"CREATE MATERIALIZED VIEW $name (PRIMARY KEY $pk) AS $sql")
+        defs += ((name, Seq(upName), sql))
+        upName = name
+        upCols = kind match {
+          case "jagg" => Set("jk", "n", "sv")
+          case "jrow" => Set("id", "oid", "jk", "s")
+          case "uagg" => Set("k", "n", "sx")
+          case "urow" => Set("src", "id", "k", "x")
+          case "nagg" => Set("n", "c")
+        }
+      }
+    }
+    e.execute("FLUSH")
+    defs.foreach { case (n, _, _) =>
+      assert(e.streamingJob(n).nonEmpty,
+        s"seed $seed ($topo): $n did not chain continuously")
+    }
+    checkDefs(e, seed, defs.toSeq, "backfill")
+
+    // random op batches on BOTH sides per round (same-batch update =
+    // delete+reinsert; concurrent both-side deletes happen naturally)
+    for (b <- 0 until 3) {
+      def sideOps(live: scala.collection.mutable.Map[Long, (Long, Long)],
+          mkI: (Long, Long, Long) => String,
+          mkD: (Long, Long, Long) => String): Seq[String] = {
+        val lines = scala.collection.mutable.ArrayBuffer[String]()
+        for (_ <- 0 until 1 + r.nextInt(3)) r.nextInt(3) match {
+          case 1 if live.nonEmpty =>
+            val id = live.keys.toSeq(r.nextInt(live.size))
+            val old = live(id)
+            val nu = (r.nextInt(3).toLong, r.nextInt(10).toLong)
+            live(id) = nu
+            lines += mkD(id, old._1, old._2)
+            lines += mkI(id, nu._1, nu._2)
+          case 2 if live.nonEmpty =>
+            val id = live.keys.toSeq(r.nextInt(live.size))
+            val old = live.remove(id).get
+            lines += mkD(id, old._1, old._2)
+          case _ =>
+            val id = { nextId += 1; nextId }
+            val row = (r.nextInt(3).toLong, r.nextInt(10).toLong)
+            live(id) = row
+            lines += mkI(id, row._1, row._2)
+        }
+        lines.toSeq
+      }
+      val (la, lb) = (sideOps(liveA, insA, delA), sideOps(liveB, insB, delB))
+      if (la.nonEmpty) la.toDF("value").coalesce(1).write.mode("append").text(aDir)
+      if (lb.nonEmpty) lb.toDF("value").coalesce(1).write.mode("append").text(bDir)
+      e.execute("FLUSH")
+      checkDefs(e, seed, defs.toSeq, s"batch $b ($topo)")
+    }
+    (Seq(an, bn) ++ defs.map(_._1))
+      .foreach(n => e.streamingJob(n).foreach(_.stop()))
+  }
+
+  for ((topo, seed) <- Seq("INNER" -> 101, "LEFT" -> 103, "RIGHT" -> 107,
+      "FULL" -> 109, "union" -> 113, "union" -> 127)) {
+    test(s"random $topo two-input chain matches batch recompute (seed $seed)") {
+      runTwoInputScenario(seed, topo)
+    }
+  }
 }
