@@ -346,19 +346,6 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case _ => false
     }
     if (aggs.length + dists.length != 1 || !restPerRow) return None
-    // Generate mode derives touched groups by replaying the query over
-    // the delta — a HAVING (Filter ABOVE the aggregate) would drop
-    // groups whose delta-local aggregate fails it even though their
-    // base recompute differs: reject, falling back to batch refresh.
-    // WHERE clauses (below the aggregate) stay eligible.
-    if (nodes.exists(_.isInstanceOf[Generate])) {
-      def filterAbove(p: LogicalPlan, seen: Boolean): Boolean = p match {
-        case _: Aggregate | _: Distinct => seen
-        case f: Filter => f.children.exists(filterAbove(_, true))
-        case other => other.children.exists(filterAbove(_, seen))
-      }
-      if (filterAbove(planned.queryExecution.analyzed, false)) return None
-    }
     // SELECT DISTINCT ≡ GROUP BY every output column
     val groupNames =
       if (dists.nonEmpty) planned.columns.toSeq
@@ -578,6 +565,31 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       "(?i)\\b" + java.util.regex.Pattern.quote(upName) + "\\b", view))
   }
 
+  /** The keys-replay variant of [[chainAggFn]] for generate mode: same
+    * query over the delta slice, but with every Filter ABOVE the
+    * aggregate (HAVING) stripped from the analyzed plan. A group whose
+    * delta-local aggregate fails the HAVING still needs recompute — its
+    * full-base aggregate may cross the threshold in either direction
+    * (enter ⇒ insert, leave ⇒ the stored row must be retracted) — so
+    * the touched-key derivation must see ALL groups the delta touches,
+    * not just the ones whose delta slice happens to pass.
+    */
+  private def chainAggKeysFn(name: String, query: String, upName: String)
+      (df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val full = chainAggFn(name, query, upName)(df)
+    def aboveAgg(p: LogicalPlan): Boolean = p.exists {
+      case _: Aggregate | _: Distinct => true
+      case _ => false
+    }
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case f: Filter if aboveAgg(f.child) => strip(f.child)
+      case other => other.withNewChildren(other.children.map(strip))
+    }
+    org.apache.spark.sql.GraftPlans.ofRows(
+      spark, strip(full.queryExecution.analyzed))
+  }
+
   /** Tail `up`'s changelog and maintain the chained aggregate MV via
     * touched-group recompute ([[graft.streaming.IncrementalAgg]] with a
     * borrowed base: the upstream maintains its own storage). Each epoch
@@ -591,8 +603,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val inc = new graft.streaming.IncrementalAgg(
       up, down, groupCols, chainAggFn(name, query, upName), ownsBase = false,
       // group keys born inside the query (agg over explode): derive a
-      // delta's touched groups by replaying the query on the delta slice
-      keysOf = Some(chainAggFn(name, query, upName)))
+      // delta's touched groups by replaying the query on the delta
+      // slice — HAVING stripped so threshold-crossing groups are seen
+      keysOf = Some(chainAggKeysFn(name, query, upName)))
     up.changelogStreamFrom(frontier).writeStream
       .option("checkpointLocation", mvs.checkpointDir(name))
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))

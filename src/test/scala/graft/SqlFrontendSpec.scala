@@ -1463,6 +1463,61 @@ class SqlFrontendSpec extends SparkSpecBase {
     Seq("ae_d", "ae_vocab").foreach(n => e2.streamingJob(n).foreach(_.stop()))
   }
 
+  test("HAVING on a chained aggregate: threshold-crossing groups enter and leave") {
+    val wh = tmpDir("havchain")
+    val e = new Engine(spark, wh)
+    val srcDir = tmpDir("havchain-src")
+    def ins(id: Int, text: String) =
+      s"""{"before": null, "after": {"id": $id, "text": "$text"}, "op": "c"}"""
+    def del(id: Int, text: String) =
+      s"""{"before": {"id": $id, "text": "$text"}, "after": null, "op": "d"}"""
+    Seq(ins(1, "a b a"), ins(2, "b c"))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute(s"""CREATE SOURCE hv_src (id BIGINT, text STRING)
+                 |WITH (path = '$srcDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute("CREATE MATERIALIZED VIEW hv_d (PRIMARY KEY (id)) AS " +
+      "SELECT id, text FROM hv_src")
+    e.execute("FLUSH")
+    // generate mode (group key born in the explode) + HAVING: the
+    // touched-key replay must NOT apply the HAVING, or groups whose
+    // delta slice fails it are silently skipped
+    e.execute(
+      """CREATE MATERIALIZED VIEW hv_vocab (PRIMARY KEY (tok)) AS
+        |SELECT tok, count(*) AS n FROM hv_d
+        |LATERAL VIEW explode(split(text, ' ')) t AS tok
+        |GROUP BY tok HAVING count(*) >= 2""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("hv_vocab").nonEmpty,
+      "HAVING aggregate over a streaming MV must chain continuously")
+    def vocab(en: Engine) = en.table("hv_vocab").orderBy("tok")
+      .as[(String, Long)].collect().toSeq
+    assert(vocab(e) == Seq(("a", 2L), ("b", 2L)))
+
+    // one new doc: `c` ENTERS (1→2 crosses the threshold) even though
+    // the delta alone contributes only 1 `c`; `d` stays out
+    Seq(ins(3, "c d")).toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(vocab(e) == Seq(("a", 2L), ("b", 2L), ("c", 2L)),
+      "group entering the HAVING threshold via a delta must appear")
+
+    // delete doc 1: `a` vanishes entirely, `b` drops 2→1 and LEAVES the
+    // threshold — its stored row must be retracted even though the
+    // delta-local count for `b` (1) fails the HAVING
+    Seq(del(1, "a b a")).toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(vocab(e) == Seq(("c", 2L)),
+      "group leaving the HAVING threshold must be retracted")
+
+    // restart: recovery re-wires the HAVING chain
+    Seq("hv_d", "hv_vocab").foreach(n => e.streamingJob(n).foreach(_.stop()))
+    val e2 = new Engine(spark.newSession(), wh)
+    Seq(ins(4, "b d")).toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e2.execute("FLUSH")
+    assert(vocab(e2) == Seq(("b", 2L), ("c", 2L), ("d", 2L)),
+      "restarted HAVING chain did not advance")
+    Seq("hv_d", "hv_vocab").foreach(n => e2.streamingJob(n).foreach(_.stop()))
+  }
+
   test("SHOW CREATE reconstructs re-issuable DDL from the catalog") {
     val e = new Engine(spark, tmpDir("showcreate"))
     e.execute("CREATE TABLE sc_t (id BIGINT PRIMARY KEY, v DOUBLE DEFAULT 1.5)")
