@@ -52,14 +52,26 @@ class StreamingChainFuzzSpec extends SparkSpecBase {
       up => s"SELECT tok, count(*) AS n FROM $up " +
         "LATERAL VIEW explode(split(text, ' ')) t AS tok GROUP BY tok"),
     Layer("aggtok", "(tok)", // direct agg stacked ON an exploded MV
-      up => s"SELECT tok, count(*) AS n FROM $up GROUP BY tok"))
+      up => s"SELECT tok, count(*) AS n FROM $up GROUP BY tok"),
+    // HAVING variants: groups constantly cross the count threshold in
+    // both directions as rows churn — the touched-key replay must see
+    // groups whose delta-local aggregate FAILS the predicate
+    Layer("hagg", "(g)", // direct mode; HAVING references an aggregate
+      // NOT in the output list (plans Project(Filter(Aggregate)))
+      up => s"SELECT g, count(*) AS n, sum(v) AS sv FROM $up " +
+        "GROUP BY g HAVING max(v) >= 10"),
+    Layer("haggexpl", "(tok)", // generate mode (group key born in explode)
+      up => s"SELECT tok, count(*) AS n FROM $up " +
+        "LATERAL VIEW explode(split(text, ' ')) t AS tok " +
+        "GROUP BY tok HAVING count(*) >= 2"))
 
   /** Layers stackable on a given upstream's column set. */
   private def eligible(pool: Vector[Layer], upCols: Set[String]): Vector[Layer] =
     pool.filter {
-      case l if l.name == "perrow" || l.name == "explode" || l.name == "aggexplode" =>
+      case l if l.name == "perrow" || l.name == "explode" ||
+          l.name == "aggexplode" || l.name == "haggexpl" =>
         Set("id", "g", "v", "text").subsetOf(upCols)
-      case l if l.name == "proj" || l.name == "agg" =>
+      case l if l.name == "proj" || l.name == "agg" || l.name == "hagg" =>
         Set("id", "g", "v").subsetOf(upCols)
       case l if l.name == "aggtok" => upCols.contains("tok")
       case _ => false
@@ -72,6 +84,8 @@ class StreamingChainFuzzSpec extends SparkSpecBase {
     case "explode" => Set("id", "g", "pos", "tok")
     case "aggexplode" => Set("tok", "n")
     case "aggtok" => Set("tok", "n")
+    case "hagg" => Set("g", "n", "sv")
+    case "haggexpl" => Set("tok", "n")
   }
 
   private def sortedRows(df: DataFrame): Seq[String] = {
@@ -124,6 +138,7 @@ class StreamingChainFuzzSpec extends SparkSpecBase {
     }
     e.execute("FLUSH")
     assert(defs.nonEmpty, s"seed $seed built no layers")
+    info(s"seed $seed stack: ${defs.map(_._1).mkString(" -> ")}")
     defs.foreach { case (n, _, _) =>
       assert(e.streamingJob(n).nonEmpty,
         s"seed $seed: $n did not chain continuously (fell back to batch refresh)")
@@ -186,7 +201,7 @@ class StreamingChainFuzzSpec extends SparkSpecBase {
   // 6 seeded scenarios: deterministic, covers per-row / projection /
   // agg / explode / agg-over-explode stacked 2-3 deep in random orders
   // with update-in-one-batch and delete ops throughout
-  for (seed <- Seq(11, 23, 37, 41, 59, 73)) {
+  for (seed <- Seq(11, 23, 37, 41, 59, 73, 79, 83, 89)) {
     test(s"random streaming chain matches batch recompute (seed $seed)") {
       runScenario(seed)
     }
