@@ -274,6 +274,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     planned.queryExecution.analyzed.collect { case n => n }.forall {
       case _: Project | _: Filter | _: SubqueryAlias | _: View => true
       case _: Generate => true
+      // hop-window assignment (TimeWindowing lowers sliding window() to
+      // Expand): row-linear like Generate — each row lands in a FIXED
+      // set of windows, so Δ(expand(R)) = expand(ΔR)
+      case _: Expand => true
       case _: EventTimeWatermark => true
       case _: LeafNode => true
       case _ => false
@@ -341,6 +345,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case _: Aggregate | _: Distinct => true
       case _: Project | _: Filter | _: SubqueryAlias | _: View => true
       case _: Generate => true // agg over explode: StreamProjectSet feed
+      case _: Expand => true // hop-window assignment: row-linear
       case _: EventTimeWatermark => true
       case _: LeafNode => true
       case _ => false
@@ -1195,7 +1200,27 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     """(?i)\bjdbc_query\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)""".r
   private val FileScanTvf =
     """(?i)\bfile_scan\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)""".r
+  // Time-window TVFs (reference: src/frontend/src/binder/relation/
+  // table_function.rs binds TUMBLE/HOP in FROM position; assignment is
+  // src/expr/impl/src/scalar/tumble.rs and hop_window.rs). Lowered to a
+  // derived table over Spark's `window()` — the same operator the
+  // streaming MVs aggregate over, so a windowed aggregate over a
+  // streaming MV chains through the generate-mode agg path (the group
+  // key `window_start` is born inside the window assignment).
+  private val TumbleTvf =
+    """(?i)\bTUMBLE\s*\(\s*(\w+)\s*,\s*(\w+)\s*,\s*INTERVAL\s+'([^']+)'\s*(?:,\s*INTERVAL\s+'([^']+)'\s*)?\)""".r
+  private val HopTvf = // HOP(rel, col, slide, size) — reference arg order
+    """(?i)\bHOP\s*\(\s*(\w+)\s*,\s*(\w+)\s*,\s*INTERVAL\s+'([^']+)'\s*,\s*INTERVAL\s+'([^']+)'\s*\)""".r
   private var tvfCounter = 0
+
+  private def windowedRelation(rel: String, col: String,
+      windowArgs: Seq[String]): String = {
+    tvfCounter += 1
+    val w = s"__gtw_$tvfCounter"
+    val call = (s"`$col`" +: windowArgs.map(a => s"'$a'")).mkString(", ")
+    s"(SELECT * EXCEPT ($w), $w.start AS window_start, " +
+      s"$w.end AS window_end FROM (SELECT *, window($call) AS $w FROM $rel))"
+  }
 
   private def rewriteTvfs(stmt: String): String = {
     var out = JdbcQueryTvf.replaceAllIn(stmt, m => {
@@ -1212,6 +1237,15 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         .createOrReplaceTempView(v)
       v
     })
+    out = TumbleTvf.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(windowedRelation(
+        m.group(1), m.group(2),
+        // optional 4th arg = window offset → window(col, size, size, off)
+        Option(m.group(4)).fold(Seq(m.group(3)))(off =>
+          Seq(m.group(3), m.group(3), off)))))
+    out = HopTvf.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(windowedRelation(
+        m.group(1), m.group(2), Seq(m.group(4), m.group(3)))))
     out
   }
 

@@ -1518,6 +1518,96 @@ class SqlFrontendSpec extends SparkSpecBase {
     Seq("hv_d", "hv_vocab").foreach(n => e2.streamingJob(n).foreach(_.stop()))
   }
 
+  test("TUMBLE/HOP time-window TVFs: batch SELECT and chained windowed aggregate MVs") {
+    val e = new Engine(spark, tmpDir("twtvf"))
+    e.execute("CREATE TABLE tw_t (id BIGINT PRIMARY KEY, ts TIMESTAMP, v BIGINT)")
+    e.execute("INSERT INTO tw_t VALUES " +
+      "(1, TIMESTAMP '2024-01-01 10:05:00', 2), " +
+      "(2, TIMESTAMP '2024-01-01 10:40:00', 3), " +
+      "(3, TIMESTAMP '2024-01-01 11:10:00', 5)")
+    // TUMBLE in FROM position (reference table_function.rs syntax):
+    // every source column plus window_start/window_end
+    val t = e.execute(
+      """SELECT window_start, sum(v) AS sv
+        |FROM TUMBLE(tw_t, ts, INTERVAL '1 hour')
+        |GROUP BY window_start ORDER BY window_start""".stripMargin)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+    assert(t == Seq(("2024-01-01 10:00:00.0", 5L), ("2024-01-01 11:00:00.0", 5L)))
+    // HOP(rel, col, slide, size): each row lands in size/slide windows
+    val h = e.execute(
+      """SELECT window_start, count(*) AS n
+        |FROM HOP(tw_t, ts, INTERVAL '30 minutes', INTERVAL '1 hour')
+        |GROUP BY window_start ORDER BY window_start""".stripMargin)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+    assert(h == Seq(
+      ("2024-01-01 09:30:00.0", 1L), ("2024-01-01 10:00:00.0", 2L),
+      ("2024-01-01 10:30:00.0", 2L), ("2024-01-01 11:00:00.0", 1L)))
+
+    // streaming: a TUMBLE aggregate over a streaming MV chains as ONE MV
+    // (window_start is born inside the window assignment → generate mode)
+    val srcDir = tmpDir("twtvf-src")
+    def ins(id: Int, ts: String, v: Int) =
+      s"""{"before": null, "after": {"id": $id, "ts": "$ts", "v": $v}, "op": "c"}"""
+    def del(id: Int, ts: String, v: Int) =
+      s"""{"before": {"id": $id, "ts": "$ts", "v": $v}, "after": null, "op": "d"}"""
+    Seq(ins(1, "2024-01-01 10:05:00", 2), ins(2, "2024-01-01 10:40:00", 3))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute(s"""CREATE SOURCE tw_src (id BIGINT, ts TIMESTAMP, v BIGINT)
+                 |WITH (path = '$srcDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute("CREATE MATERIALIZED VIEW tw_d (PRIMARY KEY (id)) AS " +
+      "SELECT id, ts, v FROM tw_src")
+    e.execute("FLUSH")
+    e.execute(
+      """CREATE MATERIALIZED VIEW tw_hourly (PRIMARY KEY (window_start)) AS
+        |SELECT window_start, count(*) AS n, sum(v) AS sv
+        |FROM TUMBLE(tw_d, ts, INTERVAL '1 hour') GROUP BY window_start""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("tw_hourly").nonEmpty,
+      "TUMBLE aggregate over a streaming MV must chain continuously")
+    def hourly = e.table("tw_hourly").orderBy("window_start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(hourly == Seq(("2024-01-01 10:00:00.0", 2L, 5L)))
+    // update moves a row ACROSS windows: old window decrements, new
+    // window appears; a delete empties a window entirely
+    Seq(del(2, "2024-01-01 10:40:00", 3), ins(2, "2024-01-01 11:20:00", 7),
+        ins(3, "2024-01-01 12:30:00", 1))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(hourly == Seq(("2024-01-01 10:00:00.0", 1L, 2L),
+      ("2024-01-01 11:00:00.0", 1L, 7L), ("2024-01-01 12:00:00.0", 1L, 1L)),
+      "row moving across tumble windows must repair both windows")
+    Seq(del(3, "2024-01-01 12:30:00", 1))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(hourly == Seq(("2024-01-01 10:00:00.0", 1L, 2L),
+      ("2024-01-01 11:00:00.0", 1L, 7L)),
+      "a tumble window whose last row left must be retracted")
+
+    // HOP aggregate chains too (Expand assignment is row-linear)
+    e.execute(
+      """CREATE MATERIALIZED VIEW tw_sliding (PRIMARY KEY (window_start)) AS
+        |SELECT window_start, sum(v) AS sv
+        |FROM HOP(tw_d, ts, INTERVAL '30 minutes', INTERVAL '1 hour')
+        |GROUP BY window_start""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("tw_sliding").nonEmpty,
+      "HOP aggregate over a streaming MV must chain continuously")
+    def sliding = e.table("tw_sliding").orderBy("window_start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+    assert(sliding == Seq(
+      ("2024-01-01 09:30:00.0", 2L), ("2024-01-01 10:00:00.0", 2L),
+      ("2024-01-01 10:30:00.0", 7L), ("2024-01-01 11:00:00.0", 7L)))
+    Seq(ins(4, "2024-01-01 10:50:00", 10))
+      .toDF("value").coalesce(1).write.mode("append").text(srcDir)
+    e.execute("FLUSH")
+    assert(sliding == Seq(
+      ("2024-01-01 09:30:00.0", 2L), ("2024-01-01 10:00:00.0", 12L),
+      ("2024-01-01 10:30:00.0", 17L), ("2024-01-01 11:00:00.0", 7L)),
+      "a new row must enter BOTH sliding windows it belongs to")
+    Seq("tw_d", "tw_hourly", "tw_sliding")
+      .foreach(n => e.streamingJob(n).foreach(_.stop()))
+  }
+
   test("SHOW CREATE reconstructs re-issuable DDL from the catalog") {
     val e = new Engine(spark, tmpDir("showcreate"))
     e.execute("CREATE TABLE sc_t (id BIGINT PRIMARY KEY, v DOUBLE DEFAULT 1.5)")
