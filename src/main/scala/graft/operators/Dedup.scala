@@ -47,30 +47,19 @@ object Dedup {
   /** Universal-hash prime for MinHash mixing (2^31 − 1). */
   val MinhashP = 2147483647L
 
-  /** MinHash signature column: ONE md5 per shingle, then `numHashes`
-    * independent values from a universal hash family
+  /** Add a MinHash signature column: ONE md5 per shingle, then
+    * `numHashes` independent values from a universal hash family
     * h_i(x) = ((x mod P)·(2i+1) + 409·i + 7) mod P — 12× cheaper than
     * hashing per (seed, shingle) and still engine-portable (exact int64
     * arithmetic, no overflow: (2^31)·(2k+1) stays far below 2^63).
     * Null-safe: docs with fewer than `shingleLen` words get an empty
     * signature and never produce candidates.
-    */
-  def minhashSignature(text: Column, numHashes: Int, shingleLen: Int): Column = {
-    val shingles = TextFunctions.wordNgrams(text, shingleLen)
-    val bases = transform(shingles, s => HashFunctions.md5Long(s) % MinhashP)
-    when(size(shingles) > 0,
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(bases,
-          h => (h * (i * 2 + 1) + i * 409 + 7) % MinhashP))))
-      .otherwise(array().cast(ArrayType(LongType)))
-  }
-
-  /** Add a MinHash signature column via STAGED projections. A single
-    * nested expression would inline the shingle/md5 sub-trees into every
-    * hash lambda (Catalyst expressions are trees, not DAGs) and evaluate
-    * md5 `numHashes` times per shingle; separate projections evaluate each
-    * stage once per row (CollapseProject keeps non-cheap expressions
-    * un-merged).
+    *
+    * STAGED projections: a single nested expression would inline the
+    * shingle/md5 sub-trees into every hash lambda (Catalyst expressions
+    * are trees, not DAGs) and evaluate md5 `numHashes` times per
+    * shingle; separate projections evaluate each stage once per row
+    * (CollapseProject keeps non-cheap expressions un-merged).
     */
   def withMinhashSignature(
       df: DataFrame, textCol: String, outCol: String,

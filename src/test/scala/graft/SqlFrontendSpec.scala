@@ -199,6 +199,36 @@ class SqlFrontendSpec extends SparkSpecBase {
     assert(got == Seq(("2024-01-01 00:00:00", 1L), ("2024-01-01 00:30:00", 1L)))
   }
 
+  test("EMIT ON WINDOW CLOSE over the TUMBLE TVF (reference windowed-MV syntax)") {
+    val e = new Engine(spark, tmpDir("eowctvf"))
+    val srcDir = tmpDir("eowctvf-src")
+    Seq(("2024-01-01 00:10:00", 1L), ("2024-01-01 00:40:00", 2L))
+      .toDF("ts_s", "n")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("n"))
+      .write.parquet(s"$srcDir/f1")
+    e.execute(
+      s"""CREATE SOURCE eowct_src (
+         |  WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE
+         |) WITH (path = '$srcDir/f1')""".stripMargin)
+    e.execute(
+      """CREATE MATERIALIZED VIEW eowct_mv (PRIMARY KEY (window_start)) AS
+        |SELECT window_start, count(*) AS n
+        |FROM TUMBLE(eowct_src, ts, INTERVAL '30 minutes')
+        |GROUP BY window_start
+        |EMIT ON WINDOW CLOSE""".stripMargin)
+    val job = e.streamingJob("eowct_mv").get
+    job.processAllAvailable()
+    Seq(("2024-01-01 02:00:00", 3L)).toDF("ts_s", "n")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("n"))
+      .write.mode("append").parquet(s"$srcDir/f1")
+    job.processAllAvailable()
+    job.stop()
+    val got = e.table("eowct_mv").orderBy("window_start")
+      .select(col("window_start").cast("string"), col("n"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("2024-01-01 00:00:00", 1L), ("2024-01-01 00:30:00", 1L)))
+  }
+
   test("DML statements route to changelog-publishing operators on MVs") {
     val e = new Engine(spark, tmpDir("sqldml"))
     e.attachTables("/root/testdata/sf0.001")
