@@ -131,4 +131,9 @@ object DurableCatalog {
     * re-binds the name in the session function registry.
     */
   final case class AggregateEntry(impl: String, options: Map[String, String])
+
+  /** COMMENT ON TABLE/COLUMN (reference: handler/comment.rs) — keyed by
+    * `object` or `object.column`; surfaced through pg_description.
+    */
+  final case class CommentEntry(text: String)
 }

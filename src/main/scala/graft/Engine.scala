@@ -79,11 +79,18 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private val tableSchemas =
     scala.collection.mutable.Map[String, org.apache.spark.sql.types.StructType]()
 
+  /** `CREATE TABLE … AS SELECT` tables without a declared PK carry a
+    * generated `_row_id` PK (reference: handler/create_table_as.rs +
+    * stream row_id_gen) — hidden from star expansion like the
+    * reference's hidden column.
+    */
+  private val hiddenRowIdTables = scala.collection.mutable.Set[String]()
+
   /** Read a table or registered MV; a fresh (never-inserted) CREATE
     * TABLE table reads as empty WITH its declared schema.
     */
-  def table(name: String): DataFrame =
-    mvs.get(name).map { mv =>
+  def table(name: String): DataFrame = {
+    val df0 = mvs.get(name).map { mv =>
       val df = mv.read()
       if (df.schema.nonEmpty) df
       else tableSchemas.get(name).map { s =>
@@ -91,6 +98,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       }.getOrElse(df)
     }.getOrElse(spark.table(name))
+    if (hiddenRowIdTables.contains(name)) df0.drop(Engine.RowIdCol) else df0
+  }
 
   /** Streaming sources registered by `CREATE SOURCE`. */
   private val sources = scala.collection.mutable.Map[String, DataFrame]()
@@ -130,6 +139,25 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     Seq((kind, name)).toDF("statement", "name")
   }
 
+  /** `CREATE TABLE name [(PRIMARY KEY (cols))] AS <query>` (reference:
+    * handler/create_table_as.rs). Without a PK clause, rows get a
+    * generated hidden `_row_id` PK like the reference's append-only
+    * tables. Must be matched BEFORE the column-list CREATE TABLE parser.
+    */
+  private val CreateTableAs =
+    """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*(?:\(\s*PRIMARY\s+KEY\s*\(([\w\s,]+)\)\s*\))?\s+AS\s+((?:SELECT|WITH|VALUES)\s.*)""".r
+  /** `COMMENT ON <kind> obj[.col] IS '…' | NULL` (reference:
+    * handler/comment.rs) — durable, surfaced via pg_description.
+    */
+  private val CommentOn =
+    """(?is)\s*COMMENT\s+ON\s+(TABLE|MATERIALIZED\s+VIEW|VIEW|COLUMN|INDEX|SOURCE)\s+([\w.]+)\s+IS\s+(?:'((?:[^']|'')*)'|(NULL))\s*;?\s*""".r
+  /** `DISCARD ALL/…` (reference: handler/discard.rs; issued by psql and
+    * poolers on session reset) — this engine keeps no per-connection
+    * session state to reset, so it is a successful no-op.
+    */
+  private val Discard =
+    """(?is)\s*DISCARD\s+(ALL|PLANS|SEQUENCES|TEMP|TEMPORARY)\s*;?\s*""".r
+
   private val DropMv =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*""".r
   private val Flush = """(?is)\s*FLUSH\s*;?\s*""".r
@@ -155,6 +183,34 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       .map(org.apache.spark.sql.functions.expr)
       .getOrElse(org.apache.spark.sql.functions.lit(null))
       .cast(f.dataType)
+
+  /** Next free generated-row-id base: stored max + 1. One column-pruned
+    * aggregate per INSERT into a row-id table — the ids a statement
+    * generates are `base + monotonically_increasing_id()` (unique across
+    * partitions; sparse, like the reference's vnode-stamped serial).
+    */
+  private def nextRowIdBase(tbl: String): Long =
+    mvs.get(tbl).map { mv =>
+      val df = mv.read()
+      if (!df.columns.contains(Engine.RowIdCol)) 0L
+      else {
+        val r = df.agg(org.apache.spark.sql.functions
+          .max(org.apache.spark.sql.functions.col(Engine.RowIdCol))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+      }
+    }.getOrElse(0L)
+
+  /** Fill one unprovided INSERT column: generated row id for a hidden
+    * `_row_id` PK, the declared DEFAULT (or null) otherwise.
+    */
+  private def fillColumn(tbl: String, d: DataFrame,
+      f: org.apache.spark.sql.types.StructField): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, monotonically_increasing_id}
+    if (f.name == Engine.RowIdCol && hiddenRowIdTables.contains(tbl))
+      d.withColumn(f.name,
+        lit(nextRowIdBase(tbl)) + monotonically_increasing_id())
+    else d.withColumn(f.name, defaultFill(tbl, f))
+  }
 
   /** `RETURNING *` suffix on DML (reference: dml_returning.slt) —
     * stripped before matching; the affected rows become the statement's
@@ -202,18 +258,21 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             val provided = cl.split(",").map(_.trim).toSeq
             val renamed = df0.toDF(provided: _*)
             target.fields.foldLeft(renamed) { (d, f) =>
-              if (provided.contains(f.name)) d
-              else d.withColumn(f.name, defaultFill(name, f))
+              if (provided.contains(f.name)) d else fillColumn(name, d, f)
             }
           case None =>
-            require(df0.columns.size <= target.fields.size,
+            // positional values map onto the VISIBLE columns — a hidden
+            // row-id PK is never positionally addressable
+            val visible = target.fields.filterNot(f =>
+              f.name == Engine.RowIdCol && hiddenRowIdTables.contains(name))
+            require(df0.columns.size <= visible.size,
               s"INSERT INTO $name: ${df0.columns.size} values for " +
-                s"${target.fields.size} columns")
+                s"${visible.size} columns")
             val renamed = df0.toDF(
-              target.fields.take(df0.columns.size).map(_.name).toSeq: _*)
-            target.fields.drop(df0.columns.size).foldLeft(renamed) { (d, f) =>
-              d.withColumn(f.name, defaultFill(name, f))
-            }
+              visible.take(df0.columns.size).map(_.name).toSeq: _*)
+            (visible.drop(df0.columns.size) ++
+              target.fields.filterNot(visible.contains))
+              .foldLeft(renamed) { (d, f) => fillColumn(name, d, f) }
         }
         // align VALUES literal types (e.g. INT literals into a BIGINT
         // column) with the target schema so merges never fork the
@@ -1288,7 +1347,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     // translate the Postgres dialect bits those clients emit
     val statement =
       if (SystemCatalog.referenced(statement1)) {
-        SystemCatalog.bind(spark, systemObjects)
+        SystemCatalog.bind(spark, systemObjects,
+          catalog.list[DurableCatalog.CommentEntry]("comments")
+            .map { case (k, e) => k.replace('-', '.') -> e.text }.toMap)
         val rw = SystemCatalog.rewrite(statement1)
         // probes against catalog concepts this engine does not model
         // (policies, publications, …) answer empty, so psql's \d flow
@@ -1299,6 +1360,41 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         rw
       } else statement1
     bindMvTables(statement)
+    statement match {
+      case Discard(_) => return statusDf("DISCARD", "")
+      case CommentOn(_, target, text, nul) =>
+        // catalog keys are \w+; object names are too, so the dot of a
+        // column target encodes unambiguously as '-'
+        val key = target.replace('.', '-')
+        if (nul != null) catalog.delete("comments", key)
+        else catalog.save("comments", key,
+          DurableCatalog.CommentEntry(text.replace("''", "'")))
+        return statusDf("COMMENT", target)
+      case CreateTableAs(name, pkList, query) =>
+        bindMvTables(query)
+        val q = spark.sql(query)
+        require(!q.isStreaming,
+          s"CREATE TABLE $name AS requires a batch query (use CREATE " +
+            "MATERIALIZED VIEW for streaming input)")
+        val (df, pk) = Option(pkList) match {
+          case Some(cols) =>
+            val p = cols.split(",").map(_.trim).toSeq
+            require(p.forall(q.columns.contains),
+              s"CREATE TABLE $name: PRIMARY KEY names columns absent " +
+                "from the query output")
+            (q, p)
+          case None =>
+            hiddenRowIdTables += name
+            (graft.operators.Dml.withRowId(q), Seq(Engine.RowIdCol))
+        }
+        val mv = mvs.define(name, pk)
+        mv.merge(df)
+        tableSchemas(name) = mv.read().schema
+        catalog.save("tables", name,
+          DurableCatalog.TableEntry(tableSchemas(name).json, pk, Map.empty))
+        return statusDf("CREATE TABLE", name)
+      case _ =>
+    }
     SqlFrontend.parseCreateTable(statement) match {
       case Some(SqlFrontend.TableDef(name, schema, pk, defaults)) =>
         // a user table IS a PK-merged MV with DML as its only writer
@@ -1624,6 +1720,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       mvs.define(name, e.pk)
       tableSchemas(name) = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
       if (e.defaults.nonEmpty) tableDefaults(name) = e.defaults
+      if (e.pk == Seq(Engine.RowIdCol)) hiddenRowIdTables += name
     }
 
     catalog.list[SourceEntry]("sources").foreach { case (name, e) =>
@@ -1774,4 +1871,9 @@ object Engine {
     */
   private[graft] val TemporalJoinClause =
     """(?i)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+PROCTIME\s*\(\s*\)""".r
+
+  /** Generated hidden PK of `CREATE TABLE … AS` tables without a
+    * declared key (reference: the stream RowIdGen's `_row_id`).
+    */
+  private[graft] val RowIdCol = "_row_id"
 }

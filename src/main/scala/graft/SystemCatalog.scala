@@ -185,7 +185,8 @@ object SystemCatalog {
     * all relations are driver-local rows; call per introspection query
     * so the views always reflect the live catalog.
     */
-  def bind(spark: SparkSession, objs0: Seq[Obj]): Unit = {
+  def bind(spark: SparkSession, objs0: Seq[Obj],
+      comments: Map[String, String] = Map.empty): Unit = {
     val s = spark
     import s.implicits._
 
@@ -240,9 +241,23 @@ object SystemCatalog {
         "typcollation")
       .createOrReplaceTempView("pg_type")
 
-    // deliberately-empty relations psql outer-joins against
-    Seq.empty[(Long, Long, Int, String)]
-      .toDF("objoid", "classoid", "objsubid", "description")
+    // COMMENT ON text: objsubid 0 = the object, n = its n-th column
+    // (classoid 1259 = pg_class, what psql \d+ filters on)
+    comments.toSeq.sorted.flatMap { case (key, text) =>
+      val (obj, col) = key.split("\\.", 2) match {
+        case Array(o, c) => (o, Some(c))
+        case Array(o) => (o, None)
+      }
+      oidByName.get(obj).flatMap { oid =>
+        col match {
+          case None => Some((oid.toLong, 1259L, 0, text))
+          case Some(c) => objs.find(_.name == obj).flatMap(_.schema)
+            .flatMap(s => s.fieldNames.zipWithIndex.collectFirst {
+              case (n, i) if n == c => (oid.toLong, 1259L, i + 1, text)
+            })
+        }
+      }
+    }.toDF("objoid", "classoid", "objsubid", "description")
       .createOrReplaceTempView("pg_description")
     Seq.empty[(Long, Int, String)].toDF("adrelid", "adnum", "adbin")
       .createOrReplaceTempView("pg_attrdef")

@@ -1638,6 +1638,60 @@ class SqlFrontendSpec extends SparkSpecBase {
       .foreach(n => e.streamingJob(n).foreach(_.stop()))
   }
 
+  test("CREATE TABLE AS: explicit PK and hidden generated _row_id; DML; restart") {
+    val wh = tmpDir("ctas")
+    val e = new Engine(spark, wh)
+    e.attachTables("/root/testdata/sf0.001")
+    // explicit PK: plain materialization keyed by the declared columns
+    e.execute("CREATE TABLE ctas_r (PRIMARY KEY (r_regionkey)) AS " +
+      "SELECT r_regionkey, r_name FROM region")
+    assert(e.table("ctas_r").count() == 5)
+    e.execute("UPDATE ctas_r SET r_name = 'X' WHERE r_regionkey = 0")
+    assert(e.table("ctas_r").where("r_regionkey = 0").select("r_name")
+      .head().getString(0) == "X")
+    // no PK: generated _row_id, hidden from star expansion
+    e.execute("CREATE TABLE ctas_n AS SELECT n_name FROM nation WHERE n_regionkey = 1")
+    assert(e.table("ctas_n").columns.toSeq == Seq("n_name"),
+      "generated _row_id must not appear in star expansion")
+    assert(e.table("ctas_n").count() == 5)
+    // INSERT without the hidden column: ids generate, no collision with
+    // stored rows (duplicate VALUES stay distinct rows — append table)
+    e.execute("INSERT INTO ctas_n VALUES ('ZZZ'), ('ZZZ')")
+    assert(e.table("ctas_n").count() == 7)
+    assert(e.table("ctas_n").where("n_name = 'ZZZ'").count() == 2)
+    e.execute("DELETE FROM ctas_n WHERE n_name = 'ZZZ'")
+    assert(e.table("ctas_n").count() == 5)
+    // restart: entries recover, hidden row id stays hidden, DML resumes
+    val e2 = new Engine(spark.newSession(), wh)
+    assert(e2.table("ctas_n").columns.toSeq == Seq("n_name"))
+    e2.execute("INSERT INTO ctas_n VALUES ('AFTER')")
+    assert(e2.table("ctas_n").count() == 6)
+    assert(e2.table("ctas_r").count() == 5)
+  }
+
+  test("COMMENT ON and DISCARD: durable comments reach pg_description") {
+    val wh = tmpDir("comments")
+    val e = new Engine(spark, wh)
+    e.execute("CREATE TABLE cm_t (id BIGINT PRIMARY KEY, v STRING)")
+    e.execute("COMMENT ON TABLE cm_t IS 'it''s the table'")
+    e.execute("COMMENT ON COLUMN cm_t.v IS 'the value'")
+    // psql \d+ shape: description via pg_description joined on oid
+    def descs(en: Engine) = en.execute(
+      """SELECT d.objsubid, d.description
+        |FROM pg_catalog.pg_class c
+        |JOIN pg_catalog.pg_description d ON d.objoid = c.oid
+        |WHERE c.relname = 'cm_t' ORDER BY d.objsubid""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(descs(e) == Seq((0, "it's the table"), (2, "the value")))
+    // NULL removes; comments survive restart
+    e.execute("COMMENT ON TABLE cm_t IS NULL")
+    assert(descs(e) == Seq((2, "the value")))
+    val e2 = new Engine(spark.newSession(), wh)
+    assert(descs(e2) == Seq((2, "the value")))
+    // DISCARD ALL (psql/pooler session reset) succeeds as a no-op
+    assert(e.execute("DISCARD ALL").head().getString(0) == "DISCARD")
+  }
+
   test("SHOW CREATE reconstructs re-issuable DDL from the catalog") {
     val e = new Engine(spark, tmpDir("showcreate"))
     e.execute("CREATE TABLE sc_t (id BIGINT PRIMARY KEY, v DOUBLE DEFAULT 1.5)")
