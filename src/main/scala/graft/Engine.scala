@@ -1111,10 +1111,42 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     """(?is)\s*SHOW\s+SUBSCRIPTIONS\s*;?\s*""".r
   private val DeclareCursor =
     """(?is)\s*DECLARE\s+(\w+)\s+SUBSCRIPTION\s+CURSOR\s+FOR\s+(\w+)\s*(FULL)?\s*;?\s*""".r
+  /** Batch query cursor (reference: handler/declare_cursor.rs
+    * `handle_declare_query_cursor`) — the Postgres pagination contract
+    * psql's FETCH_COUNT and pgjdbc's setFetchSize ride on.
+    */
+  private val DeclareQueryCursor =
+    """(?is)\s*DECLARE\s+(\w+)\s+CURSOR\s+FOR\s+((?:SELECT|WITH|VALUES)\s.*?)\s*;?\s*""".r
   private val FetchCursor =
-    """(?is)\s*FETCH\s+(?:NEXT\s+FROM\s+)?(\w+)\s*;?\s*""".r
+    """(?is)\s*FETCH\s+(?:(NEXT|ALL|\d+|FORWARD\s+ALL|FORWARD\s+\d+)\s+)?(?:FROM\s+|IN\s+)?(\w+)\s*;?\s*""".r
   private val CloseCursor =
     """(?is)\s*CLOSE\s+(\w+)\s*;?\s*""".r
+
+  /** Open query cursors: result schema + a partition-lazy row iterator.
+    * Session-scoped like the reference's cursor manager (not durable);
+    * `toLocalIterator` keeps only one partition in driver memory however
+    * large the result.
+    */
+  private val queryCursors = scala.collection.mutable
+    .Map[String, (org.apache.spark.sql.types.StructType,
+      java.util.Iterator[org.apache.spark.sql.Row])]()
+
+  /** FETCH from a batch query cursor: the next `n` unread rows (empty
+    * frame once exhausted, like Postgres).
+    */
+  private def fetchQueryCursor(cur: String, count: String): DataFrame = {
+    val (schema, it) = queryCursors(cur)
+    val spec = Option(count).map(_.toUpperCase.replace("FORWARD", "").trim)
+      .getOrElse("NEXT")
+    val n = spec match {
+      case "NEXT" => 1L
+      case "ALL" => Long.MaxValue
+      case d => d.toLong
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    while (rows.length < n && it.hasNext) rows += it.next()
+    spark.createDataFrame(java.util.Arrays.asList(rows.toArray: _*), schema)
+  }
 
   /** FETCH: all changelog epochs past the cursor's frontier, ordered by
     * (epoch, seq) — each row is one change with its `_op`. Non-blocking:
@@ -1640,12 +1672,24 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             cursors(cur) = (sub, pos)
             catalog.save("cursors", cur, DurableCatalog.CursorEntry(sub, pos))
             statusDf("DECLARE CURSOR", cur)
+          case DeclareQueryCursor(cur, query) =>
+            bindMvTables(query)
+            val df = spark.sql(query)
+            require(!df.isStreaming,
+              s"DECLARE $cur CURSOR requires a batch query")
+            queryCursors(cur) = (df.schema, df.toLocalIterator())
+            statusDf("DECLARE CURSOR", cur)
           case CloseCursor(cur) if cursors.contains(cur) =>
             cursors.remove(cur)
             catalog.delete("cursors", cur)
             statusDf("CLOSE", cur)
-          case FetchCursor(cur) if cursors.contains(cur) =>
+          case CloseCursor(cur) if queryCursors.contains(cur) =>
+            queryCursors.remove(cur)
+            statusDf("CLOSE", cur)
+          case FetchCursor(_, cur) if cursors.contains(cur) =>
             fetchCursor(cur)
+          case FetchCursor(count, cur) if queryCursors.contains(cur) =>
+            fetchQueryCursor(cur, count)
           case Flush() =>
             // the reference's FLUSH: block until every stream job has
             // processed all available input (barrier-completion analog).

@@ -1669,6 +1669,32 @@ class SqlFrontendSpec extends SparkSpecBase {
     assert(e2.table("ctas_r").count() == 5)
   }
 
+  test("batch query cursor: DECLARE/FETCH n/FETCH ALL/CLOSE pagination") {
+    val e = new Engine(spark, tmpDir("qcursor"))
+    e.attachTables("/root/testdata/sf0.001")
+    e.execute("DECLARE qc CURSOR FOR SELECT n_nationkey, n_name FROM nation " +
+      "ORDER BY n_nationkey")
+    // NEXT (default) = 1 row; FETCH n pages forward; ALL drains; then empty
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[Number](0).longValue).toSeq
+    assert(ids(e.execute("FETCH qc")) == Seq(0L))
+    assert(ids(e.execute("FETCH NEXT FROM qc")) == Seq(1L))
+    assert(ids(e.execute("FETCH 10 FROM qc")) == (2L to 11L))
+    val rest = e.execute("FETCH FORWARD ALL qc")
+    assert(rest.collect().map(_.getAs[Number](0).longValue).toSeq == (12L to 24L))
+    assert(rest.columns.toSeq == Seq("n_nationkey", "n_name"))
+    val empty = e.execute("FETCH 5 FROM qc")
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("n_nationkey", "n_name"))
+    assert(e.execute("CLOSE qc").head().getString(0) == "CLOSE")
+    // closed: FETCH now errors as unknown
+    intercept[Exception] { e.execute("FETCH qc").collect() }
+    // a cursor over an engine-managed MV table resolves through bindMvTables
+    e.execute("CREATE TABLE qct (id BIGINT PRIMARY KEY, v STRING)")
+    e.execute("INSERT INTO qct VALUES (1, 'a'), (2, 'b')")
+    e.execute("DECLARE qc2 CURSOR FOR SELECT id FROM qct ORDER BY id")
+    assert(ids(e.execute("FETCH ALL qc2")) == Seq(1L, 2L))
+  }
+
   test("COMMENT ON and DISCARD: durable comments reach pg_description") {
     val wh = tmpDir("comments")
     val e = new Engine(spark, wh)
