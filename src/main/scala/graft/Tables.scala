@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Catalog of the driver-provided test tables (TESTDATA.md / FIXTURES.md §1).
   *
@@ -30,12 +30,27 @@ object Tables {
         .forall(_ != "true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path(dir, name))
-    // nano-long → true microsecond timestamp (integer div — no double
-    // rounding at 1e18).
-    if (name == "events" && raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    if (name == "events") normalizeEventsTs(raw) else raw
   }
+
+  /** Normalize `events.ts` to session-zone TimestampType for EVERY on-disk
+    * representation the driver has shipped: parquet TIMESTAMP(NANOS) read
+    * as nano-long, parquet timestamp[us] without the UTC flag read as
+    * TIMESTAMP_NTZ, or an already-correct TIMESTAMP. The session is pinned
+    * UTC (GraftSession), so the NTZ cast is instant-preserving. Works on
+    * batch and streaming DataFrames alike — every reader of events must go
+    * through here rather than hand-rolling a conversion.
+    */
+  def normalizeEventsTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      // nano-long → true microsecond timestamp (integer div — no double
+      // rounding at 1e18).
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
 
   private val registered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()

@@ -126,7 +126,12 @@ object LlmPipeline extends QueryPack {
       val bench = gramsOf(docs.where(col("doc_id") % 97 === 0))
         .select("g").distinct().withColumn("__b", lit(1))
       gramsOf(docs.where(col("doc_id") % 97 =!= 0))
-        .join(broadcast(bench), Seq("g"), "left")
+        // No broadcast hint: a real benchmark set is small and fixed, but
+        // THIS one is defined as a slice of the corpus and grows with it —
+        // a forced broadcast would OOM executors at 100 TB. AQE picks
+        // broadcast when the built side is actually small, shuffle-hash /
+        // sort-merge on the gram key otherwise.
+        .join(bench, Seq("g"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("sz"), count(col("__b")).as("i"))
         .where(col("i") > 0)

@@ -14,7 +14,7 @@ class EventsStreamSpec extends SparkSpecBase {
 
   test("events file-stream → tumbling MV equals batch recompute") {
     val sfDir = "/root/testdata/sf0.001"
-    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts as nano-long
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // raw on-disk ts
     val dir = tmpDir("evmv")
     val srcDir = s"$dir/in"
     // file-stream sources need a directory; stage the fixture file into one
@@ -22,11 +22,10 @@ class EventsStreamSpec extends SparkSpecBase {
     val cat = new MvCatalog(spark, dir)
     val mv = cat.define("hourly", Seq("ws", "event_type"), nBuckets = 8)
 
-    val stream = spark.readStream
+    val stream = Tables.normalizeEventsTs(spark.readStream
       .schema(raw.schema)
       .option("maxFilesPerTrigger", 2)
-      .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(srcDir))
       .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sv"))

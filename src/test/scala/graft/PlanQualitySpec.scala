@@ -193,12 +193,14 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(vocab.contains("HashAggregate") &&
       vocab.contains("TakeOrderedAndProject"),
       s"expected partial agg + TakeOrdered in vocab top-k:\n$vocab")
-    // contamination: the benchmark gram set broadcasts (tiny side),
-    // never a cartesian or sort-merge against the full corpus explode
+    // contamination: the probe join is keyed on the gram (hash-partitioned
+    // or AQE-chosen broadcast at this scale) — never a cartesian. No forced
+    // broadcast: the bench side here grows with the corpus, so the hint
+    // would be a 100 TB scale-killer (round-4 verdict #4).
     val cont = plan(SparkEntry.queries("q_contamination")(spark, dir))
-    assert(cont.contains("BroadcastHashJoin") &&
-      !cont.contains("CartesianProduct"),
-      s"expected broadcast gram probe in contamination:\n$cont")
+    assert(!cont.contains("CartesianProduct") &&
+      !cont.contains("BroadcastNestedLoopJoin"),
+      s"expected keyed gram probe in contamination:\n$cont")
     // mixture resampling: per-row draw + one partial-aggregated count
     val mix = plan(SparkEntry.queries("q_sample_mixture")(spark, dir))
     assert(mix.contains("HashAggregate") && !mix.contains("CartesianProduct"),

@@ -47,9 +47,24 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SFDIR}/{t}.parquet')")
 
     oracle = json.load(open(f"{OUTDIR}/oracle_sql.json"))
+    try:
+        verr = json.load(open(f"{OUTDIR}/errors.json"))
+    except Exception:
+        verr = {}
     n_pass = n_fail = 0
+    # Errors for queries with no oracle entry (rows-only checks) would
+    # otherwise be invisible to this loop — report them first.
+    for name in sorted(set(verr) - set(oracle)):
+        if ONLY and name not in ONLY:
+            continue
+        print(f"FAIL {name}: query errored (no oracle): {verr[name][:200]}")
+        n_fail += 1
     for name in sorted(oracle):
         if ONLY and name not in ONLY:
+            continue
+        if name in verr:
+            print(f"FAIL {name}: query errored: {verr[name][:200]}")
+            n_fail += 1
             continue
         sql = oracle[name]
         try:
