@@ -24,6 +24,17 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
   private val catalog = new DurableCatalog(warehouseDir)
 
+  /** User-visible NOTICE lines (PG-style) from the last statements —
+    * e.g. the "maintained as BATCH REFRESH" degradation fence. Printed
+    * to stderr as they happen; kept here so clients/specs can read them.
+    */
+  val notices = scala.collection.mutable.Buffer[String]()
+
+  private def notice(msg: String): Unit = {
+    notices += msg
+    System.err.println(s"[graft] NOTICE: $msg")
+  }
+
   GraftSession.init(spark)
 
   /** Register the driver test tables (or any parquet dir laid out the
@@ -431,11 +442,24 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
   /** Join MV-on-MV eligibility (reference: docs/dev/src/design/
     * delta-join.md): the query references exactly TWO distinct
-    * streaming-maintained plain MVs, plans as a single INNER equi-join
-    * (And-tree of attribute equalities), the rest per-row, and the
-    * declared PK is exactly leftPK ∪ rightPK appearing unaliased in the
-    * output — the joined row's identity, addressable from either side
-    * for retraction.
+    * streaming-maintained plain MVs, plans as a single join whose
+    * condition has an EQUI PREFIX (≥1 attribute-equality conjunct;
+    * remaining conjuncts may be any deterministic theta — band ranges,
+    * inequalities, expressions), the rest per-row, and the declared PK
+    * is exactly leftPK ∪ rightPK appearing unaliased in the output —
+    * the joined row's identity, addressable from either side for
+    * retraction.
+    *
+    * Theta conjuncts ride for free on two facts: (a) the delta algebra
+    * Δ(A⋈θB) = ΔA⋈θB ∪ A⋈θΔB holds for ANY join predicate (the
+    * IncrementalJoin recompute re-runs the ORIGINAL query text over
+    * slices), and (b) Catalyst's ExtractEquiJoinKeys hashes on the equi
+    * conjuncts and applies the rest as post-filters — the same trick the
+    * reference uses (src/stream/src/executor/hash_join.rs keeps non-equi
+    * conditions as `cond` evaluated after the arrangement probe). The
+    * equi prefix is required so each epoch's delta probe is a KEYED join
+    * against the other side's storage, not a per-epoch nested loop; a
+    * pure-theta join stays on batch refresh with an explicit notice.
     */
   private def chainableJoinUpstream(query: String, planned: DataFrame,
       pk: Seq[String]): Option[(String, String, String)] = {
@@ -451,10 +475,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case _: LeafNode => true
       case _ => false
     }
-    def equiOnly(e: Expression): Boolean = e match {
-      case And(l, r) => equiOnly(l) && equiOnly(r)
-      case EqualTo(_: AttributeReference, _: AttributeReference) => true
-      case _ => false
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
     }
     if (joins.length != 1 || !restPerRow) return None
     val j = joins.head
@@ -465,7 +488,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case FullOuter => "full"
       case _ => return None
     }
-    if (!j.condition.exists(equiOnly)) return None
+    val cs = j.condition.map(conjuncts).getOrElse(Nil)
+    val (equi, theta) = cs.partition {
+      case EqualTo(_: AttributeReference, _: AttributeReference) => true
+      case _ => false
+    }
+    if (equi.isEmpty || !theta.forall(_.deterministic)) return None
     referencedRelations(query) match {
       case Seq(l, r) if l != r =>
         def entry(n: String) = catalog.load[DurableCatalog.MvEntry]("mvs", n)
@@ -1508,6 +1536,21 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               case Some((leftName, rightName)) =>
                 createChainedUnionMv(name, pk, query, leftName, rightName)
               case None =>
+                // explicit fence (reference delta-join boundary): a query
+                // over STREAMING upstreams that no incremental-chain shape
+                // accepts (pure-theta join with no equi prefix, UNION
+                // DISTINCT, 3+-way joins, …) degrades to batch refresh —
+                // say so loudly instead of silently going stale
+                val streamingUps = referencedRelations(query).filter(n =>
+                  catalog.load[DurableCatalog.MvEntry]("mvs", n)
+                    .exists(_.streaming))
+                if (streamingUps.nonEmpty)
+                  notice(s"materialized view $name over streaming " +
+                    s"upstream(s) ${streamingUps.mkString(", ")} is not " +
+                    "incrementally maintainable (no supported chain shape " +
+                    "— e.g. a non-equi join needs at least one equality " +
+                    "conjunct); maintained as BATCH REFRESH — run REFRESH " +
+                    s"MATERIALIZED VIEW $name to update")
                 refreshMaterializedView(name, pk, result,
                   queryText = Some(query)).read()
             } } } } }

@@ -980,6 +980,101 @@ class SqlFrontendSpec extends SparkSpecBase {
     Seq("dk_a", "dk_d").foreach(n => e.streamingJob(n).foreach(_.stop()))
   }
 
+  test("banded join MV: equi prefix + theta band chains incrementally; pure theta fences to batch refresh") {
+    val wh = tmpDir("bandchain")
+    val e = new Engine(spark, wh)
+    val (aDir, bDir) = (tmpDir("band-a"), tmpDir("band-b"))
+    def ev(id: Int, k: Int, v: Double) =
+      s"""{"before": null, "after": {"id": $id, "k": $k, "v": $v}, "op": "c"}"""
+    def evd(id: Int, k: Int, v: Double) =
+      s"""{"before": {"id": $id, "k": $k, "v": $v}, "after": null, "op": "d"}"""
+    def od(oid: Int, k: Int, w: Double) =
+      s"""{"before": null, "after": {"oid": $oid, "k": $k, "w": $w}, "op": "c"}"""
+    def odd(oid: Int, k: Int, w: Double) =
+      s"""{"before": {"oid": $oid, "k": $k, "w": $w}, "after": null, "op": "d"}"""
+    Seq(ev(1, 7, 10.0), ev(2, 7, 50.0))
+      .toDF("value").coalesce(1).write.mode("append").text(aDir)
+    // 12.0 is inside row 1's band [10,20], 55.0 inside row 2's [50,60],
+    // 95.0 inside neither; all share the equi key k=7
+    Seq(od(10, 7, 12.0), od(11, 7, 55.0), od(12, 7, 95.0))
+      .toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute(s"""CREATE SOURCE bd_asrc (id BIGINT, k BIGINT, v DOUBLE)
+                 |WITH (path = '$aDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute(s"""CREATE SOURCE bd_bsrc (oid BIGINT, k BIGINT, w DOUBLE)
+                 |WITH (path = '$bDir') FORMAT DEBEZIUM ENCODE JSON""".stripMargin)
+    e.execute("CREATE MATERIALIZED VIEW bd_a (PRIMARY KEY (id)) AS " +
+      "SELECT id, k, v FROM bd_asrc")
+    e.execute("CREATE MATERIALIZED VIEW bd_b (PRIMARY KEY (oid)) AS " +
+      "SELECT oid, k AS bk, w FROM bd_bsrc")
+    e.execute("FLUSH")
+    // the banded join: equi prefix (k = bk) + theta band on the value —
+    // the reference's non-equi-condition-as-post-filter on the hash probe
+    e.execute(
+      """CREATE MATERIALIZED VIEW bd_j (PRIMARY KEY (id, oid)) AS
+        |SELECT bd_a.id, bd_b.oid, bd_b.w - bd_a.v AS d
+        |FROM bd_a JOIN bd_b
+        |ON bd_a.k = bd_b.bk AND bd_b.w BETWEEN bd_a.v AND bd_a.v + 10""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("bd_j").nonEmpty,
+      "banded join over two streaming MVs must chain continuously")
+    assert(e.table("bd_j").orderBy("id", "oid").as[(Long, Long, Double)]
+      .collect().toSeq == Seq((1L, 10L, 2.0), (2L, 11L, 5.0)))
+
+    // a new b row lands in ONE band only despite matching both equi keys;
+    // a new a row picks up only the in-band b rows
+    Seq(ev(3, 7, 90.0)).toDF("value").coalesce(1).write.mode("append").text(aDir)
+    Seq(od(13, 7, 18.0)).toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute("FLUSH")
+    assert(e.table("bd_j").orderBy("id", "oid").as[(Long, Long, Double)]
+      .collect().toSeq == Seq((1L, 10L, 2.0), (1L, 13L, 8.0),
+        (2L, 11L, 5.0), (3L, 12L, 5.0)))
+
+    // deletes retract only the pairs the deleted rows were part of
+    Seq(evd(1, 7, 10.0)).toDF("value").coalesce(1).write.mode("append").text(aDir)
+    Seq(odd(12, 7, 95.0)).toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute("FLUSH")
+    assert(e.table("bd_j").orderBy("id", "oid").as[(Long, Long, Double)]
+      .collect().toSeq == Seq((2L, 11L, 5.0)),
+      "band-join deletes must retract through downstream storage")
+
+    // LEFT OUTER with a band: unmatched preserved rows null-extend and
+    // repair as the other side's band membership changes
+    e.execute(
+      """CREATE MATERIALIZED VIEW bd_lj (PRIMARY KEY (id, oid)) AS
+        |SELECT bd_a.id, bd_b.oid, bd_a.v
+        |FROM bd_a LEFT JOIN bd_b
+        |ON bd_a.k = bd_b.bk AND bd_b.w BETWEEN bd_a.v AND bd_a.v + 10""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.streamingJob("bd_lj").nonEmpty, "banded left join must chain")
+    assert(e.table("bd_lj").orderBy("id", "oid").as[(Long, Option[Long], Double)]
+      .collect().toSeq == Seq((2L, Some(11L), 50.0), (3L, None, 90.0)))
+    // a b row entering row 3's band retracts its null-extension
+    Seq(od(14, 7, 93.0)).toDF("value").coalesce(1).write.mode("append").text(bDir)
+    e.execute("FLUSH")
+    assert(e.table("bd_lj").orderBy("id", "oid").as[(Long, Option[Long], Double)]
+      .collect().toSeq == Seq((2L, Some(11L), 50.0), (3L, Some(14L), 90.0)),
+      "gaining a first in-band match must retract the null-extension")
+    assert(e.table("bd_j").orderBy("id", "oid").as[(Long, Long, Double)]
+      .collect().toSeq == Seq((2L, 11L, 5.0), (3L, 14L, 3.0)))
+
+    // PURE theta (no equality conjunct): fences to batch refresh with an
+    // explicit notice — never a silent degradation
+    e.notices.clear()
+    e.execute(
+      """CREATE MATERIALIZED VIEW bd_theta (PRIMARY KEY (id, oid)) AS
+        |SELECT bd_a.id, bd_b.oid FROM bd_a JOIN bd_b
+        |ON bd_b.w < bd_a.v""".stripMargin)
+    assert(e.streamingJob("bd_theta").isEmpty,
+      "a pure-theta join must not claim streaming maintenance")
+    assert(e.notices.exists(n => n.contains("bd_theta") &&
+      n.contains("BATCH REFRESH")),
+      s"pure-theta degradation must be announced; got ${e.notices}")
+    assert(e.table("bd_theta").count() > 0)
+
+    Seq("bd_a", "bd_b", "bd_j", "bd_lj")
+      .foreach(n => e.streamingJob(n).foreach(_.stop()))
+  }
+
   test("three-way streaming join: a join MV joins a third MV (join-on-join)") {
     val wh = tmpDir("join3")
     val e = new Engine(spark, wh)

@@ -281,12 +281,20 @@ class StreamingChainFuzzSpec extends SparkSpecBase {
         e.execute(s"CREATE MATERIALIZED VIEW $n (PRIMARY KEY (src, id)) AS $sql")
         defs += ((n, Seq(an, bn), sql))
         (n, Set("src", "id", "k", "x"))
-      case jt => // INNER | LEFT | RIGHT | FULL delta join
+      case jt0 => // INNER | LEFT | RIGHT | FULL delta join, optionally _BAND
+        val banded = jt0.endsWith("_BAND")
+        val jt = jt0.stripSuffix("_BAND")
         val n = s"fz2_j_$seed"
+        // _BAND: theta conjunct rides on the equi prefix — w∈0..9 and
+        // v∈0..9 with a ±4 band means membership flips constantly as
+        // rows churn, exercising the post-filtered delta probe and the
+        // outer-join band repair
+        val cond = s"$an.k = $bn.bk" +
+          (if (banded) s" AND $bn.w BETWEEN $an.v AND $an.v + 4" else "")
         // jk = coalesce over both key columns: never NULL (some side is
         // always present), so aggregates can group on it
         val sql = s"SELECT $an.id, $bn.oid, coalesce($an.k, $bn.bk) AS jk, " +
-          s"$an.v + $bn.w AS s FROM $an $jt JOIN $bn ON $an.k = $bn.bk"
+          s"$an.v + $bn.w AS s FROM $an $jt JOIN $bn ON $cond"
         e.execute(s"CREATE MATERIALIZED VIEW $n (PRIMARY KEY (id, oid)) AS $sql")
         defs += ((n, Seq(an, bn), sql))
         (n, Set("id", "oid", "jk", "s"))
@@ -367,7 +375,8 @@ class StreamingChainFuzzSpec extends SparkSpecBase {
   }
 
   for ((topo, seed) <- Seq("INNER" -> 101, "LEFT" -> 103, "RIGHT" -> 107,
-      "FULL" -> 109, "union" -> 113, "union" -> 127)) {
+      "FULL" -> 109, "union" -> 113, "union" -> 127,
+      "INNER_BAND" -> 131, "LEFT_BAND" -> 137, "FULL_BAND" -> 139)) {
     test(s"random $topo two-input chain matches batch recompute (seed $seed)") {
       runTwoInputScenario(seed, topo)
     }
