@@ -137,6 +137,43 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     tableObjs ++ mvObjs ++ viewObjs ++ srcObjs ++ idxObjs
   }
 
+  /** The engine's registered callables for pg_proc (psql `\df`, ORM
+    * function introspection): everything in the session function registry
+    * that is not a Spark builtin — CREATE AGGREGATE UDAFs, SQL UDFs
+    * (Spark CREATE TEMPORARY FUNCTION), native Catalyst expressions
+    * (graft_dot, graft_gcd, …) — plus the catalog's own shims, which sort
+    * into pg_catalog so a bare `\df` lists only user functions.
+    */
+  private def systemFunctions: Seq[SystemCatalog.Func] = {
+    val reg = spark.sessionState.functionRegistry
+    val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+      .builtin.listFunction().map(_.funcName).toSet
+    reg.listFunction()
+      .filterNot(f => builtin.contains(f.funcName))
+      .map { f =>
+        val name = f.funcName
+        val (args, result) = aggregates.get(name).map(_._2) match {
+          // CREATE AGGREGATE signatures read "(args) RETURNS type [— …]"
+          case Some(sig) =>
+            val args = sig.takeWhile(_ != ')').dropWhile(_ == '(')
+            val ret = sig.split("(?i)RETURNS").lift(1)
+              .map(_.trim.takeWhile(c => c.isLetterOrDigit || c == ' ').trim)
+              .getOrElse("")
+            (args, ret)
+          case None => Engine.NativeFunctionSigs.getOrElse(name, ("", ""))
+        }
+        val kind =
+          if (aggregates.contains(name)) "a"
+          else if (reg.lookupFunction(f)
+            .exists(i => Option(i.getClassName).exists(_.contains("Agg"))))
+            "a"
+          else "f"
+        SystemCatalog.Func(name, kind, args, result,
+          inPgCatalog = SystemCatalog.shimNames.contains(name))
+      }
+      .sortBy(_.name)
+  }
+
   /** Maintenance jobs of streaming MVs created through [[execute]] —
     * exposed so callers can await/stop them (the reference's
     * SHOW/DROP stream-job surface).
@@ -1409,7 +1446,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       if (SystemCatalog.referenced(statement1)) {
         SystemCatalog.bind(spark, systemObjects,
           catalog.list[DurableCatalog.CommentEntry]("comments")
-            .map { case (k, e) => k.replace('-', '.') -> e.text }.toMap)
+            .map { case (k, e) => k.replace('-', '.') -> e.text }.toMap,
+          systemFunctions)
         val rw = SystemCatalog.rewrite(statement1)
         // probes against catalog concepts this engine does not model
         // (policies, publications, …) answer empty, so psql's \d flow
@@ -1963,4 +2001,13 @@ object Engine {
     * declared key (reference: the stream RowIdGen's `_row_id`).
     */
   private[graft] val RowIdCol = "_row_id"
+
+  /** pg_proc signatures of the native Catalyst expressions — the
+    * registry holds only names, the signatures live with the docs here.
+    */
+  private[graft] val NativeFunctionSigs: Map[String, (String, String)] = Map(
+    "graft_dot" -> ("a double precision[], b double precision[]",
+      "double precision"),
+    "graft_gcd" -> ("a bigint, b bigint", "bigint"),
+    "graft_lcm" -> ("a bigint, b bigint", "bigint"))
 }

@@ -27,10 +27,17 @@ object SystemCatalog {
     */
   final case class Obj(name: String, kind: String, schema: Option[StructType])
 
+  /** One callable as pg_proc sees it. kind: f = function, a = aggregate,
+    * w = window; system shims live in pg_catalog (hidden from psql's
+    * default `\df`, like PG builtins), user functions in public.
+    */
+  final case class Func(name: String, kind: String, args: String,
+    result: String, inPgCatalog: Boolean)
+
   private val SysNames = Seq("pg_class", "pg_namespace", "pg_attribute",
     "pg_type", "pg_description", "pg_database", "pg_tables", "pg_views",
     "pg_matviews", "pg_am", "pg_attrdef", "pg_collation", "pg_index",
-    "pg_inherits", "pg_roles")
+    "pg_inherits", "pg_roles", "pg_proc")
   private val Trigger =
     ("(?i)\\b(pg_catalog|information_schema|" + SysNames.mkString("|") + ")\\b").r
 
@@ -46,7 +53,7 @@ object SystemCatalog {
   private val Unmodeled = ("(?i)\\b(pg_policy|pg_publication\\w*|pg_rules|" +
     "pg_statistic\\w*|pg_trigger|pg_rewrite|pg_constraint|pg_depend|" +
     "pg_event_trigger|pg_extension|pg_foreign_\\w+|pg_partitioned_table|" +
-    "pg_sequence\\w*|pg_seclabel\\w*|pg_enum|pg_proc|pg_operator|" +
+    "pg_sequence\\w*|pg_seclabel\\w*|pg_enum|pg_operator|" +
     "pg_cast|pg_language|pg_largeobject\\w*|pg_replication\\w*|" +
     "pg_shdepend|pg_tablespace|pg_ts_\\w+|pg_user_mapping)\\b").r
 
@@ -186,7 +193,8 @@ object SystemCatalog {
     * so the views always reflect the live catalog.
     */
   def bind(spark: SparkSession, objs0: Seq[Obj],
-      comments: Map[String, String] = Map.empty): Unit = {
+      comments: Map[String, String] = Map.empty,
+      funcs: Seq[Func] = Seq.empty): Unit = {
     val s = spark
     import s.implicits._
 
@@ -324,8 +332,58 @@ object SystemCatalog {
       .toDF("schema_name", "schema_owner")
       .createOrReplaceTempView("information_schema_schemata")
 
+    // pg_proc: the engine's registered callables (CREATE AGGREGATE UDAFs,
+    // SQL UDFs, native Catalyst expressions; catalog shims hidden in
+    // pg_catalog). psql's \df renders via the pg_get_function_* shims,
+    // which read the oid→signature map refreshed here per bind.
+    val fs = funcs.sortBy(_.name).zipWithIndex.map { case (f, i) =>
+      (FirstFuncOid + i, f)
+    }
+    funcSigs.set(fs.map { case (oid, f) => oid -> (f.args, f.result) }.toMap)
+    fs.map { case (oid, f) =>
+      val retOid = oidOfTypeName.getOrElse(f.result.toLowerCase, 25L)
+      (oid, f.name, if (f.inPgCatalog) NsPgCatalog else NsPublic, Owner,
+        f.kind, retOid, false /*proretset*/, "v" /*provolatile*/,
+        "u" /*proparallel*/, false /*prosecdef*/, false /*proleakproof*/,
+        false /*proisstrict*/, 0 /*pronargs*/)
+    }.toDF("oid", "proname", "pronamespace", "proowner", "prokind",
+        "prorettype", "proretset", "provolatile", "proparallel",
+        "prosecdef", "proleakproof", "proisstrict", "pronargs")
+      .createOrReplaceTempView("pg_proc")
+    fs.filterNot(_._2.inPgCatalog).map { case (_, f) =>
+      ("dev", "public", f.name, "FUNCTION",
+        if (f.result.isEmpty) "text" else f.result)
+    }.toDF("routine_catalog", "routine_schema", "routine_name",
+        "routine_type", "data_type")
+      .createOrReplaceTempView("information_schema_routines")
+
     registerShims(spark)
   }
+
+  private val FirstFuncOid = 30000L
+
+  /** oid→(argument list, result type) for the pg_get_function_* shims —
+    * the once-registered UDFs read through this reference, so each bind
+    * refreshes what they answer.
+    */
+  private val funcSigs = new java.util.concurrent.atomic.AtomicReference(
+    Map.empty[Long, (String, String)])
+
+  private val oidOfTypeName: Map[String, Long] =
+    pgTypes.flatMap(t => Seq(t._2 -> t._1, t._4 -> t._1)).toMap
+
+  /** Names the catalog layer itself registers — surfaced in pg_proc under
+    * pg_catalog (so `\df` without a pattern shows only user functions,
+    * like PG hides its builtins).
+    */
+  val shimNames: Set[String] = Set(
+    "pg_table_is_visible", "pg_get_userbyid", "pg_encoding_to_char",
+    "obj_description", "col_description", "shobj_description",
+    "pg_get_expr", "pg_get_indexdef", "pg_get_viewdef", "pg_backend_pid",
+    "pg_postmaster_start_time", "current_schemas", "has_schema_privilege",
+    "has_table_privilege", "array_to_string", "format_type",
+    "pg_function_is_visible", "pg_get_function_result",
+    "pg_get_function_arguments", "pg_get_function_identity_arguments")
 
   @volatile private var shimsDone = false
 
@@ -350,6 +408,13 @@ object SystemCatalog {
       (_: Long, _: Int, _: Boolean) => null: String)
     spark.udf.register("pg_get_viewdef", (_: Long, _: Boolean) => "")
     spark.udf.register("pg_backend_pid", () => 1)
+    spark.udf.register("pg_function_is_visible", (_: Long) => true)
+    spark.udf.register("pg_get_function_result",
+      (oid: Long) => funcSigs.get.get(oid).map(_._2).orNull)
+    spark.udf.register("pg_get_function_arguments",
+      (oid: Long) => funcSigs.get.get(oid).map(_._1).orNull)
+    spark.udf.register("pg_get_function_identity_arguments",
+      (oid: Long) => funcSigs.get.get(oid).map(_._1).orNull)
     spark.udf.register("pg_postmaster_start_time", () => "")
     spark.udf.register("current_schemas",
       (_: Boolean) => Seq("pg_catalog", "public"))

@@ -359,6 +359,41 @@ class PgWireSpec extends SparkSpecBase {
         s"WHERE pol.polrelid = '$oid' ORDER BY 1")
       assert(!pol.exists(_.tpe == 'E') && !pol.exists(_.tpe == 'D'))
 
+      // pg_proc: psql 15's \df, verbatim — registered functions surface
+      // (native expressions, CREATE AGGREGATE UDAFs, SQL UDFs); the
+      // catalog's own shims hide in pg_catalog like PG builtins
+      c.query("CREATE AGGREGATE inv_hll (value ANY, op INT) " +
+        "RETURNS BIGINT LANGUAGE native AS 'retractable_hll'")
+      c.query("CREATE TEMPORARY FUNCTION inv_tax(x DOUBLE) " +
+        "RETURNS DOUBLE RETURN x * 1.1")
+      val df = c.query(
+        """SELECT n.nspname as "Schema",
+          |  p.proname as "Name",
+          |  pg_catalog.pg_get_function_result(p.oid) as "Result data type",
+          |  pg_catalog.pg_get_function_arguments(p.oid) as "Argument data types",
+          | CASE p.prokind
+          |  WHEN 'a' THEN 'agg'
+          |  WHEN 'w' THEN 'window'
+          |  WHEN 'p' THEN 'proc'
+          |  ELSE 'func'
+          | END as "Type"
+          |FROM pg_catalog.pg_proc p
+          |     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = p.pronamespace
+          |WHERE pg_catalog.pg_function_is_visible(p.oid)
+          |      AND n.nspname <> 'pg_catalog'
+          |      AND n.nspname <> 'information_schema'
+          |ORDER BY 1, 2, 4;""".stripMargin)
+      val dfRows = df.filter(_.tpe == 'D').map(parseDataRow)
+      val byName = dfRows.map(r => r(1).get -> r).toMap
+      assert(byName.contains("graft_dot") && byName.contains("inv_hll") &&
+        byName.contains("inv_tax"), s"\\df rows: $dfRows")
+      assert(byName("inv_hll")(4) == Some("agg") &&
+        byName("inv_hll")(2) == Some("BIGINT"), s"\\df rows: $dfRows")
+      assert(byName("graft_dot")(2) == Some("double precision") &&
+        byName("graft_dot")(3).exists(_.contains("double precision[]")))
+      assert(!byName.contains("pg_table_is_visible"),
+        "catalog shims must hide in pg_catalog")
+
       c.close()
     } finally srv.stop()
   }
@@ -387,6 +422,9 @@ class PgWireSpec extends SparkSpecBase {
       assert(out.contains("id|bigint") && out.contains("v|double precision"), out)
       assert(out.contains("1|2.5"), out)
       assert(!out.toLowerCase.contains("error"), out)
+      val dfOut = run("\\df graft_*")
+      assert(dfOut.contains("graft_dot") && dfOut.contains("graft_gcd"), dfOut)
+      assert(!dfOut.toLowerCase.contains("error"), dfOut)
     } finally srv.stop()
   }
 
