@@ -14,9 +14,23 @@ import graft.streaming.{Changelog, MaterializedView}
   */
 object Dml {
 
+  /** Merge a DML delta under a fresh changelog EPOCH, so subscription
+    * cursors and chained consumers see table writes the same way they
+    * see streaming-MV epochs (reference: table DML flows through the
+    * same barrier/epoch pipeline as any stream,
+    * src/stream/src/executor/dml.rs — a subscription on a TABLE
+    * delivers its DML). Epoch allocation is serialized per table on the
+    * MV monitor: tables are DML-only (never source-fed), so the only
+    * competing allocators are concurrent DML statements.
+    */
+  private def mergeEpoch(mv: MaterializedView, delta: DataFrame): Unit =
+    mv.synchronized {
+      mv.merge(delta, mv.latestChangelogBatchId + 1)
+    }
+
   /** INSERT: append rows (upsert semantics on the MV's PK). */
   def insertInto(mv: MaterializedView, rows: DataFrame): Unit =
-    mv.merge(rows)
+    mergeEpoch(mv, rows)
 
   /** Serial/row-id generation for tables without a natural PK
     * (reference: src/stream/src/executor/row_id_gen.rs:25). Monotonic ids
@@ -28,16 +42,23 @@ object Dml {
   /** DELETE WHERE: derive Delete ops for matching rows, merge. */
   def deleteWhere(mv: MaterializedView, cond: Column): Unit = {
     val doomed = mv.read().where(cond)
-    mv.merge(doomed
+    mergeEpoch(mv, doomed
       .withColumn(Changelog.OpCol, lit(Changelog.Delete))
       .withColumn(Changelog.SeqCol, monotonically_increasing_id()))
   }
 
-  /** UPDATE ... SET assignments WHERE cond: UpdateInsert ops, merge. */
+  /** UPDATE ... SET assignments WHERE cond: UpdateInsert ops, merge.
+    * Assignments cast to the column's STORED type — `SET bal = 25.0`
+    * parses as decimal(3,1) and would otherwise fork the parquet schema
+    * of the store/changelog away from a DOUBLE column.
+    */
   def updateWhere(mv: MaterializedView, cond: Column, set: Map[String, Column]): Unit = {
     val base = mv.read().where(cond)
-    val updated = set.foldLeft(base) { case (df, (c, e)) => df.withColumn(c, e) }
-    mv.merge(updated
+    val types = base.schema.map(f => f.name -> f.dataType).toMap
+    val updated = set.foldLeft(base) { case (df, (c, e)) =>
+      df.withColumn(c, types.get(c).map(e.cast).getOrElse(e))
+    }
+    mergeEpoch(mv, updated
       .withColumn(Changelog.OpCol, lit(Changelog.UpdateInsert))
       .withColumn(Changelog.SeqCol, monotonically_increasing_id()))
   }

@@ -179,9 +179,10 @@ final class MaterializedView(
     * `afterBatchId`: returns (rows + `_epoch` column, new frontier) —
     * the pull side of a subscription cursor (reference: FETCH on a
     * subscription cursor reads the MV's log store,
-    * src/frontend/src/session/cursor_manager.rs). Ad-hoc DML appends
-    * carry no epoch and are not cursor-visible — the same contract as
-    * [[subscribeWithBackfill]].
+    * src/frontend/src/session/cursor_manager.rs). Table DML merges
+    * through Dml.mergeEpoch with a real epoch, so a subscription on a
+    * TABLE delivers its writes; only epoch-less merges (raw
+    * [[merge]] callers) stay cursor-invisible.
     */
   def changelogAfter(afterBatchId: Long): (DataFrame, Long) = {
     val frontier = latestChangelogBatchId

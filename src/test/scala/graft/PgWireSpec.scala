@@ -568,4 +568,77 @@ class PgWireSpec extends SparkSpecBase {
       c.close()
     } finally srv.stop()
   }
+
+  test("pgwire: subscription cursor consumes table DML across epochs and survives restart") {
+    // the reference's subscription consumption pattern end-to-end over
+    // the wire (handler/create_subscription.rs, fetch_cursor.rs): one
+    // client writes, a second client periodically FETCHes change rows
+    // with _op; the cursor frontier is durable across an engine restart
+    // mid-consumption.
+    val wh = tmpDir("pgsub")
+    val e = new Engine(spark, wh)
+    val srv = new PgWireServer(e)
+    srv.start()
+    val writer = new Client(srv.port)
+    val reader = new Client(srv.port)
+    try {
+      writer.startup()
+      reader.startup()
+      writer.query("CREATE TABLE acct (id BIGINT PRIMARY KEY, bal DOUBLE)")
+      reader.query("CREATE SUBSCRIPTION acct_sub FROM acct")
+      reader.query("DECLARE acur SUBSCRIPTION CURSOR FOR acct_sub")
+      assert(!reader.query("FETCH NEXT FROM acur").exists(_.tpe == 'D'),
+        "fresh cursor must be empty")
+
+      def fetchRows(): Seq[Seq[Option[String]]] = {
+        val msgs = reader.query("FETCH NEXT FROM acur")
+        assert(!msgs.exists(_.tpe == 'E'), s"FETCH errored: $msgs")
+        val fields = msgs.find(_.tpe == 'T').map(m => parseRowDesc(m).map(_._1))
+          .getOrElse(Seq.empty)
+        val rows = msgs.filter(_.tpe == 'D').map(parseDataRow)
+        // project to (id, bal, _op) in a fixed order, sorted for compare
+        rows.map { r =>
+          Seq("id", "bal", "_op").map(c => r(fields.indexOf(c)))
+        }.sortBy(_.head.map(_.toLong))
+      }
+
+      // epoch 1: two inserts in one statement
+      writer.query("INSERT INTO acct VALUES (1, 10.0), (2, 20.0)")
+      assert(fetchRows() == Seq(
+        Seq(Some("1"), Some("10.0"), Some("1")),
+        Seq(Some("2"), Some("20.0"), Some("1"))))
+
+      // epoch 2+3: an update and a delete — distinct ops arrive, the
+      // already-consumed inserts do NOT re-deliver
+      writer.query("UPDATE acct SET bal = 25.0 WHERE id = 2")
+      writer.query("DELETE FROM acct WHERE id = 1")
+      assert(fetchRows() == Seq(
+        Seq(Some("1"), Some("10.0"), Some("2")),
+        Seq(Some("2"), Some("25.0"), Some("4"))))
+      assert(fetchRows().isEmpty, "consumed epochs must not re-deliver")
+
+      // unconsumed DML lands, then the engine restarts mid-consumption
+      writer.query("INSERT INTO acct VALUES (3, 30.0)")
+      writer.close()
+      reader.close()
+      srv.stop()
+      val e2 = new Engine(spark.newSession(), wh)
+      val srv2 = new PgWireServer(e2)
+      srv2.start()
+      try {
+        val r2 = new Client(srv2.port)
+        r2.startup()
+        val msgs = r2.query("FETCH NEXT FROM acur")
+        assert(!msgs.exists(_.tpe == 'E'), s"recovered FETCH errored: $msgs")
+        val fields = msgs.find(_.tpe == 'T').map(m => parseRowDesc(m).map(_._1))
+          .getOrElse(Seq.empty)
+        val rows = msgs.filter(_.tpe == 'D').map(parseDataRow)
+          .map(r => Seq("id", "bal", "_op").map(c => r(fields.indexOf(c))))
+        assert(rows == Seq(Seq(Some("3"), Some("30.0"), Some("1"))),
+          s"recovered cursor must resume exactly after the durable frontier: $rows")
+        assert(!r2.query("FETCH NEXT FROM acur").exists(_.tpe == 'D'))
+        r2.close()
+      } finally srv2.stop()
+    } finally srv.stop()
+  }
 }
