@@ -47,7 +47,14 @@ object Dml {
       .withColumn(Changelog.SeqCol, monotonically_increasing_id()))
   }
 
-  /** UPDATE ... SET assignments WHERE cond: UpdateInsert ops, merge.
+  /** UPDATE ... SET assignments WHERE cond: a full before/after image
+    * pair per matched row — UpdateDelete then UpdateInsert (reference:
+    * src/common/src/array/stream_chunk.rs:45-50). The U- image is what
+    * lets downstream chained consumers retract the OLD row: without it
+    * a group-key- or PK-changing update leaves the old group/row
+    * behind. Storage-side the pair resolves per PK by `_seq` (U+ wins
+    * over U-), so a PK-preserving update stores the new image and a
+    * PK-changing one deletes the old key and inserts the new.
     * Assignments cast to the column's STORED type — `SET bal = 25.0`
     * parses as decimal(3,1) and would otherwise fork the parquet schema
     * of the store/changelog away from a DOUBLE column.
@@ -58,8 +65,12 @@ object Dml {
     val updated = set.foldLeft(base) { case (df, (c, e)) =>
       df.withColumn(c, types.get(c).map(e.cast).getOrElse(e))
     }
-    mergeEpoch(mv, updated
+    val before = base
+      .withColumn(Changelog.OpCol, lit(Changelog.UpdateDelete))
+      .withColumn(Changelog.SeqCol, lit(0L))
+    val after = updated
       .withColumn(Changelog.OpCol, lit(Changelog.UpdateInsert))
-      .withColumn(Changelog.SeqCol, monotonically_increasing_id()))
+      .withColumn(Changelog.SeqCol, lit(1L))
+    mergeEpoch(mv, before.unionByName(after))
   }
 }

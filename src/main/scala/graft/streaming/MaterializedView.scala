@@ -90,7 +90,21 @@ final class MaterializedView(
     * `readStream` it.
     */
   def changelogStream(): DataFrame = {
-    val schema = readChangelog().schema
+    // a never-written upstream (fresh CREATE TABLE) has no changelog
+    // files yet — tail with the declared schema + changelog columns
+    // (every published entry carries _op/_seq) so subscribing before
+    // the first DML works
+    val schema = scala.util.Try(readChangelog().schema).toOption
+      .filter(_.nonEmpty)
+      .orElse(storedSchema.map(s => org.apache.spark.sql.types.StructType(
+        s.fields :+
+          org.apache.spark.sql.types.StructField(
+            Changelog.OpCol, org.apache.spark.sql.types.IntegerType) :+
+          org.apache.spark.sql.types.StructField(
+            Changelog.SeqCol, org.apache.spark.sql.types.LongType))))
+      .getOrElse(throw new IllegalStateException(
+        s"MV $name has neither changelog entries nor a declared schema"))
+    Files.createDirectories(Paths.get(changelogDir))
     spark.readStream.schema(schema)
       .option("recursiveFileLookup", "true").parquet(changelogDir)
   }
@@ -269,6 +283,17 @@ final class MaterializedView(
   }
 
   private def schemaFile = Paths.get(targetDir, "_schema.json")
+
+  /** Declare the row schema before any merge has run — a chained
+    * subscriber's backfill snapshot of a never-written TABLE must read
+    * with its DDL columns, not a zero-column frame. First merge keeps
+    * the declared schema (write-once).
+    */
+  def declareSchema(schema: org.apache.spark.sql.types.StructType): Unit =
+    if (!Files.exists(schemaFile)) {
+      Files.createDirectories(schemaFile.getParent)
+      Files.write(schemaFile, schema.json.getBytes("UTF-8"))
+    }
 
   private def storedSchema: Option[org.apache.spark.sql.types.StructType] =
     if (!Files.exists(schemaFile)) None

@@ -599,7 +599,7 @@ class PgWireSpec extends SparkSpecBase {
         // project to (id, bal, _op) in a fixed order, sorted for compare
         rows.map { r =>
           Seq("id", "bal", "_op").map(c => r(fields.indexOf(c)))
-        }.sortBy(_.head.map(_.toLong))
+        }.sortBy(r => (r.head.map(_.toLong), r.last.map(_.toInt)))
       }
 
       // epoch 1: two inserts in one statement
@@ -608,12 +608,15 @@ class PgWireSpec extends SparkSpecBase {
         Seq(Some("1"), Some("10.0"), Some("1")),
         Seq(Some("2"), Some("20.0"), Some("1"))))
 
-      // epoch 2+3: an update and a delete — distinct ops arrive, the
+      // epoch 2+3: an update and a delete — the update delivers its
+      // FULL image pair (UpdateDelete 3 with the old value, then
+      // UpdateInsert 4 — reference stream_chunk op semantics), and the
       // already-consumed inserts do NOT re-deliver
       writer.query("UPDATE acct SET bal = 25.0 WHERE id = 2")
       writer.query("DELETE FROM acct WHERE id = 1")
       assert(fetchRows() == Seq(
         Seq(Some("1"), Some("10.0"), Some("2")),
+        Seq(Some("2"), Some("20.0"), Some("3")),
         Seq(Some("2"), Some("25.0"), Some("4"))))
       assert(fetchRows().isEmpty, "consumed epochs must not re-deliver")
 
