@@ -420,13 +420,26 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     } catch { case scala.util.control.NonFatal(_) => planned }
   }
 
+  /** A chain-subscribable upstream and its PK: a plain streaming-
+    * maintained MV, or a user TABLE — tables are PK-merged MVs whose
+    * DML merges publish real changelog epochs (Dml.mergeEpoch), so a
+    * downstream MV snapshots + tails them exactly like an MV. This is
+    * the reference's core create-MV-over-table behavior: tables and MVs
+    * share the materialize/changelog machinery, and an MV over a table
+    * advances with every INSERT/UPDATE/DELETE (reference:
+    * src/stream/src/executor/dml.rs + mview/materialize.rs:45).
+    */
+  private def chainableSourcePk(name: String): Option[Seq[String]] =
+    catalog.load[DurableCatalog.MvEntry]("mvs", name)
+      .filter(e => e.streaming && !e.over.contains(true)).map(_.pk)
+      .orElse(catalog.load[DurableCatalog.TableEntry]("tables", name)
+        .map(_.pk).filter(_.nonEmpty))
+
   private def chainableUpstream(query: String, planned: DataFrame)
       : Option[String] =
     referencedRelations(query) match {
       case Seq(up) if isPerRowPlan(planned) =>
-        Some(up).filter(n =>
-          catalog.load[DurableCatalog.MvEntry]("mvs", n)
-            .exists(e => e.streaming && !e.over.contains(true)))
+        Some(up).filter(n => chainableSourcePk(n).isDefined)
       case _ => None
     }
 
@@ -469,9 +482,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     if (!groupNames.forall(planned.columns.contains)) return None
     referencedRelations(query) match {
       case Seq(up) =>
-        Some(up).filter(n =>
-          catalog.load[DurableCatalog.MvEntry]("mvs", n)
-            .exists(e => e.streaming && !e.over.contains(true)))
+        Some(up).filter(n => chainableSourcePk(n).isDefined)
           .map(n => (n, groupNames))
       case _ => None
     }
@@ -533,11 +544,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     if (equi.isEmpty || !theta.forall(_.deterministic)) return None
     referencedRelations(query) match {
       case Seq(l, r) if l != r =>
-        def entry(n: String) = catalog.load[DurableCatalog.MvEntry]("mvs", n)
-          .filter(e => e.streaming && !e.over.contains(true))
-        (entry(l), entry(r)) match {
-          case (Some(le), Some(re)) =>
-            val (lpk, rpk) = (le.pk, re.pk)
+        (chainableSourcePk(l), chainableSourcePk(r)) match {
+          case (Some(lpk), Some(rpk)) =>
             val ok = lpk.nonEmpty && rpk.nonEmpty &&
               lpk.intersect(rpk).isEmpty &&
               pk.toSet == (lpk ++ rpk).toSet &&
@@ -616,9 +624,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     if (!hasWindow || !restPerRow) None
     else referencedRelations(query) match {
       case Seq(up) =>
-        Some(up).filter(n =>
-          catalog.load[DurableCatalog.MvEntry]("mvs", n)
-            .exists(e => e.streaming && !e.over.contains(true)))
+        Some(up).filter(n => chainableSourcePk(n).isDefined)
       case _ => None
     }
   }
@@ -876,13 +882,115 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     if (!pk.forall(planned.columns.contains)) return None
     referencedRelations(query) match {
       case Seq(l, r) if l != r =>
-        def entry(n: String) = catalog.load[DurableCatalog.MvEntry]("mvs", n)
-        if (Seq(l, r).forall(n =>
-            entry(n).exists(e => e.streaming && !e.over.contains(true))))
+        if (Seq(l, r).forall(n => chainableSourcePk(n).isDefined))
           Some((l, r))
         else None
       case _ => None
     }
+  }
+
+  /** Aggregate-over-UNION-ALL eligibility, incl. UNION DISTINCT (≡
+    * GROUP BY every output column — the reference rewrites it exactly
+    * so, union_to_distinct_rule.rs): exactly one 2-input Union below
+    * exactly one Aggregate/Distinct, rest per-row, group keys plain
+    * attributes equal to the declared PK, both relations
+    * chain-subscribable. Maintained by [[graft.streaming.IncrementalUnionAgg]].
+    */
+  private def chainableAggUnionUpstream(query: String, planned: DataFrame,
+      pk: Seq[String]): Option[(String, String, Seq[String])] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val nodes = planned.queryExecution.analyzed.collect { case n => n }
+    val unions = nodes.collect { case u: Union => u }
+    val aggs = nodes.collect { case a: Aggregate => a }
+    val dists = nodes.collect { case d: Distinct => d }
+    val restPerRow = nodes.forall {
+      case _: Union | _: Aggregate | _: Distinct => true
+      case _: Project | _: Filter | _: SubqueryAlias | _: View => true
+      case _: LeafNode => true
+      case _ => false
+    }
+    if (unions.length != 1 || unions.head.children.length != 2 ||
+        aggs.length + dists.length != 1 || !restPerRow) return None
+    val groupNames =
+      if (dists.nonEmpty) planned.columns.toSeq
+      else aggs.head.groupingExpressions.map {
+        case a: AttributeReference => a.name
+        case _ => return None
+      }
+    if (groupNames.isEmpty || groupNames.toSet != pk.toSet) return None
+    if (!groupNames.forall(planned.columns.contains)) return None
+    referencedRelations(query) match {
+      case Seq(l, r) if l != r &&
+          Seq(l, r).forall(n => chainableSourcePk(n).isDefined) =>
+        Some((l, r, groupNames))
+      case _ => None
+    }
+  }
+
+  /** Two-input analog of [[chainAggKeysFn]]: the defining query over
+    * the given slices with every Filter ABOVE the aggregate (HAVING)
+    * stripped from the analyzed plan.
+    */
+  private def chainJoinKeysFn(name: String, query: String, leftName: String,
+      rightName: String)(ldf: DataFrame, rdf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val full = chainJoinFn(name, query, leftName, rightName)(ldf, rdf)
+    def aboveAgg(p: LogicalPlan): Boolean = p.exists {
+      case _: Aggregate | _: Distinct => true
+      case _ => false
+    }
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case f: Filter if aboveAgg(f.child) => strip(f.child)
+      case other => other.withNewChildren(other.children.map(strip))
+    }
+    org.apache.spark.sql.GraftPlans.ofRows(
+      spark, strip(full.queryExecution.analyzed))
+  }
+
+  private def startChainedUnionAggJob(name: String,
+      inc: graft.streaming.IncrementalUnionAgg, left: MaterializedView,
+      right: MaterializedView, fL: Long, fR: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.IncrementalJoin.taggedUnion(
+        left.changelogStreamFrom(fL), right.changelogStreamFrom(fR))
+      .writeStream
+      .option("checkpointLocation", mvs.checkpointDir(name))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch((batch: DataFrame, id: Long) => inc.applyDelta(batch, id))
+      .start()
+
+  private def createChainedAggUnionMv(name: String, pk: Seq[String],
+      query: String, leftName: String, rightName: String,
+      groupCols: Seq[String]): DataFrame = {
+    val left = mvs.get(leftName).getOrElse(throw new IllegalArgumentException(
+      s"chained upstream MV $leftName is not registered"))
+    val right = mvs.get(rightName).getOrElse(throw new IllegalArgumentException(
+      s"chained upstream MV $rightName is not registered"))
+    jobs.get(leftName).foreach(_.processAllAvailable())
+    jobs.get(rightName).foreach(_.processAllAvailable())
+    val down = mvs.define(name, pk)
+    val fn = chainJoinFn(name, query, leftName, rightName) _
+    val (fL, fR) = left.withReadLock { right.withReadLock {
+      val (lr, rr) = (left.read(), right.read())
+      require(lr.columns.nonEmpty && rr.columns.nonEmpty,
+        s"CREATE MATERIALIZED VIEW $name: both UNION upstreams must " +
+          "have a published schema — FLUSH them first")
+      val snap = fn(lr, rr)
+      if (snap.columns.nonEmpty) down.merge(snap)
+      (left.latestChangelogBatchId, right.latestChangelogBatchId)
+    } }
+    catalog.save("mvs", name, DurableCatalog.MvEntry(
+      pk, Some(query), streaming = true, "update", 32,
+      chainedFrom = Some(leftName), chainFrontier = Some(fL),
+      chainedFromRight = Some(rightName), chainFrontierRight = Some(fR),
+      chainJoinType = Some("unionagg"), chainAggGroups = Some(groupCols)))
+    chainDepth(name) = math.max(chainDepth.getOrElse(leftName, 0),
+      chainDepth.getOrElse(rightName, 0)) + 1
+    val inc = new graft.streaming.IncrementalUnionAgg(left, right, down,
+      groupCols, fn, chainJoinKeysFn(name, query, leftName, rightName) _)
+    jobs(name) = startChainedUnionAggJob(name, inc, left, right, fL, fR)
+    statusDf("CREATE MATERIALIZED VIEW (streaming union-agg chain)", name)
   }
 
   private def startChainedUnionJob(name: String,
@@ -933,21 +1041,118 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     statusDf("CREATE MATERIALIZED VIEW (streaming union chain)", name)
   }
 
+  /** Resume a streaming MV's maintenance job from its surviving
+    * checkpoint — the single dispatch recovery AND rename share: plain
+    * source-fed MVs re-plan their SQL; chained MVs (per-row, aggregate,
+    * join, union-all, union-agg) re-tail their upstream changelogs from
+    * the durable frontiers. No-op when no checkpoint exists.
+    */
+  private def resumeMvMaintenance(name: String, mv: MaterializedView,
+      e: DurableCatalog.MvEntry, q: String): Unit = {
+    val ckpt = mvs.checkpointDir(name)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt))) return
+    e.chainedFrom match {
+      case Some(upName) =>
+        // MV-on-MV chain: re-tail the upstream changelog from
+        // the original frontier — the checkpoint's file log
+        // dedups epochs already absorbed, so no re-backfill
+        val upMv = mvs.get(upName).getOrElse(
+          throw new IllegalStateException(
+            s"chained upstream $upName not yet recovered"))
+        chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
+        jobs(name) = (e.chainedFromRight, e.chainAggGroups) match {
+          case (Some(rightName), _) =>
+            val rightMv = mvs.get(rightName).getOrElse(
+              throw new IllegalStateException(
+                s"chained upstream $rightName not yet recovered"))
+            chainDepth(name) = math.max(
+              chainDepth.getOrElse(upName, 0),
+              chainDepth.getOrElse(rightName, 0)) + 1
+            if (e.chainJoinType.contains("unionagg")) {
+              val inc = new graft.streaming.IncrementalUnionAgg(
+                upMv, rightMv, mv,
+                e.chainAggGroups.getOrElse(Seq.empty),
+                chainJoinFn(name, q, upName, rightName) _,
+                chainJoinKeysFn(name, q, upName, rightName) _)
+              startChainedUnionAggJob(name, inc, upMv, rightMv,
+                e.chainFrontier.getOrElse(-1L),
+                e.chainFrontierRight.getOrElse(-1L))
+            } else if (e.chainJoinType.contains("unionall")) {
+              val inc = new graft.streaming.IncrementalUnion(
+                upMv, rightMv, mv, upMv.primaryKey,
+                rightMv.primaryKey,
+                chainJoinFn(name, q, upName, rightName) _)
+              startChainedUnionJob(name, inc, upMv, rightMv,
+                e.chainFrontier.getOrElse(-1L),
+                e.chainFrontierRight.getOrElse(-1L))
+            } else {
+              val inc = new graft.streaming.IncrementalJoin(
+                upMv, rightMv, mv, upMv.primaryKey,
+                rightMv.primaryKey,
+                chainJoinFn(name, q, upName, rightName) _,
+                e.chainJoinType.getOrElse("inner"))
+              startChainedJoinJob(name, inc, upMv, rightMv,
+                e.chainFrontier.getOrElse(-1L),
+                e.chainFrontierRight.getOrElse(-1L))
+            }
+          case (None, Some(groups)) => startChainedAggJob(name,
+            mv, upMv, q, upName, groups,
+            e.chainFrontier.getOrElse(-1L))
+          case (None, None) => mv.start(
+            chainTransform(name, q, upName)(
+              upMv.changelogStreamFrom(e.chainFrontier.getOrElse(-1L))),
+            ckpt, outputMode = e.outputMode)
+        }
+      case None =>
+        bindMvTables(q) // the MV may join engine-managed tables
+        val result =
+          spark.sql(Engine.TemporalJoinClause.replaceAllIn(q, ""))
+        jobs(name) = mv.start(withChangelogOps(q, result), ckpt,
+          outputMode = e.outputMode)
+    }
+  }
+
   private val AlterRename =
     """(?is)\s*ALTER\s+(TABLE|MATERIALIZED\s+VIEW)\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*;?\s*""".r
 
   /** `ALTER TABLE/MATERIALIZED VIEW x RENAME TO y` (reference:
     * handler/alter_rename.rs): storage dir, catalog entry, declared
-    * schema/defaults, and the session binding all move. Streaming MVs
-    * must have their maintenance stopped first (the job plan captures
-    * the old paths); OVER-window MVs re-create under the new name.
+    * schema/defaults, and the session binding all move. A streaming
+    * MV's maintenance job is stopped and resumed under the new name
+    * from the moved checkpoint (same dispatch as recovery — plain,
+    * chained, join, union shapes all re-wire); OVER-window MVs
+    * re-create under the new name. Renaming an object OTHER MVs chain
+    * from is fenced: their defining SQL names the old relation, so the
+    * rename would silently orphan their maintenance.
     */
+  /** DDL that re-shapes or re-names a relation other MVs CHAIN from is
+    * fenced: the dependents' defining SQL and subscribed changelog
+    * schema name/assume the current shape — proceeding would silently
+    * orphan their maintenance or drift the changelog schema mid-stream.
+    */
+  private def fenceChainedDependents(name: String, op: String): Unit = {
+    val dependents = catalog.list[DurableCatalog.MvEntry]("mvs").collect {
+      case (n, me) if me.chainedFrom.contains(name) ||
+          me.chainedFromRight.contains(name) => n
+    }
+    require(dependents.isEmpty,
+      s"$op: ${dependents.mkString(", ")} chain(s) from $name — drop or " +
+        "re-create the dependents first")
+  }
+
   private def renameObject(kindS: String, from: String, to: String): DataFrame = {
     val isTable = kindS.equalsIgnoreCase("TABLE")
     require(mvs.get(to).isEmpty && !tableSchemas.contains(to),
       s"RENAME: $to already exists")
-    require(jobs.get(from).forall(q => !q.isActive),
-      s"RENAME: stop $from's streaming maintenance job first")
+    fenceChainedDependents(from, "RENAME")
+    // quiesce, then stop: draining first guarantees the checkpoint's
+    // last batch is COMMITTED — stopping mid-batch leaves offsets
+    // without a commit, and the resumed query under the new name would
+    // trip Spark's fresh-start-vs-nonempty-checkpoint validation
+    // (the reference pauses the job at a barrier before catalog moves)
+    jobs.get(from).foreach { j =>
+      if (j.isActive) { j.processAllAvailable(); j.stop() }
+    }
     require(mvs.get(s"${from}__base").isEmpty,
       s"RENAME: $from is an over-window MV — re-create it under the new name")
     val old = mvs.get(from).getOrElse(
@@ -969,18 +1174,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       }
     } else {
       jobs.remove(from)
+      chainDepth.remove(from).foreach(d => chainDepth(to) = d)
       catalog.load[DurableCatalog.MvEntry]("mvs", from).foreach { e =>
         catalog.delete("mvs", from); catalog.save("mvs", to, e)
         // restart streaming maintenance under the new name — the moved
-        // checkpoint dir resumes source offsets (same shape as recovery)
-        if (e.streaming && !e.over.contains(true)) e.query.foreach { q =>
-          val ckpt = mvs.checkpointDir(to)
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt))) {
-            bindMvTables(q)
-            val result = spark.sql(Engine.TemporalJoinClause.replaceAllIn(q, ""))
-            jobs(to) = newMv.start(result, ckpt, outputMode = e.outputMode)
-          }
-        }
+        // checkpoint dir resumes source offsets / chain frontiers
+        // (the exact recovery dispatch, so chained shapes re-wire too)
+        if (e.streaming && !e.over.contains(true))
+          e.query.foreach(q => resumeMvMaintenance(to, newMv, e, q))
       }
     }
     spark.catalog.dropTempView(from)
@@ -1503,7 +1704,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             "guessed key would silently drop rows)")
         require(pk.forall(schema.fieldNames.contains),
           s"CREATE TABLE $name: PRIMARY KEY names undeclared columns")
-        mvs.define(name, pk)
+        mvs.define(name, pk).declareSchema(schema)
         tableSchemas(name) = schema
         if (defaults.nonEmpty) tableDefaults(name) = defaults
         catalog.save("tables", name,
@@ -1573,11 +1774,15 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               case None => chainableUnionUpstream(query, result, pk) match {
               case Some((leftName, rightName)) =>
                 createChainedUnionMv(name, pk, query, leftName, rightName)
+              case None => chainableAggUnionUpstream(query, result, pk) match {
+              case Some((leftName, rightName, groupCols)) =>
+                createChainedAggUnionMv(name, pk, query, leftName, rightName,
+                  groupCols)
               case None =>
                 // explicit fence (reference delta-join boundary): a query
                 // over STREAMING upstreams that no incremental-chain shape
-                // accepts (pure-theta join with no equi prefix, UNION
-                // DISTINCT, 3+-way joins, …) degrades to batch refresh —
+                // accepts (pure-theta join with no equi prefix, 3+-way
+                // joins in one statement, …) degrades to batch refresh —
                 // say so loudly instead of silently going stale
                 val streamingUps = referencedRelations(query).filter(n =>
                   catalog.load[DurableCatalog.MvEntry]("mvs", n)
@@ -1591,12 +1796,15 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
                     s"MATERIALIZED VIEW $name to update")
                 refreshMaterializedView(name, pk, result,
                   queryText = Some(query)).read()
-            } } } } }
+            } } } } } }
           }
         case None if SqlFrontend.isRecursiveCte(statement) =>
           SqlFrontend.executeRecursive(spark, statement)
         case None => statement match {
           case DropMv(name) =>
+            // reference: dropping a relation other MVs depend on is
+            // rejected (catalog dependency check, meta/src/controller/)
+            fenceChainedDependents(name, "DROP MATERIALIZED VIEW")
             jobs.remove(name).foreach(_.stop())
             mvs.drop(name)
             mvs.drop(s"${name}__base") // OVER-window MV's base table, if any
@@ -1657,6 +1865,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             import spark.implicits._
             sinkNames.toSeq.toDF("name")
           case DropTable(name) if mvs.get(name).isDefined =>
+            fenceChainedDependents(name, "DROP TABLE")
             mvs.drop(name)
             tableSchemas.remove(name)
             tableDefaults.remove(name)
@@ -1696,6 +1905,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             val t = SqlFrontend.sqlType(ctype)
             require(!tableSchemas(name).fieldNames.contains(cname),
               s"ALTER TABLE $name: column $cname already exists")
+            fenceChainedDependents(name, "ALTER TABLE")
             tableSchemas(name) = org.apache.spark.sql.types.StructType(
               tableSchemas(name).fields :+
                 org.apache.spark.sql.types.StructField(cname, t))
@@ -1706,6 +1916,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case AlterDropCol(name, cname) if tableSchemas.contains(name) =>
             require(tableSchemas(name).fieldNames.contains(cname),
               s"ALTER TABLE $name: no such column $cname")
+            fenceChainedDependents(name, "ALTER TABLE")
             require(!mvs.get(name).exists(_.primaryKey.contains(cname)),
               s"ALTER TABLE $name: cannot drop PRIMARY KEY column $cname")
             tableSchemas(name) = org.apache.spark.sql.types.StructType(
@@ -1887,69 +2098,22 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           }
         }
       } else {
-        // a chained-join MV is bucketed by its LEFT upstream's PK — the
+        // a chained-JOIN MV is bucketed by its LEFT upstream's PK — the
         // binding must match the on-disk layout (catalog, not mvs: the
-        // upstream may not have been re-defined yet at this point)
-        val bucketKeys = e.chainedFromRight.flatMap(_ => e.chainedFrom)
-          .flatMap(l => catalog.load[MvEntry]("mvs", l))
-          .map(_.pk).getOrElse(Seq.empty)
+        // upstream may not have been re-defined yet at this point).
+        // Union chains (unionall/unionagg) are bucketed by their OWN PK:
+        // binding them to the left PK here would route post-restart
+        // merges into different buckets than the pre-restart layout and
+        // duplicate rows on delete.
+        val bucketKeys = e.chainedFromRight
+          .filter(_ => !e.chainJoinType.exists(_.startsWith("union")))
+          .flatMap(_ => e.chainedFrom)
+          .flatMap(l => catalog.load[MvEntry]("mvs", l).map(_.pk)
+            .orElse(catalog.load[TableEntry]("tables", l).map(_.pk)))
+          .getOrElse(Seq.empty)
         val mv = mvs.define(name, e.pk, e.nBuckets, bucketKeys)
         if (e.streaming) e.query.foreach { q =>
-          recoverOrPark(s"mv:$name") {
-            val ckpt = mvs.checkpointDir(name)
-            if (java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt))) {
-              e.chainedFrom match {
-                case Some(upName) =>
-                  // MV-on-MV chain: re-tail the upstream changelog from
-                  // the original frontier — the checkpoint's file log
-                  // dedups epochs already absorbed, so no re-backfill
-                  val upMv = mvs.get(upName).getOrElse(
-                    throw new IllegalStateException(
-                      s"chained upstream $upName not yet recovered"))
-                  chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
-                  jobs(name) = (e.chainedFromRight, e.chainAggGroups) match {
-                    case (Some(rightName), _) =>
-                      val rightMv = mvs.get(rightName).getOrElse(
-                        throw new IllegalStateException(
-                          s"chained upstream $rightName not yet recovered"))
-                      chainDepth(name) = math.max(
-                        chainDepth.getOrElse(upName, 0),
-                        chainDepth.getOrElse(rightName, 0)) + 1
-                      if (e.chainJoinType.contains("unionall")) {
-                        val inc = new graft.streaming.IncrementalUnion(
-                          upMv, rightMv, mv, upMv.primaryKey,
-                          rightMv.primaryKey,
-                          chainJoinFn(name, q, upName, rightName) _)
-                        startChainedUnionJob(name, inc, upMv, rightMv,
-                          e.chainFrontier.getOrElse(-1L),
-                          e.chainFrontierRight.getOrElse(-1L))
-                      } else {
-                      val inc = new graft.streaming.IncrementalJoin(
-                        upMv, rightMv, mv, upMv.primaryKey,
-                        rightMv.primaryKey,
-                        chainJoinFn(name, q, upName, rightName) _,
-                        e.chainJoinType.getOrElse("inner"))
-                      startChainedJoinJob(name, inc, upMv, rightMv,
-                        e.chainFrontier.getOrElse(-1L),
-                        e.chainFrontierRight.getOrElse(-1L))
-                      }
-                    case (None, Some(groups)) => startChainedAggJob(name,
-                      mv, upMv, q, upName, groups,
-                      e.chainFrontier.getOrElse(-1L))
-                    case (None, None) => mv.start(
-                      chainTransform(name, q, upName)(
-                        upMv.changelogStreamFrom(e.chainFrontier.getOrElse(-1L))),
-                      ckpt, outputMode = e.outputMode)
-                  }
-                case None =>
-                  bindMvTables(q) // the MV may join engine-managed tables
-                  val result =
-                    spark.sql(Engine.TemporalJoinClause.replaceAllIn(q, ""))
-                  jobs(name) = mv.start(withChangelogOps(q, result), ckpt,
-                    outputMode = e.outputMode)
-              }
-            }
-          }
+          recoverOrPark(s"mv:$name") { resumeMvMaintenance(name, mv, e, q) }
         }
       }
     }

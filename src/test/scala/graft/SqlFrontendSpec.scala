@@ -256,6 +256,85 @@ class SqlFrontendSpec extends SparkSpecBase {
     intercept[Exception] { e.execute("DELETE FROM region WHERE r_regionkey = 0") }
   }
 
+  test("MVs over DML tables maintain incrementally (reference create-MV-over-table)") {
+    // the reference's core behavior: CREATE TABLE → CREATE MV over it →
+    // every INSERT/UPDATE/DELETE advances the MV without REFRESH.
+    // Tables publish DML as changelog epochs (Dml.mergeEpoch), so the
+    // MV-on-MV chain machinery subscribes to them like any upstream MV.
+    val wh = tmpDir("tblchain")
+    val e = new Engine(spark, wh)
+    e.execute("CREATE TABLE inv (id BIGINT PRIMARY KEY, cat STRING, qty BIGINT)")
+    // per-row chain + aggregate chain, both over the FRESH (never
+    // written) table — subscription must work before the first DML
+    e.execute(
+      """CREATE MATERIALIZED VIEW inv_big (PRIMARY KEY (id)) AS
+        |SELECT id, cat, qty FROM inv WHERE qty >= 10""".stripMargin)
+    e.execute(
+      """CREATE MATERIALIZED VIEW inv_by_cat (PRIMARY KEY (cat)) AS
+        |SELECT cat, count(*) AS n, sum(qty) AS total FROM inv GROUP BY cat""".stripMargin)
+    assert(e.streamingJob("inv_big").nonEmpty, "per-row MV over a table must chain")
+    assert(e.streamingJob("inv_by_cat").nonEmpty, "agg MV over a table must chain")
+
+    e.execute("INSERT INTO inv VALUES (1, 'a', 5), (2, 'a', 20), (3, 'b', 30)")
+    e.execute("FLUSH")
+    assert(e.table("inv_big").orderBy("id").as[(Long, String, Long)]
+      .collect().toSeq == Seq((2L, "a", 20L), (3L, "b", 30L)))
+    assert(e.table("inv_by_cat").orderBy("cat").as[(String, Long, Long)]
+      .collect().toSeq == Seq(("a", 2L, 25L), ("b", 1L, 30L)))
+
+    // UPDATE moving a row across BOTH the filter and the group — the
+    // U- before-image must retract id 1 from group 'a'
+    e.execute("UPDATE inv SET cat = 'b', qty = 50 WHERE id = 1")
+    e.execute("FLUSH")
+    assert(e.table("inv_big").orderBy("id").as[(Long, String, Long)]
+      .collect().toSeq == Seq((1L, "b", 50L), (2L, "a", 20L), (3L, "b", 30L)))
+    assert(e.table("inv_by_cat").orderBy("cat").as[(String, Long, Long)]
+      .collect().toSeq == Seq(("a", 1L, 20L), ("b", 2L, 80L)))
+
+    e.execute("DELETE FROM inv WHERE id = 3")
+    e.execute("FLUSH")
+    assert(e.table("inv_by_cat").orderBy("cat").as[(String, Long, Long)]
+      .collect().toSeq == Seq(("a", 1L, 20L), ("b", 1L, 50L)))
+
+    // restart: chains over tables must recover and keep absorbing DML
+    Seq("inv_big", "inv_by_cat").foreach(n => e.streamingJob(n).foreach(_.stop()))
+    val e2 = new Engine(spark.newSession(), wh)
+    assert(e2.recoveryPending.isEmpty, s"pending: ${e2.recoveryPending}")
+    e2.execute("INSERT INTO inv VALUES (4, 'c', 12)")
+    e2.execute("FLUSH")
+    assert(e2.table("inv_big").count() == 3)
+    assert(e2.table("inv_by_cat").orderBy("cat").as[(String, Long, Long)]
+      .collect().toSeq == Seq(("a", 1L, 20L), ("b", 1L, 50L), ("c", 1L, 12L)))
+    Seq("inv_big", "inv_by_cat").foreach(n => e2.streamingJob(n).foreach(_.stop()))
+  }
+
+  test("delta-join MV over two DML tables maintains incrementally") {
+    val e = new Engine(spark, tmpDir("tbljoin"))
+    e.execute("CREATE TABLE ordr (oid BIGINT PRIMARY KEY, ocid BIGINT, amt BIGINT)")
+    e.execute("CREATE TABLE cust (cid BIGINT PRIMARY KEY, nm STRING)")
+    e.execute(
+      """CREATE MATERIALIZED VIEW ord_cust (PRIMARY KEY (oid, cid)) AS
+        |SELECT oid, cid, amt, nm FROM ordr JOIN cust ON ordr.ocid = cust.cid""".stripMargin)
+    assert(e.streamingJob("ord_cust").nonEmpty, "join MV over tables must chain")
+    e.execute("INSERT INTO cust VALUES (10, 'ann'), (20, 'bob')")
+    e.execute("INSERT INTO ordr VALUES (1, 10, 100), (2, 20, 200), (3, 30, 300)")
+    e.execute("FLUSH")
+    assert(e.table("ord_cust").orderBy("oid").as[(Long, Long, Long, String)]
+      .collect().toSeq == Seq((1L, 10L, 100L, "ann"), (2L, 20L, 200L, "bob")))
+    // late-arriving dimension row joins order 3; customer rename flows
+    e.execute("INSERT INTO cust VALUES (30, 'cyd')")
+    e.execute("UPDATE cust SET nm = 'ANN' WHERE cid = 10")
+    e.execute("FLUSH")
+    assert(e.table("ord_cust").orderBy("oid").as[(Long, Long, Long, String)]
+      .collect().toSeq == Seq(
+        (1L, 10L, 100L, "ANN"), (2L, 20L, 200L, "bob"), (3L, 30L, 300L, "cyd")))
+    e.execute("DELETE FROM ordr WHERE oid = 2")
+    e.execute("FLUSH")
+    assert(e.table("ord_cust").as[(Long, Long, Long, String)].collect().toSeq
+      .sortBy(_._1) == Seq((1L, 10L, 100L, "ANN"), (3L, 30L, 300L, "cyd")))
+    e.streamingJob("ord_cust").foreach(_.stop())
+  }
+
   test("FLUSH blocks until streaming MVs absorb all available input") {
     val e = new Engine(spark, tmpDir("sqlflush"))
     val srcDir = tmpDir("sqlflush-src")
@@ -1073,6 +1152,63 @@ class SqlFrontendSpec extends SparkSpecBase {
 
     Seq("bd_a", "bd_b", "bd_j", "bd_lj")
       .foreach(n => e.streamingJob(n).foreach(_.stop()))
+  }
+
+  test("UNION DISTINCT and aggregate-over-UNION-ALL chain as one MV") {
+    // UNION DISTINCT ≡ GROUP BY every output column (the reference's
+    // union_to_distinct rewrite) — maintained by IncrementalUnionAgg's
+    // touched-group recompute over both upstream stores; the general
+    // form (any grouped aggregate over a 2-input UNION ALL) chains the
+    // same way. Upstreams here are DML TABLES, so this also covers the
+    // two-input chain-over-table path.
+    val wh = tmpDir("uniagg")
+    val e = new Engine(spark, wh)
+    e.execute("CREATE TABLE ua (id BIGINT PRIMARY KEY, k BIGINT, x BIGINT)")
+    e.execute("CREATE TABLE ub (id BIGINT PRIMARY KEY, k BIGINT, x BIGINT)")
+    e.execute(
+      """CREATE MATERIALIZED VIEW ud (PRIMARY KEY (k)) AS
+        |SELECT k FROM ua UNION SELECT k FROM ub""".stripMargin)
+    e.execute(
+      """CREATE MATERIALIZED VIEW usum (PRIMARY KEY (k)) AS
+        |SELECT k, count(*) AS n, sum(x) AS sx FROM
+        |(SELECT k, x FROM ua UNION ALL SELECT k, x * 10 AS x FROM ub) u
+        |GROUP BY k""".stripMargin)
+    assert(e.streamingJob("ud").nonEmpty, "UNION DISTINCT must chain")
+    assert(e.streamingJob("usum").nonEmpty, "agg over UNION ALL must chain")
+
+    e.execute("INSERT INTO ua VALUES (1, 1, 5), (2, 2, 7)")
+    e.execute("INSERT INTO ub VALUES (1, 2, 3), (2, 3, 4)")
+    e.execute("FLUSH")
+    assert(e.table("ud").orderBy("k").as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    assert(e.table("usum").orderBy("k").as[(Long, Long, Long)].collect().toSeq ==
+      Seq((1L, 1L, 5L), (2L, 2L, 37L), (3L, 1L, 40L)))
+
+    // group-moving update on one side: k 3 retracts, k 9 appears
+    e.execute("UPDATE ub SET k = 9 WHERE id = 2")
+    e.execute("FLUSH")
+    assert(e.table("ud").orderBy("k").as[Long].collect().toSeq == Seq(1L, 2L, 9L))
+    assert(e.table("usum").orderBy("k").as[(Long, Long, Long)].collect().toSeq ==
+      Seq((1L, 1L, 5L), (2L, 2L, 37L), (9L, 1L, 40L)))
+
+    // delete empties group 1 entirely — its aggregate row must retract
+    e.execute("DELETE FROM ua WHERE id = 1")
+    e.execute("FLUSH")
+    assert(e.table("ud").orderBy("k").as[Long].collect().toSeq == Seq(2L, 9L))
+    assert(e.table("usum").orderBy("k").as[(Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 2L, 37L), (9L, 1L, 40L)))
+
+    // restart, then delete a PRE-restart row: the recovered chain must
+    // retract it (also proves the recovered bucket layout matches the
+    // creation-time layout — a left-PK binding would silently duplicate)
+    Seq("ud", "usum").foreach(n => e.streamingJob(n).foreach(_.stop()))
+    val e2 = new Engine(spark.newSession(), wh)
+    assert(e2.recoveryPending.isEmpty, s"pending: ${e2.recoveryPending}")
+    e2.execute("DELETE FROM ub WHERE id = 1")
+    e2.execute("FLUSH")
+    assert(e2.table("ud").orderBy("k").as[Long].collect().toSeq == Seq(2L, 9L))
+    assert(e2.table("usum").orderBy("k").as[(Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 1L, 7L), (9L, 1L, 40L)))
+    Seq("ud", "usum").foreach(n => e2.streamingJob(n).foreach(_.stop()))
   }
 
   test("three-way streaming join: a join MV joins a third MV (join-on-join)") {
