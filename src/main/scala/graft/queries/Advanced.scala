@@ -201,6 +201,47 @@ object Advanced extends QueryPack {
         .orderBy("l_returnflag")
     },
 
+    // SQL DML lifecycle + incrementally-chained MV, DuckDB-checked: a
+    // table seeded from nation (CTAS) takes an INSERT, a group-moving
+    // UPDATE (U-/U+ image pair) and a DELETE through the engine's DML
+    // path while a chained aggregate MV maintains continuously; the
+    // final MV content must equal DuckDB evaluating the same statement
+    // sequence declaratively. reference: handler/create_table.rs +
+    // src/stream/src/executor/dml.rs (table DML feeds downstream MVs).
+    qDir("q_dml_chain",
+      """WITH base AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |         CAST(n_regionkey AS BIGINT) AS r FROM nation
+        |  UNION ALL SELECT 100, 1 UNION ALL SELECT 101, 2
+        |), upd AS (
+        |  SELECT k, CASE WHEN k % 4 = 1 THEN (r + 1) % 5 ELSE r END AS r
+        |  FROM base
+        |), fin AS (
+        |  SELECT k, r FROM upd WHERE k % 5 <> 3
+        |)
+        |SELECT r AS n_regionkey, CAST(count(*) AS BIGINT) AS n
+        |FROM fin GROUP BY r ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("q_dml_chain").toString
+      val e = new graft.Engine(s, wh)
+      e.attachTables(dir)
+      e.execute(
+        """CREATE TABLE dml_nat (PRIMARY KEY (n_nationkey)) AS
+          |SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+          |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin)
+      e.execute(
+        """CREATE MATERIALIZED VIEW dml_nat_cnt (PRIMARY KEY (n_regionkey)) AS
+          |SELECT n_regionkey, count(*) AS n FROM dml_nat GROUP BY n_regionkey""".stripMargin)
+      e.execute("INSERT INTO dml_nat VALUES (100, 1), (101, 2)")
+      e.execute("UPDATE dml_nat SET n_regionkey = (n_regionkey + 1) % 5 " +
+        "WHERE n_nationkey % 4 = 1")
+      e.execute("DELETE FROM dml_nat WHERE n_nationkey % 5 = 3")
+      e.execute("FLUSH")
+      e.streamingJob("dml_nat_cnt").foreach(_.stop())
+      e.table("dml_nat_cnt")
+        .select(col("n_regionkey"), col("n").cast(LongType).as("n"))
+        .orderBy("n_regionkey")
+    },
+
     // CREATE AGGREGATE aggregates called from plain SQL text (reference:
     // handler/create_aggregate.rs) — estimates checked against exact
     // aggregates computed in the same query, sketch-oracle style. The

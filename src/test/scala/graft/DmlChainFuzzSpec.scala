@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import scala.util.Random
+
+/** Differential fuzzing of SQL DML against incrementally-chained MVs —
+  * the missing dimension between DifferentialFuzzSpec (batch SQL vs
+  * DuckDB) and StreamingChainFuzzSpec (source-fed chains vs batch
+  * recompute): here the statements are the reference's actual write
+  * path (INSERT / UPDATE ... SET / DELETE, including PK-changing
+  * updates whose U-/U+ image pair must relocate rows), the upstream is
+  * a user TABLE, and the chains are MVs created over that table.
+  *
+  * Two independent oracles per scenario, checked after every FLUSH:
+  *   1. the TABLE itself vs an in-memory model that re-implements each
+  *      statement's semantics from scratch (catches DML application
+  *      bugs — the same check DuckDB would make running the statements);
+  *   2. every chained MV vs a batch recompute of its defining query
+  *      over its upstream's actual storage (catches retraction bugs in
+  *      the chain maintenance).
+  *
+  * Scenarios are grouped several-per-engine with interleaved DML and a
+  * SHARED FLUSH — concurrent chains over different tables in one
+  * session is itself an adversarial shape (cross-chain temp-view or
+  * state leaks fail the other scenario's check).
+  */
+class DmlChainFuzzSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val Words = Vector("ash", "bay", "cod", "dew", "elm", "fog", "gum", "hay")
+
+  private case class Row3(g: Long, v: Long, text: String)
+
+  /** One fuzz scenario: a table, its model, its MV stack. */
+  private final class Scenario(val seed: Int, e: Engine) {
+    val r = new Random(seed)
+    val t = s"dft_$seed"
+    val model = scala.collection.mutable.Map[Long, Row3]()
+    private var nextId = 0L
+    // (mvName, upstreamName, definingSql)
+    val defs = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+
+    private def freshId(): Long = { nextId += 1; nextId }
+    private def randRow(): Row3 = Row3(r.nextInt(3).toLong, r.nextInt(20).toLong,
+      Seq.fill(1 + r.nextInt(3))(Words(r.nextInt(Words.length))).mkString(" "))
+
+    def create(): Unit = {
+      e.execute(s"CREATE TABLE $t (id BIGINT PRIMARY KEY, g BIGINT, v BIGINT, text STRING)")
+      // random MV stack of depth 1-2 over the table
+      val first = r.nextInt(4) match {
+        case 0 => ("perrow", "(id)", s"SELECT id, g, v, text FROM $t WHERE v % 3 <> 0")
+        case 1 => ("agg", "(g)", s"SELECT g, count(*) AS n, sum(v) AS sv FROM $t GROUP BY g")
+        case 2 => ("aggexpl", "(tok)", s"SELECT tok, count(*) AS n FROM $t " +
+          "LATERAL VIEW explode(split(text, ' ')) x AS tok GROUP BY tok")
+        case 3 => ("hagg", "(g)", s"SELECT g, count(*) AS n, sum(v) AS sv FROM $t " +
+          "GROUP BY g HAVING max(v) >= 8")
+      }
+      val n1 = s"dfm_${seed}_0"
+      e.execute(s"CREATE MATERIALIZED VIEW $n1 (PRIMARY KEY ${first._2}) AS ${first._3}")
+      defs += ((n1, t, first._3))
+      // stack a second layer where columns allow
+      val second = first._1 match {
+        case "perrow" => r.nextInt(3) match {
+          case 0 => Some(("(g)", s"SELECT g, count(*) AS n, sum(v) AS sv FROM $n1 GROUP BY g"))
+          case 1 => Some(("(id)", s"SELECT id, g, v * 2 AS v2 FROM $n1"))
+          case _ => Some(("(tok)", s"SELECT tok, count(*) AS n FROM $n1 " +
+            "LATERAL VIEW explode(split(text, ' ')) x AS tok GROUP BY tok"))
+        }
+        case "agg" | "hagg" if r.nextBoolean() =>
+          Some(("(n)", s"SELECT n, count(*) AS c, sum(sv) AS ssv FROM ${n1} GROUP BY n"))
+        case _ => None
+      }
+      second.foreach { case (pk, sql) =>
+        val n2 = s"dfm_${seed}_1"
+        e.execute(s"CREATE MATERIALIZED VIEW $n2 (PRIMARY KEY $pk) AS $sql")
+        defs += ((n2, n1, sql))
+      }
+      defs.foreach { case (n, _, _) =>
+        assert(e.streamingJob(n).nonEmpty,
+          s"seed $seed: $n did not chain continuously over the DML table")
+      }
+    }
+
+    /** Issue one random burst of 1-3 DML statements, mirroring each into
+      * the model with independently re-implemented semantics.
+      */
+    def burst(): Unit = for (_ <- 0 until 1 + r.nextInt(3)) r.nextInt(7) match {
+      case 0 | 1 => // multi-row INSERT
+        val rows = Seq.fill(1 + r.nextInt(3)) { val id = freshId(); (id, randRow()) }
+        rows.foreach { case (id, row) => model(id) = row }
+        e.execute(s"INSERT INTO $t VALUES " + rows.map { case (id, Row3(g, v, tx)) =>
+          s"($id, $g, $v, '$tx')" }.mkString(", "))
+      case 2 => // value update keyed on a group predicate
+        val c = r.nextInt(3)
+        e.execute(s"UPDATE $t SET v = v + 7 WHERE g = $c")
+        model.mapValuesInPlace { case (_, row) =>
+          if (row.g == c) row.copy(v = row.v + 7) else row
+        }
+      case 3 => // group-moving update keyed on a value predicate
+        e.execute(s"UPDATE $t SET g = (g + 1) % 3 WHERE v % 5 = 0")
+        model.mapValuesInPlace { case (_, row) =>
+          if (row.v % 5 == 0) row.copy(g = (row.g + 1) % 3) else row
+        }
+      case 4 if model.nonEmpty => // PK-CHANGING update of one row
+        val id = model.keys.toSeq.sorted.apply(r.nextInt(model.size))
+        e.execute(s"UPDATE $t SET id = id + 1000 WHERE id = $id")
+        model.remove(id).foreach(row => model(id + 1000) = row)
+      case 5 => // text rewrite (changes downstream explode cardinality)
+        val tx = Seq.fill(1 + r.nextInt(2))(Words(r.nextInt(Words.length))).mkString(" ")
+        e.execute(s"UPDATE $t SET text = '$tx' WHERE id % 4 = 1")
+        model.mapValuesInPlace { case (id, row) =>
+          if (id % 4 == 1) row.copy(text = tx) else row
+        }
+      case 6 => // predicate delete
+        val m = 2 + r.nextInt(3)
+        val c = r.nextInt(m)
+        e.execute(s"DELETE FROM $t WHERE v % $m = $c")
+        model.filterInPlace { case (_, row) => row.v % m != c }
+      case _ => // model empty for case 4: fall back to a single insert
+        val id = freshId(); val row = randRow()
+        model(id) = row
+        e.execute(s"INSERT INTO $t VALUES ($id, ${row.g}, ${row.v}, '${row.text}')")
+    }
+
+    private def sortedRows(df: DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).toSeq.sorted
+    }
+
+    def check(tag: String): Unit = {
+      // oracle 1: table contents vs the independent statement model
+      val got = e.table(t).as[(Long, Long, Long, String)].collect().toSeq.sorted
+      val want = model.toSeq.map { case (id, Row3(g, v, tx)) => (id, g, v, tx) }.sorted
+      assert(got == want, s"seed $seed $tag: table diverged from DML model\n" +
+        s"got:  $got\nwant: $want")
+      // oracle 2: each chained MV vs batch recompute over its upstream
+      defs.foreach { case (name, up, sql) =>
+        val view = s"__dfz_oracle_$seed"
+        e.table(up).createOrReplaceTempView(view)
+        val expect = spark.sql(sql.replaceAll(
+          "(?i)\\b" + java.util.regex.Pattern.quote(up) + "\\b", view))
+        assert(sortedRows(e.table(name)) == sortedRows(expect),
+          s"seed $seed $tag: $name diverged from batch recompute")
+      }
+    }
+
+    def stop(): Unit = defs.foreach { case (n, _, _) =>
+      e.streamingJob(n).foreach(_.stop())
+    }
+  }
+
+  // 100 seeded scenarios, 5 per engine with interleaved bursts and a
+  // shared FLUSH — override the count with SPARK_GRAFT_DMLFUZZ_N
+  private val totalSeeds = sys.env.getOrElse("SPARK_GRAFT_DMLFUZZ_N", "100").toInt
+  private val PerGroup = 5
+
+  for (group <- 0 until (totalSeeds + PerGroup - 1) / PerGroup) {
+    val seeds = (0 until PerGroup).map(i => 1000 + group * PerGroup + i)
+      .take(totalSeeds - group * PerGroup)
+    test(s"DML chain fuzz seeds ${seeds.head}..${seeds.last}") {
+      val e = new Engine(spark, tmpDir(s"dmlfuzz$group"))
+      val scens = seeds.map(new Scenario(_, e))
+      scens.foreach(_.create())
+      for (round <- 0 until 2) {
+        scens.foreach(_.burst())
+        e.execute("FLUSH")
+        scens.foreach(_.check(s"round $round"))
+      }
+      scens.foreach(_.stop())
+    }
+  }
+}

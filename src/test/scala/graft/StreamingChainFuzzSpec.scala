@@ -281,6 +281,20 @@ class StreamingChainFuzzSpec extends SparkSpecBase {
         e.execute(s"CREATE MATERIALIZED VIEW $n (PRIMARY KEY (src, id)) AS $sql")
         defs += ((n, Seq(an, bn), sql))
         (n, Set("src", "id", "k", "x"))
+      case "uniondistinct" => // UNION DISTINCT ≡ group-by-all (IncrementalUnionAgg)
+        val n = s"fz2_udist_$seed"
+        val sql = s"SELECT k, v FROM $an UNION SELECT bk AS k, w AS v FROM $bn"
+        e.execute(s"CREATE MATERIALIZED VIEW $n (PRIMARY KEY (k, v)) AS $sql")
+        defs += ((n, Seq(an, bn), sql))
+        (n, Set("k", "v"))
+      case "unionagg" => // grouped aggregate over UNION ALL in one MV
+        val n = s"fz2_uagg2_$seed"
+        val sql = s"SELECT k, count(*) AS n, sum(x) AS sx FROM " +
+          s"(SELECT k, v AS x FROM $an UNION ALL " +
+          s"SELECT bk AS k, w * 2 AS x FROM $bn) z GROUP BY k"
+        e.execute(s"CREATE MATERIALIZED VIEW $n (PRIMARY KEY (k)) AS $sql")
+        defs += ((n, Seq(an, bn), sql))
+        (n, Set("k", "n", "sx"))
       case jt0 => // INNER | LEFT | RIGHT | FULL delta join, optionally _BAND
         val banded = jt0.endsWith("_BAND")
         val jt = jt0.stripSuffix("_BAND")
@@ -312,6 +326,9 @@ class StreamingChainFuzzSpec extends SparkSpecBase {
             s"SELECT k, count(*) AS n, sum(x) AS sx FROM $upName GROUP BY k"),
           ("urow", "(src, id)",
             s"SELECT src, id, k, x FROM $upName WHERE x % 3 <> 0"))
+        else if (upCols == Set("k", "v")) Seq(
+          ("kvagg", "(k)",
+            s"SELECT k, count(*) AS nk, sum(v) AS sv FROM $upName GROUP BY k"))
         else if (upCols.contains("n")) Seq(
           ("nagg", "(n)", s"SELECT n, count(*) AS c FROM $upName GROUP BY n"))
         else Seq.empty
@@ -326,6 +343,7 @@ class StreamingChainFuzzSpec extends SparkSpecBase {
           case "jrow" => Set("id", "oid", "jk", "s")
           case "uagg" => Set("k", "n", "sx")
           case "urow" => Set("src", "id", "k", "x")
+          case "kvagg" => Set("k", "nk", "sv")
           case "nagg" => Set("n", "c")
         }
       }
@@ -376,7 +394,8 @@ class StreamingChainFuzzSpec extends SparkSpecBase {
 
   for ((topo, seed) <- Seq("INNER" -> 101, "LEFT" -> 103, "RIGHT" -> 107,
       "FULL" -> 109, "union" -> 113, "union" -> 127,
-      "INNER_BAND" -> 131, "LEFT_BAND" -> 137, "FULL_BAND" -> 139)) {
+      "INNER_BAND" -> 131, "LEFT_BAND" -> 137, "FULL_BAND" -> 139,
+      "uniondistinct" -> 149, "unionagg" -> 151)) {
     test(s"random $topo two-input chain matches batch recompute (seed $seed)") {
       runTwoInputScenario(seed, topo)
     }
