@@ -126,7 +126,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val tableObjs = tableSchemas.keys.toSeq.sorted.map(n =>
       SystemCatalog.Obj(n, "r", Some(tableSchemas(n))))
     val mvObjs = mvs.list
-      .filterNot(n => tableSchemas.contains(n) || n.endsWith("__base"))
+      .filterNot(n => tableSchemas.contains(n) || n.endsWith("__base") ||
+        n.contains("__casc"))
       .map(n => SystemCatalog.Obj(n, "m", schemaOf(table(n))))
     val viewObjs = catalog.list[DurableCatalog.ViewEntry]("views")
       .map { case (n, _) => SystemCatalog.Obj(n, "v", schemaOf(spark.table(n))) }
@@ -1112,6 +1113,118 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     }
   }
 
+  /** N-way (≥3) INNER join MV decomposed into a cascade of binary delta
+    * joins — how the reference plans multi-way streaming joins (a tree
+    * of binary StreamHashJoins, proto/stream_plan.proto: every join
+    * node is binary; the frontend's multi-join reorder emits a
+    * left-deep binary tree). Each internal step
+    * `<name>__casc<k>` is created through the NORMAL execute() path, so
+    * it gets the full binary-chain machinery and validation (equi
+    * prefix, PK = side-PK union, restart recovery); the user-visible MV
+    * is the last binary join. Internal steps carry only the columns the
+    * remaining joins/output need, plus every leaf PK.
+    *
+    * Envelope (else None → the caller's batch-refresh fence): left-deep
+    * spine of plain relations, all INNER with conditions, every leaf
+    * chain-subscribable, every referenced column name unique across the
+    * leaves (the rewrite unqualifies references — `a.k` would
+    * dangle once `a` is folded into a cascade step), declared PK =
+    * union of all leaf PKs, no SELECT *.
+    */
+  private def createCascadedJoinMv(name: String, pk: Seq[String],
+      query: String): Option[DataFrame] = try {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical._
+
+    val parsed = spark.sessionState.sqlParser.parsePlan(query)
+    val (selectList, afterProj) = parsed match {
+      case Project(list, child) => (list, child)
+      case _ => return None
+    }
+    if (selectList.exists(_.exists(_.isInstanceOf[UnresolvedStar]))) return None
+    val (whereOpt, joinTree) = afterProj match {
+      case Filter(cond, child) => (Some(cond), child)
+      case child => (None, child)
+    }
+    // left-deep inner spine over plain relations
+    def spine(p: LogicalPlan): Option[(Seq[String], Seq[Expression])] = p match {
+      case j: Join if j.joinType == Inner && j.condition.isDefined =>
+        val rname = j.right match {
+          case u: UnresolvedRelation => u.multipartIdentifier.last
+          case _ => return None
+        }
+        spine(j.left).map { case (rels, conds) =>
+          (rels :+ rname, conds :+ j.condition.get)
+        }
+      case u: UnresolvedRelation => Some((Seq(u.multipartIdentifier.last), Nil))
+      case _ => None
+    }
+    val (rels, conds) = spine(joinTree).getOrElse(return None)
+    val n = rels.size
+    if (n < 3 || rels.distinct.size != n) return None
+    val leafPk = rels.map(r => r -> chainableSourcePk(r).getOrElse(return None)).toMap
+    if (pk.toSet != rels.flatMap(leafPk).toSet) return None
+    val colsOf = rels.map(r => r -> table(r).columns.toSet).toMap
+
+    def refs(e: Expression): Seq[String] =
+      e.collect { case ua: UnresolvedAttribute => ua.nameParts.last }
+    val needed = (selectList.flatMap(refs) ++ conds.flatMap(refs) ++
+      whereOpt.toSeq.flatMap(refs) ++ rels.flatMap(leafPk)).distinct
+    // every needed name must live in exactly ONE leaf — the rewrite
+    // drops qualifiers, so an ambiguous name would silently re-bind
+    if (!needed.forall(nm => rels.count(r => colsOf(r)(nm)) == 1)) return None
+
+    def unq(e: Expression): Expression = e.transformUp {
+      case ua: UnresolvedAttribute => UnresolvedAttribute(Seq(ua.nameParts.last))
+    }
+    def renderItem(e: Expression): String = e match {
+      case al: Alias => s"${unq(al.child).sql} AS ${al.name}"
+      case ua: UnresolvedAttribute => unq(ua).sql
+      case UnresolvedAlias(child, _) => unq(child).sql
+      case other => unq(other).sql
+    }
+
+    val created = scala.collection.mutable.ArrayBuffer[String]()
+    def rollback(): Unit = created.reverse.foreach { c =>
+      jobs.remove(c).foreach(_.stop())
+      mvs.drop(c)
+      catalog.delete("mvs", c)
+      spark.catalog.dropTempView(c)
+    }
+    try {
+      var curName = rels.head
+      var curCols = colsOf(rels.head)
+      for (i <- 1 until n - 1) {
+        val step = s"${name}__casc$i"
+        val carry = needed.filter(nm => curCols(nm) || colsOf(rels(i))(nm))
+        val stepPk = rels.take(i + 1).flatMap(leafPk)
+        execute(s"CREATE MATERIALIZED VIEW $step " +
+          s"(PRIMARY KEY (${stepPk.mkString(", ")})) AS " +
+          s"SELECT ${carry.map(c => s"`$c`").mkString(", ")} " +
+          s"FROM $curName JOIN ${rels(i)} ON ${unq(conds(i - 1)).sql}")
+        created += step
+        if (streamingJob(step).isEmpty)
+          throw new IllegalStateException(s"cascade step $step did not chain")
+        curName = step
+        curCols = carry.toSet
+      }
+      val finalSql = s"SELECT ${selectList.map(renderItem).mkString(", ")} " +
+        s"FROM $curName JOIN ${rels(n - 1)} ON ${unq(conds(n - 2)).sql}" +
+        whereOpt.map(w => s" WHERE ${unq(w).sql}").getOrElse("")
+      val out = execute(s"CREATE MATERIALIZED VIEW $name " +
+        s"(PRIMARY KEY (${pk.mkString(", ")})) AS $finalSql")
+      if (streamingJob(name).isEmpty) {
+        created += name
+        throw new IllegalStateException(s"cascade tail $name did not chain")
+      }
+      Some(out)
+    } catch {
+      case scala.util.control.NonFatal(_) => rollback(); None
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   private val AlterRename =
     """(?is)\s*ALTER\s+(TABLE|MATERIALIZED\s+VIEW)\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*;?\s*""".r
 
@@ -1778,6 +1891,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               case Some((leftName, rightName, groupCols)) =>
                 createChainedAggUnionMv(name, pk, query, leftName, rightName,
                   groupCols)
+              case None => createCascadedJoinMv(name, pk, query) match {
+              case Some(df) => df
               case None =>
                 // explicit fence (reference delta-join boundary): a query
                 // over STREAMING upstreams that no incremental-chain shape
@@ -1796,7 +1911,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
                     s"MATERIALIZED VIEW $name to update")
                 refreshMaterializedView(name, pk, result,
                   queryText = Some(query)).read()
-            } } } } } }
+            } } } } } } }
           }
         case None if SqlFrontend.isRecursiveCte(statement) =>
           SqlFrontend.executeRecursive(spark, statement)
@@ -1812,6 +1927,15 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             // the bindMvTables temp view must die with the definition, or
             // the dropped MV stays silently queryable with stale data
             spark.catalog.dropTempView(name)
+            // cascade-join internals die with their user-visible MV
+            // (reverse order — step k+1 chains from step k)
+            mvs.list.filter(_.startsWith(s"${name}__casc"))
+              .sorted.reverse.foreach { c =>
+                jobs.remove(c).foreach(_.stop())
+                mvs.drop(c)
+                catalog.delete("mvs", c)
+                spark.catalog.dropTempView(c)
+              }
             statusDf("DROP MATERIALIZED VIEW", name)
           case DropSink(name) =>
             jobs.remove(name).foreach(_.stop())
@@ -1820,7 +1944,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             statusDf("DROP SINK", name)
           case ShowMv() =>
             import spark.implicits._
-            mvs.list.filterNot(_.endsWith("__base")).toDF("name")
+            mvs.list.filterNot(n => n.endsWith("__base") ||
+              n.contains("__casc")).toDF("name")
           case ShowCreate(kind, name) => showCreate(kind, name)
           case ShowSources() =>
             import spark.implicits._

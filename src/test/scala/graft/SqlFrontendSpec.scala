@@ -1211,6 +1211,84 @@ class SqlFrontendSpec extends SparkSpecBase {
     Seq("ud", "usum").foreach(n => e2.streamingJob(n).foreach(_.stop()))
   }
 
+  test("N-way inner join MV decomposes into cascaded binary delta joins") {
+    // the reference plans multi-way streaming joins as a tree of BINARY
+    // StreamHashJoins; here a 3-way join in ONE statement decomposes
+    // into an internal binary chain step (__casc1) plus the visible MV,
+    // each maintained by the ordinary delta-join machinery.
+    val wh = tmpDir("casc")
+    val e = new Engine(spark, wh)
+    e.execute("CREATE TABLE c_ord (oid BIGINT PRIMARY KEY, ocid BIGINT, opid BIGINT, amt BIGINT)")
+    e.execute("CREATE TABLE c_cust (cid BIGINT PRIMARY KEY, cname STRING)")
+    e.execute("CREATE TABLE c_part (pid BIGINT PRIMARY KEY, pname STRING)")
+    e.execute(
+      """CREATE MATERIALIZED VIEW c_wide (PRIMARY KEY (oid, cid, pid)) AS
+        |SELECT oid, cid, pid, amt * 2 AS amt2, cname, pname
+        |FROM c_ord JOIN c_cust ON c_ord.ocid = c_cust.cid
+        |           JOIN c_part ON c_ord.opid = c_part.pid
+        |WHERE amt > 0""".stripMargin)
+    assert(e.streamingJob("c_wide").nonEmpty, "3-way join MV must chain")
+    assert(e.streamingJob("c_wide__casc1").nonEmpty, "internal step must chain")
+    assert(!e.execute("SHOW MATERIALIZED VIEWS").as[String].collect()
+      .exists(_.contains("__casc")), "internal steps must not be listed")
+
+    e.execute("INSERT INTO c_cust VALUES (10, 'a'), (20, 'b')")
+    e.execute("INSERT INTO c_part VALUES (100, 'x'), (200, 'y')")
+    e.execute("INSERT INTO c_ord VALUES (1, 10, 100, 5), (2, 20, 200, 7), (3, 10, 200, 0)")
+    e.execute("FLUSH")
+    def rows(en: Engine) = en.table("c_wide").orderBy("oid")
+      .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    assert(rows(e) == Seq(
+      (1L, 10L, 100L, 10L, "a", "x"), (2L, 20L, 200L, 14L, "b", "y")))
+
+    // dimension update flows through the cascade; fact delete retracts
+    e.execute("UPDATE c_cust SET cname = 'A' WHERE cid = 10")
+    e.execute("DELETE FROM c_ord WHERE oid = 2")
+    e.execute("INSERT INTO c_ord VALUES (4, 20, 100, 1)")
+    e.execute("FLUSH")
+    assert(rows(e) == Seq(
+      (1L, 10L, 100L, 10L, "A", "x"), (4L, 20L, 100L, 2L, "b", "x")))
+
+    // restart re-wires the whole cascade
+    Seq("c_wide", "c_wide__casc1").foreach(n => e.streamingJob(n).foreach(_.stop()))
+    val e2 = new Engine(spark.newSession(), wh)
+    assert(e2.recoveryPending.isEmpty, s"pending: ${e2.recoveryPending}")
+    e2.execute("INSERT INTO c_part VALUES (300, 'z')")
+    e2.execute("INSERT INTO c_ord VALUES (5, 10, 300, 3)")
+    e2.execute("FLUSH")
+    assert(rows(e2) == Seq(
+      (1L, 10L, 100L, 10L, "A", "x"), (4L, 20L, 100L, 2L, "b", "x"),
+      (5L, 10L, 300L, 6L, "A", "z")))
+
+    // DROP removes the internal steps with the visible MV
+    e2.execute("DROP MATERIALIZED VIEW c_wide")
+    assert(e2.mvs.get("c_wide").isEmpty && e2.mvs.get("c_wide__casc1").isEmpty)
+
+    // 4-way: two internal steps, last join keyed on the FIRST table's PK
+    // (carried through both cascade levels)
+    e2.execute("CREATE TABLE c_shp (sid BIGINT PRIMARY KEY, soid BIGINT, carrier STRING)")
+    e2.execute(
+      """CREATE MATERIALIZED VIEW c_wide4 (PRIMARY KEY (oid, cid, pid, sid)) AS
+        |SELECT oid, cid, pid, sid, carrier, cname
+        |FROM c_ord JOIN c_cust ON c_ord.ocid = c_cust.cid
+        |           JOIN c_part ON c_ord.opid = c_part.pid
+        |           JOIN c_shp ON c_shp.soid = c_ord.oid""".stripMargin)
+    assert(e2.streamingJob("c_wide4__casc1").nonEmpty &&
+      e2.streamingJob("c_wide4__casc2").nonEmpty &&
+      e2.streamingJob("c_wide4").nonEmpty, "4-way cascade must chain")
+    e2.execute("INSERT INTO c_shp VALUES (7, 1, 'UPS'), (8, 5, 'DHL')")
+    e2.execute("FLUSH")
+    def rows4 = e2.table("c_wide4").orderBy("oid")
+      .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    assert(rows4 == Seq(
+      (1L, 10L, 100L, 7L, "UPS", "A"), (5L, 10L, 300L, 8L, "DHL", "A")))
+    e2.execute("DELETE FROM c_shp WHERE sid = 7")
+    e2.execute("FLUSH")
+    assert(rows4 == Seq((5L, 10L, 300L, 8L, "DHL", "A")))
+    e2.execute("DROP MATERIALIZED VIEW c_wide4")
+    assert(e2.mvs.get("c_wide4__casc2").isEmpty)
+  }
+
   test("three-way streaming join: a join MV joins a third MV (join-on-join)") {
     val wh = tmpDir("join3")
     val e = new Engine(spark, wh)
