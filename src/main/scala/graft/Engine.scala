@@ -1125,11 +1125,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * remaining joins/output need, plus every leaf PK.
     *
     * Envelope (else None → the caller's batch-refresh fence): left-deep
-    * spine of plain relations, all INNER with conditions, every leaf
-    * chain-subscribable, every referenced column name unique across the
-    * leaves (the rewrite unqualifies references — `a.k` would
-    * dangle once `a` is folded into a cascade step), declared PK =
-    * union of all leaf PKs, no SELECT *.
+    * spine of plain relations, every step INNER/LEFT/RIGHT/FULL with a
+    * condition (outer steps compose exactly as the left-deep SQL
+    * reads), every leaf chain-subscribable, every referenced column
+    * name unique across the leaves (the rewrite unqualifies references
+    * — `a.k` would dangle once `a` is folded into a cascade step),
+    * declared PK = union of all leaf PKs, no SELECT *.
     */
   private def createCascadedJoinMv(name: String, pk: Seq[String],
       query: String): Option[DataFrame] = try {
@@ -1148,20 +1149,34 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case Filter(cond, child) => (Some(cond), child)
       case child => (None, child)
     }
-    // left-deep inner spine over plain relations
-    def spine(p: LogicalPlan): Option[(Seq[String], Seq[Expression])] = p match {
-      case j: Join if j.joinType == Inner && j.condition.isDefined =>
-        val rname = j.right match {
-          case u: UnresolvedRelation => u.multipartIdentifier.last
-          case _ => return None
-        }
-        spine(j.left).map { case (rels, conds) =>
-          (rels :+ rname, conds :+ j.condition.get)
-        }
-      case u: UnresolvedRelation => Some((Seq(u.multipartIdentifier.last), Nil))
-      case _ => None
-    }
-    val (rels, conds) = spine(joinTree).getOrElse(return None)
+    // left-deep spine over plain relations; each step keeps its own
+    // join type — outer steps compose exactly as the left-deep SQL
+    // reads, and every binary step's chain machinery handles all four
+    // types (null-extension repair included)
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter, RightOuter}
+    def kindSql(jt: org.apache.spark.sql.catalyst.plans.JoinType): Option[String] =
+      jt match {
+        case Inner => Some("JOIN")
+        case LeftOuter => Some("LEFT JOIN")
+        case RightOuter => Some("RIGHT JOIN")
+        case FullOuter => Some("FULL JOIN")
+        case _ => None
+      }
+    def spine(p: LogicalPlan): Option[(Seq[String], Seq[(String, Expression)])] =
+      p match {
+        case j: Join if j.condition.isDefined && kindSql(j.joinType).isDefined =>
+          val rname = j.right match {
+            case u: UnresolvedRelation => u.multipartIdentifier.last
+            case _ => return None
+          }
+          spine(j.left).map { case (rels, conds) =>
+            (rels :+ rname, conds :+ (kindSql(j.joinType).get, j.condition.get))
+          }
+        case u: UnresolvedRelation => Some((Seq(u.multipartIdentifier.last), Nil))
+        case _ => None
+      }
+    val (rels, conds0) = spine(joinTree).getOrElse(return None)
+    val (kinds, conds) = (conds0.map(_._1), conds0.map(_._2))
     val n = rels.size
     if (n < 3 || rels.distinct.size != n) return None
     val leafPk = rels.map(r => r -> chainableSourcePk(r).getOrElse(return None)).toMap
@@ -1203,7 +1218,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         execute(s"CREATE MATERIALIZED VIEW $step " +
           s"(PRIMARY KEY (${stepPk.mkString(", ")})) AS " +
           s"SELECT ${carry.map(c => s"`$c`").mkString(", ")} " +
-          s"FROM $curName JOIN ${rels(i)} ON ${unq(conds(i - 1)).sql}")
+          s"FROM $curName ${kinds(i - 1)} ${rels(i)} ON ${unq(conds(i - 1)).sql}")
         created += step
         if (streamingJob(step).isEmpty)
           throw new IllegalStateException(s"cascade step $step did not chain")
@@ -1211,7 +1226,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         curCols = carry.toSet
       }
       val finalSql = s"SELECT ${selectList.map(renderItem).mkString(", ")} " +
-        s"FROM $curName JOIN ${rels(n - 1)} ON ${unq(conds(n - 2)).sql}" +
+        s"FROM $curName ${kinds(n - 2)} ${rels(n - 1)} ON ${unq(conds(n - 2)).sql}" +
         whereOpt.map(w => s" WHERE ${unq(w).sql}").getOrElse("")
       val out = execute(s"CREATE MATERIALIZED VIEW $name " +
         s"(PRIMARY KEY (${pk.mkString(", ")})) AS $finalSql")
@@ -1899,9 +1914,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
                 // accepts (pure-theta join with no equi prefix, 3+-way
                 // joins in one statement, …) degrades to batch refresh —
                 // say so loudly instead of silently going stale
-                val streamingUps = referencedRelations(query).filter(n =>
-                  catalog.load[DurableCatalog.MvEntry]("mvs", n)
-                    .exists(_.streaming))
+                // tables count: a DML table is a live upstream too — an
+                // MV over one that cannot chain goes stale just the same
+                val streamingUps = referencedRelations(query)
+                  .filter(n => chainableSourcePk(n).isDefined)
                 if (streamingUps.nonEmpty)
                   notice(s"materialized view $name over streaming " +
                     s"upstream(s) ${streamingUps.mkString(", ")} is not " +

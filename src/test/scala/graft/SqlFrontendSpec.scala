@@ -567,6 +567,44 @@ class SqlFrontendSpec extends SparkSpecBase {
     e.execute("DROP MATERIALIZED VIEW sub_mv")
   }
 
+  test("subscription cursor on a CHAINED aggregate MV delivers U-/U+ deltas") {
+    // the reference's subscription-on-MV pattern where the MV is itself
+    // incrementally maintained off a table: FETCH must deliver the
+    // retraction-complete aggregate deltas (op 3 = old image, 4 = new)
+    val e = new Engine(spark, tmpDir("sqlsubchain"))
+    e.execute("CREATE TABLE sc_acct (id BIGINT PRIMARY KEY, grp BIGINT, bal BIGINT)")
+    e.execute(
+      """CREATE MATERIALIZED VIEW sc_tot (PRIMARY KEY (grp)) AS
+        |SELECT grp, sum(bal) AS total FROM sc_acct GROUP BY grp""".stripMargin)
+    assert(e.streamingJob("sc_tot").nonEmpty)
+    e.execute("CREATE SUBSCRIPTION sc_sub FROM sc_tot")
+    e.execute("DECLARE sc_cur SUBSCRIPTION CURSOR FOR sc_sub")
+    assert(e.execute("FETCH NEXT FROM sc_cur").isEmpty)
+
+    e.execute("INSERT INTO sc_acct VALUES (1, 1, 10), (2, 1, 20), (3, 2, 5)")
+    e.execute("FLUSH")
+    val b1 = e.execute("FETCH NEXT FROM sc_cur").select("grp", "total", "_op")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(b1 == Seq((1L, 30L, 4), (2L, 5L, 4)), s"fresh groups emit U+ only: $b1")
+
+    // account 2 moves group 1 → 2: BOTH groups re-emit as U-/U+ pairs
+    e.execute("UPDATE sc_acct SET grp = 2 WHERE id = 2")
+    e.execute("FLUSH")
+    val b2 = e.execute("FETCH NEXT FROM sc_cur").select("grp", "total", "_op")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(b2 == Seq((1L, 10L, 4), (1L, 30L, 3), (2L, 5L, 3), (2L, 25L, 4)),
+      s"group-moving update must deliver both groups' image pairs: $b2")
+
+    // emptying a group delivers only its retraction
+    e.execute("DELETE FROM sc_acct WHERE grp = 2")
+    e.execute("FLUSH")
+    val b3 = e.execute("FETCH NEXT FROM sc_cur").select("grp", "total", "_op")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(b3 == Seq((2L, 25L, 3)), s"emptied group must retract: $b3")
+    assert(e.table("sc_tot").as[(Long, Long)].collect().toSeq == Seq((1L, 10L)))
+    e.streamingJob("sc_tot").foreach(_.stop())
+  }
+
   test("DML RETURNING and DEFAULT columns (dml_returning/table_with_default_columns)") {
     val e = new Engine(spark, tmpDir("sqlret"))
     e.execute(
@@ -1287,6 +1325,64 @@ class SqlFrontendSpec extends SparkSpecBase {
     assert(rows4 == Seq((5L, 10L, 300L, 8L, "DHL", "A")))
     e2.execute("DROP MATERIALIZED VIEW c_wide4")
     assert(e2.mvs.get("c_wide4__casc2").isEmpty)
+
+    // mixed OUTER spine: LEFT then INNER — the null-extension repair
+    // flows through the cascade when the dimension row arrives late
+    e2.execute(
+      """CREATE MATERIALIZED VIEW c_mix (PRIMARY KEY (oid, cid, pid)) AS
+        |SELECT oid, cid, pid, cname, pname
+        |FROM c_ord LEFT JOIN c_cust ON c_ord.ocid = c_cust.cid
+        |           JOIN c_part ON c_ord.opid = c_part.pid""".stripMargin)
+    assert(e2.streamingJob("c_mix").nonEmpty &&
+      e2.streamingJob("c_mix__casc1").nonEmpty, "mixed outer cascade must chain")
+    e2.execute("INSERT INTO c_ord VALUES (6, 99, 100, 2)")
+    e2.execute("FLUSH")
+    def rowsMix = e2.table("c_mix").orderBy("oid")
+      .as[(Long, Option[Long], Long, Option[String], String)].collect().toSeq
+    assert(rowsMix == Seq(
+      (1L, Some(10L), 100L, Some("A"), "x"),
+      (3L, Some(10L), 200L, Some("A"), "y"),
+      (4L, Some(20L), 100L, Some("b"), "x"),
+      (5L, Some(10L), 300L, Some("A"), "z"),
+      (6L, None, 100L, None, "x")))
+    e2.execute("INSERT INTO c_cust VALUES (99, 'n')")
+    e2.execute("FLUSH")
+    assert(rowsMix == Seq(
+      (1L, Some(10L), 100L, Some("A"), "x"),
+      (3L, Some(10L), 200L, Some("A"), "y"),
+      (4L, Some(20L), 100L, Some("b"), "x"),
+      (5L, Some(10L), 300L, Some("A"), "z"),
+      (6L, Some(99L), 100L, Some("n"), "x")),
+      "late dimension row must repair the null-extension through the cascade")
+    Seq("c_mix", "c_mix__casc1").foreach(n => e2.streamingJob(n).foreach(_.stop()))
+  }
+
+  test("tumbling-window aggregate MV over a DML table chains") {
+    val e = new Engine(spark, tmpDir("twtbl"))
+    e.execute("CREATE TABLE tw_ev (id BIGINT PRIMARY KEY, ts TIMESTAMP, v BIGINT)")
+    e.execute(
+      """CREATE MATERIALIZED VIEW tw_sum (PRIMARY KEY (window_start)) AS
+        |SELECT window_start, sum(v) AS sv
+        |FROM TUMBLE(tw_ev, ts, INTERVAL '1 hour') GROUP BY window_start""".stripMargin)
+    assert(e.streamingJob("tw_sum").nonEmpty, "tumble agg over a table must chain")
+    e.execute("INSERT INTO tw_ev VALUES " +
+      "(1, TIMESTAMP '2024-01-01 10:05:00', 2), " +
+      "(2, TIMESTAMP '2024-01-01 10:40:00', 3), " +
+      "(3, TIMESTAMP '2024-01-01 11:10:00', 5)")
+    e.execute("FLUSH")
+    def wins = e.table("tw_sum").orderBy("window_start")
+      .select(col("window_start").cast("string"), col("sv"))
+      .as[(String, Long)].collect().toSeq
+    assert(wins == Seq(("2024-01-01 10:00:00", 5L), ("2024-01-01 11:00:00", 5L)))
+    // UPDATE moves a row ACROSS windows: U- retracts from the old one
+    e.execute("UPDATE tw_ev SET ts = TIMESTAMP '2024-01-01 11:20:00' WHERE id = 2")
+    e.execute("FLUSH")
+    assert(wins == Seq(("2024-01-01 10:00:00", 2L), ("2024-01-01 11:00:00", 8L)))
+    // deleting the last row of a window retracts the window row entirely
+    e.execute("DELETE FROM tw_ev WHERE id = 1")
+    e.execute("FLUSH")
+    assert(wins == Seq(("2024-01-01 11:00:00", 8L)))
+    e.streamingJob("tw_sum").foreach(_.stop())
   }
 
   test("three-way streaming join: a join MV joins a third MV (join-on-join)") {
