@@ -1061,6 +1061,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           throw new IllegalStateException(
             s"chained upstream $upName not yet recovered"))
         chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
+        e.chainJoinType.filter(_.startsWith("changelog:")).foreach { t =>
+          jobs(name) = startChangelogChainJob(name, mv, upMv, q,
+            t.stripPrefix("changelog:"), e.chainFrontier.getOrElse(-1L))
+          return
+        }
         jobs(name) = (e.chainedFromRight, e.chainAggGroups) match {
           case (Some(rightName), _) =>
             val rightMv = mvs.get(rightName).getOrElse(
@@ -1239,6 +1244,116 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case scala.util.control.NonFatal(_) => rollback(); None
     }
   } catch { case scala.util.control.NonFatal(_) => None }
+
+  // `CREATE MATERIALIZED VIEW m AS WITH sub AS CHANGELOG FROM t
+  //  SELECT … FROM sub` (reference: e2e_test/streaming/changelog.slt +
+  // src/stream/src/executor/changelog.rs): an APPEND-ONLY MV of change
+  // events — every upstream change lands as a permanent row tagged
+  // `changelog_op` (1 insert, 2 delete, 3 update-old, 4 update-new; the
+  // engine's own op codes) plus a hidden `_changelog_row_id`.
+  private val CreateChangelogMvStmt =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+WITH\s+(\w+)\s+AS\s+CHANGELOG\s+FROM\s+(\w+)\s+(SELECT\s+.*?)\s*;?\s*""".r
+
+  private val ChangelogIdStride = 1L << 33
+
+  /** One epoch's changelog rows → the MV's append rows: assign the
+    * deterministic `_changelog_row_id` (epoch-stride + rank over a total
+    * row ordering — identical rows permuting ranks yield the same SET,
+    * so a foreachBatch retry merges idempotently), rename `_op` to the
+    * user-visible `changelog_op`, apply the per-row SELECT with the
+    * hidden row id carried through as the storage PK.
+    */
+  private def changelogChainRows(name: String, selectSql: String,
+      subName: String, epochRows0: DataFrame, idEpoch: Long): DataFrame = {
+    import graft.streaming.Changelog
+    import org.apache.spark.sql.functions._
+    val epochRows =
+      if (epochRows0.sparkSession eq spark) epochRows0
+      else spark.createDataFrame(epochRows0.rdd, epochRows0.schema)
+    val withSeq =
+      if (epochRows.columns.contains(Changelog.SeqCol)) epochRows
+      else epochRows.withColumn(Changelog.SeqCol, monotonically_increasing_id())
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      withSeq.columns.map(col).toSeq: _*)
+    val dataCols = withSeq.columns.toSeq
+      .filterNot(Seq(Changelog.OpCol, Changelog.SeqCol).contains)
+    val sub = withSeq
+      .withColumn("changelog_op", col(Changelog.OpCol))
+      .withColumn("_changelog_row_id",
+        lit(idEpoch * ChangelogIdStride) + row_number().over(w).cast("long"))
+      .drop(Changelog.OpCol, Changelog.SeqCol)
+    val view = s"__chlog_$name"
+    sub.createOrReplaceTempView(view)
+    // `SELECT *` means the reference's visible changelog columns (data +
+    // changelog_op), NOT the hidden row id — expand it explicitly
+    val starExpanded = selectSql.replaceFirst("(?is)^\\s*SELECT\\s+\\*",
+      "SELECT " + (dataCols :+ "changelog_op").map(c => s"`$c`").mkString(", "))
+    val bound = prefixSelect(starExpanded,
+      Seq(s"`_changelog_row_id` AS `${Engine.RowIdCol}`"))
+      .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(subName) + "\\b", view)
+    spark.sql(bound)
+  }
+
+  private def startChangelogChainJob(name: String, down: MaterializedView,
+      up: MaterializedView, selectSql: String, subName: String,
+      frontier: Long): org.apache.spark.sql.streaming.StreamingQuery =
+    up.changelogStreamFrom(frontier).writeStream
+      .option("checkpointLocation", mvs.checkpointDir(name))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        down.merge(changelogChainRows(name, selectSql, subName, batch, id), id))
+      .start()
+
+  private def createChangelogMv(name: String, subName: String,
+      relName: String, selectSql: String): DataFrame = {
+    val up = mvs.get(relName).filter(_ => chainableSourcePk(relName).isDefined)
+      .getOrElse(throw new IllegalArgumentException(
+        s"CHANGELOG FROM $relName requires an epoch-published table or " +
+          "streaming materialized view"))
+    jobs.get(relName).foreach(_.processAllAvailable())
+    // validate the user SELECT is per-row against a plain probe of the
+    // sub's shape (data + changelog_op + _changelog_row_id) — the live
+    // transform's own id-assignment window must not trip the check
+    locally {
+      val subSchema = org.apache.spark.sql.types.StructType(
+        up.read().schema.fields :+
+          org.apache.spark.sql.types.StructField("changelog_op",
+            org.apache.spark.sql.types.IntegerType) :+
+          org.apache.spark.sql.types.StructField("_changelog_row_id",
+            org.apache.spark.sql.types.LongType))
+      val probeView = s"__chlog_probe_$name"
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], subSchema)
+        .createOrReplaceTempView(probeView)
+      val probe = spark.sql(selectSql.replaceAll(
+        "(?i)\\b" + java.util.regex.Pattern.quote(subName) + "\\b", probeView))
+      require(isPerRowPlan(probe),
+        s"CHANGELOG view $name: the SELECT over $subName must be per-row " +
+          "(projection/filter only)")
+      spark.catalog.dropTempView(probeView)
+    }
+    val down = mvs.define(name, Seq(Engine.RowIdCol))
+    hiddenRowIdTables += name
+    // backfill: the current snapshot enters the log as op-1 inserts in
+    // a reserved pre-stream epoch (ids below every streamed epoch)
+    val frontier = up.withReadLock {
+      val f = up.latestChangelogBatchId
+      val snap = up.read()
+      if (snap.columns.nonEmpty) {
+        val seeded = graft.streaming.Changelog.ofInserts(snap)
+        down.merge(changelogChainRows(name, selectSql, subName, seeded, -1L))
+      }
+      f
+    }
+    catalog.save("mvs", name, DurableCatalog.MvEntry(
+      Seq(Engine.RowIdCol), Some(selectSql), streaming = true, "update", 32,
+      chainedFrom = Some(relName), chainFrontier = Some(frontier),
+      chainJoinType = Some(s"changelog:$subName")))
+    chainDepth(name) = chainDepth.getOrElse(relName, 0) + 1
+    jobs(name) = startChangelogChainJob(name, down, up, selectSql, subName,
+      frontier)
+    statusDf("CREATE MATERIALIZED VIEW (changelog chain)", name)
+  }
 
   private val AlterRename =
     """(?is)\s*ALTER\s+(TABLE|MATERIALIZED\s+VIEW)\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*;?\s*""".r
@@ -1848,6 +1963,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         statusDf("CREATE SOURCE", d.name)
       case None => SqlFrontend.parseCreateSink(statement) match {
       case Some(d: SqlFrontend.SinkDef) => startSink(d)
+      case None if CreateChangelogMvStmt.pattern.matcher(statement).matches() =>
+        val CreateChangelogMvStmt(name, subName, relName, selectSql) = statement
+        createChangelogMv(name, subName, relName, selectSql)
       case None => SqlFrontend.parseCreateMv(statement) match {
         case Some(CreateMvDef(name, pkOpt, query, emitOnClose)) =>
           // a query over a just-created streaming MV would plan against
@@ -2253,6 +2371,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             .orElse(catalog.load[TableEntry]("tables", l).map(_.pk)))
           .getOrElse(Seq.empty)
         val mv = mvs.define(name, e.pk, e.nBuckets, bucketKeys)
+        // a changelog MV's storage PK is the hidden row id
+        if (e.pk == Seq(Engine.RowIdCol)) hiddenRowIdTables += name
         if (e.streaming) e.query.foreach { q =>
           recoverOrPark(s"mv:$name") { resumeMvMaintenance(name, mv, e, q) }
         }

@@ -60,7 +60,7 @@ object Advanced extends QueryPack {
         |  FROM after a LEFT JOIN before b ON b.o_orderkey = a.o_orderkey
         |  WHERE b.o_orderkey IS NULL
         |  UNION ALL
-        |  SELECT a.o_orderkey, a.o_orderstatus, a.o_totalprice, 4 AS _op
+        |  SELECT a.o_orderkey, a.o_orderstatus, a.o_totalprice, 3 AS _op
         |  FROM before b JOIN after a ON a.o_orderkey = b.o_orderkey
         |  WHERE b.o_totalprice IS DISTINCT FROM a.o_totalprice
         |     OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus

@@ -18,10 +18,14 @@ object Changelog {
   val OpCol = "_op"
   val SeqCol = "_seq"
 
+  // numbering matches the reference wire enum (proto/data.proto:130-136:
+  // INSERT=1, DELETE=2, UPDATE_INSERT=3, UPDATE_DELETE=4) so the
+  // user-visible codes — subscription `_op`, changelog-view
+  // `changelog_op` — are drop-in compatible
   val Insert = 1
   val Delete = 2
-  val UpdateDelete = 3
-  val UpdateInsert = 4
+  val UpdateInsert = 3
+  val UpdateDelete = 4
 
   /** Does this op add a row to the result multiset? */
   def isAdd(op: Column): Column = op === Insert || op === UpdateInsert

@@ -609,15 +609,15 @@ class PgWireSpec extends SparkSpecBase {
         Seq(Some("2"), Some("20.0"), Some("1"))))
 
       // epoch 2+3: an update and a delete — the update delivers its
-      // FULL image pair (UpdateDelete 3 with the old value, then
-      // UpdateInsert 4 — reference stream_chunk op semantics), and the
-      // already-consumed inserts do NOT re-deliver
+      // FULL image pair (UPDATE_INSERT=3 with the new value,
+      // UPDATE_DELETE=4 with the old — reference proto/data.proto op
+      // numbering), and the already-consumed inserts do NOT re-deliver
       writer.query("UPDATE acct SET bal = 25.0 WHERE id = 2")
       writer.query("DELETE FROM acct WHERE id = 1")
       assert(fetchRows() == Seq(
         Seq(Some("1"), Some("10.0"), Some("2")),
-        Seq(Some("2"), Some("20.0"), Some("3")),
-        Seq(Some("2"), Some("25.0"), Some("4"))))
+        Seq(Some("2"), Some("25.0"), Some("3")),
+        Seq(Some("2"), Some("20.0"), Some("4"))))
       assert(fetchRows().isEmpty, "consumed epochs must not re-deliver")
 
       // unconsumed DML lands, then the engine restarts mid-consumption

@@ -585,14 +585,15 @@ class SqlFrontendSpec extends SparkSpecBase {
     e.execute("FLUSH")
     val b1 = e.execute("FETCH NEXT FROM sc_cur").select("grp", "total", "_op")
       .as[(Long, Long, Int)].collect().toSeq.sorted
-    assert(b1 == Seq((1L, 30L, 4), (2L, 5L, 4)), s"fresh groups emit U+ only: $b1")
+    assert(b1 == Seq((1L, 30L, 3), (2L, 5L, 3)), s"fresh groups emit U+ only: $b1")
 
     // account 2 moves group 1 → 2: BOTH groups re-emit as U-/U+ pairs
+    // (reference op numbering: UPDATE_INSERT=3 new image, UPDATE_DELETE=4 old)
     e.execute("UPDATE sc_acct SET grp = 2 WHERE id = 2")
     e.execute("FLUSH")
     val b2 = e.execute("FETCH NEXT FROM sc_cur").select("grp", "total", "_op")
       .as[(Long, Long, Int)].collect().toSeq.sorted
-    assert(b2 == Seq((1L, 10L, 4), (1L, 30L, 3), (2L, 5L, 3), (2L, 25L, 4)),
+    assert(b2 == Seq((1L, 10L, 3), (1L, 30L, 4), (2L, 5L, 4), (2L, 25L, 3)),
       s"group-moving update must deliver both groups' image pairs: $b2")
 
     // emptying a group delivers only its retraction
@@ -600,9 +601,51 @@ class SqlFrontendSpec extends SparkSpecBase {
     e.execute("FLUSH")
     val b3 = e.execute("FETCH NEXT FROM sc_cur").select("grp", "total", "_op")
       .as[(Long, Long, Int)].collect().toSeq.sorted
-    assert(b3 == Seq((2L, 25L, 3)), s"emptied group must retract: $b3")
+    assert(b3 == Seq((2L, 25L, 4)), s"emptied group must retract: $b3")
     assert(e.table("sc_tot").as[(Long, Long)].collect().toSeq == Seq((1L, 10L)))
     e.streamingJob("sc_tot").foreach(_.stop())
+  }
+
+  test("CHANGELOG materialized view: append-only change events (reference changelog.slt)") {
+    // reference: `WITH sub AS CHANGELOG FROM t SELECT … FROM sub`
+    // (e2e_test/streaming/changelog.slt, changelog.rs) — every change
+    // lands as a permanent row with changelog_op in the reference's
+    // proto numbering (1 insert, 2 delete, 3 update-new, 4 update-old)
+    val wh = tmpDir("chlog")
+    val e = new Engine(spark, wh)
+    e.execute("CREATE TABLE cl_t (v1 BIGINT PRIMARY KEY, v2 BIGINT)")
+    e.execute("CREATE MATERIALIZED VIEW cl_mv AS WITH sub AS CHANGELOG FROM cl_t " +
+      "SELECT * FROM sub")
+    e.execute("CREATE MATERIALIZED VIEW cl_proj AS WITH sub AS CHANGELOG FROM cl_t " +
+      "SELECT v1, v2 FROM sub")
+    e.execute("CREATE MATERIALIZED VIEW cl_rid AS WITH sub AS CHANGELOG FROM cl_t " +
+      "SELECT v1, _changelog_row_id AS row_id FROM sub")
+    assert(e.streamingJob("cl_mv").nonEmpty, "changelog MV must maintain continuously")
+
+    e.execute("INSERT INTO cl_t VALUES (1, 1), (2, 2)")
+    e.execute("UPDATE cl_t SET v2 = 100 WHERE v1 = 1")
+    e.execute("DELETE FROM cl_t WHERE v1 = 2")
+    e.execute("FLUSH")
+    // the reference slt's exact mv1 expectation for this DML sequence
+    val got = e.table("cl_mv").select("v1", "v2", "changelog_op")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(got == Seq((1L, 1L, 1), (1L, 1L, 4), (1L, 100L, 3),
+      (2L, 2L, 1), (2L, 2L, 2)), s"got $got")
+    assert(e.table("cl_proj").as[(Long, Long)].collect().toSeq.sorted ==
+      Seq((1L, 1L), (1L, 1L), (1L, 100L), (2L, 2L), (2L, 2L)))
+    val rids = e.table("cl_rid").select("row_id").as[Long].collect().toSeq
+    assert(rids.distinct.size == rids.size, "changelog row ids must be unique")
+
+    // restart: history survives, new changes keep appending
+    Seq("cl_mv", "cl_proj", "cl_rid").foreach(n => e.streamingJob(n).foreach(_.stop()))
+    val e2 = new Engine(spark.newSession(), wh)
+    assert(e2.recoveryPending.isEmpty, s"pending: ${e2.recoveryPending}")
+    e2.execute("INSERT INTO cl_t VALUES (9, 9)")
+    e2.execute("FLUSH")
+    assert(e2.table("cl_mv").count() == 6)
+    assert(e2.table("cl_mv").where("v1 = 9").select("changelog_op")
+      .as[Int].collect().toSeq == Seq(1))
+    Seq("cl_mv", "cl_proj", "cl_rid").foreach(n => e2.streamingJob(n).foreach(_.stop()))
   }
 
   test("DML RETURNING and DEFAULT columns (dml_returning/table_with_default_columns)") {
