@@ -896,6 +896,18 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * exactly one Aggregate/Distinct, rest per-row, group keys plain
     * attributes equal to the declared PK, both relations
     * chain-subscribable. Maintained by [[graft.streaming.IncrementalUnionAgg]].
+    *
+    * INTERSECT / EXCEPT (distinct forms) qualify through the same
+    * machinery: the reference plans them as joins-over-distinct
+    * (rewrite rules around union_to_distinct_rule.rs turn `A INTERSECT
+    * B` into agg+semi shapes), and here a set-op row's group IS the
+    * full output row, so group keys = every output column and the
+    * touched-key replay substitutes Union for the set-op node
+    * ([[chainJoinKeysFn]]) — a delta image on EITHER side names exactly
+    * the output rows whose membership may flip (an EXCEPT right-side
+    * insert can retract a left row; its key is that row). ALL variants
+    * carry multiplicities that a PK-keyed store cannot hold (the
+    * reference does not stream them either) → batch-refresh fence.
     */
   private def chainableAggUnionUpstream(query: String, planned: DataFrame,
       pk: Seq[String]): Option[(String, String, Seq[String])] = {
@@ -905,16 +917,26 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val unions = nodes.collect { case u: Union => u }
     val aggs = nodes.collect { case a: Aggregate => a }
     val dists = nodes.collect { case d: Distinct => d }
+    val setops = nodes.collect {
+      case i: Intersect if !i.isAll => i
+      case e: Except if !e.isAll => e
+    }
     val restPerRow = nodes.forall {
       case _: Union | _: Aggregate | _: Distinct => true
+      case i: Intersect => !i.isAll
+      case e: Except => !e.isAll
       case _: Project | _: Filter | _: SubqueryAlias | _: View => true
       case _: LeafNode => true
       case _ => false
     }
-    if (unions.length != 1 || unions.head.children.length != 2 ||
-        aggs.length + dists.length != 1 || !restPerRow) return None
+    val unionAggShape = unions.length == 1 &&
+      unions.head.children.length == 2 &&
+      aggs.length + dists.length == 1 && setops.isEmpty
+    val setopShape = setops.length == 1 && unions.isEmpty &&
+      aggs.isEmpty && dists.isEmpty
+    if (!restPerRow || (!unionAggShape && !setopShape)) return None
     val groupNames =
-      if (dists.nonEmpty) planned.columns.toSeq
+      if (setopShape || dists.nonEmpty) planned.columns.toSeq
       else aggs.head.groupingExpressions.map {
         case a: AttributeReference => a.name
         case _ => return None
@@ -938,11 +960,20 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     import org.apache.spark.sql.catalyst.plans.logical._
     val full = chainJoinFn(name, query, leftName, rightName)(ldf, rdf)
     def aboveAgg(p: LogicalPlan): Boolean = p.exists {
-      case _: Aggregate | _: Distinct => true
+      case _: Aggregate | _: Distinct | _: Intersect | _: Except => true
       case _ => false
     }
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case f: Filter if aboveAgg(f.child) => strip(f.child)
+      // set-op → UNION ALL for the touched-key replay: keysOf2 runs the
+      // query with one side's delta slice and the other side EMPTY, and
+      // `Δl INTERSECT ∅` / `∅ EXCEPT Δr` would name no keys at all —
+      // the union of branch rows is exactly the candidate set whose
+      // membership the full recompute then re-decides
+      case i: Intersect if !i.isAll =>
+        Union(Seq(strip(i.left), strip(i.right)))
+      case e: Except if !e.isAll =>
+        Union(Seq(strip(e.left), strip(e.right)))
       case other => other.withNewChildren(other.children.map(strip))
     }
     org.apache.spark.sql.GraftPlans.ofRows(
@@ -2434,5 +2465,6 @@ object Engine {
     "graft_dot" -> ("a double precision[], b double precision[]",
       "double precision"),
     "graft_gcd" -> ("a bigint, b bigint", "bigint"),
-    "graft_lcm" -> ("a bigint, b bigint", "bigint"))
+    "graft_lcm" -> ("a bigint, b bigint", "bigint"),
+    "graft_hmac" -> ("payload text, secret text, algo text", "text"))
 }

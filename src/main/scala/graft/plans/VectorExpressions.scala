@@ -109,7 +109,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => Gcd(children(0), children(1))),
     (FunctionIdentifier("graft_lcm"),
       new ExpressionInfo(classOf[Lcm].getName, "graft_lcm"),
-      (children: Seq[Expression]) => Lcm(children(0), children(1))))
+      (children: Seq[Expression]) => Lcm(children(0), children(1))),
+    (FunctionIdentifier("graft_hmac"),
+      new ExpressionInfo(classOf[Hmac].getName, "graft_hmac"),
+      (children: Seq[Expression]) => Hmac(children(0), children(1), children(2))))
 
   /** Register into an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit = {

@@ -84,7 +84,7 @@ class DmlChainFuzzSpec extends SparkSpecBase {
     private def createTwoTableStack(): Unit = {
       e.execute(s"CREATE TABLE $t2 (oid BIGINT PRIMARY KEY, k2 BIGINT, w BIGINT)")
       val n1 = s"dfm_${seed}_0"
-      val (pk, sql, outCols) = r.nextInt(4) match {
+      val (pk, sql, outCols) = r.nextInt(6) match {
         case 0 | 1 => // delta join, random type — g/k2 share a tiny domain
           val jt = Seq("", "LEFT ", "FULL ")(r.nextInt(3))
           (s"(id, oid)",
@@ -100,6 +100,12 @@ class DmlChainFuzzSpec extends SparkSpecBase {
             Set("k", "n", "sx"))
         case 3 => // UNION DISTINCT
           ("(g)", s"SELECT g FROM $t UNION SELECT k2 AS g FROM $t2",
+            Set("g"))
+        case 4 => // INTERSECT (distinct) — set-op chain
+          ("(g)", s"SELECT g FROM $t INTERSECT SELECT k2 AS g FROM $t2",
+            Set("g"))
+        case 5 => // EXCEPT (distinct) — right-side DML retracts left rows
+          ("(g)", s"SELECT g FROM $t EXCEPT SELECT k2 AS g FROM $t2",
             Set("g"))
       }
       e.execute(s"CREATE MATERIALIZED VIEW $n1 (PRIMARY KEY $pk) AS $sql")

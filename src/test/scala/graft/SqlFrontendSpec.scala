@@ -1292,6 +1292,74 @@ class SqlFrontendSpec extends SparkSpecBase {
     Seq("ud", "usum").foreach(n => e2.streamingJob(n).foreach(_.stop()))
   }
 
+  test("INTERSECT and EXCEPT (distinct) chain as incrementally-maintained MVs") {
+    // distinct set ops ride the agg-over-union machinery: group = the
+    // full output row, touched keys derived by replaying the query with
+    // the set-op node swapped for UNION ALL (a right-side EXCEPT insert
+    // must name — and retract — the left row it newly cancels). ALL
+    // variants carry multiplicities a PK-keyed store cannot hold and
+    // take the loud batch-refresh fence, as in the reference.
+    val wh = tmpDir("setopchain")
+    val e = new Engine(spark, wh)
+    e.execute("CREATE TABLE sa (id BIGINT PRIMARY KEY, k BIGINT)")
+    e.execute("CREATE TABLE sb (id BIGINT PRIMARY KEY, k BIGINT)")
+    e.execute(
+      """CREATE MATERIALIZED VIEW si (PRIMARY KEY (k)) AS
+        |SELECT k FROM sa INTERSECT SELECT k FROM sb""".stripMargin)
+    e.execute(
+      """CREATE MATERIALIZED VIEW sx (PRIMARY KEY (k)) AS
+        |SELECT k FROM sa EXCEPT SELECT k FROM sb""".stripMargin)
+    assert(e.streamingJob("si").nonEmpty, "INTERSECT must chain")
+    assert(e.streamingJob("sx").nonEmpty, "EXCEPT must chain")
+
+    e.execute("INSERT INTO sa VALUES (1, 1), (2, 2), (3, 3)")
+    e.execute("INSERT INTO sb VALUES (1, 2), (2, 4)")
+    e.execute("FLUSH")
+    def si(en: Engine) = en.table("si").orderBy("k").as[Long].collect().toSeq
+    def sx(en: Engine) = en.table("sx").orderBy("k").as[Long].collect().toSeq
+    assert(si(e) == Seq(2L))
+    assert(sx(e) == Seq(1L, 3L))
+
+    // right-side INSERT retracts from EXCEPT and enters INTERSECT
+    e.execute("INSERT INTO sb VALUES (3, 1)")
+    e.execute("FLUSH")
+    assert(si(e) == Seq(1L, 2L))
+    assert(sx(e) == Seq(3L))
+
+    // right-side DELETE restores the EXCEPT row / retracts the intersect
+    e.execute("DELETE FROM sb WHERE id = 1")
+    e.execute("FLUSH")
+    assert(si(e) == Seq(1L))
+    assert(sx(e) == Seq(2L, 3L))
+
+    // a left-side duplicate stays distinct in both outputs
+    e.execute("INSERT INTO sa VALUES (4, 3)")
+    e.execute("FLUSH")
+    assert(si(e) == Seq(1L))
+    assert(sx(e) == Seq(2L, 3L))
+
+    // restart: the recovered chain retracts a PRE-restart row (si empties
+    // completely — the store must stay schema-correct for further epochs)
+    Seq("si", "sx").foreach(n => e.streamingJob(n).foreach(_.stop()))
+    val e2 = new Engine(spark.newSession(), wh)
+    assert(e2.recoveryPending.isEmpty, s"pending: ${e2.recoveryPending}")
+    e2.execute("DELETE FROM sa WHERE id = 1")
+    e2.execute("FLUSH")
+    assert(si(e2) == Seq())
+    assert(sx(e2) == Seq(2L, 3L))
+
+    // INTERSECT ALL: fenced, announced, batch-refreshed
+    e2.execute(
+      """CREATE MATERIALIZED VIEW sall (PRIMARY KEY (k)) AS
+        |SELECT k FROM sa INTERSECT ALL SELECT k FROM sb""".stripMargin)
+    assert(e2.streamingJob("sall").isEmpty,
+      "INTERSECT ALL must not claim streaming maintenance")
+    assert(e2.notices.exists(n => n.contains("sall") &&
+      n.contains("BATCH REFRESH")),
+      s"ALL-variant degradation must be announced; got ${e2.notices}")
+    Seq("si", "sx").foreach(n => e2.streamingJob(n).foreach(_.stop()))
+  }
+
   test("N-way inner join MV decomposes into cascaded binary delta joins") {
     // the reference plans multi-way streaming joins as a tree of BINARY
     // StreamHashJoins; here a 3-way join in ONE statement decomposes
