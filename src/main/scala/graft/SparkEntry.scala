@@ -22,6 +22,7 @@ object SparkEntry {
     Functions,
     Functions2,
     Functions3,
+    Functions4,
     TableFunctions,
     Subqueries,
     TimeWindows,

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fourth scalar-function sweep — SURVEY.md §2.8 families not yet
+  * covered: printf-style formatting (format.rs), translate/chr
+  * (translate.rs, ascii), IPv4 address math (inet.rs inet_aton /
+  * inet_ntoa + the CIDR operators curation pipelines filter with), and
+  * keyed MACs (hmac.rs) via the native graft_hmac expression.
+  *
+  * Oracle notes: the inet oracle evaluates the SAME integer formulas in
+  * DuckDB SQL (netmask via pow(2, 32-m) — every power of two ≤ 2^32 is
+  * exact in double), so the gate checks semantics, not a shared
+  * implementation. The hmac oracle pins expected digests as literals
+  * (RFC 2202 'Jefe' vectors + independently generated cases) — DuckDB
+  * has no hmac to recompute with.
+  */
+object Functions4 extends QueryPack {
+
+  val queries: Seq[GraftQuery] = Seq(
+    // printf / translate / chr / repeat / reverse / ascii.
+    // reference: src/expr/impl/src/scalar/{format,translate,ascii}.rs
+    q("q_fn_format",
+      """SELECT p_partkey,
+        |  printf('%s#%05d', p_brand, p_partkey) AS fmt,
+        |  printf('%x', p_partkey) AS fmtx,
+        |  translate(p_name, 'aeiou', '12345') AS tr,
+        |  chr(CAST(65 + p_partkey % 26 AS INT)) AS ch,
+        |  reverse(p_name) AS rev,
+        |  repeat(p_brand, 2) AS rep,
+        |  ascii(p_name) AS asc
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin) { s =>
+      s.table("part").where(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          format_string("%s#%05d", col("p_brand"), col("p_partkey")).as("fmt"),
+          format_string("%x", col("p_partkey")).as("fmtx"),
+          translate(col("p_name"), "aeiou", "12345").as("tr"),
+          expr("char(65 + CAST(p_partkey % 26 AS INT))").as("ch"),
+          reverse(col("p_name")).as("rev"),
+          repeat(col("p_brand"), 2).as("rep"),
+          ascii(col("p_name")).as("asc"))
+        .orderBy("p_partkey")
+    },
+
+    // IPv4: inet_aton/inet_ntoa round-trip + CIDR masklen/network/
+    // broadcast/contains over synthesized addresses.
+    // reference: src/expr/impl/src/scalar/inet.rs
+    q("q_fn_inet",
+      """WITH src AS (
+        |  SELECT c_custkey,
+        |    concat_ws('.', (c_custkey % 223) + 1, (c_custkey * 7) % 256,
+        |      (c_custkey * 13) % 256, (c_custkey * 29) % 256) AS ip,
+        |    8 + (c_custkey % 25) AS m
+        |  FROM customer WHERE c_custkey < 300),
+        |n AS (
+        |  SELECT c_custkey, ip, m,
+        |    CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 +
+        |    CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 +
+        |    CAST(string_split(ip, '.')[3] AS BIGINT) * 256 +
+        |    CAST(string_split(ip, '.')[4] AS BIGINT) AS aton,
+        |    4294967295 - (CAST(pow(2, 32 - m) AS BIGINT) - 1) AS mask
+        |  FROM src)
+        |SELECT c_custkey, aton,
+        |  concat_ws('.', (aton // 16777216) % 256, (aton // 65536) % 256,
+        |    (aton // 256) % 256, aton % 256) AS rt,
+        |  CAST(m AS INT) AS mlen,
+        |  concat_ws('.', ((aton & mask) // 16777216) % 256,
+        |    ((aton & mask) // 65536) % 256, ((aton & mask) // 256) % 256,
+        |    (aton & mask) % 256) AS net,
+        |  concat_ws('.',
+        |    (((aton & mask) + (4294967295 - mask)) // 16777216) % 256,
+        |    (((aton & mask) + (4294967295 - mask)) // 65536) % 256,
+        |    (((aton & mask) + (4294967295 - mask)) // 256) % 256,
+        |    ((aton & mask) + (4294967295 - mask)) % 256) AS bc,
+        |  ((168496041 & mask) = (aton & mask)) AS has
+        |FROM n ORDER BY c_custkey""".stripMargin) { s =>
+      import graft.functions.NetFunctions._
+      val k = col("c_custkey")
+      val src = s.table("customer").where(k < 300)
+        .select(k,
+          concat_ws(".", k % 223 + 1, k * 7 % 256, k * 13 % 256,
+            k * 29 % 256).as("ip"),
+          (k % 25 + 8).as("m"))
+      val cidr = concat_ws("/", col("ip"), col("m"))
+      src.select(k,
+          inetAton(col("ip")).as("aton"),
+          inetNtoa(inetAton(col("ip"))).as("rt"),
+          cidrMasklen(cidr).as("mlen"),
+          cidrNetwork(cidr).as("net"),
+          cidrBroadcast(cidr).as("bc"),
+          cidrContains(cidr, lit("10.11.12.13")).as("has"))
+        .orderBy("c_custkey")
+    },
+
+    // Keyed MAC — native graft_hmac (payload, secret, algo) → hex.
+    // reference: src/expr/impl/src/scalar/hmac.rs
+    q("q_fn_hmac",
+      """SELECT * FROM (VALUES
+        |  (1, '5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843'),
+        |  (2, 'effcdf6ae5eb2fa2d27416d5f184df9c259a7c79'),
+        |  (3, '750c783e6ab0b503eaa86e310a5db738'),
+        |  (4, '4d88ae30a409ddfbcf962d7355f8cbf5928a221a8cbb598778b9b569c30ae75f'),
+        |  (5, '22b07c2fbe2705b663515f41f8310ad4b234e8e2ec1de71f53e803e1ea021718be138c998776e6584191736d0b744fe961cc65e61ed68fc8e62a1cd909e79ee2'),
+        |  (6, '7244ca86690fe2edb3c644de65388031640b1296cf62b3370904dac541ca850e')
+        |) AS t(id, mac) ORDER BY id""".stripMargin) { s =>
+      graft.plans.GraftExtensions.register(s)
+      import s.implicits._
+      Seq(
+        (1, "what do ya want for nothing?", "Jefe", "sha256"),
+        (2, "what do ya want for nothing?", "Jefe", "sha1"),
+        (3, "what do ya want for nothing?", "Jefe", "md5"),
+        (4, "graft streaming engine", "s3cr3t", "sha256"),
+        (5, "graft streaming engine", "s3cr3t", "sha512"),
+        (6, "", "empty-payload", "sha256"))
+        .toDF("id", "payload", "secret", "algo")
+        .select(col("id"),
+          call_function("graft_hmac", col("payload"), col("secret"),
+            col("algo")).as("mac"))
+        .orderBy("id")
+    }
+  )
+}

@@ -115,6 +115,49 @@ object TableFunctions extends QueryPack {
         .orderBy("event_id", "v")
     },
 
+    // generate_subscripts over a computed list (1-based index TVF).
+    // reference: src/expr/impl/src/table_function/generate_subscripts.rs
+    q("q_generate_subscripts",
+      """SELECT p_partkey,
+        |  CAST(generate_subscripts(string_split(p_name, ' '), 1) AS INT) AS i,
+        |  unnest(string_split(p_name, ' ')) AS w
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey, i""".stripMargin) { s =>
+      s.table("part").where(col("p_partkey") < 200)
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+        .select(col("p_partkey"), (col("pos") + 1).cast(IntegerType).as("i"),
+          col("col").as("w"))
+        .orderBy("p_partkey", "i")
+    },
+
+    // regexp_matches as a set-returning function: one row per match.
+    // reference: src/expr/impl/src/table_function/regexp_matches.rs
+    q("q_regexp_matches",
+      """SELECT p_partkey,
+        |  unnest(regexp_extract_all(p_name, '[a-z]*o[a-z]*')) AS m
+        |FROM part WHERE p_partkey < 400 ORDER BY p_partkey, m""".stripMargin) { s =>
+      s.table("part").where(col("p_partkey") < 400)
+        .select(col("p_partkey"),
+          explode(expr("regexp_extract_all(p_name, '[a-z]*o[a-z]*', 0)"))
+            .as("m"))
+        .orderBy("p_partkey", "m")
+    },
+
+    // range TVF (exclusive stop, stepped).
+    // reference: src/expr/impl/src/table_function/generate_series.rs
+    // registers `range` alongside generate_series
+    q("q_range_tvf",
+      """SELECT CAST(n_nationkey AS INT) AS k,
+        |  CAST(unnest(range(0, n_nationkey, 2)) AS INT) AS v
+        |FROM nation WHERE n_nationkey BETWEEN 1 AND 8
+        |ORDER BY k, v""".stripMargin) { s =>
+      s.table("nation")
+        .where(col("n_nationkey").between(1, 8))
+        .select(col("n_nationkey").cast(IntegerType).as("k"),
+          explode(sequence(lit(0),
+            (col("n_nationkey") - 1).cast(IntegerType), lit(2))).as("v"))
+        .orderBy("k", "v")
+    },
+
     // explode(split(...)): word expansion — ProjectSet in a real pipeline
     // (word frequency over the documents table).
     q("q_word_explode",

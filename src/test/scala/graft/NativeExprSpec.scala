@@ -92,4 +92,27 @@ class NativeExprSpec extends SparkSpecBase {
         .selectExpr("graft_lcm(a, b)").collect()
     }
   }
+
+  test("graft_hmac: RFC 2202/4231 'Jefe' vectors, codegen path, errors") {
+    // non-literal inputs so constant folding can't bypass doGenCode
+    val df = Seq(
+      ("what do ya want for nothing?", "Jefe", "sha1"),
+      ("what do ya want for nothing?", "Jefe", "sha256"),
+      ("what do ya want for nothing?", "Jefe", "md5"))
+      .toDF("p", "k", "a")
+    val got = df.select(
+      call_function("graft_hmac", col("p"), col("k"), col("a")).as("m"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "effcdf6ae5eb2fa2d27416d5f184df9c259a7c79",
+      "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843",
+      "750c783e6ab0b503eaa86e310a5db738"))
+    assert(spark.sql("SELECT graft_hmac(NULL, 'k', 'sha256')")
+      .head().isNullAt(0))
+    // unknown algorithm raises, mirroring the reference's bind rejection
+    intercept[Exception] {
+      Seq(("x", "k", "sha42")).toDF("p", "k", "a")
+        .selectExpr("graft_hmac(p, k, a)").collect()
+    }
+  }
 }
