@@ -132,6 +132,14 @@ object DurableCatalog {
     */
   final case class AggregateEntry(impl: String, options: Map[String, String])
 
+  /** CREATE FUNCTION … USING LINK (external UDF server): remote
+    * function identifier + link address + declared signature —
+    * recovery re-binds the name in the session function registry
+    * (no connection is made until the first call).
+    */
+  final case class ExternalFnEntry(ident: String, link: String,
+      argTypes: Seq[String], retType: String, lang: Option[String])
+
   /** COMMENT ON TABLE/COLUMN (reference: handler/comment.rs) — keyed by
     * `object` or `object.column`; surfaced through pg_description.
     */

@@ -161,7 +161,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               .map(_.trim.takeWhile(c => c.isLetterOrDigit || c == ' ').trim)
               .getOrElse("")
             (args, ret)
-          case None => Engine.NativeFunctionSigs.getOrElse(name, ("", ""))
+          case None => externalFns.get(name)
+            .map(e => (e.argTypes.map(_.toLowerCase).mkString(", "),
+              e.retType.toLowerCase))
+            .getOrElse(Engine.NativeFunctionSigs.getOrElse(name, ("", "")))
         }
         val kind =
           if (aggregates.contains(name)) "a"
@@ -1630,6 +1633,70 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     statusDf("CREATE AGGREGATE", name)
   }
 
+  // --- CREATE FUNCTION … USING LINK (reference: handler/
+  // create_function.rs + src/expr/impl/src/udf/external.rs — a UDF the
+  // user hosts behind a server, any language behind it; the embedded
+  // python/js/wasm runtimes remain a documented divergence). The name
+  // becomes callable anywhere in SQL; arguments coerce to the declared
+  // parameter types; the link is only dialed at first call.
+  private val CreateExternalFunctionStmt =
+    """(?is)\s*CREATE\s+FUNCTION\s+(\w+)\s*\(([^)]*)\)\s+RETURNS\s+([\w ,()0-9]+?)\s+(?:LANGUAGE\s+(\w+)\s+)?AS\s+'?([\w.]+)'?\s+USING\s+LINK\s+'([^']+)'\s*;?\s*""".r
+  private val DropFunctionStmt =
+    """(?is)\s*DROP\s+FUNCTION\s+(\w+)\s*;?\s*""".r
+
+  private val externalFns =
+    scala.collection.mutable.Map[String, DurableCatalog.ExternalFnEntry]()
+
+  private def parseSqlType(t0: String): org.apache.spark.sql.types.DataType = {
+    // PG spellings Spark's parser rejects bare: VARCHAR/TEXT w/o length
+    val t = t0.trim
+      .replaceAll("(?i)^varchar$", "string")
+      .replaceAll("(?i)^text$", "string")
+    spark.sessionState.sqlParser.parseDataType(t)
+  }
+
+  private def registerExternalFunction(name: String,
+      e: DurableCatalog.ExternalFnEntry): Unit = {
+    val argTypes = e.argTypes.map(parseSqlType)
+    val retType = parseSqlType(e.retType)
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.plans.ExternalUdfCall].getName, name),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == argTypes.length,
+          s"$name expects ${argTypes.length} argument(s), " +
+            s"got ${children.length}")
+        // arguments coerce to the declared parameter types (builders run
+        // once children are resolved, so dataType is available)
+        val coerced = children.zip(argTypes).map { case (c, t) =>
+          if (c.resolved && c.dataType == t) c
+          else org.apache.spark.sql.catalyst.expressions.Cast(c, t)
+        }
+        graft.plans.ExternalUdfCall(name, e.ident, e.link, argTypes,
+          retType, coerced)
+      })
+    externalFns(name) = e
+  }
+
+  private def createExternalFunction(name: String, argSpec: String,
+      retSpec: String, lang: String, ident: String, link: String): DataFrame = {
+    val argTypes = argSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { a =>
+        // declared as "x BIGINT" or bare "BIGINT" — try the whole spec
+        // as a type first so multi-word types (DOUBLE PRECISION) bind
+        try parseSqlType(a).sql
+        catch { case scala.util.control.NonFatal(_)
+            if a.split("\\s+", 2).length == 2 =>
+          parseSqlType(a.split("\\s+", 2)(1)).sql }
+      }
+    val entry = DurableCatalog.ExternalFnEntry(ident, link, argTypes,
+      parseSqlType(retSpec).sql, Option(lang).map(_.toLowerCase))
+    registerExternalFunction(name, entry)
+    catalog.save("externalfns", name, entry)
+    statusDf("CREATE FUNCTION", name)
+  }
+
   private val TxnStmt =
     """(?is)\s*(BEGIN|START\s+TRANSACTION|COMMIT|ABORT|ROLLBACK)(\s+READ\s+ONLY)?\s*;?\s*""".r
   private val ShowSinks = """(?is)\s*SHOW\s+SINKS\s*;?\s*""".r
@@ -2214,6 +2281,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             mvs.get(name).foreach(_.rewriteSchema(_.drop(cname)))
             saveTableEntry(name)
             statusDf("ALTER TABLE", name)
+          case CreateExternalFunctionStmt(name, args, ret, lang, ident, link) =>
+            createExternalFunction(name, args, ret, lang, ident, link)
+          case DropFunctionStmt(name) if externalFns.contains(name) =>
+            externalFns.remove(name)
+            spark.sessionState.functionRegistry.dropFunction(
+              org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+            catalog.delete("externalfns", name)
+            statusDf("DROP FUNCTION", name)
           case CreateAggregateStmt(name, _, _, lang, impl, opts) =>
             createAggregate(name, lang, impl, opts)
           case DropAggregateStmt(name) if aggregates.contains(name) =>
@@ -2436,6 +2511,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           spark, name, e.impl, e.options)
         aggregates(name) = (e.impl, sig)
       }
+    }
+
+    catalog.list[ExternalFnEntry]("externalfns").foreach { case (name, e) =>
+      recoverOrPark(s"externalfn:$name") { registerExternalFunction(name, e) }
     }
   }
 
