@@ -15,7 +15,30 @@ import graft.streaming.Changelog
   */
 object Advanced extends QueryPack {
 
+  /** Demo external-UDF server backing `q_external_udf` — started lazily,
+    * shared for the JVM's lifetime (daemon threads): the query's
+    * DataFrame is materialized AFTER the runner returns (Verify writes
+    * parquet, Bench writes noop), so the server must outlive the call.
+    */
+  private lazy val udfDemo = graft.tools.UdfServe.start()
+
   val queries: Seq[GraftQuery] = Seq(
+    // External UDF server end-to-end under the DuckDB gate: the engine
+    // ships row batches to a live (in-process, loopback) UDF server and
+    // zips typed results back — the reference's `CREATE FUNCTION …
+    // USING LINK` data path (src/expr/impl/src/udf/external.rs); DuckDB
+    // recomputes with its native gcd. Batched relational form
+    // (ExternalUdf.applyBatched) — the Arrow-Flight-shaped exchange.
+    q("q_external_udf",
+      """SELECT p_partkey, CAST(gcd(p_partkey, 36) AS BIGINT) AS g
+        |FROM part WHERE p_partkey < 2000 ORDER BY p_partkey""".stripMargin) { s =>
+      val df = s.table("part").where(col("p_partkey") < 2000)
+        .select(col("p_partkey"), lit(36L).as("b"))
+      graft.functions.ExternalUdf.applyBatched(df, udfDemo.link, "gcd",
+          Seq("p_partkey", "b"), "g", LongType, batchSize = 256)
+        .select(col("p_partkey"), col("g"))
+        .orderBy("p_partkey")
+    },
     // Recursive CTE: transitive closure over a deterministic cyclic edge
     // set derived from nation. DuckDB runs the real WITH RECURSIVE; the
     // engine runs IterativeFixpoint.transitiveClosure.

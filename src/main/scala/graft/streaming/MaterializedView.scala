@@ -395,26 +395,32 @@ final class MaterializedView(
           snapshot.drop(bucketCol),
           norm.drop(bucketCol),
           pk)
-        val staging = s"$targetDir.staging"
-        merged
-          .withColumn(bucketCol, bucketOf(merged))
-          .repartition(col(bucketCol))
-          .write.mode("overwrite")
-          .partitionBy(bucketCol)
-          .parquet(staging)
-        // Explicit schema: a delta that deletes a bucket's last rows
-        // stages zero files, where inference would fail.
-        val stagedSchema = org.apache.spark.sql.types.StructType(
-          merged.schema.fields :+ org.apache.spark.sql.types.StructField(
-            bucketCol, org.apache.spark.sql.types.IntegerType))
-        val staged = spark.read.schema(stagedSchema).parquet(staging)
-        staged.write.mode("overwrite").partitionBy(bucketCol).parquet(targetDir)
-        val nonEmpty = staged.select(bucketCol).distinct()
-          .collect().map(_.getInt(0)).toSet
-        (affected.toSet -- nonEmpty).foreach { b =>
-          deleteRecursively(Paths.get(targetDir, s"$bucketCol=$b"))
+        // Pin the merged rows BEFORE overwriting the storage their
+        // lineage reads (same localCheckpoint trick as the delta above;
+        // spills to executor disk, so memory profile matches the old
+        // staging-dir double write it replaces, minus a full parquet
+        // encode + listing + re-read per epoch).
+        val pinned = merged.withColumn(bucketCol, bucketOf(merged))
+          .localCheckpoint()
+        try {
+          val nonEmpty = pinned.select(bucketCol).distinct()
+            .collect().map(_.getInt(0)).toSet
+          // dynamic partition overwrite rewrites exactly the buckets
+          // present in the output; buckets whose last row was deleted
+          // produce nothing and are removed explicitly below
+          if (nonEmpty.nonEmpty)
+            pinned.repartition(col(bucketCol))
+              .write.mode("overwrite")
+              .partitionBy(bucketCol)
+              .parquet(targetDir)
+          (affected.toSet -- nonEmpty).foreach { b =>
+            deleteRecursively(Paths.get(targetDir, s"$bucketCol=$b"))
+          }
+        } finally pinned.queryExecution.logical match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(false)
+          case _ =>
         }
-        deleteRecursively(Paths.get(staging))
       }
       // Publish the delta on the changelog channel AFTER the storage
       // rewrite: the publication is the signal downstream subscribers
