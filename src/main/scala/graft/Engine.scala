@@ -1145,8 +1145,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         }
       case None =>
         bindMvTables(q) // the MV may join engine-managed tables
-        val result =
-          spark.sql(Engine.TemporalJoinClause.replaceAllIn(q, ""))
+        val result = spark.sql(Engine.rewritePgSelect(
+          Engine.TemporalJoinClause.replaceAllIn(q, "")))
         jobs(name) = mv.start(withChangelogOps(q, result), ckpt,
           outputMode = e.outputMode)
     }
@@ -1697,6 +1697,43 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     statusDf("CREATE FUNCTION", name)
   }
 
+  private val RefreshMvStmt =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*""".r
+
+  /** Full batch refresh of a fenced (non-streaming) MV: re-plan the
+    * stored query, upsert the new image AND delete vanished keys (a
+    * merge alone would leave rows whose PK left the result), under a
+    * fresh epoch so chained/subscribed consumers see the change set.
+    */
+  private def refreshMvStatement(name: String): DataFrame = {
+    val e = catalog.load[DurableCatalog.MvEntry]("mvs", name).getOrElse(
+      throw new IllegalArgumentException(
+        s"REFRESH MATERIALIZED VIEW: no such materialized view $name"))
+    require(!e.streaming,
+      s"REFRESH MATERIALIZED VIEW $name: continuously maintained — " +
+        "nothing to refresh")
+    val q = e.query.getOrElse(throw new IllegalArgumentException(
+      s"REFRESH MATERIALIZED VIEW $name: no stored defining query"))
+    bindMvTables(q)
+    val result = spark.sql(Engine.rewritePgSelect(
+      Engine.TemporalJoinClause.replaceAllIn(q, "")))
+    val mv = mvs.get(name).getOrElse(mvs.define(name, e.pk, e.nBuckets))
+    import graft.streaming.Changelog
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
+    val old = mv.read()
+    val upserts = result
+      .withColumn(Changelog.OpCol, flit(Changelog.UpdateInsert))
+      .withColumn(Changelog.SeqCol, flit(1L))
+    val delta =
+      if (old.columns.isEmpty) upserts
+      else upserts.unionByName(
+        old.join(result.select(e.pk.map(fcol): _*), e.pk, "left_anti")
+          .withColumn(Changelog.OpCol, flit(Changelog.Delete))
+          .withColumn(Changelog.SeqCol, flit(0L)))
+    mv.synchronized { mv.merge(delta, mv.latestChangelogBatchId + 1) }
+    statusDf("REFRESH MATERIALIZED VIEW", name)
+  }
+
   private val TxnStmt =
     """(?is)\s*(BEGIN|START\s+TRANSACTION|COMMIT|ABORT|ROLLBACK)(\s+READ\s+ONLY)?\s*;?\s*""".r
   private val ShowSinks = """(?is)\s*SHOW\s+SINKS\s*;?\s*""".r
@@ -1980,7 +2017,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     // interactive clients (psql) terminate statements with ';' — most
     // frontend regexes tolerate it, but DML and passthrough SQL don't
     val statement0 = statement00.replaceAll("[;\\s]+$", "")
-    val statement1 = rewriteTvfs(statement0)
+    val statement1 = {
+      val t = rewriteTvfs(statement0)
+      // PG-only SELECT forms (ASOF JOIN, DISTINCT ON) rewrite on the
+      // query surface; DDL/DML statements pass through untouched
+      if (t.matches("(?is)\\s*(SELECT|WITH|VALUES)\\b.*"))
+        Engine.rewritePgSelect(t)
+      else t
+    }
     // introspection (psql \dt, pgjdbc getTables, ORMs): (re)bind the
     // pg_catalog/information_schema relations from the live catalog and
     // translate the Postgres dialect bits those clients emit
@@ -2077,7 +2121,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           // in Spark a stream-static join already has lookup semantics —
           // the dim side is re-scanned per micro-batch — so the clause
           // erases to a plain join of the registered batch table
-          val result = spark.sql(Engine.TemporalJoinClause.replaceAllIn(query, ""))
+          val result = spark.sql(Engine.rewritePgSelect(
+            Engine.TemporalJoinClause.replaceAllIn(query, "")))
           val pk = pkOpt.getOrElse(throw new IllegalArgumentException(
             s"CREATE MATERIALIZED VIEW $name requires an explicit " +
               "(PRIMARY KEY (…)) clause — merging on a guessed key would " +
@@ -2281,6 +2326,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             mvs.get(name).foreach(_.rewriteSchema(_.drop(cname)))
             saveTableEntry(name)
             statusDf("ALTER TABLE", name)
+          case RefreshMvStmt(name) =>
+            refreshMvStatement(name)
           case CreateExternalFunctionStmt(name, args, ret, lang, ident, link) =>
             createExternalFunction(name, args, ret, lang, ident, link)
           case DropFunctionStmt(name) if externalFns.contains(name) =>
@@ -2531,6 +2578,153 @@ object Engine {
     */
   private[graft] val TemporalJoinClause =
     """(?i)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+PROCTIME\s*\(\s*\)""".r
+
+  // ---- PG/reference SQL forms Spark's parser lacks, rewritten
+  // textually into Spark-executable SQL. Envelope documented per form;
+  // a query outside it fails loudly at analysis (malformed rewrite or
+  // unresolved reference), never silently computes something else.
+
+  /** First index of `kw` (word-bounded) at paren depth 0 outside string
+    * literals, from `from`; -1 if absent.
+    */
+  private def topLevelIndex(s: String, kw: String, from: Int = 0): Int = {
+    val p = java.util.regex.Pattern.compile("(?is)" + kw)
+    var depth = 0; var i = from; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          val boundary = i == 0 ||
+            (!Character.isLetterOrDigit(s.charAt(i - 1)) &&
+              s.charAt(i - 1) != '_')
+          if (depth == 0 && boundary) {
+            val m = p.matcher(s)
+            m.region(i, s.length)
+            if (m.lookingAt()) return i
+          }
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split a conjunction on top-level ANDs. */
+  private def splitAnd(cond: String): Seq[String] = {
+    var rest = cond
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var idx = topLevelIndex(rest, "AND\\b")
+    while (idx >= 0) {
+      out += rest.substring(0, idx).trim
+      rest = rest.substring(idx + 3)
+      idx = topLevelIndex(rest, "AND\\b")
+    }
+    out += rest.trim
+    out.toSeq
+  }
+
+  private val AsofPattern = java.util.regex.Pattern.compile(
+    """(?is)\bASOF\s+(LEFT\s+)?JOIN\s+(\w+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+ON\s+""")
+  private val IneqPattern = java.util.regex.Pattern.compile(
+    """(?s)^\s*(.+?)\s*(<=|>=|<|>)\s*(.+?)\s*$""")
+
+  /** `A ASOF [LEFT] JOIN B [alias] ON eqConds AND ineq` (reference
+    * batch/stream AsOfJoin; RisingWave SQL surface) → a correlated
+    * LATERAL subquery picking, per left row, the single right row at
+    * the extremal ordering value the inequality admits. Envelope: the
+    * right side is a named relation, ON is a conjunction with exactly
+    * one inequality conjunct naming the right alias, and no further
+    * JOIN follows the ON clause.
+    */
+  private[graft] def rewriteAsofJoin(q0: String): String = {
+    val m = AsofPattern.matcher(q0)
+    if (!m.find()) return q0
+    val left = q0.substring(0, m.start())
+    val isLeft = m.group(1) != null
+    val rel = m.group(2)
+    val alias = Option(m.group(3)).getOrElse(rel)
+    val rest = q0.substring(m.end())
+    val endIdx = topLevelIndex(rest,
+      "(WHERE|GROUP|ORDER|LIMIT|HAVING|UNION|INTERSECT|EXCEPT|WINDOW|JOIN|ASOF)\\b")
+    val (cond, tail) =
+      if (endIdx < 0) (rest.trim, "")
+      else (rest.substring(0, endIdx).trim, rest.substring(endIdx))
+    val refsAlias = (s: String) => java.util.regex.Pattern
+      .compile(s"(?i)(^|[^\\w.])$alias\\.").matcher(s).find()
+    val ineq = splitAnd(cond).flatMap { c =>
+      val im = IneqPattern.matcher(c)
+      if (im.matches() && (refsAlias(im.group(1)) || refsAlias(im.group(3))))
+        Some((im.group(1), im.group(2), im.group(3)))
+      else None
+    }
+    require(ineq.length == 1,
+      s"ASOF JOIN requires exactly one inequality conjunct on the right " +
+        s"relation's ordering column; found ${ineq.length} in: $cond")
+    val (lhs, op, rhs) = ineq.head
+    val rightOnLhs = refsAlias(lhs)
+    val ord = if (rightOnLhs) lhs else rhs
+    // right ≤ left → latest admissible right row (DESC); mirrored
+    // operands and directions flip accordingly
+    val dir = op match {
+      case "<=" | "<" => if (rightOnLhs) "DESC" else "ASC"
+      case _ => if (rightOnLhs) "ASC" else "DESC"
+    }
+    val lateral =
+      s"(SELECT * FROM $rel $alias WHERE $cond ORDER BY $ord $dir LIMIT 1) $alias"
+    val joined =
+      if (isLeft) s"$left LEFT JOIN LATERAL $lateral ON true"
+      else s"$left JOIN LATERAL $lateral"
+    rewriteAsofJoin(joined + " " + tail)
+  }
+
+  /** PG `SELECT DISTINCT ON (keys) list FROM … [ORDER BY …]` (reference
+    * binder; StreamGroupTopN k=1 in streaming plans) → row_number()-
+    * over-partition ≤ 1. Envelope: statement-leading SELECT, unqualified
+    * column references in the select list (the subquery flattens FROM
+    * aliases), window order = the query's ORDER BY (PG's survivor rule)
+    * or the keys when absent.
+    */
+  private[graft] def rewriteDistinctOn(q0: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\s*\\(").matcher(q0)
+    if (!m.find()) return q0
+    // the keys list ends at the matching close paren
+    var depth = 1; var i = m.end()
+    while (depth > 0 && i < q0.length) {
+      q0.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    require(depth == 0, s"unbalanced DISTINCT ON parens in: $q0")
+    val keys = q0.substring(m.end(), i - 1).trim
+    val rest = q0.substring(i)
+    val fromIdx = topLevelIndex(rest, "FROM\\b")
+    require(fromIdx >= 0, s"DISTINCT ON without FROM: $q0")
+    val selectList0 = rest.substring(0, fromIdx).trim
+    val selectList =
+      if (selectList0 == "*") "* EXCEPT (__distinct_on)" else selectList0
+    val fromPart0 = rest.substring(fromIdx)
+    val obIdx = topLevelIndex(fromPart0, "ORDER\\s+BY\\b")
+    val (fromPart, orderBy) =
+      if (obIdx < 0) (fromPart0, None)
+      else (fromPart0.substring(0, obIdx), Some(fromPart0.substring(obIdx)))
+    val winOrder = orderBy
+      .map(_.replaceFirst("(?is)^ORDER\\s+BY\\s*", "")).getOrElse(keys)
+    s"""SELECT $selectList FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY $keys
+       |    ORDER BY $winOrder) AS __distinct_on
+       |  $fromPart
+       |) __don WHERE __distinct_on = 1 ${orderBy.getOrElse("")}""".stripMargin
+  }
+
+  private[graft] def rewritePgSelect(q: String): String =
+    rewriteDistinctOn(rewriteAsofJoin(q))
 
   /** Generated hidden PK of `CREATE TABLE … AS` tables without a
     * declared key (reference: the stream RowIdGen's `_row_id`).

@@ -2309,4 +2309,85 @@ class SqlFrontendSpec extends SparkSpecBase {
         "LANGUAGE native AS 'retractable_percentile'")
     }
   }
+
+  test("ASOF JOIN and DISTINCT ON SQL forms rewrite and execute") {
+    // reference SQL surface (binder-level in the reference): ASOF JOIN
+    // picks the extremal admissible right row per left row; DISTINCT ON
+    // keeps the first row per key under the query's ORDER BY
+    val wh = tmpDir("pgforms")
+    val e = new Engine(spark, wh)
+    e.execute("CREATE TABLE trades (tid BIGINT PRIMARY KEY, sym STRING, t BIGINT, px BIGINT)")
+    e.execute("CREATE TABLE quotes (qid BIGINT PRIMARY KEY, sym STRING, t BIGINT, bid BIGINT)")
+    e.execute("INSERT INTO trades VALUES (1,'a',10,100),(2,'a',20,101),(3,'b',15,200)")
+    e.execute("INSERT INTO quotes VALUES " +
+      "(1,'a',5,99),(2,'a',9,98),(3,'a',25,97),(4,'b',15,199),(5,'c',1,1)")
+    e.execute("FLUSH")
+
+    // backward ASOF: latest quote at-or-before the trade
+    val asof = e.execute(
+      """SELECT trades.tid, q.t AS qt, q.bid FROM trades
+        |ASOF JOIN quotes q ON trades.sym = q.sym AND q.t <= trades.t
+        |ORDER BY trades.tid""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(asof == Seq((1L, 9L, 98L), (2L, 9L, 98L), (3L, 15L, 199L)))
+
+    // forward ASOF LEFT: earliest quote strictly after; unmatched null
+    val fwd = e.execute(
+      """SELECT trades.tid, q.t AS qt FROM trades
+        |ASOF LEFT JOIN quotes q ON trades.sym = q.sym AND q.t > trades.t
+        |ORDER BY trades.tid""".stripMargin)
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(fwd == Seq((1L, Some(25L)), (2L, Some(25L)), (3L, None)))
+
+    // DISTINCT ON with the PG survivor rule (ORDER BY decides)
+    val don = e.execute(
+      """SELECT DISTINCT ON (sym) sym, t, bid FROM quotes
+        |ORDER BY sym, t DESC""".stripMargin)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(don == Seq(("a", 25L, 97L), ("b", 15L, 199L), ("c", 1L, 1L)))
+    // star form excludes the helper column
+    val star = e.execute(
+      "SELECT DISTINCT ON (sym) * FROM quotes ORDER BY sym, t DESC")
+    assert(star.columns.toSeq == Seq("qid", "sym", "t", "bid"))
+    assert(star.count() == 3)
+  }
+
+  test("REFRESH MATERIALIZED VIEW re-runs a fenced MV incl. deletions") {
+    val wh = tmpDir("refreshmv")
+    val e = new Engine(spark, wh)
+    e.execute("CREATE TABLE rf_a (id BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("CREATE TABLE rf_b (id BIGINT PRIMARY KEY, w BIGINT)")
+    e.execute("INSERT INTO rf_a VALUES (1, 10), (2, 20)")
+    e.execute("INSERT INTO rf_b VALUES (1, 5), (2, 25)")
+    e.execute("FLUSH")
+    // pure-theta join: takes the loud batch-refresh fence
+    e.execute(
+      """CREATE MATERIALIZED VIEW rf_m (PRIMARY KEY (id, bid)) AS
+        |SELECT rf_a.id, rf_b.id AS bid FROM rf_a JOIN rf_b
+        |ON rf_b.w < rf_a.v""".stripMargin)
+    assert(e.streamingJob("rf_m").isEmpty)
+    def rows(en: Engine) = en.table("rf_m").orderBy("id", "bid")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows(e) == Seq((1L, 1L), (2L, 1L)))
+
+    // DML shifts the theta relation: row (1,1) must VANISH on refresh
+    e.execute("UPDATE rf_b SET w = 50 WHERE id = 1")
+    e.execute("INSERT INTO rf_a VALUES (3, 100)")
+    e.execute("FLUSH")
+    assert(rows(e) == Seq((1L, 1L), (2L, 1L)), "stale before refresh")
+    e.execute("REFRESH MATERIALIZED VIEW rf_m")
+    assert(rows(e) == Seq((3L, 1L), (3L, 2L)))
+
+    // streaming MVs refuse (they are continuously maintained)
+    e.execute(
+      """CREATE MATERIALIZED VIEW rf_s (PRIMARY KEY (id)) AS
+        |SELECT id, v * 2 AS v2 FROM rf_a""".stripMargin)
+    intercept[IllegalArgumentException] {
+      e.execute("REFRESH MATERIALIZED VIEW rf_s")
+    }
+    intercept[IllegalArgumentException] {
+      e.execute("REFRESH MATERIALIZED VIEW rf_missing")
+    }
+    e.streamingJob("rf_s").foreach(_.stop())
+  }
 }
