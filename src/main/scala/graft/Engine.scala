@@ -1697,6 +1697,32 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     statusDf("CREATE FUNCTION", name)
   }
 
+  /** Bulk-load a parsed batch into a table through the DML channel —
+    * the pgwire COPY FROM STDIN landing point (reference:
+    * handler/copy.rs routes COPY through the same DML plan as INSERT).
+    * Columns absent from `rows` fill from their DEFAULT (or null) like
+    * a narrow INSERT; all values cast to the stored schema. Returns
+    * the loaded row count.
+    */
+  def copyInto(name: String, rows: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val mv = mvs.get(name).getOrElse(throw new IllegalArgumentException(
+      s"COPY: no such table $name"))
+    val target = {
+      val stored = mv.read().schema
+      if (stored.nonEmpty) stored else tableSchemas.getOrElse(name, stored)
+    }
+    rows.columns.foreach(c => require(target.fieldNames.contains(c),
+      s"COPY $name: no such column $c"))
+    val filled = target.fields.filterNot(f => rows.columns.contains(f.name))
+      .foldLeft(rows) { (d, f) => fillColumn(name, d, f) }
+    val df = filled.select(target.fields.map(f =>
+      col(f.name).cast(f.dataType)).toSeq: _*)
+    val n = df.count()
+    graft.operators.Dml.insertInto(mv, df)
+    n
+  }
+
   private val RefreshMvStmt =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*""".r
 

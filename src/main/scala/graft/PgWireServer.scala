@@ -311,7 +311,18 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
             inErrorState = false // simple query resets extended-proto state
             val sql = new String(body, UTF_8).stripSuffix("\u0000").trim
             if (sql.isEmpty) writeMsg(out, 'I') { _ => } // EmptyQueryResponse
-            else runQuery(out, sql)
+            else sql match {
+              case PgWireServer.CopyInStmt(tbl, colList, opts) =>
+                copyIn(in, out, tbl, Option(colList), Option(opts))
+              case PgWireServer.CopyOutStmt(innerQ, tbl, colList, opts) =>
+                val q = Option(innerQ).getOrElse {
+                  val cols = Option(colList).map(_.trim).filter(_.nonEmpty)
+                    .getOrElse("*")
+                  s"SELECT $cols FROM $tbl"
+                }
+                copyOut(out, q, Option(opts))
+              case _ => runQuery(out, sql)
+            }
             readyForQuery(out)
 
           // ---- extended protocol (Parse/Bind/Describe/Execute/Sync) ----
@@ -609,4 +620,131 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
         val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
         errorResponse(out, "XX000", msg.linesIterator.take(4).mkString(" | "))
     }
+
+  // ------------------------------------------------------------ COPY
+  // (reference: handler/copy.rs — COPY routes through the DML plan; the
+  // wire sub-protocol is the PG spec's CopyInResponse/CopyData/CopyDone
+  // flow that psql's \copy and pgjdbc's CopyManager bulk loads ride on)
+
+  /** COPY table [(cols)] FROM STDIN [WITH (...)]: stream CopyData into
+    * a buffer, parse with Spark's CSV reader (text format = tab
+    * delimiter + \N nulls + no quoting; csv format = PG's doubled
+    * quotes), land through [[Engine.copyInto]] under one DML epoch.
+    */
+  private def copyIn(in: DataInputStream, out: DataOutputStream,
+      table: String, colList: Option[String], opts: Option[String]): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val schemaE =
+      try Right(engine.synchronized(engine.table(table).schema))
+      catch { case e: Exception =>
+        Left(Option(e.getMessage).getOrElse(e.toString)) }
+    schemaE match {
+      case Left(msg) =>
+        errorResponse(out, "42P01", msg.linesIterator.take(2).mkString(" | "))
+      case Right(schema) =>
+        val cols = colList.map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(schema.fieldNames.toSeq)
+        val optsL = opts.map(_.toLowerCase).getOrElse("")
+        val csv = optsL.contains("csv")
+        val header = optsL.contains("header")
+        writeMsg(out, 'G') { b => // CopyInResponse, all-text columns
+          b.writeByte(0); b.writeShort(cols.length)
+          cols.foreach(_ => b.writeShort(0))
+        }
+        out.flush()
+        val buf = new java.io.ByteArrayOutputStream()
+        var done = false
+        var failed: Option[String] = None
+        while (!done) {
+          val tpe = in.readByte()
+          val len = in.readInt()
+          val body = new Array[Byte](math.max(len - 4, 0))
+          in.readFully(body)
+          tpe match {
+            case 'd' => buf.write(body)
+            case 'c' => done = true
+            case 'f' =>
+              failed = Some(new String(body, UTF_8).takeWhile(_ != '\u0000'))
+              done = true
+            case _ => // Flush/Sync mid-copy: ignore
+          }
+        }
+        failed match {
+          case Some(msg) =>
+            errorResponse(out, "57014", s"COPY aborted by client: $msg")
+          case None => try {
+            val lines0 = new String(buf.toByteArray, UTF_8)
+              .split("\n").toSeq.map(_.stripSuffix("\r"))
+              .filter(l => l.nonEmpty && l != "\\.")
+            val lines = if (header) lines0.drop(1) else lines0
+            val subSchema = StructType(cols.map(c =>
+              schema.find(_.name == c).getOrElse(
+                throw new IllegalArgumentException(
+                  s"COPY $table: no such column $c"))))
+            val spark = engine.spark
+            import spark.implicits._
+            val reader = spark.read.schema(subSchema)
+            val parsed =
+              (if (csv) reader.option("escape", "\"")
+               else reader.option("delimiter", "\t")
+                 .option("nullValue", "\\N").option("quote", "\u0000"))
+                .csv(spark.createDataset(lines))
+            val n = engine.synchronized(engine.copyInto(table, parsed))
+            writeMsg(out, 'C')(cstr(_, s"COPY $n"))
+          } catch {
+            case e: Throwable => errorResponse(out, "XX000",
+              Option(e.getMessage).getOrElse(e.toString)
+                .linesIterator.take(4).mkString(" | "))
+          }
+        }
+    }
+  }
+
+  /** COPY {table [(cols)] | (query)} TO STDOUT [WITH (...)]: stream the
+    * result as CopyData lines (text or csv rendering), CopyDone,
+    * `COPY n`. Rows stream via toLocalIterator like plain queries.
+    */
+  private def copyOut(out: DataOutputStream, query: String,
+      opts: Option[String]): Unit =
+    try {
+      val df: DataFrame = engine.synchronized(engine.execute(query))
+      val schema = df.schema
+      val csv = opts.exists(_.toLowerCase.contains("csv"))
+      writeMsg(out, 'H') { b => // CopyOutResponse, all-text columns
+        b.writeByte(0); b.writeShort(schema.length)
+        schema.foreach(_ => b.writeShort(0))
+      }
+      val it = df.toLocalIterator()
+      var n = 0L
+      while (it.hasNext) {
+        val row = it.next()
+        val line = schema.indices.map { i =>
+          if (row.isNullAt(i)) { if (csv) "" else "\\N" }
+          else {
+            val v = render(row.get(i))
+            if (csv) {
+              if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+                "\"" + v.replace("\"", "\"\"") + "\""
+              else v
+            } else v.replace("\\", "\\\\").replace("\t", "\\t")
+              .replace("\n", "\\n").replace("\r", "\\r")
+          }
+        }.mkString(if (csv) "," else "\t") + "\n"
+        writeMsg(out, 'd')(_.write(line.getBytes(UTF_8)))
+        n += 1
+      }
+      writeMsg(out, 'c') { _ => } // CopyDone
+      writeMsg(out, 'C')(cstr(_, s"COPY $n"))
+    } catch {
+      case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+        errorResponse(out, "XX000", msg.linesIterator.take(4).mkString(" | "))
+    }
+}
+
+object PgWireServer {
+  private[graft] val CopyInStmt =
+    """(?is)\s*COPY\s+(\w+)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN\s*(?:WITH\s*)?(?:\(([^)]*)\))?\s*;?\s*""".r
+  private[graft] val CopyOutStmt =
+    """(?is)\s*COPY\s+(?:\((.+)\)|(\w+)\s*(?:\(([^)]*)\))?)\s+TO\s+STDOUT\s*(?:WITH\s*)?(?:\(([^)]*)\))?\s*;?\s*""".r
 }

@@ -73,7 +73,7 @@ object Functions4 extends QueryPack {
         |    (((aton & mask) + (4294967295 - mask)) // 65536) % 256,
         |    (((aton & mask) + (4294967295 - mask)) // 256) % 256,
         |    ((aton & mask) + (4294967295 - mask)) % 256) AS bc,
-        |  ((168496041 & mask) = (aton & mask)) AS has
+        |  ((168496141 & mask) = (aton & mask)) AS has
         |FROM n ORDER BY c_custkey""".stripMargin) { s =>
       import graft.functions.NetFunctions._
       val k = col("c_custkey")

@@ -54,6 +54,28 @@ class PgWireSpec extends SparkSpecBase {
       sock.close()
     }
 
+    // ---- COPY sub-protocol ----
+
+    /** Send a COPY … FROM STDIN query; returns the CopyInResponse. */
+    def copyBegin(sql: String): Msg = {
+      val b = (sql + "\u0000").getBytes(UTF_8)
+      out.writeByte('Q'); out.writeInt(4 + b.length); out.write(b); out.flush()
+      readMsg()
+    }
+    def copyData(s: String): Unit = {
+      val b = s.getBytes(UTF_8)
+      out.writeByte('d'); out.writeInt(4 + b.length); out.write(b)
+    }
+    def copyDone(): Seq[Msg] = {
+      out.writeByte('c'); out.writeInt(4); out.flush()
+      drainUntilReady()
+    }
+    def copyFail(msg: String): Seq[Msg] = {
+      val b = (msg + "\u0000").getBytes(UTF_8)
+      out.writeByte('f'); out.writeInt(4 + b.length); out.write(b); out.flush()
+      drainUntilReady()
+    }
+
     // ---- extended protocol ----
 
     private def send(tpe: Char)(body: DataOutputStream => Unit): Unit = {
@@ -642,6 +664,73 @@ class PgWireSpec extends SparkSpecBase {
         assert(!r2.query("FETCH NEXT FROM acur").exists(_.tpe == 'D'))
         r2.close()
       } finally srv2.stop()
+    } finally srv.stop()
+  }
+
+  test("pgwire: COPY FROM STDIN / TO STDOUT (text and csv sub-protocol)") {
+    val e = new Engine(spark, tmpDir("pgcopy"))
+    val srv = new PgWireServer(e)
+    srv.start()
+    try {
+      val c = new Client(srv.port)
+      c.startup()
+      c.query("CREATE TABLE cp (id BIGINT PRIMARY KEY, name VARCHAR, v DOUBLE)")
+
+      // text format: tab-separated, \N nulls; CopyInResponse advertises
+      // one text-format column per COPY column
+      val g = c.copyBegin("COPY cp FROM STDIN")
+      assert(g.tpe == 'G', s"expected CopyInResponse, got ${g.tpe}")
+      c.copyData("1\talpha\t1.5\n2\tbe")
+      c.copyData("ta\t\\N\n") // rows may split across CopyData messages
+      c.copyData("3\tgamma\t3.5\n")
+      val done = c.copyDone()
+      assert(tagOf(done) == "COPY 3", s"got '${tagOf(done)}'")
+      val back = c.query("SELECT id, name, v FROM cp ORDER BY id")
+        .filter(_.tpe == 'D').map(parseDataRow)
+      assert(back == Seq(
+        Seq(Some("1"), Some("alpha"), Some("1.5")),
+        Seq(Some("2"), Some("beta"), None),
+        Seq(Some("3"), Some("gamma"), Some("3.5"))))
+
+      // csv format with HEADER and a column subset: unnamed columns null
+      val g2 = c.copyBegin("COPY cp (id, name) FROM STDIN WITH (FORMAT csv, HEADER)")
+      assert(g2.tpe == 'G')
+      c.copyData("id,name\n4,\"de,lta\"\n5,\"say \"\"hi\"\"\"\n")
+      assert(tagOf(c.copyDone()) == "COPY 2")
+      val r4 = c.query("SELECT name, v FROM cp WHERE id = 4")
+        .filter(_.tpe == 'D').map(parseDataRow)
+      assert(r4 == Seq(Seq(Some("de,lta"), None)))
+      val r5 = c.query("SELECT name FROM cp WHERE id = 5")
+        .filter(_.tpe == 'D').map(parseDataRow)
+      assert(r5 == Seq(Seq(Some("say \"hi\""))))
+
+      // CopyFail aborts: nothing lands, connection stays usable
+      assert(c.copyBegin("COPY cp FROM STDIN").tpe == 'G')
+      c.copyData("9\tzeta\t9.9\n")
+      val failed = c.copyFail("client changed its mind")
+      assert(failed.exists(_.tpe == 'E'), "expected ErrorResponse after CopyFail")
+      assert(c.query("SELECT count(*) AS n FROM cp").filter(_.tpe == 'D')
+        .map(parseDataRow) == Seq(Seq(Some("5"))))
+
+      // COPY TO STDOUT: CopyOutResponse, data lines, CopyDone, COPY n
+      val outMsgs = c.query("COPY cp (id, name) TO STDOUT")
+      assert(outMsgs.exists(_.tpe == 'H'), "expected CopyOutResponse")
+      val lines = outMsgs.filter(_.tpe == 'd')
+        .map(m => new String(m.body, UTF_8)).mkString
+      assert(lines.contains("1\talpha\n") && lines.contains("4\tde,lta\n"))
+      assert(outMsgs.exists(_.tpe == 'c'), "expected CopyDone")
+      assert(tagOf(outMsgs) == "COPY 5")
+
+      // COPY (query) TO STDOUT with csv rendering quotes the comma
+      val q = c.query("COPY (SELECT name FROM cp WHERE id = 4) TO STDOUT (FORMAT csv)")
+      assert(q.filter(_.tpe == 'd').map(m => new String(m.body, UTF_8))
+        == Seq("\"de,lta\"\n"))
+
+      // unknown table errors before any CopyInResponse; session survives
+      val bad = c.query("COPY nope FROM STDIN")
+      assert(bad.exists(_.tpe == 'E'))
+      assert(c.query("SELECT 1 AS one").exists(_.tpe == 'D'))
+      c.close()
     } finally srv.stop()
   }
 }

@@ -206,4 +206,25 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(mix.contains("HashAggregate") && !mix.contains("CartesianProduct"),
       s"expected partial-agg audit count in mixture sample:\n$mix")
   }
+
+  test("scalar-function packs stay shuffle-free per-row scans") {
+    Tables.register(spark, dir)
+    // inet/CIDR math and printf/translate are pure Column arithmetic:
+    // the only exchange allowed is the presentation sort
+    Seq("q_fn_inet", "q_fn_format").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("hashpartitioning"),
+        s"$q must not hash-shuffle:\n$p")
+      // pure Project over the scan — nothing codegen-hostile (the AQE
+      // plan string is pre-execution, so the codegen spans themselves
+      // are not printable here; absence of exchanges is the gate)
+      assert(!p.contains("BatchEvalPython") && !p.contains("mapPartitions"),
+        s"$q must be plain column expressions:\n$p")
+    }
+    // the external-UDF relational path is one mapPartitions over the
+    // scan — batched round-trips, no exchange before the ship
+    val ext = plan(SparkEntry.queries("q_external_udf")(spark, dir))
+    assert(!ext.contains("hashpartitioning"),
+      s"external UDF apply must not hash-shuffle:\n$ext")
+  }
 }
