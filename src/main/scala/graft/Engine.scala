@@ -138,6 +138,37 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     tableObjs ++ mvObjs ++ viewObjs ++ srcObjs ++ idxObjs
   }
 
+  /** Populate the rw_catalog relations from the live engine state
+    * (reference: rw_catalog/ system tables — its users' operational
+    * introspection surface: SHOW-ish metadata, definitions, chain
+    * dependencies, streaming-job status).
+    */
+  private def rwBind(): Unit = {
+    val objs = systemObjects
+    val kindWord = Map("r" -> "TABLE", "m" -> "MATERIALIZED VIEW",
+      "v" -> "VIEW", "f" -> "SOURCE", "i" -> "INDEX")
+    val defs = (objs.map(o => o.name -> scala.util.Try(
+        createDdl(kindWord(o.kind), o.name)).getOrElse("")) ++
+      sinkNames.toSeq.map(n => n -> scala.util.Try(
+        createDdl("SINK", n)).getOrElse(""))).toMap
+    val pks = objs.flatMap(o =>
+      mvs.get(o.name).map(mv => o.name -> mv.primaryKey)).toMap
+    val deps = catalog.list[DurableCatalog.MvEntry]("mvs")
+      .flatMap { case (n, e) =>
+        (e.chainedFrom.toSeq ++ e.chainedFromRight.toSeq).map(u => n -> u)
+      } ++ indexes.toSeq.map { case (n, d) => n -> d.table }
+    val jobStatus = jobs.toSeq.map { case (n, q) =>
+      n -> (if (q.isActive) "RUNNING" else "STOPPED")
+    }.toMap
+    val fns = externalFns.toSeq.map { case (n, e) =>
+        (n, "f", e.lang.getOrElse("external"), e.link)
+      } ++ aggregates.toSeq.map { case (n, (impl, _)) =>
+        (n, "a", "native", "")
+      }
+    SystemCatalog.bindRw(spark, objs, pks, defs, deps, jobStatus,
+      sinkNames.toSeq, fns)
+  }
+
   /** The engine's registered callables for pg_proc (psql `\df`, ORM
     * function introspection): everything in the session function registry
     * that is not a Spark builtin — CREATE AGGREGATE UDAFs, SQL UDFs
@@ -1482,6 +1513,13 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     */
   private def showCreate(kind: String, name: String): DataFrame = {
     import spark.implicits._
+    Seq((name, createDdl(kind, name))).toDF("name", "create_sql")
+  }
+
+  /** The re-issuable DDL of one object (SHOW CREATE's payload; also the
+    * `definition` column of the rw_catalog relations).
+    */
+  private def createDdl(kind: String, name: String): String = {
     import DurableCatalog._
     val k = kind.toUpperCase.replaceAll("\\s+", " ")
     val ddl: String = k match {
@@ -1521,7 +1559,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           throw new IllegalArgumentException(s"no such index $name"))
         s"CREATE INDEX $name ON ${e.table} (${e.keys.mkString(", ")})"
     }
-    Seq((name, ddl)).toDF("name", "create_sql")
+    ddl
   }
   private val ShowTables = """(?is)\s*SHOW\s+TABLES\s*;?\s*""".r
   private val DropTable =
@@ -2060,6 +2098,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           catalog.list[DurableCatalog.CommentEntry]("comments")
             .map { case (k, e) => k.replace('-', '.') -> e.text }.toMap,
           systemFunctions)
+        rwBind()
         val rw = SystemCatalog.rewrite(statement1)
         // probes against catalog concepts this engine does not model
         // (policies, publications, …) answer empty, so psql's \d flow

@@ -39,7 +39,8 @@ object SystemCatalog {
     "pg_matviews", "pg_am", "pg_attrdef", "pg_collation", "pg_index",
     "pg_inherits", "pg_roles", "pg_proc")
   private val Trigger =
-    ("(?i)\\b(pg_catalog|information_schema|" + SysNames.mkString("|") + ")\\b").r
+    ("(?i)\\b(pg_catalog|information_schema|rw_catalog|rw_\\w+|" +
+      SysNames.mkString("|") + ")\\b").r
 
   /** Does the statement touch any system relation / schema? */
   def referenced(stmt: String): Boolean = Trigger.findFirstIn(stmt).isDefined
@@ -55,7 +56,14 @@ object SystemCatalog {
     "pg_event_trigger|pg_extension|pg_foreign_\\w+|pg_partitioned_table|" +
     "pg_sequence\\w*|pg_seclabel\\w*|pg_enum|pg_operator|" +
     "pg_cast|pg_language|pg_largeobject\\w*|pg_replication\\w*|" +
-    "pg_shdepend|pg_tablespace|pg_ts_\\w+|pg_user_mapping)\\b").r
+    "pg_shdepend|pg_tablespace|pg_ts_\\w+|pg_user_mapping|" +
+    // rw_catalog internals tied to the reference's physical runtime
+    // (actors/fragments/hummock LSM/meta cluster) — concepts this
+    // engine delegates to Spark; "none defined" is the truthful answer
+    "rw_actor\\w*|rw_fragment\\w*|rw_hummock_\\w+|rw_connections|" +
+    "rw_secrets|rw_event_logs|rw_ddl_progress|rw_meta_snapshot|" +
+    "rw_rate_limit|rw_internal_table\\w*|rw_iceberg_\\w+|rw_worker\\w*|" +
+    "rw_parallel_units|rw_system_tables|rw_types)\\b").r
 
   def probesUnmodeled(stmt: String): Boolean =
     Unmodeled.findFirstIn(stmt).isDefined
@@ -110,6 +118,7 @@ object SystemCatalog {
     s = s.replaceAll("(?i)\\bCOLLATE\\s+\"?default\"?", "")
     // strip schema qualification: relations AND helper functions resolve flat
     s = s.replaceAll("(?i)\\bpg_catalog\\.", "")
+    s = s.replaceAll("(?i)\\brw_catalog\\.", "")
     s = s.replaceAll("(?i)\\binformation_schema\\.(\\w+)", "information_schema_$1")
     // regex match operators (case-insensitive variants approximated)
     s = s.replaceAll("!~\\*?", " NOT RLIKE ")
@@ -358,6 +367,117 @@ object SystemCatalog {
       .createOrReplaceTempView("information_schema_routines")
 
     registerShims(spark)
+  }
+
+  /** rw_catalog subset (reference: src/frontend/src/catalog/
+    * system_catalog/rw_catalog/ — 52 relations). The LOGICAL-catalog
+    * relations are modeled with the reference's column names; the
+    * runtime-physical ones (actors, fragments, hummock LSM, meta
+    * cluster) are concepts this engine delegates to Spark and answer
+    * EMPTY through the Unmodeled fence. Timestamps/cluster-version
+    * columns exist (reference shape) and read NULL.
+    */
+  def bindRw(spark: SparkSession, objs0: Seq[Obj],
+      pks: Map[String, Seq[String]],
+      defs: Map[String, String],
+      deps: Seq[(String, String)],
+      jobs: Map[String, String],
+      sinks: Seq[String],
+      fns: Seq[(String, String, String, String)]): Unit = {
+    val s = spark
+    import s.implicits._
+    val none: Option[java.sql.Timestamp] = None
+    val objs = objs0.sortBy(_.name)
+    val oidByName = (objs.map(_.name) ++ sinks.sorted).zipWithIndex
+      .map { case (n, i) => n -> (FirstUserOid + i).toInt }.toMap
+    val owner = Owner.toInt
+    val acl = Seq.empty[String]
+    def dOf(n: String) = defs.getOrElse(n, "")
+
+    Seq((0, "dev", owner, acl))
+      .toDF("id", "name", "owner", "acl")
+      .createOrReplaceTempView("rw_databases")
+    Seq((NsPgCatalog.toInt, "pg_catalog", 0, owner, acl),
+        (NsPublic.toInt, "public", 0, owner, acl),
+        (NsInfoSchema.toInt, "information_schema", 0, owner, acl),
+        (13100, "rw_catalog", 0, owner, acl))
+      .toDF("id", "name", "database_id", "owner", "acl")
+      .createOrReplaceTempView("rw_schemas")
+
+    def baseRows(kind: String) = objs.filter(_.kind == kind).map { o =>
+      (oidByName(o.name), o.name, NsPublic.toInt, owner, dOf(o.name))
+    }
+    baseRows("r").map { case (id, n, sc, ow, df) =>
+      (id, n, sc, ow, df, false, acl, none, none,
+        Option.empty[String], Option.empty[String])
+    }.toDF("id", "name", "schema_id", "owner", "definition", "append_only",
+        "acl", "initialized_at", "created_at",
+        "initialized_at_cluster_version", "created_at_cluster_version")
+      .createOrReplaceTempView("rw_tables")
+    baseRows("m").map { case (id, n, sc, ow, df) =>
+      (id, n, sc, ow, df, false, acl, none, none,
+        Option.empty[String], Option.empty[String], false)
+    }.toDF("id", "name", "schema_id", "owner", "definition", "append_only",
+        "acl", "initialized_at", "created_at",
+        "initialized_at_cluster_version", "created_at_cluster_version",
+        "background_ddl")
+      .createOrReplaceTempView("rw_materialized_views")
+    baseRows("v").map { case (id, n, sc, ow, df) => (id, n, sc, ow, df, acl) }
+      .toDF("id", "name", "schema_id", "owner", "definition", "acl")
+      .createOrReplaceTempView("rw_views")
+    baseRows("f").map { case (id, n, sc, ow, df) =>
+      (id, n, sc, ow, "filesystem", df, true, acl)
+    }.toDF("id", "name", "schema_id", "owner", "connector", "definition",
+        "append_only", "acl")
+      .createOrReplaceTempView("rw_sources")
+    sinks.sorted.map { n =>
+      (oidByName(n), n, NsPublic.toInt, owner, "filesystem", "upsert",
+        dOf(n), acl)
+    }.toDF("id", "name", "schema_id", "owner", "connector", "sink_type",
+        "definition", "acl")
+      .createOrReplaceTempView("rw_sinks")
+    baseRows("i").map { case (id, n, sc, ow, df) => (id, n, sc, ow, df, acl) }
+      .toDF("id", "name", "schema_id", "owner", "definition", "acl")
+      .createOrReplaceTempView("rw_indexes")
+
+    val relType = Map("r" -> "table", "m" -> "materialized view",
+      "v" -> "view", "f" -> "source", "i" -> "index")
+    (objs.map(o => (oidByName(o.name), o.name,
+        relType.getOrElse(o.kind, "table"), NsPublic.toInt, owner,
+        dOf(o.name), acl)) ++
+      sinks.sorted.map(n => (oidByName(n), n, "sink", NsPublic.toInt,
+        owner, dOf(n), acl)))
+      .toDF("id", "name", "relation_type", "schema_id", "owner",
+        "definition", "acl")
+      .createOrReplaceTempView("rw_relations")
+
+    objs.flatMap { o =>
+      val pk = pks.getOrElse(o.name, Seq.empty)
+      o.schema.toSeq.flatMap(_.fields.zipWithIndex.map { case (f, i) =>
+        (oidByName(o.name), f.name, i + 1, f.name.startsWith("_"),
+          pk.contains(f.name), false, false, Option.empty[String],
+          dataTypeName(f.dataType), oidOf(f.dataType))
+      })
+    }.toDF("relation_id", "name", "position", "is_hidden",
+        "is_primary_key", "is_distribution_key", "is_generated",
+        "generation_expression", "data_type", "type_oid")
+      .createOrReplaceTempView("rw_columns")
+
+    deps.flatMap { case (obj, ref) =>
+      for (a <- oidByName.get(obj); b <- oidByName.get(ref)) yield (a, b)
+    }.toDF("objid", "refobjid").createOrReplaceTempView("rw_depend")
+
+    jobs.toSeq.sorted.map { case (n, st) =>
+      (oidByName.getOrElse(n, 0), n, st, 32)
+    }.toDF("job_id", "name", "status", "parallelism")
+      .createOrReplaceTempView("rw_streaming_jobs")
+
+    fns.sortBy(_._1).zipWithIndex.map { case ((n, kind, lang, link), i) =>
+      ((FirstFuncOid + i).toInt, n, NsPublic.toInt, owner, kind, lang,
+        link, acl)
+    }.toDF("id", "name", "schema_id", "owner", "kind", "language",
+        "link", "acl")
+      .createOrReplaceTempView("rw_functions")
   }
 
   private val FirstFuncOid = 30000L

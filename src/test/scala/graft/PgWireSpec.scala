@@ -667,6 +667,74 @@ class PgWireSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("pgwire: rw_catalog relations answer the reference's introspection") {
+    // the reference's own operational surface (rw_catalog/*): users list
+    // relations, read definitions, follow chain dependencies, check
+    // streaming-job status — all from plain SQL over the wire
+    val e = new Engine(spark, tmpDir("rwcat"))
+    val srv = new PgWireServer(e)
+    srv.start()
+    try {
+      val c = new Client(srv.port)
+      c.startup()
+      c.query("CREATE TABLE rwt (id BIGINT PRIMARY KEY, g BIGINT, v BIGINT)")
+      c.query("CREATE MATERIALIZED VIEW rwm (PRIMARY KEY (g)) AS " +
+        "SELECT g, count(*) AS n FROM rwt GROUP BY g")
+      c.query("CREATE VIEW rwv AS SELECT id FROM rwt")
+
+      def rows(sql: String): Seq[Seq[Option[String]]] =
+        c.query(sql).filter(_.tpe == 'D').map(parseDataRow)
+
+      val t = rows("SELECT name, definition FROM rw_catalog.rw_tables")
+      assert(t.length == 1 && t.head.head == Some("rwt"))
+      assert(t.head(1).exists(_.startsWith("CREATE TABLE rwt")),
+        s"definition must be re-issuable DDL: ${t.head(1)}")
+
+      val m = rows("SELECT name, definition FROM rw_materialized_views")
+      assert(m.length == 1 && m.head.head == Some("rwm"))
+      assert(m.head(1).exists(_.contains("GROUP BY g")))
+
+      val rel = rows("SELECT name, relation_type FROM rw_catalog.rw_relations " +
+        "ORDER BY name")
+      assert(rel.map(r => (r(0).get, r(1).get)) == Seq(
+        ("rwm", "materialized view"), ("rwt", "table"), ("rwv", "view")))
+
+      // chain dependency: rwm depends on rwt
+      val dep = rows(
+        """SELECT o.name, r.name FROM rw_depend d
+          |JOIN rw_relations o ON o.id = d.objid
+          |JOIN rw_relations r ON r.id = d.refobjid""".stripMargin)
+      assert(dep == Seq(Seq(Some("rwm"), Some("rwt"))))
+
+      // streaming job is live
+      val jobs = rows("SELECT name, status FROM rw_streaming_jobs")
+      assert(jobs.exists(r => r(0) == Some("rwm") && r(1) == Some("RUNNING")))
+
+      // columns: PK flag + hidden flag with reference column names
+      val cols = rows(
+        """SELECT c.name, c.is_primary_key FROM rw_columns c
+          |JOIN rw_tables t ON t.id = c.relation_id
+          |ORDER BY c.position""".stripMargin)
+      assert(cols == Seq(Seq(Some("id"), Some("t")),
+        Seq(Some("g"), Some("f")), Seq(Some("v"), Some("f"))))
+
+      // runtime-physical rw internals answer empty, not an error
+      assert(rows("SELECT * FROM rw_catalog.rw_fragments").isEmpty)
+      assert(rows("SELECT * FROM rw_hummock_version").isEmpty)
+
+      // registered functions surface with language/link
+      c.query("CREATE FUNCTION rwfn (a BIGINT) RETURNS BIGINT " +
+        "AS some_fn USING LINK '127.0.0.1:1'")
+      val fns = rows("SELECT name, language, link FROM rw_functions")
+      assert(fns.exists(r => r(0) == Some("rwfn") &&
+        r(2) == Some("127.0.0.1:1")))
+      c.close()
+    } finally {
+      e.streamingJob("rwm").foreach(_.stop())
+      srv.stop()
+    }
+  }
+
   test("pgwire: COPY FROM STDIN / TO STDOUT (text and csv sub-protocol)") {
     val e = new Engine(spark, tmpDir("pgcopy"))
     val srv = new PgWireServer(e)
