@@ -355,7 +355,41 @@ class DifferentialFuzzSpec extends SparkSpecBase {
       s"AS BIGINT) AS c2 FROM $t"
   }
 
-  private def gen(r: Random): String = r.nextInt(24) match {
+  /** ASOF JOIN — DuckDB runs its native ASOF operator, the engine the
+    * LATERAL extremal-pick rewrite. Self-joins with a per-key-unique
+    * ordering column make the pick deterministic on both engines;
+    * backward forms only (`>`/`>=`, the common case and the one every
+    * DuckDB version supports).
+    */
+  private def genAsofJoin(r: Random): String = {
+    val (t, key, ord) = pick(r, Seq(
+      ("orders", "o_custkey", "o_orderkey"),
+      ("lineitem", "l_orderkey", "l_linenumber")))
+    val op = pick(r, Seq(">", ">="))
+    val left = if (r.nextBoolean()) "LEFT " else ""
+    val m = 2 + r.nextInt(9)
+    s"SELECT a.$key AS c0, a.$ord AS c1, b.$ord AS c2 " +
+      s"FROM $t a ASOF ${left}JOIN $t b " +
+      s"ON a.$key = b.$key AND a.$ord $op b.$ord " +
+      s"WHERE a.$ord % $m = ${r.nextInt(2)}"
+  }
+
+  /** DISTINCT ON — DuckDB's native form vs the engine's row_number
+    * rewrite; the ORDER BY ends on a per-key-unique column, so the PG
+    * survivor rule picks one deterministic row on both engines.
+    */
+  private def genDistinctOn(r: Random): String = {
+    val (t, key, ord) = pick(r, Seq(
+      ("orders", "o_custkey", "o_orderkey"),
+      ("lineitem", "l_orderkey", "l_linenumber"),
+      ("customer", "c_nationkey", "c_custkey")))
+    val dir = pick(r, Seq("ASC", "DESC"))
+    val m = 2 + r.nextInt(9)
+    s"SELECT DISTINCT ON ($key) $key AS c0, $ord AS c1 FROM $t " +
+      s"WHERE $ord % $m = ${r.nextInt(2)} ORDER BY $key, $ord $dir"
+  }
+
+  private def gen(r: Random): String = r.nextInt(26) match {
     case 0 | 1 | 2 => genScan(r)
     case 3 | 4 => genJoin(r)
     case 5 | 6 => genAgg(r)
@@ -374,7 +408,9 @@ class DifferentialFuzzSpec extends SparkSpecBase {
     case 19 => genFromSub(r)
     case 20 => genNullLogic(r)
     case 21 => genDateTrunc(r)
-    case _ => genCaseAgg(r)
+    case 22 => genCaseAgg(r)
+    case 23 | 24 => genAsofJoin(r)
+    case _ => genDistinctOn(r)
   }
 
   /** Canonical row rendering — must match tools/fuzz_oracle.py. */
