@@ -140,6 +140,14 @@ object DurableCatalog {
   final case class ExternalFnEntry(ident: String, link: String,
       argTypes: Seq[String], retType: String, lang: Option[String])
 
+  /** CREATE FUNCTION … LANGUAGE python/javascript AS $$body$$ (embedded
+    * interpreter UDF): the language, the verbatim source body, and the
+    * declared signature — recovery re-binds the name in the session
+    * function registry (no interpreter spawns until the first call).
+    */
+  final case class EmbeddedFnEntry(lang: String, body: String,
+      argTypes: Seq[String], retType: String)
+
   /** COMMENT ON TABLE/COLUMN (reference: handler/comment.rs) — keyed by
     * `object` or `object.column`; surfaced through pg_description.
     */

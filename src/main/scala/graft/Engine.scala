@@ -162,6 +162,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     }.toMap
     val fns = externalFns.toSeq.map { case (n, e) =>
         (n, "f", e.lang.getOrElse("external"), e.link)
+      } ++ embeddedFns.toSeq.map { case (n, e) =>
+        (n, "f", e.lang, "")
       } ++ aggregates.toSeq.map { case (n, (impl, _)) =>
         (n, "a", "native", "")
       }
@@ -195,6 +197,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case None => externalFns.get(name)
             .map(e => (e.argTypes.map(_.toLowerCase).mkString(", "),
               e.retType.toLowerCase))
+            .orElse(embeddedFns.get(name)
+              .map(e => (e.argTypes.map(_.toLowerCase).mkString(", "),
+                e.retType.toLowerCase)))
             .getOrElse(Engine.NativeFunctionSigs.getOrElse(name, ("", "")))
         }
         val kind =
@@ -1678,19 +1683,79 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   // becomes callable anywhere in SQL; arguments coerce to the declared
   // parameter types; the link is only dialed at first call.
   private val CreateExternalFunctionStmt =
-    """(?is)\s*CREATE\s+FUNCTION\s+(\w+)\s*\(([^)]*)\)\s+RETURNS\s+([\w ,()0-9]+?)\s+(?:LANGUAGE\s+(\w+)\s+)?AS\s+'?([\w.]+)'?\s+USING\s+LINK\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*CREATE\s+FUNCTION\s+(\w+)\s*\(((?:[^()]|\([^()]*\))*)\)\s+RETURNS\s+([\w ,()0-9]+?)\s+(?:LANGUAGE\s+(\w+)\s+)?AS\s+'?([\w.]+)'?\s+USING\s+LINK\s+'([^']+)'\s*;?\s*""".r
   private val DropFunctionStmt =
     """(?is)\s*DROP\s+FUNCTION\s+(\w+)\s*;?\s*""".r
 
   private val externalFns =
     scala.collection.mutable.Map[String, DurableCatalog.ExternalFnEntry]()
 
-  private def parseSqlType(t0: String): org.apache.spark.sql.types.DataType = {
-    // PG spellings Spark's parser rejects bare: VARCHAR/TEXT w/o length
-    val t = t0.trim
-      .replaceAll("(?i)^varchar$", "string")
-      .replaceAll("(?i)^text$", "string")
-    spark.sessionState.sqlParser.parseDataType(t)
+  private val PgArrayTypeRe = "(?is)^([\\w ]+?)\\s*\\[\\]$".r
+
+  private def parseSqlType(t0: String): org.apache.spark.sql.types.DataType =
+    t0.trim match {
+      // PG `elem[]` array syntax, recursing so TEXT[] normalizes too
+      case PgArrayTypeRe(inner) =>
+        org.apache.spark.sql.types.ArrayType(parseSqlType(inner))
+      case t =>
+        // PG spellings Spark's parser rejects bare: VARCHAR/TEXT w/o length
+        val n = t.replaceAll("(?i)^varchar$", "string")
+          .replaceAll("(?i)^text$", "string")
+        spark.sessionState.sqlParser.parseDataType(n)
+    }
+
+  // --- CREATE FUNCTION … LANGUAGE python/javascript AS $$body$$
+  // (reference: handler/create_function.rs + src/expr/impl/src/udf/
+  // python.rs, quickjs.rs — embedded interpreter UDFs). The dollar-
+  // quoted body is stored verbatim, serialized into the plan, and
+  // evaluated by per-executor interpreter worker pools
+  // (EmbeddedUdfRuntime); wasm remains a documented divergence.
+  // the parameter list allows one paren-nesting level (DECIMAL(12,2))
+  private val CreateEmbeddedFunctionStmt =
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(((?:[^()]|\([^()]*\))*)\)\s+RETURNS\s+([\w ,()\[\]0-9<>]+?)\s+LANGUAGE\s+(python|javascript|js)\s+AS\s+\$\$(.*?)\$\$\s*;?\s*""".r
+
+  private val embeddedFns =
+    scala.collection.mutable.Map[String, DurableCatalog.EmbeddedFnEntry]()
+
+  private def registerEmbeddedFunction(name: String,
+      e: DurableCatalog.EmbeddedFnEntry): Unit = {
+    val argTypes = e.argTypes.map(parseSqlType)
+    val retType = parseSqlType(e.retType)
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.plans.EmbeddedUdfCall].getName, name),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == argTypes.length,
+          s"$name expects ${argTypes.length} argument(s), " +
+            s"got ${children.length}")
+        val coerced = children.zip(argTypes).map { case (c, t) =>
+          if (c.resolved && c.dataType == t) c
+          else org.apache.spark.sql.catalyst.expressions.Cast(c, t)
+        }
+        graft.plans.EmbeddedUdfCall(name, e.lang, e.body, argTypes,
+          retType, coerced)
+      })
+    embeddedFns(name) = e
+  }
+
+  private def createEmbeddedFunction(name: String, argSpec: String,
+      retSpec: String, lang: String, body: String): DataFrame = {
+    // paren-aware split: DECIMAL(12,2) parameters carry inner commas
+    val argTypes = SqlFrontend.splitTopLevel(argSpec, ',')
+      .map(_.trim).filter(_.nonEmpty)
+      .map { a =>
+        try parseSqlType(a).sql
+        catch { case scala.util.control.NonFatal(_)
+            if a.split("\\s+", 2).length == 2 =>
+          parseSqlType(a.split("\\s+", 2)(1)).sql }
+      }
+    val entry = DurableCatalog.EmbeddedFnEntry(
+      graft.functions.EmbeddedUdfRuntime.normalize(lang), body.trim,
+      argTypes, parseSqlType(retSpec).sql)
+    registerEmbeddedFunction(name, entry)
+    catalog.save("embeddedfns", name, entry)
+    statusDf("CREATE FUNCTION", name)
   }
 
   private def registerExternalFunction(name: String,
@@ -1719,7 +1784,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
   private def createExternalFunction(name: String, argSpec: String,
       retSpec: String, lang: String, ident: String, link: String): DataFrame = {
-    val argTypes = argSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val argTypes = SqlFrontend.splitTopLevel(argSpec, ',')
+      .map(_.trim).filter(_.nonEmpty)
       .map { a =>
         // declared as "x BIGINT" or bare "BIGINT" — try the whole spec
         // as a type first so multi-word types (DOUBLE PRECISION) bind
@@ -2393,8 +2459,16 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             statusDf("ALTER TABLE", name)
           case RefreshMvStmt(name) =>
             refreshMvStatement(name)
+          case CreateEmbeddedFunctionStmt(name, args, ret, lang, body) =>
+            createEmbeddedFunction(name, args, ret, lang, body)
           case CreateExternalFunctionStmt(name, args, ret, lang, ident, link) =>
             createExternalFunction(name, args, ret, lang, ident, link)
+          case DropFunctionStmt(name) if embeddedFns.contains(name) =>
+            embeddedFns.remove(name)
+            spark.sessionState.functionRegistry.dropFunction(
+              org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+            catalog.delete("embeddedfns", name)
+            statusDf("DROP FUNCTION", name)
           case DropFunctionStmt(name) if externalFns.contains(name) =>
             externalFns.remove(name)
             spark.sessionState.functionRegistry.dropFunction(
@@ -2627,6 +2701,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
     catalog.list[ExternalFnEntry]("externalfns").foreach { case (name, e) =>
       recoverOrPark(s"externalfn:$name") { registerExternalFunction(name, e) }
+    }
+
+    catalog.list[EmbeddedFnEntry]("embeddedfns").foreach { case (name, e) =>
+      recoverOrPark(s"embeddedfn:$name") { registerEmbeddedFunction(name, e) }
     }
   }
 

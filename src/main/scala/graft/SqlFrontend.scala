@@ -50,7 +50,7 @@ object SqlFrontend {
   }
 
   /** Split on a separator at paren-depth 0 (outside quotes). */
-  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+  private[graft] def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
     var start = 0

@@ -39,6 +39,34 @@ object Advanced extends QueryPack {
         .select(col("p_partkey"), col("g"))
         .orderBy("p_partkey")
     },
+    // Embedded python UDF end-to-end under the DuckDB gate: the user's
+    // source body ships inside the plan and per-executor python3 worker
+    // pools evaluate it in row batches — the reference's `CREATE
+    // FUNCTION … LANGUAGE python AS $$…$$` data path (src/expr/impl/
+    // src/udf/python.rs). DuckDB recomputes with its native gcd.
+    q("q_udf_python",
+      """SELECT p_partkey, CAST(gcd(p_partkey, 84) AS BIGINT) AS g
+        |FROM part WHERE p_partkey < 2000 ORDER BY p_partkey""".stripMargin) { s =>
+      val df = s.table("part").where(col("p_partkey") < 2000)
+        .select(col("p_partkey"))
+      graft.functions.EmbeddedUdf.applyBatched(df, "python", "pygcd84",
+          "import math\ndef pygcd84(k):\n    return math.gcd(k, 84)\n",
+          Seq("p_partkey"), "g", LongType, batchSize = 256)
+        .orderBy("p_partkey")
+    },
+    // Embedded javascript UDF (quickjs.rs analog, node worker pools):
+    // string transform DuckDB replicates with reverse(upper(…)).
+    q("q_udf_js",
+      """SELECT p_partkey, reverse(upper(p_name)) AS r
+        |FROM part WHERE p_partkey < 2000 ORDER BY p_partkey""".stripMargin) { s =>
+      val df = s.table("part").where(col("p_partkey") < 2000)
+        .select(col("p_partkey"), col("p_name"))
+      graft.functions.EmbeddedUdf.applyBatched(df, "javascript", "jsrevup",
+          "function jsrevup(s) { return s.toUpperCase().split('').reverse().join(''); }",
+          Seq("p_name"), "r", StringType, batchSize = 256)
+        .select(col("p_partkey"), col("r"))
+        .orderBy("p_partkey")
+    },
     // Recursive CTE: transitive closure over a deterministic cyclic edge
     // set derived from nation. DuckDB runs the real WITH RECURSIVE; the
     // engine runs IterativeFixpoint.transitiveClosure.

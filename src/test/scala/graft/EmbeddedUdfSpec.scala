@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{EmbeddedUdf, EmbeddedUdfRuntime}
+
+/** Embedded python/javascript UDF runtimes (reference:
+  * src/expr/impl/src/udf/python.rs, quickjs.rs + handler/
+  * create_function.rs): `CREATE FUNCTION … LANGUAGE python AS $$…$$`
+  * evaluates the user's source in interpreter subprocess pools.
+  * Every test gates on the interpreter binary actually being spawnable,
+  * so a python-less deploy skips instead of failing.
+  */
+class EmbeddedUdfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("python UDF: SQL-callable, typed, NULLs, errors, durable, droppable") {
+    assume(EmbeddedUdfRuntime.available("python"), "python3 not on PATH")
+    val wh = tmpDir("pyudf")
+    val e = new Engine(spark, wh)
+    e.execute("CREATE TABLE pynums (id BIGINT PRIMARY KEY, a BIGINT, b BIGINT)")
+    e.execute("INSERT INTO pynums VALUES (1, 12, 18), (2, 270, 192), (3, 7, 0)")
+    e.execute("FLUSH")
+    e.execute(
+      """CREATE FUNCTION py_gcd(a BIGINT, b BIGINT) RETURNS BIGINT
+        |LANGUAGE python AS $$
+        |import math
+        |def py_gcd(a, b):
+        |    if a is None or b is None:
+        |        return None
+        |    return math.gcd(a, b)
+        |$$""".stripMargin)
+
+    // expression position: projection + WHERE (implicit casts included)
+    val got = e.execute(
+      """SELECT id, py_gcd(a, b) AS g FROM pynums
+        |WHERE py_gcd(a, b) > 2 ORDER BY id""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 6L), (2L, 6L), (3L, 7L)))
+    assert(e.execute("SELECT py_gcd(NULL, 3) AS g").head().isNullAt(0))
+
+    // a python exception fails the query with the interpreter's message
+    e.execute(
+      """CREATE FUNCTION py_boom(x BIGINT) RETURNS BIGINT
+        |LANGUAGE python AS $$
+        |def py_boom(x):
+        |    raise ValueError('kaboom ' + str(x))
+        |$$""".stripMargin)
+    val err = intercept[Exception] { e.execute("SELECT py_boom(7)").collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(err).exists(_.contains("kaboom 7")))
+
+    // pg_proc surfaces it for psql \df
+    assert(e.execute(
+      "SELECT proname FROM pg_catalog.pg_proc WHERE proname = 'py_gcd'")
+      .count() == 1)
+
+    // durable: a fresh engine re-binds the body from the catalog
+    val e2 = new Engine(spark.newSession(), wh)
+    assert(e2.execute("SELECT py_gcd(21, 6) AS g").head().getLong(0) == 3L)
+    e2.execute("DROP FUNCTION py_gcd")
+    intercept[Exception] { e2.execute("SELECT py_gcd(21, 6)").collect() }
+    val e3 = new Engine(spark.newSession(), wh)
+    intercept[Exception] { e3.execute("SELECT py_gcd(21, 6)").collect() }
+  }
+
+  test("python UDF: strings, doubles (NaN/Inf), decimals, arrays") {
+    assume(EmbeddedUdfRuntime.available("python"), "python3 not on PATH")
+    val e = new Engine(spark, tmpDir("pyudf2"))
+    e.execute(
+      """CREATE FUNCTION py_revup(s VARCHAR) RETURNS VARCHAR
+        |LANGUAGE python AS $$
+        |def py_revup(s):
+        |    return s[::-1].upper() if s is not None else None
+        |$$""".stripMargin)
+    assert(e.execute("SELECT py_revup('graft') AS r").as[String].head()
+      == "TFARG")
+
+    e.execute(
+      """CREATE FUNCTION py_curve(x DOUBLE) RETURNS DOUBLE
+        |LANGUAGE python AS $$
+        |import math
+        |def py_curve(x):
+        |    return math.inf if x > 0 else (math.nan if x < 0 else x)
+        |$$""".stripMargin)
+    val rows = e.execute(
+      "SELECT py_curve(1.0) AS p, py_curve(-1.0) AS n, py_curve(0.0) AS z")
+      .head()
+    assert(rows.getDouble(0).isPosInfinity)
+    assert(rows.getDouble(1).isNaN)
+    assert(rows.getDouble(2) == 0.0)
+
+    e.execute(
+      """CREATE FUNCTION py_ticket(p DECIMAL(12,2)) RETURNS DECIMAL(12,2)
+        |LANGUAGE python AS $$
+        |def py_ticket(p):
+        |    return p * 2
+        |$$""".stripMargin)
+    assert(e.execute("SELECT py_ticket(CAST(10.25 AS DECIMAL(12,2))) AS t")
+      .head().getDecimal(0).toString == "20.50")
+
+    // arrays in AND out (an embedding column reaching python)
+    e.execute(
+      """CREATE FUNCTION py_norm(v DOUBLE[]) RETURNS DOUBLE
+        |LANGUAGE python AS $$
+        |import math
+        |def py_norm(v):
+        |    return math.sqrt(sum(x * x for x in v))
+        |$$""".stripMargin)
+    assert(e.execute("SELECT py_norm(array(3.0d, 4.0d)) AS n")
+      .head().getDouble(0) == 5.0)
+    e.execute(
+      """CREATE FUNCTION py_scale(v DOUBLE[], k DOUBLE) RETURNS DOUBLE[]
+        |LANGUAGE python AS $$
+        |def py_scale(v, k):
+        |    return [x * k for x in v]
+        |$$""".stripMargin)
+    assert(e.execute("SELECT py_scale(array(1.0d, 2.5d), 2.0) AS v")
+      .head().getSeq[Double](0) == Seq(2.0, 5.0))
+  }
+
+  test("javascript UDF: SQL-callable, BigInt results, durable") {
+    assume(EmbeddedUdfRuntime.available("javascript"), "node not on PATH")
+    val wh = tmpDir("jsudf")
+    val e = new Engine(spark, wh)
+    e.execute(
+      """CREATE FUNCTION js_clamp(x DOUBLE) RETURNS DOUBLE
+        |LANGUAGE javascript AS $$
+        |function js_clamp(x) {
+        |  if (x === null) return null;
+        |  return Math.min(Math.max(x, 10), 40);
+        |}
+        |$$""".stripMargin)
+    assert(e.execute("SELECT js_clamp(3.0) AS c").head().getDouble(0) == 10.0)
+    assert(e.execute("SELECT js_clamp(25.0) AS c").head().getDouble(0) == 25.0)
+    assert(e.execute("SELECT js_clamp(NULL) AS c").head().isNullAt(0))
+
+    // BigInt arithmetic round-trips exactly (decimal-string encoding)
+    e.execute(
+      """CREATE FUNCTION js_pow2(n BIGINT) RETURNS BIGINT
+        |LANGUAGE javascript AS $$
+        |function js_pow2(n) { return 2n ** BigInt(n); }
+        |$$""".stripMargin)
+    assert(e.execute("SELECT js_pow2(62) AS p").head().getLong(0)
+      == 4611686018427387904L)
+
+    // strings + errors
+    e.execute(
+      """CREATE FUNCTION js_title(s VARCHAR) RETURNS VARCHAR
+        |LANGUAGE javascript AS $$
+        |function js_title(s) {
+        |  return s.replace(/\w\S*/g,
+        |    (t) => t.charAt(0).toUpperCase() + t.substring(1).toLowerCase());
+        |}
+        |$$""".stripMargin)
+    assert(e.execute("SELECT js_title('hello graft WORLD') AS t")
+      .as[String].head() == "Hello Graft World")
+
+    // durable across restart
+    val e2 = new Engine(spark.newSession(), wh)
+    assert(e2.execute("SELECT js_clamp(99.0) AS c").head().getDouble(0) == 40.0)
+  }
+
+  test("batched relational path amortizes pipe round-trips across partitions") {
+    assume(EmbeddedUdfRuntime.available("python"), "python3 not on PATH")
+    val df = spark.range(0, 2000).repartition(8)
+      .select(col("id"), (col("id") % 97).as("a"), lit(51L).as("b"))
+    val out = EmbeddedUdf.applyBatched(df, "python", "bgcd",
+      "import math\ndef bgcd(a, b):\n    return math.gcd(a, b)\n",
+      Seq("a", "b"), "g", LongType, batchSize = 128)
+    val got = out.select("a", "g").distinct().as[(Long, Long)]
+      .collect().toMap
+    (0L until 97L).foreach { a =>
+      assert(got(a) == BigInt(a).gcd(BigInt(51)).toLong, s"gcd($a, 51)")
+    }
+  }
+
+  test("a dead interpreter respawns: the next call succeeds") {
+    assume(EmbeddedUdfRuntime.available("python"), "python3 not on PATH")
+    // force EVERY pooled worker slot to die once: os._exit mid-call kills
+    // the process; the runtime respawns and retries, and the retry dies
+    // too, so the call fails — but the pool must come back clean after
+    (1 to 8).foreach { _ =>
+      intercept[Exception] {
+        EmbeddedUdfRuntime.call("python", "suicide",
+          "import os\ndef suicide(x):\n    os._exit(1)\n",
+          Seq(1L), LongType)
+      }
+    }
+    // fresh workers answer normally
+    assert(EmbeddedUdfRuntime.call("python", "ok",
+      "def ok(x):\n    return x + 1\n", Seq(41L), LongType) == 42L)
+  }
+
+  test("CREATE OR REPLACE re-defines the body on live workers") {
+    assume(EmbeddedUdfRuntime.available("python"), "python3 not on PATH")
+    val e = new Engine(spark, tmpDir("pyudf3"))
+    e.execute(
+      """CREATE FUNCTION py_ver(x BIGINT) RETURNS BIGINT
+        |LANGUAGE python AS $$
+        |def py_ver(x):
+        |    return x + 1
+        |$$""".stripMargin)
+    assert(e.execute("SELECT py_ver(1) AS v").head().getLong(0) == 2L)
+    e.execute(
+      """CREATE OR REPLACE FUNCTION py_ver(x BIGINT) RETURNS BIGINT
+        |LANGUAGE python AS $$
+        |def py_ver(x):
+        |    return x + 100
+        |$$""".stripMargin)
+    assert(e.execute("SELECT py_ver(1) AS v").head().getLong(0) == 101L)
+  }
+}
