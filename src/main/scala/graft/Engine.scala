@@ -164,8 +164,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         (n, "f", e.lang.getOrElse("external"), e.link)
       } ++ embeddedFns.toSeq.map { case (n, e) =>
         (n, "f", e.lang, "")
+      } ++ embeddedUdtfs.toSeq.map { case (n, e) =>
+        (n, "f", e.lang, "")
       } ++ aggregates.toSeq.map { case (n, (impl, _)) =>
         (n, "a", "native", "")
+      } ++ embeddedAggs.toSeq.map { case (n, e) =>
+        (n, "a", e.lang, "")
       }
     SystemCatalog.bindRw(spark, objs, pks, defs, deps, jobStatus,
       sinkNames.toSeq, fns)
@@ -197,7 +201,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case None => externalFns.get(name)
             .map(e => (e.argTypes.map(_.toLowerCase).mkString(", "),
               e.retType.toLowerCase))
-            .orElse(embeddedFns.get(name)
+            .orElse((embeddedFns.get(name) orElse embeddedAggs.get(name)
+                orElse embeddedUdtfs.get(name))
               .map(e => (e.argTypes.map(_.toLowerCase).mkString(", "),
                 e.retType.toLowerCase)))
             .getOrElse(Engine.NativeFunctionSigs.getOrElse(name, ("", "")))
@@ -1710,6 +1715,80 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   // quoted body is stored verbatim, serialized into the plan, and
   // evaluated by per-executor interpreter worker pools
   // (EmbeddedUdfRuntime); wasm remains a documented divergence.
+  // --- CREATE AGGREGATE … LANGUAGE python/javascript AS $$body$$
+  // (reference: handler/create_aggregate.rs — UDAFs in interpreter
+  // languages; body defines create_state/accumulate/[finish]). The
+  // distributed half stays Spark-side (partial buffers + merge), the
+  // interpreter folds each final group once (EmbeddedAggCall).
+  private val CreateEmbeddedAggregateStmt =
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?AGGREGATE\s+(\w+)\s*\(((?:[^()]|\([^()]*\))*)\)\s+RETURNS\s+([\w ,()\[\]0-9<>]+?)\s+LANGUAGE\s+(python|javascript|js)\s+AS\s+\$\$(.*?)\$\$\s*;?\s*""".r
+
+  private val embeddedAggs =
+    scala.collection.mutable.Map[String, DurableCatalog.EmbeddedFnEntry]()
+
+  private def registerEmbeddedAggregate(name: String,
+      e: DurableCatalog.EmbeddedFnEntry): Unit = {
+    graft.functions.EmbeddedRegistration.aggregate(spark, name, e.lang,
+      e.body, e.argTypes.map(parseSqlType), parseSqlType(e.retType))
+    embeddedAggs(name) = e
+  }
+
+  // --- CREATE FUNCTION … RETURNS TABLE(…) LANGUAGE python/javascript
+  // (reference: table-function UDF variants, src/expr/impl/src/
+  // table_function/ + create_function.rs `RETURNS TABLE`): registers a
+  // Catalyst Generator, usable in LATERAL VIEW and generator position.
+  private val CreateEmbeddedUdtfStmt =
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(((?:[^()]|\([^()]*\))*)\)\s+RETURNS\s+TABLE\s*\(((?:[^()]|\([^()]*\))*)\)\s+LANGUAGE\s+(python|javascript|js)\s+AS\s+\$\$(.*?)\$\$\s*;?\s*""".r
+
+  private val embeddedUdtfs =
+    scala.collection.mutable.Map[String, DurableCatalog.EmbeddedFnEntry]()
+
+  private def registerEmbeddedUdtf(name: String,
+      e: DurableCatalog.EmbeddedFnEntry): Unit = {
+    graft.functions.EmbeddedRegistration.table(spark, name, e.lang,
+      e.body, e.argTypes.map(parseSqlType),
+      parseSqlType(e.retType)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    embeddedUdtfs(name) = e
+  }
+
+  private def embeddedArgTypes(argSpec: String): Seq[String] =
+    SqlFrontend.splitTopLevel(argSpec, ',')
+      .map(_.trim).filter(_.nonEmpty)
+      .map { a =>
+        try parseSqlType(a).sql
+        catch { case scala.util.control.NonFatal(_)
+            if a.split("\\s+", 2).length == 2 =>
+          parseSqlType(a.split("\\s+", 2)(1)).sql }
+      }
+
+  private def createEmbeddedAggregate(name: String, argSpec: String,
+      retSpec: String, lang: String, body: String): DataFrame = {
+    val entry = DurableCatalog.EmbeddedFnEntry(
+      graft.functions.EmbeddedUdfRuntime.normalize(lang), body.trim,
+      embeddedArgTypes(argSpec), parseSqlType(retSpec).sql)
+    registerEmbeddedAggregate(name, entry)
+    catalog.save("embeddedaggs", name, entry)
+    statusDf("CREATE AGGREGATE", name)
+  }
+
+  private def createEmbeddedUdtf(name: String, argSpec: String,
+      colSpec: String, lang: String, body: String): DataFrame = {
+    val fields = SqlFrontend.splitTopLevel(colSpec, ',')
+      .map(_.trim).filter(_.nonEmpty)
+      .map { c =>
+        val Array(cn, ct) = c.split("\\s+", 2)
+        org.apache.spark.sql.types.StructField(cn, parseSqlType(ct))
+      }
+    val entry = DurableCatalog.EmbeddedFnEntry(
+      graft.functions.EmbeddedUdfRuntime.normalize(lang), body.trim,
+      embeddedArgTypes(argSpec),
+      org.apache.spark.sql.types.StructType(fields).sql)
+    registerEmbeddedUdtf(name, entry)
+    catalog.save("embeddedudtfs", name, entry)
+    statusDf("CREATE FUNCTION", name)
+  }
+
   // the parameter list allows one paren-nesting level (DECIMAL(12,2))
   private val CreateEmbeddedFunctionStmt =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*\(((?:[^()]|\([^()]*\))*)\)\s+RETURNS\s+([\w ,()\[\]0-9<>]+?)\s+LANGUAGE\s+(python|javascript|js)\s+AS\s+\$\$(.*?)\$\$\s*;?\s*""".r
@@ -1719,40 +1798,16 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
   private def registerEmbeddedFunction(name: String,
       e: DurableCatalog.EmbeddedFnEntry): Unit = {
-    val argTypes = e.argTypes.map(parseSqlType)
-    val retType = parseSqlType(e.retType)
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.plans.EmbeddedUdfCall].getName, name),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == argTypes.length,
-          s"$name expects ${argTypes.length} argument(s), " +
-            s"got ${children.length}")
-        val coerced = children.zip(argTypes).map { case (c, t) =>
-          if (c.resolved && c.dataType == t) c
-          else org.apache.spark.sql.catalyst.expressions.Cast(c, t)
-        }
-        graft.plans.EmbeddedUdfCall(name, e.lang, e.body, argTypes,
-          retType, coerced)
-      })
+    graft.functions.EmbeddedRegistration.scalar(spark, name, e.lang,
+      e.body, e.argTypes.map(parseSqlType), parseSqlType(e.retType))
     embeddedFns(name) = e
   }
 
   private def createEmbeddedFunction(name: String, argSpec: String,
       retSpec: String, lang: String, body: String): DataFrame = {
-    // paren-aware split: DECIMAL(12,2) parameters carry inner commas
-    val argTypes = SqlFrontend.splitTopLevel(argSpec, ',')
-      .map(_.trim).filter(_.nonEmpty)
-      .map { a =>
-        try parseSqlType(a).sql
-        catch { case scala.util.control.NonFatal(_)
-            if a.split("\\s+", 2).length == 2 =>
-          parseSqlType(a.split("\\s+", 2)(1)).sql }
-      }
     val entry = DurableCatalog.EmbeddedFnEntry(
       graft.functions.EmbeddedUdfRuntime.normalize(lang), body.trim,
-      argTypes, parseSqlType(retSpec).sql)
+      embeddedArgTypes(argSpec), parseSqlType(retSpec).sql)
     registerEmbeddedFunction(name, entry)
     catalog.save("embeddedfns", name, entry)
     statusDf("CREATE FUNCTION", name)
@@ -2459,6 +2514,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             statusDf("ALTER TABLE", name)
           case RefreshMvStmt(name) =>
             refreshMvStatement(name)
+          case CreateEmbeddedUdtfStmt(name, args, cols, lang, body) =>
+            createEmbeddedUdtf(name, args, cols, lang, body)
           case CreateEmbeddedFunctionStmt(name, args, ret, lang, body) =>
             createEmbeddedFunction(name, args, ret, lang, body)
           case CreateExternalFunctionStmt(name, args, ret, lang, ident, link) =>
@@ -2469,14 +2526,28 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               org.apache.spark.sql.catalyst.FunctionIdentifier(name))
             catalog.delete("embeddedfns", name)
             statusDf("DROP FUNCTION", name)
+          case DropFunctionStmt(name) if embeddedUdtfs.contains(name) =>
+            embeddedUdtfs.remove(name)
+            spark.sessionState.functionRegistry.dropFunction(
+              org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+            catalog.delete("embeddedudtfs", name)
+            statusDf("DROP FUNCTION", name)
           case DropFunctionStmt(name) if externalFns.contains(name) =>
             externalFns.remove(name)
             spark.sessionState.functionRegistry.dropFunction(
               org.apache.spark.sql.catalyst.FunctionIdentifier(name))
             catalog.delete("externalfns", name)
             statusDf("DROP FUNCTION", name)
+          case CreateEmbeddedAggregateStmt(name, args, ret, lang, body) =>
+            createEmbeddedAggregate(name, args, ret, lang, body)
           case CreateAggregateStmt(name, _, _, lang, impl, opts) =>
             createAggregate(name, lang, impl, opts)
+          case DropAggregateStmt(name) if embeddedAggs.contains(name) =>
+            embeddedAggs.remove(name)
+            spark.sessionState.functionRegistry.dropFunction(
+              org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+            catalog.delete("embeddedaggs", name)
+            statusDf("DROP AGGREGATE", name)
           case DropAggregateStmt(name) if aggregates.contains(name) =>
             aggregates.remove(name)
             spark.sessionState.catalog.dropTempFunction(name, ignoreIfNotExists = true)
@@ -2484,8 +2555,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             statusDf("DROP AGGREGATE", name)
           case ShowAggregates() =>
             import spark.implicits._
-            aggregates.toSeq.sortBy(_._1)
-              .map { case (n, (impl, sig)) => (n, impl, sig) }
+            (aggregates.toSeq
+              .map { case (n, (impl, sig)) => (n, impl, sig) } ++
+              embeddedAggs.toSeq.map { case (n, e) =>
+                (n, e.lang,
+                  s"(${e.argTypes.mkString(", ")}) RETURNS ${e.retType}")
+              }).sortBy(_._1)
               .toDF("name", "implementation", "signature")
           case CreateSubscription(name, from) =>
             require(mvs.get(from).isDefined,
@@ -2705,6 +2780,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
     catalog.list[EmbeddedFnEntry]("embeddedfns").foreach { case (name, e) =>
       recoverOrPark(s"embeddedfn:$name") { registerEmbeddedFunction(name, e) }
+    }
+
+    catalog.list[EmbeddedFnEntry]("embeddedaggs").foreach { case (name, e) =>
+      recoverOrPark(s"embeddedagg:$name") { registerEmbeddedAggregate(name, e) }
+    }
+
+    catalog.list[EmbeddedFnEntry]("embeddedudtfs").foreach { case (name, e) =>
+      recoverOrPark(s"embeddedudtf:$name") { registerEmbeddedUdtf(name, e) }
     }
   }
 

@@ -206,15 +206,13 @@ object EmbeddedUdfRuntime {
       s"embedded UDF: expected a number, got $other")
   }
 
-  /** One batched call; results align with `rows` by position. The body
-    * travels with the call so any worker on any executor can lazily
-    * (re)define before evaluating.
+  /** One request/response exchange against a pooled worker of `lang`,
+    * lazily (re)defining `fn` from `body` first; a dead worker
+    * respawns once. Raises with the interpreter's message on error.
     */
-  def callBatch(lang0: String, fn: String, body: String,
-      rows: Seq[Seq[Any]], retType: DataType): Seq[Any] = {
-    if (rows.isEmpty) return Seq.empty
-    val lang = normalize(lang0)
-    val req = JObject("op" -> JString("call"), "fn" -> JString(fn),
+  private def roundTrip(lang: String, fn: String, body: String,
+      op: String, rows: Seq[Seq[Any]]): JValue = {
+    val req = JObject("op" -> JString(op), "fn" -> JString(fn),
       "args" -> JArray(rows.toList.map(r => JArray(r.toList.map(toJ)))))
     val line = JsonMethods.compact(JsonMethods.render(req))
     val s = slot(lang)
@@ -226,15 +224,72 @@ object EmbeddedUdfRuntime {
     (resp \ "error") match {
       case JString(msg) => throw new RuntimeException(
         s"embedded $lang UDF '$fn' failed: $msg")
-      case _ => (resp \ "results") match {
-        case JArray(vs) =>
-          require(vs.length == rows.length,
-            s"embedded $lang UDF '$fn' returned ${vs.length} results " +
-              s"for ${rows.length} rows")
-          vs.map(fromJ(_, retType))
-        case _ => throw new RuntimeException(
-          s"embedded $lang UDF '$fn': malformed response")
-      }
+      case _ => resp
+    }
+  }
+
+  /** One batched call; results align with `rows` by position. The body
+    * travels with the call so any worker on any executor can lazily
+    * (re)define before evaluating.
+    */
+  def callBatch(lang0: String, fn: String, body: String,
+      rows: Seq[Seq[Any]], retType: DataType): Seq[Any] = {
+    if (rows.isEmpty) return Seq.empty
+    val lang = normalize(lang0)
+    (roundTrip(lang, fn, body, "call", rows) \ "results") match {
+      case JArray(vs) =>
+        require(vs.length == rows.length,
+          s"embedded $lang UDF '$fn' returned ${vs.length} results " +
+            s"for ${rows.length} rows")
+        vs.map(fromJ(_, retType))
+      case _ => throw new RuntimeException(
+        s"embedded $lang UDF '$fn': malformed response")
+    }
+  }
+
+  /** Aggregate evaluation: folds `rows` through the body's
+    * `create_state`/`accumulate`/[`finish`] in ONE interpreter
+    * exchange and returns the final value (reference: python.rs /
+    * quickjs.rs UDAF contract via CREATE AGGREGATE). The caller
+    * (EmbeddedAggCall) buffers and merges per-group rows Spark-side,
+    * so partial aggregation stays distributed and the interpreter sees
+    * each group exactly once.
+    */
+  def callAgg(lang0: String, fn: String, body: String,
+      rows: Seq[Seq[Any]], retType: DataType): Any = {
+    val lang = normalize(lang0)
+    fromJ(roundTrip(lang, fn, body, "agg", rows) \ "result", retType)
+  }
+
+  /** Table-function evaluation: for each input arg-tuple the body's
+    * generator/iterable yields output rows (reference: python.rs UDTF /
+    * table_function contract). Returns, per input tuple, the yielded
+    * rows decoded against `schema`.
+    */
+  def callTable(lang0: String, fn: String, body: String,
+      rows: Seq[Seq[Any]], schema: StructType): Seq[Seq[Seq[Any]]] = {
+    if (rows.isEmpty) return Seq.empty
+    val lang = normalize(lang0)
+    (roundTrip(lang, fn, body, "table", rows) \ "results") match {
+      case JArray(perInput) =>
+        require(perInput.length == rows.length,
+          s"embedded $lang UDTF '$fn' returned ${perInput.length} row " +
+            s"sets for ${rows.length} inputs")
+        perInput.map {
+          case JArray(outRows) => outRows.map {
+            case JArray(cells) =>
+              require(cells.length == schema.length,
+                s"embedded $lang UDTF '$fn' yielded ${cells.length} " +
+                  s"columns, declared ${schema.length}")
+              cells.lazyZip(schema.fields).map((c, f) => fromJ(c, f.dataType))
+            case other => throw new RuntimeException(
+              s"embedded $lang UDTF '$fn': malformed row $other")
+          }
+          case other => throw new RuntimeException(
+            s"embedded $lang UDTF '$fn': malformed row set $other")
+        }
+      case _ => throw new RuntimeException(
+        s"embedded $lang UDTF '$fn': malformed response")
     }
   }
 
@@ -261,8 +316,10 @@ object EmbeddedUdfRuntime {
     } catch { case _: Exception => false }
 
   /** The python worker: stdlib only; body is exec'd in a fresh module
-    * namespace and must define a callable named `fn` (the reference's
-    * python.rs contract).
+    * namespace. For scalar/table functions it must define a callable
+    * named `fn`; for aggregates it defines `create_state()`,
+    * `accumulate(state, *args) -> state`, and optionally
+    * `finish(state) -> result` (the reference's python.rs contract).
     */
   private val PythonRunner =
     """import sys, json
@@ -278,25 +335,46 @@ object EmbeddedUdfRuntime {
       |        continue
       |    try:
       |        req = json.loads(line)
-      |        if req['op'] == 'def':
+      |        op = req['op']
+      |        if op == 'def':
       |            g = {}
       |            exec(req['body'], g)
-      |            if req['fn'] not in g:
-      |                raise NameError('body does not define ' + req['fn'])
-      |            ns[req['fn']] = g[req['fn']]
+      |            if req['fn'] not in g and 'accumulate' not in g:
+      |                raise NameError('body defines neither ' + req['fn'] +
+      |                                ' nor accumulate')
+      |            ns[req['fn']] = g
       |            out = {'ok': True}
-      |        else:
-      |            f = ns[req['fn']]
+      |        elif op == 'call':
+      |            f = ns[req['fn']][req['fn']]
       |            out = {'results': [enc(f(*a)) for a in req['args']]}
+      |        elif op == 'agg':
+      |            g = ns[req['fn']]
+      |            s = g['create_state']()
+      |            for a in req['args']:
+      |                s = g['accumulate'](s, *a)
+      |            out = {'result': enc(g['finish'](s) if 'finish' in g else s)}
+      |        else:
+      |            f = ns[req['fn']][req['fn']]
+      |            res = []
+      |            for a in req['args']:
+      |                rows = []
+      |                for r in f(*a):
+      |                    if isinstance(r, (list, tuple)):
+      |                        rows.append([enc(x) for x in r])
+      |                    else:
+      |                        rows.append([enc(r)])
+      |                res.append(rows)
+      |            out = {'results': res}
       |    except Exception as e:
       |        out = {'error': type(e).__name__ + ': ' + str(e)}
       |    sys.stdout.write(json.dumps(out, allow_nan=False) + '\n')
       |    sys.stdout.flush()
       |""".stripMargin
 
-  /** The node worker: body must define `function fn(...)` (the
-    * reference's quickjs.rs contract). BigInt results serialize as
-    * decimal strings; non-finite numbers as their name strings.
+  /** The node worker: scalar/table bodies define `function fn(...)`;
+    * aggregate bodies define `create_state`/`accumulate`/[`finish`]
+    * (the reference's quickjs.rs contract). BigInt results serialize
+    * as decimal strings; non-finite numbers as their name strings.
     */
   private val JsRunner =
     """const readline = require('readline');
@@ -314,21 +392,78 @@ object EmbeddedUdfRuntime {
       |  try {
       |    const req = JSON.parse(line);
       |    if (req.op === 'def') {
-      |      const f = new Function(req.body + `
-      |;return ${req.fn};`)();
-      |      if (typeof f !== 'function')
-      |        throw new Error('body does not define function ' + req.fn);
-      |      ns[req.fn] = f;
+      |      const g = new Function(req.body + `
+      |;const __o = {};
+      |try { __o[${JSON.stringify(req.fn)}] = eval(${JSON.stringify(req.fn)}); } catch (e) {}
+      |for (const n of ['create_state', 'accumulate', 'finish']) {
+      |  try { __o[n] = eval(n); } catch (e) {}
+      |}
+      |return __o;`)();
+      |      if (typeof g[req.fn] !== 'function' &&
+      |          typeof g.accumulate !== 'function')
+      |        throw new Error('body defines neither function ' + req.fn +
+      |          ' nor accumulate');
+      |      ns[req.fn] = g;
       |      out = {ok: true};
-      |    } else {
-      |      const f = ns[req.fn];
+      |    } else if (req.op === 'call') {
+      |      const f = ns[req.fn][req.fn];
       |      if (!f) throw new Error('undefined function ' + req.fn);
       |      out = {results: req.args.map((a) => enc(f(...a)))};
+      |    } else if (req.op === 'agg') {
+      |      const g = ns[req.fn];
+      |      let s = g.create_state();
+      |      for (const a of req.args) s = g.accumulate(s, ...a);
+      |      out = {result: enc(g.finish ? g.finish(s) : s)};
+      |    } else {
+      |      const f = ns[req.fn][req.fn];
+      |      if (!f) throw new Error('undefined function ' + req.fn);
+      |      out = {results: req.args.map((a) =>
+      |        Array.from(f(...a)).map((r) =>
+      |          Array.isArray(r) ? r.map(enc) : [enc(r)]))};
       |    }
       |  } catch (e) { out = {error: String((e && e.message) || e)}; }
       |  process.stdout.write(JSON.stringify(out) + '\n');
       |});
       |""".stripMargin
+}
+
+/** Session-registry bindings for embedded functions — shared by
+  * `Engine` (CREATE FUNCTION/AGGREGATE statements, durable recovery)
+  * and by code registering an embedded function programmatically.
+  */
+object EmbeddedRegistration {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+
+  private def bind(spark: SparkSession, name: String, cls: Class[_],
+      argTypes: Seq[DataType])(
+      build: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == argTypes.length,
+          s"$name expects ${argTypes.length} argument(s), " +
+            s"got ${children.length}")
+        build(children.zip(argTypes).map { case (c, t) =>
+          if (c.resolved && c.dataType == t) c else Cast(c, t)
+        })
+      })
+
+  def scalar(spark: SparkSession, name: String, lang: String, body: String,
+      argTypes: Seq[DataType], retType: DataType): Unit =
+    bind(spark, name, classOf[graft.plans.EmbeddedUdfCall], argTypes)(
+      graft.plans.EmbeddedUdfCall(name, lang, body, argTypes, retType, _))
+
+  def aggregate(spark: SparkSession, name: String, lang: String, body: String,
+      argTypes: Seq[DataType], retType: DataType): Unit =
+    bind(spark, name, classOf[graft.plans.EmbeddedAggCall], argTypes)(
+      graft.plans.EmbeddedAggCall(name, lang, body, argTypes, retType, _))
+
+  def table(spark: SparkSession, name: String, lang: String, body: String,
+      argTypes: Seq[DataType], schema: StructType): Unit =
+    bind(spark, name, classOf[graft.plans.EmbeddedGenerate], argTypes)(
+      graft.plans.EmbeddedGenerate(name, lang, body, argTypes, schema, _))
 }
 
 /** Relational (vectorized) application of an embedded UDF — one worker

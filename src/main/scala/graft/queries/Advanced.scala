@@ -67,6 +67,42 @@ object Advanced extends QueryPack {
         .select(col("p_partkey"), col("r"))
         .orderBy("p_partkey")
     },
+    // Embedded python UDAF (CREATE AGGREGATE … LANGUAGE python): Spark
+    // buffers+merges partials per group, python folds each final group
+    // ONCE through create_state/accumulate — exact integer bit-or, so
+    // hash-deterministic regardless of partition order. DuckDB
+    // recomputes with its native bit_or.
+    q("q_udf_agg_python",
+      """SELECT l_orderkey, CAST(bit_or(l_partkey) AS BIGINT) AS m
+        |FROM lineitem WHERE l_orderkey < 1000
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { s =>
+      graft.functions.EmbeddedRegistration.aggregate(s, "py_bitor", "python",
+        "def create_state():\n    return 0\ndef accumulate(s, x):\n    return s | x\n",
+        Seq(LongType), LongType)
+      s.sql(
+        """SELECT l_orderkey, py_bitor(l_partkey) AS m
+          |FROM lineitem WHERE l_orderkey < 1000
+          |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+    },
+    // Embedded python UDTF (RETURNS TABLE generator) in LATERAL VIEW:
+    // per-row rows yielded by a python generator, aggregated Spark-side.
+    // DuckDB recomputes with string_split + unnest.
+    q("q_udf_table_python",
+      """SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id < 60
+        |) WHERE w <> '' GROUP BY w
+        |ORDER BY n DESC, word LIMIT 15""".stripMargin) { s =>
+      graft.functions.EmbeddedRegistration.table(s, "py_words", "python",
+        "def py_words(s):\n    for w in s.split(' '):\n        if w:\n            yield (w,)\n",
+        Seq(StringType),
+        StructType(Seq(StructField("word", StringType))))
+      s.sql(
+        """SELECT t.word AS word, COUNT(*) AS n
+          |FROM documents LATERAL VIEW py_words(text) t AS word
+          |WHERE doc_id < 60 GROUP BY t.word
+          |ORDER BY n DESC, word LIMIT 15""".stripMargin)
+    },
     // Recursive CTE: transitive closure over a deterministic cyclic edge
     // set derived from nation. DuckDB runs the real WITH RECURSIVE; the
     // engine runs IterativeFixpoint.transitiveClosure.

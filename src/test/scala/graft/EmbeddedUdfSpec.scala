@@ -195,6 +195,133 @@ class EmbeddedUdfSpec extends SparkSpecBase {
       "def ok(x):\n    return x + 1\n", Seq(41L), LongType) == 42L)
   }
 
+  test("python UDAF: create_state/accumulate/finish, grouped, durable") {
+    assume(EmbeddedUdfRuntime.available("python"), "python3 not on PATH")
+    val wh = tmpDir("pyudaf")
+    val e = new Engine(spark, wh)
+    e.execute("CREATE TABLE samples (id BIGINT PRIMARY KEY, g VARCHAR, x DOUBLE)")
+    e.execute(
+      """INSERT INTO samples VALUES
+        |(1, 'a', 2.0), (2, 'a', 8.0), (3, 'b', 3.0), (4, 'b', 9.0),
+        |(5, 'b', 27.0)""".stripMargin)
+    e.execute("FLUSH")
+    // geometric mean — not a Spark builtin, order-insensitive
+    e.execute(
+      """CREATE AGGREGATE py_geomean(x DOUBLE) RETURNS DOUBLE
+        |LANGUAGE python AS $$
+        |import math
+        |def create_state():
+        |    return (0.0, 0)
+        |def accumulate(s, x):
+        |    return (s[0] + math.log(x), s[1] + 1) if x is not None else s
+        |def finish(s):
+        |    return math.exp(s[0] / s[1]) if s[1] else None
+        |$$""".stripMargin)
+    val got = e.execute(
+      """SELECT g, py_geomean(x) AS gm FROM samples
+        |GROUP BY g ORDER BY g""".stripMargin)
+      .as[(String, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("a", "b"))
+    assert(math.abs(got(0)._2 - 4.0) < 1e-9)  // sqrt(2*8)
+    assert(math.abs(got(1)._2 - 9.0) < 1e-9)  // cbrt(3*9*27)
+
+    // distributed partial aggregation: many partitions, one group
+    spark.range(1, 101).repartition(16)
+      .selectExpr("id", "CAST(id AS DOUBLE) AS x")
+      .createOrReplaceTempView("hundred")
+    val one = e.execute("SELECT py_geomean(x) AS gm FROM hundred")
+      .as[Double].head()
+    val expected = math.exp((1 to 100).map(v => math.log(v.toDouble)).sum / 100)
+    assert(math.abs(one - expected) < 1e-9)
+
+    // SHOW AGGREGATES lists it; durable across restart; DROP removes
+    assert(e.execute("SHOW AGGREGATES").collect()
+      .exists(_.getString(0) == "py_geomean"))
+    val e2 = new Engine(spark.newSession(), wh)
+    assert(math.abs(e2.execute(
+      "SELECT py_geomean(x) AS gm FROM (SELECT 4.0 AS x UNION ALL SELECT 16.0)")
+      .as[Double].head() - 8.0) < 1e-9)
+    e2.execute("DROP AGGREGATE py_geomean")
+    intercept[Exception] {
+      e2.execute("SELECT py_geomean(1.0) AS x").collect()
+    }
+  }
+
+  test("javascript UDAF folds through accumulate") {
+    assume(EmbeddedUdfRuntime.available("javascript"), "node not on PATH")
+    val e = new Engine(spark, tmpDir("jsudaf"))
+    e.execute(
+      """CREATE AGGREGATE js_bitor(x BIGINT) RETURNS BIGINT
+        |LANGUAGE javascript AS $$
+        |function create_state() { return 0n; }
+        |function accumulate(s, x) { return BigInt(s) | BigInt(x); }
+        |$$""".stripMargin)
+    spark.range(0, 64).repartition(8).createOrReplaceTempView("bits")
+    assert(e.execute("SELECT js_bitor(id) AS m FROM bits")
+      .head().getLong(0) == 63L)
+  }
+
+  test("python UDTF: RETURNS TABLE generator in LATERAL VIEW") {
+    assume(EmbeddedUdfRuntime.available("python"), "python3 not on PATH")
+    val wh = tmpDir("pyudtf")
+    val e = new Engine(spark, wh)
+    e.execute(
+      """CREATE FUNCTION py_split(s VARCHAR) RETURNS TABLE(word VARCHAR, pos BIGINT)
+        |LANGUAGE python AS $$
+        |def py_split(s):
+        |    for i, w in enumerate(s.split()):
+        |        yield (w, i)
+        |$$""".stripMargin)
+    Seq((1L, "hello graft world"), (2L, "delta join"))
+      .toDF("id", "txt").createOrReplaceTempView("docs")
+    val got = e.execute(
+      """SELECT id, t.word, t.pos FROM docs
+        |LATERAL VIEW py_split(txt) t AS word, pos
+        |ORDER BY id, pos""".stripMargin)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "hello", 0L), (1L, "graft", 1L),
+      (1L, "world", 2L), (2L, "delta", 0L), (2L, "join", 1L)))
+
+    // pg_proc lists it; durable across restart; DROP FUNCTION removes
+    assert(e.execute(
+      "SELECT proname FROM pg_catalog.pg_proc WHERE proname = 'py_split'")
+      .count() == 1)
+    val s2 = spark.newSession()
+    val e2 = new Engine(s2, wh)
+    s2.createDataFrame(Seq((1L, "a b"))).toDF("id", "txt")
+      .createOrReplaceTempView("docs2")
+    assert(e2.execute(
+      """SELECT t.word FROM docs2 LATERAL VIEW py_split(txt) t AS word, pos
+        |ORDER BY t.pos""".stripMargin).as[String].collect().toSeq
+      == Seq("a", "b"))
+    e2.execute("DROP FUNCTION py_split")
+    intercept[Exception] {
+      e2.execute(
+        "SELECT t.word FROM docs2 LATERAL VIEW py_split(txt) t AS word, pos")
+        .collect()
+    }
+  }
+
+  test("javascript UDTF returns row arrays") {
+    assume(EmbeddedUdfRuntime.available("javascript"), "node not on PATH")
+    val e = new Engine(spark, tmpDir("jsudtf"))
+    e.execute(
+      """CREATE FUNCTION js_steps(n BIGINT) RETURNS TABLE(i BIGINT, sq BIGINT)
+        |LANGUAGE javascript AS $$
+        |function js_steps(n) {
+        |  const out = [];
+        |  for (let i = 0; i < n; i++) out.push([i, i * i]);
+        |  return out;
+        |}
+        |$$""".stripMargin)
+    spark.sql("SELECT 1 AS one").createOrReplaceTempView("onerow")
+    val got = e.execute(
+      """SELECT t.i, t.sq FROM onerow
+        |LATERAL VIEW js_steps(4) t AS i, sq ORDER BY t.i""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L), (1L, 1L), (2L, 4L), (3L, 9L)))
+  }
+
   test("CREATE OR REPLACE re-defines the body on live workers") {
     assume(EmbeddedUdfRuntime.available("python"), "python3 not on PATH")
     val e = new Engine(spark, tmpDir("pyudf3"))
