@@ -322,6 +322,36 @@ class EmbeddedUdfSpec extends SparkSpecBase {
     assert(got == Seq((0L, 0L), (1L, 1L), (2L, 4L), (3L, 9L)))
   }
 
+  test("python UDF inside a chained streaming MV maintains under DML") {
+    assume(EmbeddedUdfRuntime.available("python"), "python3 not on PATH")
+    val wh = tmpDir("pyudfmv")
+    val e = new Engine(spark, wh)
+    e.execute(
+      """CREATE FUNCTION py_tier(x BIGINT) RETURNS VARCHAR
+        |LANGUAGE python AS $$
+        |def py_tier(x):
+        |    return 'hi' if x >= 50 else 'lo'
+        |$$""".stripMargin)
+    e.execute("CREATE TABLE readings (id BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute(
+      """CREATE MATERIALIZED VIEW tiered (PRIMARY KEY (id)) AS
+        |SELECT id, py_tier(v) AS tier, v FROM readings""".stripMargin)
+    e.execute("INSERT INTO readings VALUES (1, 10), (2, 60)")
+    e.execute("FLUSH")
+    assert(e.table("tiered").orderBy("id")
+      .select("id", "tier").as[(Long, String)].collect().toSeq
+      == Seq((1L, "lo"), (2L, "hi")))
+    // an UPDATE that flips the python-computed value propagates as
+    // a U-/U+ pair through the chain
+    e.execute("UPDATE readings SET v = 99 WHERE id = 1")
+    e.execute("DELETE FROM readings WHERE id = 2")
+    e.execute("FLUSH")
+    assert(e.table("tiered").orderBy("id")
+      .select("id", "tier").as[(Long, String)].collect().toSeq
+      == Seq((1L, "hi")))
+    e.streamingJob("tiered").foreach(_.stop())
+  }
+
   test("CREATE OR REPLACE re-defines the body on live workers") {
     assume(EmbeddedUdfRuntime.available("python"), "python3 not on PATH")
     val e = new Engine(spark, tmpDir("pyudf3"))
