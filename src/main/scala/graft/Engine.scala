@@ -1925,6 +1925,146 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
   private val sinkNames = scala.collection.mutable.SortedSet[String]()
 
+  // --- session variables (reference: handler/variable.rs — SET/SHOW/
+  // RESET over the session config registry, src/common/src/session_config/).
+  // Defaults mirror the reference's Postgres-compatible surface plus its
+  // own rw_* knobs; `SHOW ALL` lists (name, setting, description) like
+  // psql expects. Unknown names error with PG's exact message so driver
+  // probes behave identically.
+  private val SetTimeZoneStmt =
+    """(?is)\s*SET\s+(?:SESSION\s+|LOCAL\s+)?TIME\s+ZONE\s+(.+?)\s*;?\s*""".r
+  private val SetTransactionStmt =
+    """(?is)\s*SET\s+(?:SESSION\s+CHARACTERISTICS\s+AS\s+)?TRANSACTION\s+.*""".r
+  private val SetVarStmt =
+    """(?is)\s*SET\s+(?:SESSION\s+|LOCAL\s+)?([A-Za-z_][\w.]*)\s*(?:=|\s+TO\s+)\s*(.+?)\s*;?\s*""".r
+  private val ResetVarStmt =
+    """(?is)\s*RESET\s+(ALL|[A-Za-z_][\w.]*)\s*;?\s*""".r
+  private val ShowVarStmt =
+    """(?is)\s*SHOW\s+([A-Za-z_][\w.]*(?:\s+[A-Za-z_][\w.]*){0,2})\s*;?\s*""".r
+  private val ShowParameters = """(?is)\s*SHOW\s+PARAMETERS\s*;?\s*""".r
+
+  /** (default, description) per variable; insertion order = SHOW ALL order. */
+  private val varDefaults: scala.collection.immutable.ListMap[String, (String, String)] =
+    scala.collection.immutable.ListMap(
+      "application_name" -> ("", "Sets the application name to be reported in statistics and logs."),
+      "batch_parallelism" -> ("0", "Sets the parallelism for batch queries (0 = adaptive)."),
+      "client_encoding" -> ("UTF8", "Sets the client's character set encoding."),
+      "client_min_messages" -> ("notice", "Sets the message levels that are sent to the client."),
+      "datestyle" -> ("ISO, MDY", "Sets the display format for date and time values."),
+      "extra_float_digits" -> ("1", "Sets the number of digits displayed for floating-point values."),
+      "idle_in_transaction_session_timeout" -> ("0", "Sets the maximum allowed idle time between queries, when in a transaction."),
+      "intervalstyle" -> ("postgres", "Sets the display format for interval values."),
+      "lock_timeout" -> ("0", "Sets the maximum allowed duration of any wait for a lock."),
+      "query_mode" -> ("auto", "Selects batch/local execution mode for queries."),
+      "rw_implicit_flush" -> ("false", "Flushes stream jobs after every DML statement, so reads observe the write."),
+      "search_path" -> ("\"$user\", public", "Sets the schema search order for names that are not schema-qualified."),
+      "server_encoding" -> ("UTF8", "Sets the server (database) character set encoding."),
+      "server_version" -> ("14.0", "Shows the server version."),
+      "server_version_num" -> ("140000", "Shows the server version as an integer."),
+      "standard_conforming_strings" -> ("on", "Causes '...' strings to treat backslashes literally."),
+      "statement_timeout" -> ("0", "Sets the maximum allowed duration of any statement."),
+      "streaming_parallelism" -> ("ADAPTIVE", "Sets the parallelism for newly created streaming jobs."),
+      "timezone" -> ("UTC", "Sets the time zone for displaying and interpreting time stamps."),
+      "transaction_isolation" -> ("read committed", "Shows the current transaction's isolation level."))
+
+  /** Variables psql/PG reject SET on (server-decided). */
+  private val readOnlyVars =
+    Set("server_version", "server_version_num", "server_encoding",
+      "transaction_isolation")
+
+  /** First-word SHOW forms that are statements, not variables — the
+    * ShowVarStmt case must never swallow them. */
+  private val showStatementWords =
+    Set("tables", "materialized", "sources", "jobs", "sinks", "indexes",
+      "aggregates", "subscriptions", "create", "columns", "databases",
+      "schemas", "functions", "connections", "views", "cursors",
+      "processlist", "parameters", "internal")
+
+  private val sessionVars = scala.collection.mutable.Map[String, String]()
+
+  private def varValue(name: String): String =
+    sessionVars.getOrElse(name, varDefaults(name)._1)
+
+  /** Normalize SHOW's spaced aliases to the canonical variable name. */
+  private def canonicalVar(raw: String): String =
+    raw.trim.toLowerCase.replaceAll("\\s+", " ") match {
+      case "time zone" => "timezone"
+      case "transaction isolation level" => "transaction_isolation"
+      case "all" => "all"
+      case w => w.replace(' ', '_')
+    }
+
+  /** SET's value surface: quoted strings unquote, bare words/numbers pass,
+    * comma lists (search_path, datestyle) keep their text, DEFAULT resets. */
+  private def parseVarValue(raw: String): Option[String] = {
+    val t = raw.trim
+    if (t.equalsIgnoreCase("DEFAULT")) None
+    else Some(t.split(",").map { piece =>
+      val p = piece.trim
+      if (p.length >= 2 && p.startsWith("'") && p.endsWith("'"))
+        p.substring(1, p.length - 1).replace("''", "'")
+      else p
+    }.mkString(", "))
+  }
+
+  /** The handful of variables with live engine behavior behind them. */
+  private def applyVarBehavior(name: String, value: String): Unit = name match {
+    case "timezone" =>
+      // instant-preserving display/parse zone (Spark session-scoped conf)
+      java.time.ZoneId.of(value) // validate before applying
+      spark.conf.set("spark.sql.session.timeZone", value)
+    case "streaming_parallelism" | "batch_parallelism"
+        if value.matches("\\d+") && value.toInt > 0 =>
+      spark.conf.set("spark.sql.shuffle.partitions", value)
+    case _ => ()
+  }
+
+  private def setVariable(rawName: String, rawValue: String): DataFrame = {
+    val name = canonicalVar(rawName)
+    require(varDefaults.contains(name),
+      s"unrecognized configuration parameter \"$name\"")
+    require(!readOnlyVars.contains(name),
+      s"parameter \"$name\" cannot be changed")
+    parseVarValue(rawValue) match {
+      case Some(v) =>
+        val norm = name match {
+          // PG normalizes booleans; the reference does too
+          case "rw_implicit_flush" | "standard_conforming_strings" =>
+            if (Set("on", "true", "1", "yes", "t").contains(v.toLowerCase)) "true"
+            else "false"
+          case _ => v
+        }
+        applyVarBehavior(name, norm)
+        sessionVars(name) = norm
+      case None =>
+        sessionVars.remove(name)
+        applyVarBehavior(name, varDefaults(name)._1)
+    }
+    statusDf("SET", name)
+  }
+
+  private def showVariable(name: String): DataFrame = {
+    import spark.implicits._
+    require(varDefaults.contains(name),
+      s"unrecognized configuration parameter \"$name\"")
+    Seq(varValue(name)).toDF(name)
+  }
+
+  private def showAllVariables(): DataFrame = {
+    import spark.implicits._
+    varDefaults.toSeq
+      .map { case (n, (_, desc)) => (n, varValue(n), desc) }
+      .toDF("name", "setting", "description")
+  }
+
+  private def implicitFlushEnabled: Boolean =
+    varValue("rw_implicit_flush") == "true"
+
+  /** Drain every stream job in chain-depth order (FLUSH's body). */
+  private def drainAllJobs(): Unit =
+    jobs.toSeq.sortBy { case (n, _) => chainDepth.getOrElse(n, 0) }
+      .foreach(_._2.processAllAvailable())
+
   // --- subscriptions / cursors (reference: CREATE SUBSCRIPTION +
   // DECLARE … SUBSCRIPTION CURSOR + FETCH, handler/create_subscription.rs
   // and session/cursor_manager.rs): a pull-based reader over an MV's
@@ -2613,11 +2753,40 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             // processed all available input (barrier-completion analog).
             // Chained MVs drain AFTER their upstream — depth order —
             // so one pass settles a whole a→b→c chain
-            jobs.toSeq.sortBy { case (n, _) => chainDepth.getOrElse(n, 0) }
-              .foreach(_._2.processAllAvailable())
+            drainAllJobs()
             statusDf("FLUSH", "")
+          case SetTimeZoneStmt(tz) => setVariable("timezone", tz)
+          case SetTransactionStmt() =>
+            // single-snapshot reads make every isolation request a no-op
+            // (same contract as the TxnStmt acknowledgements)
+            statusDf("SET", "transaction")
+          case SetVarStmt(name, value) => setVariable(name, value)
+          case ResetVarStmt(name) if canonicalVar(name) == "all" =>
+            sessionVars.keys.toSeq
+              .foreach(n => applyVarBehavior(n, varDefaults(n)._1))
+            sessionVars.clear()
+            statusDf("RESET", "all")
+          case ResetVarStmt(name) =>
+            setVariable(name, "DEFAULT")
+            statusDf("RESET", canonicalVar(name))
+          case ShowParameters() => showAllVariables()
+          case ShowVarStmt(raw)
+              if !showStatementWords.contains(
+                raw.trim.split("\\s+")(0).toLowerCase) =>
+            canonicalVar(raw) match {
+              case "all" => showAllVariables()
+              case v => showVariable(v)
+            }
           case other =>
-            tryDml(other).getOrElse(spark.sql(other))
+            tryDml(other) match {
+              case Some(df) =>
+                // reference: rw_implicit_flush — every DML statement is
+                // followed by a barrier drain, so an immediate read
+                // observes the write through any chained MV
+                if (implicitFlushEnabled) drainAllJobs()
+                df
+              case None => spark.sql(other)
+            }
         }
       }
       }

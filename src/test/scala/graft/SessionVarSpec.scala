@@ -1,0 +1,105 @@
+package graft
+
+/** SET / SHOW / RESET session variables (reference: handler/variable.rs
+  * over src/common/src/session_config/) — the Postgres-compatible
+  * session-config surface psql, pgjdbc and ORMs drive on connect, plus
+  * the reference's own `rw_implicit_flush` behavior knob.
+  */
+class SessionVarSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("SET / SHOW / RESET round-trip, aliases, SHOW ALL") {
+    val e = new Engine(spark, tmpDir("vars"))
+
+    // defaults visible before any SET
+    assert(e.execute("SHOW application_name").head().getString(0) == "")
+    assert(e.execute("SHOW timezone").head().getString(0) == "UTC")
+
+    // psql's spaced aliases
+    assert(e.execute("SHOW TIME ZONE").head().getString(0) == "UTC")
+    assert(e.execute("SHOW TRANSACTION ISOLATION LEVEL")
+      .head().getString(0) == "read committed")
+
+    // SET = and SET TO, quoted and bare values
+    e.execute("SET application_name = 'my app'")
+    assert(e.execute("SHOW application_name").head().getString(0) == "my app")
+    e.execute("SET extra_float_digits TO 3")
+    assert(e.execute("SHOW extra_float_digits").head().getString(0) == "3")
+
+    // column name of a SHOW is the parameter name (PG convention)
+    assert(e.execute("SHOW extra_float_digits").columns.toSeq ==
+      Seq("extra_float_digits"))
+
+    // RESET restores the default; SET ... DEFAULT too
+    e.execute("RESET extra_float_digits")
+    assert(e.execute("SHOW extra_float_digits").head().getString(0) == "1")
+    e.execute("SET application_name = DEFAULT")
+    assert(e.execute("SHOW application_name").head().getString(0) == "")
+
+    // SHOW ALL: (name, setting, description), includes rw knobs
+    val all = e.execute("SHOW ALL")
+    assert(all.columns.toSeq == Seq("name", "setting", "description"))
+    val names = all.select("name").as[String].collect().toSet
+    assert(names.contains("rw_implicit_flush"))
+    assert(names.contains("streaming_parallelism"))
+    assert(e.execute("SHOW PARAMETERS").count() == all.count())
+
+    // unknown / read-only parameters: PG's exact error surface
+    val unk = intercept[IllegalArgumentException](e.execute("SHOW no_such_var"))
+    assert(unk.getMessage.contains("unrecognized configuration parameter"))
+    val ro = intercept[IllegalArgumentException](
+      e.execute("SET server_version = '99'"))
+    assert(ro.getMessage.contains("cannot be changed"))
+
+    // SET TRANSACTION form acknowledges as a no-op (single-snapshot reads)
+    assert(e.execute("SET TRANSACTION ISOLATION LEVEL SERIALIZABLE")
+      .head().getString(0) == "SET")
+
+    // RESET ALL clears every override
+    e.execute("SET application_name = 'x'")
+    e.execute("RESET ALL")
+    assert(e.execute("SHOW application_name").head().getString(0) == "")
+  }
+
+  test("SET TIME ZONE applies to the Spark session and validates the zone") {
+    val e = new Engine(spark, tmpDir("vars-tz"))
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      e.execute("SET TIME ZONE 'America/New_York'")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "America/New_York")
+      assert(e.execute("SHOW timezone").head().getString(0) == "America/New_York")
+      intercept[Exception](e.execute("SET TIME ZONE 'No/Such_Zone'"))
+      // failed SET leaves the previous value in place
+      assert(e.execute("SHOW timezone").head().getString(0) == "America/New_York")
+      e.execute("RESET timezone")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
+
+  test("rw_implicit_flush drains chained MVs after each DML") {
+    val e = new Engine(spark, tmpDir("vars-flush"))
+    e.execute("CREATE TABLE vt (k BIGINT PRIMARY KEY, v DOUBLE)")
+    e.execute("INSERT INTO vt VALUES (1, 10.0)")
+    e.execute("FLUSH")
+    e.execute("""CREATE MATERIALIZED VIEW vmv (PRIMARY KEY (k)) AS
+      |SELECT k, v * 2 AS v2 FROM vt""".stripMargin)
+    e.execute("FLUSH")
+
+    e.execute("SET rw_implicit_flush = true")
+    // no FLUSH issued — the implicit drain must propagate the write
+    e.execute("INSERT INTO vt VALUES (2, 20.0)")
+    assert(e.table("vmv").orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 20.0), (2L, 40.0)))
+
+    e.execute("SET rw_implicit_flush = off")
+    assert(e.execute("SHOW rw_implicit_flush").head().getString(0) == "false")
+  }
+
+  test("SHOW TABLES and other SHOW statements keep precedence over variables") {
+    val e = new Engine(spark, tmpDir("vars-prec"))
+    e.execute("CREATE TABLE st (k BIGINT PRIMARY KEY)")
+    val t = e.execute("SHOW TABLES")
+    assert(t.select("name").as[String].collect().contains("st"))
+    assert(e.execute("SHOW MATERIALIZED VIEWS").columns.nonEmpty)
+  }
+}
