@@ -109,7 +109,16 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       }.getOrElse(df)
     }.getOrElse(spark.table(name))
-    if (hiddenRowIdTables.contains(name)) df0.drop(Engine.RowIdCol) else df0
+    // temporal-filter MV: residual horizon filter — reads are exact at
+    // any instant, eviction (at barrier drains) only reclaims state
+    val df1 = temporalFilters.get(name) match {
+      case Some((c, ms)) if df0.columns.contains(c) =>
+        val cutoff = new java.sql.Timestamp(temporalNowMs - ms)
+        df0.where(org.apache.spark.sql.functions.col(c) >
+          org.apache.spark.sql.functions.lit(cutoff))
+      case _ => df0
+    }
+    if (hiddenRowIdTables.contains(name)) df1.drop(Engine.RowIdCol) else df1
   }
 
   /** Streaming sources registered by `CREATE SOURCE`. */
@@ -630,6 +639,86 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     */
   private val chainDepth = scala.collection.mutable.Map[String, Int]()
 
+  // --- temporal filter (reference: `WHERE ts > now() - interval`,
+  // src/stream/src/executor/now.rs + dynamic_filter.rs; plan rule
+  // logical_optimization.rs:275-285 "Push down filter with now"). A
+  // per-row chained MV whose defining filter compares a column against
+  // a now()-anchored horizon is registered here: inserts are filtered
+  // at merge time by the defining query itself (each epoch's replay
+  // evaluates now() fresh), READS apply the residual horizon filter so
+  // results are exact at any instant, and the barrier-drain (FLUSH)
+  // EVICTS aged-out rows as real delete epochs — downstream chained
+  // MVs retract exactly as the reference's DynamicFilter emits
+  // retractions when the Now bound advances. name → (tsCol, horizonMs).
+  private val temporalFilters =
+    scala.collection.mutable.Map[String, (String, Long)]()
+
+  /** Test hook: the temporal "now" in millis (reads and eviction).
+    * None = wall clock. */
+  @volatile var temporalNowOverrideMs: Option[Long] = None
+
+  private val TemporalFilterPat =
+    ("""(?i)\b([A-Za-z_]\w*)\s*>=?\s*(?:now\s*\(\s*\)|current_timestamp""" +
+      """(?:\s*\(\s*\))?)\s*-\s*interval\s+'([^']+)'\s*([A-Za-z]*)""").r
+
+  /** Detect `col > now() - interval '…' [unit]` in a defining query.
+    * Both Spark spellings bind: `interval '1' hour` and `interval '1 hour'`.
+    */
+  private[graft] def detectTemporalFilter(query: String): Option[(String, Long)] =
+    TemporalFilterPat.findFirstMatchIn(query).flatMap { m =>
+      val quoted = m.group(2).trim
+      val unitOut = Option(m.group(3)).map(_.trim.toLowerCase).filter(_.nonEmpty)
+      val parts = unitOut match {
+        case Some(u) => Some((quoted, u))
+        case None => quoted.split("\\s+") match {
+          case Array(n, u) => Some((n, u.toLowerCase))
+          case _ => None
+        }
+      }
+      parts.flatMap { case (nStr, unit) =>
+        val unitMs = unit.stripSuffix("s") match {
+          case "millisecond" => Some(1L)
+          case "second" => Some(1000L)
+          case "minute" => Some(60000L)
+          case "hour" => Some(3600000L)
+          case "day" => Some(86400000L)
+          case "week" => Some(604800000L)
+          case _ => None
+        }
+        val n = scala.util.Try(nStr.trim.toDouble).toOption
+        for (u <- unitMs; v <- n) yield (m.group(1), (v * u).toLong)
+      }
+    }
+
+  private def temporalNowMs: Long =
+    temporalNowOverrideMs.getOrElse(System.currentTimeMillis())
+
+  /** Register a per-row chained MV's temporal horizon (no-op when the
+    * query has none, or when the MV's output drops the time column —
+    * then there is nothing addressable to evict and the defining
+    * query's own merge-time filter is the entire semantics). */
+  private def registerTemporalFilter(name: String, query: String,
+      outputCols: Seq[String]): Unit =
+    detectTemporalFilter(query)
+      .filter { case (c, _) => outputCols.contains(c) }
+      .foreach(temporalFilters(name) = _)
+
+  /** Age out rows past the horizon as REAL delete epochs (the
+    * reference's retraction when the Now bound advances past a row).
+    * Runs at barrier drains; reads are exact in between via the
+    * residual filter in [[table]]. */
+  private def evictTemporal(name: String): Unit =
+    for ((c, ms) <- temporalFilters.get(name); mv <- mvs.get(name)) {
+      val cutoff = new java.sql.Timestamp(temporalNowMs - ms)
+      val base = mv.read()
+      if (base.columns.contains(c)) {
+        val cond = org.apache.spark.sql.functions.col(c) <=
+          org.apache.spark.sql.functions.lit(cutoff)
+        if (!base.where(cond).isEmpty)
+          graft.operators.Dml.deleteWhere(mv, cond)
+      }
+    }
+
   private def createChainedMv(name: String, pk: Seq[String], query: String,
       upName: String): DataFrame = {
     val up = mvs.get(upName).getOrElse(throw new IllegalArgumentException(
@@ -646,6 +735,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
     jobs(name) = up.subscribeWithBackfill(down, mvs.checkpointDir(name),
       chainTransform(name, query, upName))
+    val outCols = scala.util.Try(spark.sql(Engine.rewritePgSelect(
+      Engine.TemporalJoinClause.replaceAllIn(query, ""))).columns.toSeq)
+      .getOrElse(down.read().columns.toSeq)
+    registerTemporalFilter(name, query, outCols)
     statusDf("CREATE MATERIALIZED VIEW (streaming chain)", name)
   }
 
@@ -1179,10 +1272,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case (None, Some(groups)) => startChainedAggJob(name,
             mv, upMv, q, upName, groups,
             e.chainFrontier.getOrElse(-1L))
-          case (None, None) => mv.start(
-            chainTransform(name, q, upName)(
-              upMv.changelogStreamFrom(e.chainFrontier.getOrElse(-1L))),
-            ckpt, outputMode = e.outputMode)
+          case (None, None) =>
+            // per-row chain: re-derive any temporal horizon from the
+            // persisted defining query (detection is deterministic text)
+            registerTemporalFilter(name, q, mv.read().columns.toSeq)
+            mv.start(
+              chainTransform(name, q, upName)(
+                upMv.changelogStreamFrom(e.chainFrontier.getOrElse(-1L))),
+              ckpt, outputMode = e.outputMode)
         }
       case None =>
         bindMvTables(q) // the MV may join engine-managed tables
@@ -1484,6 +1581,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     // old layout, so the new binding must keep nBuckets AND bucketKeys
     // (a mismatch would silently break bucket-pruned reads/merges)
     val newMv = mvs.define(to, old.primaryKey, old.nBuckets, old.bucketKeys)
+    temporalFilters.remove(from).foreach(temporalFilters(to) = _)
     if (isTable) {
       tableSchemas.remove(from).foreach(s => tableSchemas(to) = s)
       tableDefaults.remove(from).foreach(d => tableDefaults(to) = d)
@@ -2060,10 +2158,16 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private def implicitFlushEnabled: Boolean =
     varValue("rw_implicit_flush") == "true"
 
-  /** Drain every stream job in chain-depth order (FLUSH's body). */
+  /** Drain every stream job in chain-depth order (FLUSH's body).
+    * Temporal-filter MVs evict aged rows right after their own drain —
+    * the delete epochs land before deeper chained MVs drain, so one
+    * pass settles eviction retractions through the whole chain. */
   private def drainAllJobs(): Unit =
     jobs.toSeq.sortBy { case (n, _) => chainDepth.getOrElse(n, 0) }
-      .foreach(_._2.processAllAvailable())
+      .foreach { case (n, j) =>
+        j.processAllAvailable()
+        if (temporalFilters.contains(n)) evictTemporal(n)
+      }
 
   // --- subscriptions / cursors (reference: CREATE SUBSCRIPTION +
   // DECLARE … SUBSCRIPTION CURSOR + FETCH, handler/create_subscription.rs
@@ -2149,6 +2253,30 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     import graft.streaming.Changelog
     val mv = mvs.get(d.from).getOrElse(throw new IllegalArgumentException(
       s"CREATE SINK ${d.name}: unknown materialized view ${d.from}"))
+    // external-database sink (reference: src/connector/src/sink/jdbc.rs
+    // — upsert / append-only delivery into an existing remote table)
+    if (d.options.get("connector").contains("jdbc")) {
+      val url = d.options.getOrElse("jdbc.url",
+        throw new IllegalArgumentException(
+          "CREATE SINK connector='jdbc' requires jdbc.url = '…'"))
+      val tbl = d.options.getOrElse("table.name", d.from)
+      val upsert =
+        d.options.getOrElse("type", "upsert").toLowerCase != "append-only"
+      val sinkPk = d.options.get("primary_key")
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(mv.primaryKey)
+      val q = mv.changelogStream().writeStream
+        .option("checkpointLocation",
+          s"$warehouseDir/sinks/${d.name}/checkpoint")
+        .foreachBatch((b: DataFrame, _: Long) =>
+          graft.sources.JdbcSink.applyEpoch(b, sinkPk, url, tbl, upsert))
+        .start()
+      jobs(d.name) = q
+      // FLUSH order: the sink drains after the MV feeding it
+      chainDepth(d.name) = chainDepth.getOrElse(d.from, 0) + 1
+      sinkNames += d.name
+      catalog.save("sinks", d.name, DurableCatalog.SinkEntry(d.from, d.options))
+      return statusDf("CREATE SINK", d.name)
+    }
     val path = d.options.getOrElse("path", throw new IllegalArgumentException(
       "CREATE SINK requires path = '…'"))
     val stream = mv.changelogStream()
@@ -2358,7 +2486,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         SystemCatalog.bind(spark, systemObjects,
           catalog.list[DurableCatalog.CommentEntry]("comments")
             .map { case (k, e) => k.replace('-', '.') -> e.text }.toMap,
-          systemFunctions)
+          systemFunctions,
+          varDefaults.toSeq.map { case (n, (boot, desc)) =>
+            (n, varValue(n), boot, desc) })
         rwBind()
         val rw = SystemCatalog.rewrite(statement1)
         // probes against catalog concepts this engine does not model
@@ -2524,6 +2654,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             // rejected (catalog dependency check, meta/src/controller/)
             fenceChainedDependents(name, "DROP MATERIALIZED VIEW")
             jobs.remove(name).foreach(_.stop())
+            temporalFilters.remove(name)
             mvs.drop(name)
             mvs.drop(s"${name}__base") // OVER-window MV's base table, if any
             catalog.delete("mvs", name)
@@ -2760,7 +2891,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             // single-snapshot reads make every isolation request a no-op
             // (same contract as the TxnStmt acknowledgements)
             statusDf("SET", "transaction")
-          case SetVarStmt(name, value) => setVariable(name, value)
+          // dotted names are Spark conf keys (`SET spark.sql.…=v`) —
+          // they keep falling through to Spark's own SET surface
+          case SetVarStmt(name, value) if !name.contains(".") =>
+            setVariable(name, value)
           case ResetVarStmt(name) if canonicalVar(name) == "all" =>
             sessionVars.keys.toSeq
               .foreach(n => applyVarBehavior(n, varDefaults(n)._1))
@@ -2771,7 +2905,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             statusDf("RESET", canonicalVar(name))
           case ShowParameters() => showAllVariables()
           case ShowVarStmt(raw)
-              if !showStatementWords.contains(
+              if !raw.contains(".") && !showStatementWords.contains(
                 raw.trim.split("\\s+")(0).toLowerCase) =>
             canonicalVar(raw) match {
               case "all" => showAllVariables()

@@ -37,7 +37,7 @@ object SystemCatalog {
   private val SysNames = Seq("pg_class", "pg_namespace", "pg_attribute",
     "pg_type", "pg_description", "pg_database", "pg_tables", "pg_views",
     "pg_matviews", "pg_am", "pg_attrdef", "pg_collation", "pg_index",
-    "pg_inherits", "pg_roles", "pg_proc")
+    "pg_inherits", "pg_roles", "pg_proc", "pg_settings")
   private val Trigger =
     ("(?i)\\b(pg_catalog|information_schema|rw_catalog|rw_\\w+|" +
       SysNames.mkString("|") + ")\\b").r
@@ -203,7 +203,8 @@ object SystemCatalog {
     */
   def bind(spark: SparkSession, objs0: Seq[Obj],
       comments: Map[String, String] = Map.empty,
-      funcs: Seq[Func] = Seq.empty): Unit = {
+      funcs: Seq[Func] = Seq.empty,
+      settings: Seq[(String, String, String, String)] = Seq.empty): Unit = {
     val s = spark
     import s.implicits._
 
@@ -312,6 +313,16 @@ object SystemCatalog {
     ofKind("v").map(o => ("public", o.name, "graft", ""))
       .toDF("schemaname", "viewname", "viewowner", "definition")
       .createOrReplaceTempView("pg_views")
+
+    // session-config registry (psql \dconfig, `SELECT … FROM pg_settings`;
+    // reference: handler/variable.rs SHOW ALL over session_config) —
+    // (name, setting, boot_val, short_desc) from the live variable store
+    settings.map { case (n, v, boot, desc) =>
+      (n, v, Option.empty[String], "Client Connection Defaults", desc,
+        "user", "string", "session", boot, v, false)
+    }.toDF("name", "setting", "unit", "category", "short_desc", "context",
+        "vartype", "source", "boot_val", "reset_val", "pending_restart")
+      .createOrReplaceTempView("pg_settings")
 
     val isTables = objs.filter(o => "rmvf".contains(o.kind)).map { o =>
       val tt = o.kind match {

@@ -482,8 +482,41 @@ final class MaterializedView(
       .outputMode(outputMode)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch((batch: DataFrame, id: Long) => merge(batch, id))
+      .foreachBatch((batch: DataFrame, id: Long) => mergeStreamBatch(batch, id))
       .start()
+
+  /** Published-epoch allocation for the maintenance stream's micro-
+    * batches. A micro-batch id is NOT used as the epoch directly: DML
+    * and temporal-filter-eviction merges on the same MV allocate
+    * `latestChangelogBatchId + 1`, and a raw micro-batch id catching up
+    * to one of those would hit an existing `batch-<id>` dir and
+    * silently SKIP its changelog publication (losing the delta for
+    * every downstream subscriber). Instead each micro-batch durably
+    * maps to a fresh epoch from the same monotone sequence all writers
+    * share; a foreachBatch RETRY of an already-mapped micro-batch
+    * replays under its original epoch, keeping the exactly-once
+    * publication contract (batch-dir existence dedups it).
+    */
+  private val epochMapDir = Paths.get(s"$targetDir.epochmap")
+
+  def mergeStreamBatch(batch: DataFrame, microBatchId: Long): Unit =
+    synchronized {
+      val entry = epochMapDir.resolve(s"mb-$microBatchId")
+      if (!Files.exists(entry)) {
+        val e = latestChangelogBatchId + 1
+        Files.createDirectories(epochMapDir)
+        val tmp = epochMapDir.resolve(s"mb-$microBatchId.tmp")
+        Files.write(tmp, e.toString.getBytes("UTF-8"))
+        try Files.move(tmp, entry,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // lost a same-JVM race: the winner's mapping is canonical
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp)
+        }
+      }
+      val epoch = new String(Files.readAllBytes(entry), "UTF-8").trim.toLong
+      merge(batch, epoch)
+    }
 }
 
 object MaterializedView {

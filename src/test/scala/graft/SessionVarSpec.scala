@@ -95,6 +95,16 @@ class SessionVarSpec extends SparkSpecBase {
     assert(e.execute("SHOW rw_implicit_flush").head().getString(0) == "false")
   }
 
+  test("pg_settings reflects the live variable store") {
+    val e = new Engine(spark, tmpDir("vars-pgset"))
+    e.execute("SET application_name = 'psettings'")
+    assert(e.execute(
+      "SELECT setting FROM pg_settings WHERE name = 'application_name'")
+      .head().getString(0) == "psettings")
+    assert(e.execute("SELECT count(*) AS n FROM pg_settings")
+      .head().getLong(0) >= 15L)
+  }
+
   test("SHOW TABLES and other SHOW statements keep precedence over variables") {
     val e = new Engine(spark, tmpDir("vars-prec"))
     e.execute("CREATE TABLE st (k BIGINT PRIMARY KEY)")
