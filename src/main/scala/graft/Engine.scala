@@ -136,7 +136,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       SystemCatalog.Obj(n, "r", Some(tableSchemas(n))))
     val mvObjs = mvs.list
       .filterNot(n => tableSchemas.contains(n) || n.endsWith("__base") ||
-        n.contains("__casc"))
+        n.contains("__casc") || n.endsWith("__sinkq"))
       .map(n => SystemCatalog.Obj(n, "m", schemaOf(table(n))))
     val viewObjs = catalog.list[DurableCatalog.ViewEntry]("views")
       .map { case (n, _) => SystemCatalog.Obj(n, "v", schemaOf(spark.table(n))) }
@@ -2040,6 +2040,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private val ShowVarStmt =
     """(?is)\s*SHOW\s+([A-Za-z_][\w.]*(?:\s+[A-Za-z_][\w.]*){0,2})\s*;?\s*""".r
   private val ShowParameters = """(?is)\s*SHOW\s+PARAMETERS\s*;?\s*""".r
+  private val ShowInternalTables =
+    """(?is)\s*SHOW\s+INTERNAL\s+TABLES\s*;?\s*""".r
 
   /** (default, description) per variable; insertion order = SHOW ALL order. */
   private val varDefaults: scala.collection.immutable.ListMap[String, (String, String)] =
@@ -2238,6 +2240,24 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     if (df.columns.isEmpty) df
     else df.orderBy(org.apache.spark.sql.functions.col("_epoch"),
       org.apache.spark.sql.functions.col(graft.streaming.Changelog.SeqCol))
+  }
+
+  /** `CREATE SINK s AS <query> WITH (…)` (reference: handler/
+    * create_sink.rs — FROM-relation and AS-query bind the same way):
+    * materialize the query as a hidden internal MV `<s>__sinkq` through
+    * the ordinary CREATE MV path — it chains incrementally whenever the
+    * query shape allows — then sink its changelog. The PK comes from
+    * the `primary_key` option, the reference's downstream_pk
+    * requirement for upsert sinks over queries.
+    */
+  private def startSinkFromQuery(d: SqlFrontend.SinkQueryDef): DataFrame = {
+    val pk = d.options.getOrElse("primary_key",
+      throw new IllegalArgumentException(s"CREATE SINK ${d.name} AS " +
+        "<query> requires primary_key = 'c1[, c2…]'"))
+    val internal = s"${d.name}__sinkq"
+    execute(s"CREATE MATERIALIZED VIEW $internal (PRIMARY KEY ($pk)) " +
+      s"AS ${d.query}")
+    startSink(SqlFrontend.SinkDef(d.name, internal, d.options))
   }
 
   /** `CREATE SINK s FROM mv WITH (path='…', format='…')`: subscribe to
@@ -2470,7 +2490,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     // interactive clients (psql) terminate statements with ';' — most
     // frontend regexes tolerate it, but DML and passthrough SQL don't
     val statement0 = statement00.replaceAll("[;\\s]+$", "")
-    val statement1 = {
+    val statement1a = {
       val t = rewriteTvfs(statement0)
       // PG-only SELECT forms (ASOF JOIN, DISTINCT ON) rewrite on the
       // query surface; DDL/DML statements pass through untouched
@@ -2478,6 +2498,18 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         Engine.rewritePgSelect(t)
       else t
     }
+    // PG's current_setting('name') (psql \dconfig, ORM probes) splices
+    // the live session-variable value as a literal
+    val statement1 =
+      if (statement1a.toLowerCase.contains("current_setting("))
+        Engine.CurrentSettingRe.replaceAllIn(statement1a, m => {
+          val n = canonicalVar(m.group(1))
+          if (varDefaults.contains(n))
+            java.util.regex.Matcher.quoteReplacement(
+              "'" + varValue(n).replace("'", "''") + "'")
+          else m.matched
+        })
+      else statement1a
     // introspection (psql \dt, pgjdbc getTables, ORMs): (re)bind the
     // pg_catalog/information_schema relations from the live catalog and
     // translate the Postgres dialect bits those clients emit
@@ -2561,6 +2593,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         statusDf("CREATE SOURCE", d.name)
       case None => SqlFrontend.parseCreateSink(statement) match {
       case Some(d: SqlFrontend.SinkDef) => startSink(d)
+      case None if SqlFrontend.parseCreateSinkAs(statement).isDefined =>
+        startSinkFromQuery(SqlFrontend.parseCreateSinkAs(statement).get)
       case None if CreateChangelogMvStmt.pattern.matcher(statement).matches() =>
         val CreateChangelogMvStmt(name, subName, relName, selectSql) = statement
         createChangelogMv(name, subName, relName, selectSql)
@@ -2674,12 +2708,17 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case DropSink(name) =>
             jobs.remove(name).foreach(_.stop())
             sinkNames -= name
+            val sinkFrom =
+              catalog.load[DurableCatalog.SinkEntry]("sinks", name).map(_.from)
             catalog.delete("sinks", name)
+            // an AS-query sink's hidden internal MV dies with it
+            sinkFrom.filter(_ == s"${name}__sinkq").foreach(internal =>
+              execute(s"DROP MATERIALIZED VIEW $internal"))
             statusDf("DROP SINK", name)
           case ShowMv() =>
             import spark.implicits._
             mvs.list.filterNot(n => n.endsWith("__base") ||
-              n.contains("__casc")).toDF("name")
+              n.contains("__casc") || n.endsWith("__sinkq")).toDF("name")
           case ShowCreate(kind, name) => showCreate(kind, name)
           case ShowSources() =>
             import spark.implicits._
@@ -2735,13 +2774,29 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             import spark.implicits._
             tableSchemas.keys.toSeq.sorted.toDF("name")
           case Describe(name) if mvs.get(name).isDefined =>
-            // reference: handler/describe.rs — name/type rows; MVs are not
-            // in the Spark catalog, so describe them off the stored schema
+            // reference: handler/describe.rs — column name/type rows plus
+            // the trailing "primary key" / "distribution key" /
+            // "table description" summary rows psql users see; MVs are
+            // not in the Spark catalog, so describe off the stored schema
             // (or the declared CREATE TABLE schema while still empty)
             import spark.implicits._
-            table(name).schema.fields.toSeq
+            val mv = mvs.get(name).get
+            val cols = table(name).schema.fields.toSeq
               .map(f => (f.name, f.dataType.simpleString))
+            val distKeys =
+              if (mv.bucketKeys.nonEmpty) mv.bucketKeys else mv.primaryKey
+            (cols ++ Seq(
+              ("primary key", mv.primaryKey.mkString(", ")),
+              ("distribution key", distKeys.mkString(", ")),
+              ("table description", name)))
               .toDF("name", "type")
+          case ShowInternalTables() =>
+            // reference: SHOW INTERNAL TABLES (handler/show.rs) — the
+            // hidden state relations behind visible objects: cascade
+            // steps, AS-query sink MVs, OVER-window base copies
+            import spark.implicits._
+            mvs.list.filter(n => n.endsWith("__base") ||
+              n.contains("__casc") || n.endsWith("__sinkq")).toDF("name")
           case Explain(rest) =>
             // reference: handler/explain.rs — EXPLAIN CREATE MATERIALIZED
             // VIEW plans the inner SELECT; plain EXPLAIN plans the query.
@@ -3107,6 +3162,10 @@ object Engine {
     */
   private[graft] val TemporalJoinClause =
     """(?i)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+PROCTIME\s*\(\s*\)""".r
+
+  /** `current_setting('name')` → session-variable value literal. */
+  private[graft] val CurrentSettingRe =
+    """(?i)\bcurrent_setting\s*\(\s*'([\w. ]+)'\s*\)""".r
 
   // ---- PG/reference SQL forms Spark's parser lacks, rewritten
   // textually into Spark-executable SQL. Envelope documented per form;

@@ -342,6 +342,52 @@ object SqlFrontend {
     case _ => None
   }
 
+  /** `CREATE SINK s AS <query> WITH (…)` — the reference's sink-over-
+    * derived-query form (handler/create_sink.rs binds FROM-relation and
+    * AS-query the same way). The options block must END the statement;
+    * the query itself may contain WITH (CTEs), so the parser takes the
+    * LAST `WITH (…)` whose parens close at the statement end.
+    */
+  final case class SinkQueryDef(name: String, query: String,
+      options: Map[String, String])
+
+  private val CreateSinkAsRe =
+    """(?is)\s*CREATE\s+SINK\s+(\w+)\s+AS\s+(.*)""".r
+
+  def parseCreateSinkAs(stmt: String): Option[SinkQueryDef] = stmt match {
+    case CreateSinkAsRe(name, rest0) =>
+      val rest = rest0.replaceAll("[;\\s]+$", "")
+      val m = java.util.regex.Pattern.compile("(?is)\\bWITH\\s*\\(").matcher(rest)
+      var lastStart = -1
+      while (m.find()) lastStart = m.start()
+      if (lastStart < 0) None
+      else {
+        val open = rest.indexOf('(', lastStart)
+        var depth = 0; var i = open; var end = -1
+        while (i < rest.length && end < 0) {
+          rest.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (end != rest.length - 1) None
+        else {
+          val opts = splitTopLevel(rest.substring(open + 1, end), ',')
+            .flatMap { kv =>
+              kv.split("=", 2) match {
+                case Array(k, v) => Some(k.trim.toLowerCase ->
+                  v.trim.stripPrefix("'").stripSuffix("'"))
+                case _ => None
+              }
+            }.toMap
+          Some(SinkQueryDef(name, rest.substring(0, lastStart).trim, opts))
+        }
+      }
+    case _ => None
+  }
+
   // ---------------------------------------------- CREATE MATERIALIZED VIEW
 
   /** `emitOnClose`: the reference's `EMIT ON WINDOW CLOSE` clause

@@ -79,6 +79,49 @@ class JdbcSinkSpec extends SparkSpecBase {
     }
   }
 
+  test("CREATE SINK AS query materializes a hidden chained MV and sinks it") {
+    val url = s"jdbc:derby:${tmpDir("jdbcsink-as")}/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE agg_t (tag VARCHAR(64) NOT NULL PRIMARY KEY, n BIGINT)")
+    finally conn.close()
+    def agg(): Seq[(String, Long)] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement()
+          .executeQuery("SELECT tag, n FROM agg_t ORDER BY tag")
+        val buf = scala.collection.mutable.ListBuffer[(String, Long)]()
+        while (rs.next()) buf += ((rs.getString(1), rs.getLong(2)))
+        buf.toList
+      } finally c.close()
+    }
+
+    val e = new Engine(spark, tmpDir("jdbcsink-as-wh"))
+    e.execute("CREATE TABLE qt (k BIGINT PRIMARY KEY, tag VARCHAR)")
+    e.execute("INSERT INTO qt VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    e.execute("FLUSH")
+    e.execute("CREATE SINK qsink AS SELECT tag, count(*) AS n FROM qt " +
+      s"GROUP BY tag WITH (connector = 'jdbc', jdbc.url = '$url', " +
+      "table.name = 'agg_t', primary_key = 'tag')")
+    e.execute("FLUSH")
+    assert(agg() == Seq(("a", 2L), ("b", 1L)))
+
+    // the derived aggregate maintains incrementally and re-delivers
+    e.execute("DELETE FROM qt WHERE k = 2")
+    e.execute("FLUSH")
+    assert(agg() == Seq(("a", 1L), ("b", 1L)))
+    // a group emptying deletes its remote row
+    e.execute("DELETE FROM qt WHERE k = 3")
+    e.execute("FLUSH")
+    assert(agg() == Seq(("a", 1L)))
+
+    // internal MV is hidden from SHOW, and dies with the sink
+    assert(!e.execute("SHOW MATERIALIZED VIEWS")
+      .as[String].collect().contains("qsink__sinkq"))
+    e.execute("DROP SINK qsink")
+    intercept[Exception] { e.execute("SELECT * FROM qsink__sinkq") }
+  }
+
   test("append-only jdbc sink never deletes") {
     withDerby("jdbcsink-ao") { url =>
       val e = new Engine(spark, tmpDir("jdbcsink-ao-wh"))

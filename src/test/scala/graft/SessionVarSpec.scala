@@ -105,6 +105,25 @@ class SessionVarSpec extends SparkSpecBase {
       .head().getLong(0) >= 15L)
   }
 
+  test("current_setting('name') splices the live variable value") {
+    val e = new Engine(spark, tmpDir("vars-cs"))
+    e.execute("SET application_name = 'cs test'")
+    assert(e.execute("SELECT current_setting('application_name') AS v")
+      .head().getString(0) == "cs test")
+    assert(e.execute("SELECT current_setting('timezone') AS tz")
+      .head().getString(0) == "UTC")
+  }
+
+  test("DESCRIBE appends primary/distribution key and description rows") {
+    val e = new Engine(spark, tmpDir("vars-desc"))
+    e.execute("CREATE TABLE dt (k BIGINT PRIMARY KEY, v DOUBLE)")
+    val rows = e.execute("DESCRIBE dt").as[(String, String)].collect().toSeq
+    assert(rows.take(2) == Seq(("k", "bigint"), ("v", "double")))
+    assert(rows.contains(("primary key", "k")))
+    assert(rows.contains(("distribution key", "k")))
+    assert(rows.contains(("table description", "dt")))
+  }
+
   test("SHOW TABLES and other SHOW statements keep precedence over variables") {
     val e = new Engine(spark, tmpDir("vars-prec"))
     e.execute("CREATE TABLE st (k BIGINT PRIMARY KEY)")
