@@ -75,9 +75,13 @@ object DurableCatalog {
   // DataType JSON (StructType.json / DataType.fromJson) — version-stable
   // and round-trip exact.
 
-  /** CREATE TABLE: declared schema + PK + DEFAULT expressions. */
+  /** CREATE TABLE: declared schema + PK + DEFAULT expressions.
+    * `nBuckets` records the store layout when it differs from the
+    * session default at creation (Option for forward/backward entry
+    * compatibility); recovery must re-define with the same count or
+    * bucket-pruned reads/merges would silently mis-route. */
   final case class TableEntry(schemaJson: String, pk: Seq[String],
-      defaults: Map[String, String])
+      defaults: Map[String, String], nBuckets: Option[Int] = None)
 
   /** CREATE MATERIALIZED VIEW: the defining SQL (None for MVs defined
     * through the programmatic API, which have no SQL text to re-plan —

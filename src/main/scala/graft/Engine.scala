@@ -61,11 +61,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     */
   def createMaterializedView(
       name: String, pk: Seq[String], transformed: DataFrame,
-      nBuckets: Int = 32, outputMode: String = "update",
+      nBuckets: Int = -1, outputMode: String = "update",
       queryText: Option[String] = None): StreamingQuery = {
     val mv = mvs.define(name, pk, nBuckets)
     catalog.save("mvs", name, DurableCatalog.MvEntry(
-      pk, queryText, streaming = true, outputMode, nBuckets))
+      pk, queryText, streaming = true, outputMode, mv.nBuckets))
     mv.start(transformed, mvs.checkpointDir(name), outputMode = outputMode)
   }
 
@@ -74,11 +74,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     */
   def refreshMaterializedView(
       name: String, pk: Seq[String], result: DataFrame,
-      nBuckets: Int = 32, queryText: Option[String] = None): MaterializedView = {
+      nBuckets: Int = -1, queryText: Option[String] = None): MaterializedView = {
     val mv = mvs.get(name).getOrElse(mvs.define(name, pk, nBuckets))
     if (catalog.load[DurableCatalog.MvEntry]("mvs", name).isEmpty)
       catalog.save("mvs", name, DurableCatalog.MvEntry(
-        pk, queryText, streaming = false, "update", nBuckets))
+        pk, queryText, streaming = false, "update", mv.nBuckets))
     mv.merge(result)
     mv
   }
@@ -730,7 +730,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val down = mvs.define(name, pk)
     val frontier = up.latestChangelogBatchId
     catalog.save("mvs", name, DurableCatalog.MvEntry(
-      pk, Some(query), streaming = true, "update", 32,
+      pk, Some(query), streaming = true, "update", down.nBuckets,
       chainedFrom = Some(upName), chainFrontier = Some(frontier)))
     chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
     jobs(name) = up.subscribeWithBackfill(down, mvs.checkpointDir(name),
@@ -815,7 +815,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
     if (!resume)
       catalog.save("mvs", name, DurableCatalog.MvEntry(
-        pk, Some(query), streaming = true, "update", 32, over = Some(true),
+        pk, Some(query), streaming = true, "update", resultMv.nBuckets, over = Some(true),
         chainedFrom = Some(upName), chainFrontier = Some(frontier)))
     jobs(name) = up.changelogStreamFrom(frontier).writeStream
       .option("checkpointLocation", mvs.checkpointDir(name))
@@ -903,7 +903,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       f
     }
     catalog.save("mvs", name, DurableCatalog.MvEntry(
-      pk, Some(query), streaming = true, "update", 32,
+      pk, Some(query), streaming = true, "update", down.nBuckets,
       chainedFrom = Some(upName), chainFrontier = Some(frontier),
       chainAggGroups = Some(groupCols)))
     chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
@@ -987,7 +987,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       (fl, fr)
     } }
     catalog.save("mvs", name, DurableCatalog.MvEntry(
-      pk, Some(query), streaming = true, "update", 32,
+      pk, Some(query), streaming = true, "update", down.nBuckets,
       chainedFrom = Some(leftName), chainFrontier = Some(fL),
       chainedFromRight = Some(rightName), chainFrontierRight = Some(fR),
       chainJoinType = Some(joinKind)))
@@ -1150,7 +1150,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       (left.latestChangelogBatchId, right.latestChangelogBatchId)
     } }
     catalog.save("mvs", name, DurableCatalog.MvEntry(
-      pk, Some(query), streaming = true, "update", 32,
+      pk, Some(query), streaming = true, "update", down.nBuckets,
       chainedFrom = Some(leftName), chainFrontier = Some(fL),
       chainedFromRight = Some(rightName), chainFrontierRight = Some(fR),
       chainJoinType = Some("unionagg"), chainAggGroups = Some(groupCols)))
@@ -1198,7 +1198,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       (left.latestChangelogBatchId, right.latestChangelogBatchId)
     } }
     catalog.save("mvs", name, DurableCatalog.MvEntry(
-      pk, Some(query), streaming = true, "update", 32,
+      pk, Some(query), streaming = true, "update", down.nBuckets,
       chainedFrom = Some(leftName), chainFrontier = Some(fL),
       chainedFromRight = Some(rightName), chainFrontierRight = Some(fR),
       chainJoinType = Some("unionall")))
@@ -1518,7 +1518,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       f
     }
     catalog.save("mvs", name, DurableCatalog.MvEntry(
-      Seq(Engine.RowIdCol), Some(selectSql), streaming = true, "update", 32,
+      Seq(Engine.RowIdCol), Some(selectSql), streaming = true, "update", down.nBuckets,
       chainedFrom = Some(relName), chainFrontier = Some(frontier),
       chainJoinType = Some(s"changelog:$subName")))
     chainDepth(name) = chainDepth.getOrElse(relName, 0) + 1
@@ -2113,8 +2113,16 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       // instant-preserving display/parse zone (Spark session-scoped conf)
       java.time.ZoneId.of(value) // validate before applying
       spark.conf.set("spark.sql.session.timeZone", value)
-    case "streaming_parallelism" | "batch_parallelism"
-        if value.matches("\\d+") && value.toInt > 0 =>
+    case "streaming_parallelism" if value.matches("\\d+") && value.toInt > 0 =>
+      // governs new streaming jobs: shuffle width AND the bucket count
+      // of newly created stores (existing layouts are persisted per
+      // object and never change under it — the reference's semantics
+      // for ALTER-free parallelism changes)
+      spark.conf.set("spark.sql.shuffle.partitions", value)
+      mvs.defaultBuckets = math.min(value.toInt, 4096)
+    case "streaming_parallelism" => // ADAPTIVE/default: restore
+      mvs.defaultBuckets = 32
+    case "batch_parallelism" if value.matches("\\d+") && value.toInt > 0 =>
       spark.conf.set("spark.sql.shuffle.partitions", value)
     case _ => ()
   }
@@ -2372,7 +2380,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     jobs(name) = q
     if (!resume)
       catalog.save("mvs", name, DurableCatalog.MvEntry(
-        pk, Some(query), streaming = true, "update", 32, over = Some(true)))
+        pk, Some(query), streaming = true, "update", resultMv.nBuckets, over = Some(true)))
     statusDf("CREATE MATERIALIZED VIEW (streaming over-window)", name)
   }
 
@@ -2563,7 +2571,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         mv.merge(df)
         tableSchemas(name) = mv.read().schema
         catalog.save("tables", name,
-          DurableCatalog.TableEntry(tableSchemas(name).json, pk, Map.empty))
+          DurableCatalog.TableEntry(tableSchemas(name).json, pk, Map.empty,
+            Some(mv.nBuckets)))
         return statusDf("CREATE TABLE", name)
       case _ =>
     }
@@ -2577,11 +2586,13 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             "guessed key would silently drop rows)")
         require(pk.forall(schema.fieldNames.contains),
           s"CREATE TABLE $name: PRIMARY KEY names undeclared columns")
-        mvs.define(name, pk).declareSchema(schema)
+        val tmv = mvs.define(name, pk)
+        tmv.declareSchema(schema)
         tableSchemas(name) = schema
         if (defaults.nonEmpty) tableDefaults(name) = defaults
         catalog.save("tables", name,
-          DurableCatalog.TableEntry(schema.json, pk, defaults))
+          DurableCatalog.TableEntry(schema.json, pk, defaults,
+            Some(tmv.nBuckets)))
         statusDf("CREATE TABLE", name)
       case None =>
     SqlFrontend.parseCreateSource(statement) match {
@@ -2987,7 +2998,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     catalog.save("tables", name, DurableCatalog.TableEntry(
       tableSchemas(name).json,
       mvs.get(name).map(_.primaryKey).getOrElse(Seq.empty),
-      tableDefaults.getOrElse(name, Map.empty)))
+      tableDefaults.getOrElse(name, Map.empty),
+      mvs.get(name).map(_.nBuckets)))
 
   // ------------------------------------------------------------ recovery
   //
@@ -3037,7 +3049,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     import org.apache.spark.sql.types.{DataType, StructType}
 
     catalog.list[TableEntry]("tables").foreach { case (name, e) =>
-      mvs.define(name, e.pk)
+      mvs.define(name, e.pk, e.nBuckets.getOrElse(32))
       tableSchemas(name) = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
       if (e.defaults.nonEmpty) tableDefaults(name) = e.defaults
       if (e.pk == Seq(Engine.RowIdCol)) hiddenRowIdTables += name

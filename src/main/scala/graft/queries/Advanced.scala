@@ -311,6 +311,13 @@ object Advanced extends QueryPack {
       val wh = java.nio.file.Files.createTempDirectory("q_dml_chain").toString
       val e = new graft.Engine(s, wh)
       e.attachTables(dir)
+      // the scenario is a 27-row table: 32-way stores/shuffles would be
+      // pure fixed overhead ×4 DML epochs ×2 stores. The session knob is
+      // exactly what a reference user sets for a small streaming job
+      // (streaming_parallelism); results are layout-independent.
+      val shufBefore = s.conf.get("spark.sql.shuffle.partitions")
+      e.execute("SET streaming_parallelism = 4")
+      try {
       e.execute(
         """CREATE TABLE dml_nat (PRIMARY KEY (n_nationkey)) AS
           |SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
@@ -327,6 +334,7 @@ object Advanced extends QueryPack {
       e.table("dml_nat_cnt")
         .select(col("n_regionkey"), col("n").cast(LongType).as("n"))
         .orderBy("n_regionkey")
+      } finally s.conf.set("spark.sql.shuffle.partitions", shufBefore)
     },
 
     // CREATE AGGREGATE aggregates called from plain SQL text (reference:

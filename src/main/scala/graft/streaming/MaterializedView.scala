@@ -535,10 +535,18 @@ object MaterializedView {
 final class MvCatalog(spark: SparkSession, baseDir: String) {
   private val views = scala.collection.mutable.Map[String, MaterializedView]()
 
-  def define(name: String, pk: Seq[String], nBuckets: Int = 32,
+  /** Session default for new stores' bucket counts — the reference's
+    * `streaming_parallelism` session variable governs the parallelism
+    * of NEWLY created streaming jobs the same way (existing stores keep
+    * the layout they were created with; it is persisted per object).
+    */
+  @volatile var defaultBuckets: Int = 32
+
+  def define(name: String, pk: Seq[String], nBuckets: Int = -1,
       bucketKeys: Seq[String] = Seq.empty): MaterializedView = {
+    val buckets = if (nBuckets > 0) nBuckets else defaultBuckets
     val mv = new MaterializedView(spark, name, pk, s"$baseDir/$name/data",
-      nBuckets, bucketKeys)
+      buckets, bucketKeys)
     views(name) = mv
     mv
   }

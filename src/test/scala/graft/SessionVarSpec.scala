@@ -105,6 +105,31 @@ class SessionVarSpec extends SparkSpecBase {
       .head().getLong(0) >= 15L)
   }
 
+  test("streaming_parallelism sets new stores' bucket counts; layout survives restart") {
+    val dir = tmpDir("vars-par")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val e = new Engine(spark, dir)
+      e.execute("SET streaming_parallelism = 4")
+      e.execute("CREATE TABLE pt (k BIGINT PRIMARY KEY, v DOUBLE)")
+      e.execute("INSERT INTO pt VALUES (1, 1.0), (2, 2.0)")
+      e.execute("FLUSH")
+      val buckets = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir/pt/data")).iterator()
+      val bucketDirs = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(buckets).asScala
+        .count(_.getFileName.toString.startsWith("__bucket="))
+      assert(bucketDirs <= 4 && bucketDirs > 0)
+
+      // restart under the DEFAULT parallelism: the persisted per-table
+      // layout must win, or bucket-pruned merges would mis-route
+      val e2 = new Engine(spark, dir)
+      e2.execute("INSERT INTO pt VALUES (3, 3.0)")
+      assert(e2.execute("SELECT count(*) AS n FROM pt").head().getLong(0) == 3L)
+      assert(e2.execute("SELECT sum(v) AS s FROM pt").head().getDouble(0) == 6.0)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("current_setting('name') splices the live variable value") {
     val e = new Engine(spark, tmpDir("vars-cs"))
     e.execute("SET application_name = 'cs test'")
