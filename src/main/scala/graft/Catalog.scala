@@ -81,7 +81,9 @@ object DurableCatalog {
     * compatibility); recovery must re-define with the same count or
     * bucket-pruned reads/merges would silently mis-route. */
   final case class TableEntry(schemaJson: String, pk: Seq[String],
-      defaults: Map[String, String], nBuckets: Option[Int] = None)
+      defaults: Map[String, String], nBuckets: Option[Int] = None,
+      generated: Option[Map[String, String]] = None,
+      onConflict: Option[String] = None)
 
   /** CREATE MATERIALIZED VIEW: the defining SQL (None for MVs defined
     * through the programmatic API, which have no SQL text to re-plan —

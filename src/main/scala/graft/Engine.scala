@@ -279,6 +279,16 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private val tableDefaults =
     scala.collection.mutable.Map[String, Map[String, String]]()
 
+  /** Generated columns (`col type AS expr`, reference: create_table.rs)
+    * — recomputed from the row's other columns on every INSERT/UPDATE,
+    * never directly writable. */
+  private val tableGenerated =
+    scala.collection.mutable.Map[String, Map[String, String]]()
+
+  /** ON CONFLICT behavior per table: "overwrite" (default merge
+    * semantics), "ignore", "do update if not null". */
+  private val tableOnConflict = scala.collection.mutable.Map[String, String]()
+
   /** The default (or null) fill for an INSERT's unprovided column. */
   private def defaultFill(tbl: String, f: org.apache.spark.sql.types.StructField) =
     tableDefaults.get(tbl).flatMap(_.get(f.name))
@@ -355,18 +365,26 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         // columns fill from their DEFAULT (or null). A positional row
         // narrower than the table fills the tail the same way
         // (reference: insert_unaligned.slt, table_with_default_columns.slt).
+        val genCols = tableGenerated.getOrElse(name, Map.empty)
         val named = Option(colList) match {
           case Some(cl) =>
             val provided = cl.split(",").map(_.trim).toSeq
+            provided.find(genCols.contains).foreach(g =>
+              throw new IllegalArgumentException(
+                s"INSERT INTO $name: column $g is generated and " +
+                  "cannot be inserted into"))
             val renamed = df0.toDF(provided: _*)
             target.fields.foldLeft(renamed) { (d, f) =>
               if (provided.contains(f.name)) d else fillColumn(name, d, f)
             }
           case None =>
             // positional values map onto the VISIBLE columns — a hidden
-            // row-id PK is never positionally addressable
+            // row-id PK or a generated column is never positionally
+            // addressable (reference: generated columns are skipped in
+            // INSERT binding)
             val visible = target.fields.filterNot(f =>
-              f.name == Engine.RowIdCol && hiddenRowIdTables.contains(name))
+              (f.name == Engine.RowIdCol && hiddenRowIdTables.contains(name))
+                || genCols.contains(f.name))
             require(df0.columns.size <= visible.size,
               s"INSERT INTO $name: ${df0.columns.size} values for " +
                 s"${visible.size} columns")
@@ -376,13 +394,39 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               target.fields.filterNot(visible.contains))
               .foldLeft(renamed) { (d, f) => fillColumn(name, d, f) }
         }
+        // generated columns compute from the incoming row's values,
+        // overriding any default/null fill
+        val withGen = genCols.foldLeft(named) { case (d, (g, ge)) =>
+          d.withColumn(g, expr(ge)) }
         // align VALUES literal types (e.g. INT literals into a BIGINT
         // column) with the target schema so merges never fork the
         // stored parquet schema
-        val df = named.select(target.fields.map(f =>
+        val df = withGen.select(target.fields.map(f =>
           col(f.name).cast(f.dataType)).toSeq: _*)
-        Dml.insertInto(mv, df)
-        Some(if (returning) df else statusDf("INSERT", name))
+        // ON CONFLICT (reference: create_table.rs on_conflict): default
+        // merge semantics are OVERWRITE; IGNORE keeps the stored row;
+        // DO UPDATE IF NOT NULL keeps stored values where the incoming
+        // image is NULL
+        val resolved = tableOnConflict.getOrElse(name, "overwrite") match {
+          case "ignore" =>
+            df.dropDuplicates(mv.primaryKey)
+              .join(mv.read().select(mv.primaryKey.map(col): _*),
+                mv.primaryKey, "left_anti")
+          case "do update if not null" =>
+            val old = mv.read()
+            if (old.columns.isEmpty || old.isEmpty) df
+            else {
+              val dataCols = df.columns.toSeq.filterNot(mv.primaryKey.contains)
+              df.alias("n").join(old.alias("o"), mv.primaryKey, "left")
+                .select(mv.primaryKey.map(col) ++ dataCols.map(c =>
+                  org.apache.spark.sql.functions.coalesce(
+                    col(s"n.$c"), col(s"o.$c")).as(c)): _*)
+                .select(df.columns.toSeq.map(col): _*)
+            }
+          case _ => df
+        }
+        Dml.insertInto(mv, resolved)
+        Some(if (returning) resolved else statusDf("INSERT", name))
       case DeleteFrom(name, cond) if mvs.get(name).isDefined =>
         val mv = mvs.get(name).get
         val condCol = Option(cond).map(expr).getOrElse(lit(true))
@@ -394,12 +438,21 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         val assignments = SqlFrontend.splitAssignments(sets).map {
           case (c, e) => c -> expr(e)
         }.toMap
+        val genCols = tableGenerated.getOrElse(name, Map.empty)
+        assignments.keys.find(genCols.contains).foreach(g =>
+          throw new IllegalArgumentException(
+            s"UPDATE $name: column $g is generated and cannot be SET"))
+        // generated columns recompute from the POST-assignment row
+        val post = genCols.toSeq.map { case (g, ge) => g -> expr(ge) }
         val condCol = Option(cond).map(expr).getOrElse(lit(true))
         // post-update image of the rows the predicate selected PRE-update
-        val returned = if (returning) Some(freeze(
-          mv.read().where(condCol).select(mv.read().columns.toSeq.map(c =>
-            assignments.getOrElse(c, col(c)).as(c)): _*))) else None
-        Dml.updateWhere(mv, condCol, assignments)
+        val returned = if (returning) Some(freeze({
+          val assigned = mv.read().where(condCol)
+            .select(mv.read().columns.toSeq.map(c =>
+              assignments.getOrElse(c, col(c)).as(c)): _*)
+          post.foldLeft(assigned) { case (d, (g, ge)) => d.withColumn(g, ge) }
+        })) else None
+        Dml.updateWhere(mv, condCol, assignments, post)
         Some(returned.getOrElse(statusDf("UPDATE", name)))
       case _ => None
     }
@@ -1585,6 +1638,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     if (isTable) {
       tableSchemas.remove(from).foreach(s => tableSchemas(to) = s)
       tableDefaults.remove(from).foreach(d => tableDefaults(to) = d)
+      tableGenerated.remove(from).foreach(g => tableGenerated(to) = g)
+      tableOnConflict.remove(from).foreach(c => tableOnConflict(to) = c)
       catalog.load[DurableCatalog.TableEntry]("tables", from).foreach { e =>
         catalog.delete("tables", from); catalog.save("tables", to, e)
       }
@@ -1636,12 +1691,16 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           throw new IllegalArgumentException(s"no such table $name"))
         val schema = org.apache.spark.sql.types.DataType.fromJson(e.schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val gen = e.generated.getOrElse(Map.empty)
         val cols = schema.fields.map { f =>
           val d = e.defaults.get(f.name).map(x => s" DEFAULT $x").getOrElse("")
-          s"${f.name} ${f.dataType.sql}$d"
+          val g = gen.get(f.name).map(x => s" AS $x").getOrElse("")
+          s"${f.name} ${f.dataType.sql}$d$g"
         }
+        val conflict = e.onConflict
+          .map(c => s" ON CONFLICT ${c.toUpperCase}").getOrElse("")
         s"CREATE TABLE $name (${cols.mkString(", ")}, " +
-          s"PRIMARY KEY (${e.pk.mkString(", ")}))"
+          s"PRIMARY KEY (${e.pk.mkString(", ")}))$conflict"
       case "MATERIALIZED VIEW" =>
         val e = catalog.load[MvEntry]("mvs", name).getOrElse(
           throw new IllegalArgumentException(s"no such materialized view $name"))
@@ -2168,6 +2227,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private def implicitFlushEnabled: Boolean =
     varValue("rw_implicit_flush") == "true"
 
+  /** Public read of one session variable (pgwire's ParameterStatus
+    * reporting); None for unknown names. */
+  def sessionVariable(name: String): Option[String] =
+    Some(canonicalVar(name)).filter(varDefaults.contains).map(varValue)
+
   /** Drain every stream job in chain-depth order (FLUSH's body).
     * Temporal-filter MVs evict aged rows right after their own drain —
     * the delete epochs land before deeper chained MVs drain, so one
@@ -2577,7 +2641,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case _ =>
     }
     SqlFrontend.parseCreateTable(statement) match {
-      case Some(SqlFrontend.TableDef(name, schema, pk, defaults)) =>
+      case Some(SqlFrontend.TableDef(name, schema, pk, defaults,
+          generated, onConflict)) =>
         // a user table IS a PK-merged MV with DML as its only writer
         // (reference: handler/create_table.rs — tables are materialized
         // states fed by DML/source, same storage as MVs)
@@ -2586,13 +2651,18 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             "guessed key would silently drop rows)")
         require(pk.forall(schema.fieldNames.contains),
           s"CREATE TABLE $name: PRIMARY KEY names undeclared columns")
+        require(!pk.exists(generated.contains),
+          s"CREATE TABLE $name: a generated column cannot be the PRIMARY KEY")
         val tmv = mvs.define(name, pk)
         tmv.declareSchema(schema)
         tableSchemas(name) = schema
         if (defaults.nonEmpty) tableDefaults(name) = defaults
+        if (generated.nonEmpty) tableGenerated(name) = generated
+        onConflict.foreach(tableOnConflict(name) = _)
         catalog.save("tables", name,
           DurableCatalog.TableEntry(schema.json, pk, defaults,
-            Some(tmv.nBuckets)))
+            Some(tmv.nBuckets),
+            Some(generated).filter(_.nonEmpty), onConflict))
         statusDf("CREATE TABLE", name)
       case None =>
     SqlFrontend.parseCreateSource(statement) match {
@@ -2778,6 +2848,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             mvs.drop(name)
             tableSchemas.remove(name)
             tableDefaults.remove(name)
+            tableGenerated.remove(name)
+            tableOnConflict.remove(name)
             catalog.delete("tables", name)
             spark.catalog.dropTempView(name) // see DropMv
             statusDf("DROP TABLE", name)
@@ -2999,7 +3071,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       tableSchemas(name).json,
       mvs.get(name).map(_.primaryKey).getOrElse(Seq.empty),
       tableDefaults.getOrElse(name, Map.empty),
-      mvs.get(name).map(_.nBuckets)))
+      mvs.get(name).map(_.nBuckets),
+      tableGenerated.get(name).filter(_.nonEmpty),
+      tableOnConflict.get(name)))
 
   // ------------------------------------------------------------ recovery
   //
@@ -3052,6 +3126,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       mvs.define(name, e.pk, e.nBuckets.getOrElse(32))
       tableSchemas(name) = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
       if (e.defaults.nonEmpty) tableDefaults(name) = e.defaults
+      e.generated.filter(_.nonEmpty).foreach(tableGenerated(name) = _)
+      e.onConflict.foreach(tableOnConflict(name) = _)
       if (e.pk == Seq(Engine.RowIdCol)) hiddenRowIdTables += name
     }
 

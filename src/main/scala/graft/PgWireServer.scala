@@ -615,10 +615,29 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
       var n = 0L
       while (it.hasNext) { dataRow(out, schema, it.next()); n += 1 }
       writeMsg(out, 'C')(cstr(_, commandTag(sql, n)))
+      // PG reports reportable-GUC changes via ParameterStatus after a
+      // successful SET/RESET — psql/pgjdbc track TimeZone etc. this way
+      if (sql.matches("(?is)\\s*(SET|RESET)\\b.*")) reportParameters(out)
     } catch {
       case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
         errorResponse(out, "XX000", msg.linesIterator.take(4).mkString(" | "))
+    }
+
+  /** PG's reportable GUCs (protocol name casing preserved). */
+  private val ReportableVars = Seq(
+    "client_encoding" -> "client_encoding",
+    "datestyle" -> "DateStyle",
+    "timezone" -> "TimeZone",
+    "application_name" -> "application_name",
+    "intervalstyle" -> "IntervalStyle",
+    "standard_conforming_strings" -> "standard_conforming_strings")
+
+  private def reportParameters(out: DataOutputStream): Unit =
+    ReportableVars.foreach { case (n, wire) =>
+      engine.sessionVariable(n).foreach { v =>
+        writeMsg(out, 'S') { b => cstr(b, wire); cstr(b, v) }
+      }
     }
 
   // ------------------------------------------------------------ COPY

@@ -164,15 +164,25 @@ object SqlFrontend {
     */
   final case class TableDef(name: String,
       schema: org.apache.spark.sql.types.StructType, pk: Seq[String],
-      defaults: Map[String, String] = Map.empty)
+      defaults: Map[String, String] = Map.empty,
+      // `col type AS expr` — computed at INSERT/UPDATE, never directly
+      // writable (reference: generated columns, handler/create_table.rs)
+      generated: Map[String, String] = Map.empty,
+      // ON CONFLICT OVERWRITE (default) | IGNORE | DO UPDATE IF NOT NULL
+      // (reference: create_table.rs on_conflict behaviors)
+      onConflict: Option[String] = None)
 
   private val DefaultColRe =
     """(?is)\s*(\w+)\s+([\w()0-9, ]+?)\s+DEFAULT\s+(.+?)\s*""".r
+  private val GeneratedColRe =
+    """(?is)\s*(\w+)\s+([\w()0-9, ]+?)\s+AS\s+(.+?)\s*""".r
 
   private val CreateTableHeadRe =
     """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*""".r
   private val PkConstraintRe = """(?is)\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*""".r
   private val InlinePkRe = """(?is)^(.*?)\s+PRIMARY\s+KEY\s*$""".r
+  private val OnConflictTailRe =
+    """(?is)^ON\s+CONFLICT\s+(OVERWRITE|IGNORE|DO\s+UPDATE\s+IF\s+NOT\s+NULL)\s*;?$""".r
 
   def parseCreateTable(stmt: String): Option[TableDef] =
     CreateTableHeadRe.findPrefixMatchOf(stmt).flatMap { m =>
@@ -184,6 +194,7 @@ object SqlFrontend {
         var pk = Vector.empty[String]
         var schema = Vector.empty[org.apache.spark.sql.types.StructField]
         var defaults = Map.empty[String, String]
+        var generated = Map.empty[String, String]
         splitTopLevel(rest.substring(1, close), ',').foreach {
           case PkConstraintRe(cols) =>
             pk ++= cols.split(",").map(_.trim)
@@ -192,6 +203,11 @@ object SqlFrontend {
             // columns.slt; evaluated at INSERT for unprovided columns)
             schema :+= org.apache.spark.sql.types.StructField(cname, sqlType(ctype))
             defaults += cname -> dflt
+          case GeneratedColRe(cname, ctype, genExpr) =>
+            // `col type AS expr` (reference generated column): computed
+            // from the row's other columns at write time
+            schema :+= org.apache.spark.sql.types.StructField(cname, sqlType(ctype))
+            generated += cname -> genExpr
           case ColDefRe(cname, ctype) =>
             ctype match {
               case InlinePkRe(t) =>
@@ -205,9 +221,16 @@ object SqlFrontend {
             throw new IllegalArgumentException(s"bad column def: $other")
         }
         val tail = rest.substring(close + 1).trim
-        require(tail.isEmpty || tail == ";",
-          s"unexpected clause after column list: $tail")
-        Some(TableDef(name, org.apache.spark.sql.types.StructType(schema), pk, defaults))
+        val onConflict = tail match {
+          case "" | ";" => None
+          case OnConflictTailRe(b) =>
+            Some(b.toLowerCase.replaceAll("\\s+", " "))
+          case other =>
+            throw new IllegalArgumentException(
+              s"unexpected clause after column list: $other")
+        }
+        Some(TableDef(name, org.apache.spark.sql.types.StructType(schema),
+          pk, defaults, generated, onConflict))
       }
     }
 

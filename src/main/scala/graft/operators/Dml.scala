@@ -59,10 +59,16 @@ object Dml {
     * parses as decimal(3,1) and would otherwise fork the parquet schema
     * of the store/changelog away from a DOUBLE column.
     */
-  def updateWhere(mv: MaterializedView, cond: Column, set: Map[String, Column]): Unit = {
+  def updateWhere(mv: MaterializedView, cond: Column, set: Map[String, Column],
+      post: Seq[(String, Column)] = Seq.empty): Unit = {
     val base = mv.read().where(cond)
     val types = base.schema.map(f => f.name -> f.dataType).toMap
-    val updated = set.foldLeft(base) { case (df, (c, e)) =>
+    val assigned = set.foldLeft(base) { case (df, (c, e)) =>
+      df.withColumn(c, types.get(c).map(e.cast).getOrElse(e))
+    }
+    // ordered post-pass (generated columns): recomputes from the
+    // assigned row, so it must apply AFTER every SET column
+    val updated = post.foldLeft(assigned) { case (df, (c, e)) =>
       df.withColumn(c, types.get(c).map(e.cast).getOrElse(e))
     }
     val before = base

@@ -303,6 +303,33 @@ class PgWireSpec extends SparkSpecBase {
     } finally srv.stop()
   }
 
+  test("pgwire: SET reports reportable GUCs via ParameterStatus") {
+    val e = new Engine(spark, tmpDir("pgwire-ps"))
+    val srv = new PgWireServer(e)
+    srv.start()
+    try {
+      val c = new Client(srv.port)
+      c.startup()
+      val msgs = c.query("SET application_name = 'wire client'")
+      // CommandComplete plus ParameterStatus frames before ReadyForQuery
+      assert(msgs.exists(_.tpe == 'C'))
+      val statuses = msgs.filter(_.tpe == 'S').map { m =>
+        val s = new String(m.body, UTF_8).split(" ")
+        (s(0), s.lift(1).getOrElse(""))
+      }
+      assert(statuses.contains(("application_name", "wire client")))
+      assert(statuses.exists(_._1 == "TimeZone"))
+      // SHOW through the wire reads the same store
+      val show = c.query("SHOW application_name")
+      val data = show.filter(_.tpe == 'D')
+      assert(data.nonEmpty)
+      c.close()
+    } finally {
+      srv.stop()
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
+  }
+
   test("pgwire: pg_catalog/information_schema answer psql's introspection") {
     val e = new Engine(spark, tmpDir("pgcat"))
     val srv = new PgWireServer(e)

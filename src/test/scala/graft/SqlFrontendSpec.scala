@@ -400,10 +400,14 @@ class SqlFrontendSpec extends SparkSpecBase {
 
     // fresh table: empty but described with the declared schema
     assert(e.table("users").isEmpty)
-    val desc = e.execute("DESCRIBE users").as[(String, String)].collect().toMap
+    // DESCRIBE = column rows + the reference's summary rows
+    val desc = e.execute("DESCRIBE users").as[(String, String)]
+      .collect().take(3).toMap
     assert(desc == Map("id" -> "bigint", "name" -> "string", "score" -> "double"))
+    assert(e.execute("DESCRIBE users").as[(String, String)].collect()
+      .contains(("primary key", "id")))
     assert(e.execute("SHOW COLUMNS FROM users").as[(String, String)]
-      .collect().toMap == desc)
+      .collect().take(3).toMap == desc)
     assert(e.execute("SHOW TABLES").as[String].collect().toSeq == Seq("users"))
 
     // INT literals align to the declared BIGINT column
@@ -757,8 +761,8 @@ class SqlFrontendSpec extends SparkSpecBase {
 
     e.execute("ALTER TABLE alt_t ADD COLUMN tag VARCHAR")
     // existing rows read back null-padded; DESCRIBE shows the new column
-    assert(e.execute("DESCRIBE alt_t").as[(String, String)].collect().toSeq ==
-      Seq(("id", "bigint"), ("v", "double"), ("tag", "string")))
+    assert(e.execute("DESCRIBE alt_t").as[(String, String)].collect().take(3)
+      .toSeq == Seq(("id", "bigint"), ("v", "double"), ("tag", "string")))
     assert(e.table("alt_t").orderBy("id").as[(Long, Double, Option[String])]
       .collect().toSeq == Seq((1L, 10.0, None), (2L, 20.0, None)))
 
@@ -2242,7 +2246,8 @@ class SqlFrontendSpec extends SparkSpecBase {
     // the shown DDL is re-issuable verbatim on a fresh engine
     val e2 = new Engine(spark.newSession(), tmpDir("showcreate2"))
     e2.execute(ddl)
-    assert(e2.execute("DESCRIBE sc_t").count() == 2)
+    assert(e2.execute("DESCRIBE sc_t").as[(String, String)].collect().take(2)
+      .toSeq == Seq(("id", "bigint"), ("v", "double")))
 
     e.execute("CREATE VIEW sc_v AS SELECT 1 AS one")
     assert(e.execute("SHOW CREATE VIEW sc_v").head().getString(1) ==

@@ -1,0 +1,71 @@
+package graft
+
+/** CREATE TABLE surface beyond plain columns (reference:
+  * handler/create_table.rs): generated columns (`col type AS expr`,
+  * recomputed on INSERT/UPDATE, never directly writable) and
+  * ON CONFLICT behaviors (OVERWRITE default / IGNORE / DO UPDATE IF
+  * NOT NULL), both durable across restart and visible in SHOW CREATE.
+  */
+class TableFeaturesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("generated columns compute on INSERT and recompute on UPDATE") {
+    val e = new Engine(spark, tmpDir("gen"))
+    e.execute("CREATE TABLE gt (k BIGINT PRIMARY KEY, a BIGINT, b BIGINT, " +
+      "s BIGINT AS a + b)")
+    // positional insert skips the generated column
+    e.execute("INSERT INTO gt VALUES (1, 10, 5), (2, 20, 2)")
+    assert(e.execute("SELECT k, s FROM gt ORDER BY k")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 15L), (2L, 22L)))
+
+    // UPDATE recomputes from the post-assignment row
+    e.execute("UPDATE gt SET a = 100 WHERE k = 1")
+    assert(e.execute("SELECT s FROM gt WHERE k = 1").head().getLong(0) == 105L)
+
+    // direct writes to a generated column are rejected
+    intercept[Exception] { e.execute("INSERT INTO gt (k, a, b, s) VALUES (3, 1, 1, 9)") }
+    intercept[Exception] { e.execute("UPDATE gt SET s = 0 WHERE k = 1") }
+
+    // SHOW CREATE round-trips the generated clause
+    val ddl = e.execute("SHOW CREATE TABLE gt").head().getString(1)
+    assert(ddl.contains("AS a + b"))
+  }
+
+  test("ON CONFLICT IGNORE keeps the stored row") {
+    val e = new Engine(spark, tmpDir("conf-ign"))
+    e.execute("CREATE TABLE it (k BIGINT PRIMARY KEY, v VARCHAR) " +
+      "ON CONFLICT IGNORE")
+    e.execute("INSERT INTO it VALUES (1, 'first')")
+    e.execute("INSERT INTO it VALUES (1, 'second'), (2, 'fresh')")
+    assert(e.execute("SELECT k, v FROM it ORDER BY k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "first"), (2L, "fresh")))
+    assert(e.execute("SHOW CREATE TABLE it").head().getString(1)
+      .contains("ON CONFLICT IGNORE"))
+  }
+
+  test("ON CONFLICT DO UPDATE IF NOT NULL keeps stored values under NULLs") {
+    val e = new Engine(spark, tmpDir("conf-dun"))
+    e.execute("CREATE TABLE dt (k BIGINT PRIMARY KEY, x VARCHAR, y VARCHAR) " +
+      "ON CONFLICT DO UPDATE IF NOT NULL")
+    e.execute("INSERT INTO dt VALUES (1, 'x1', 'y1')")
+    // NULL x must not clobber the stored x; y updates
+    e.execute("INSERT INTO dt VALUES (1, NULL, 'y2')")
+    assert(e.execute("SELECT x, y FROM dt WHERE k = 1")
+      .as[(String, String)].head() == (("x1", "y2")))
+  }
+
+  test("generated + on-conflict behaviors survive restart") {
+    val dir = tmpDir("gen-restart")
+    val e1 = new Engine(spark, dir)
+    e1.execute("CREATE TABLE rt (k BIGINT PRIMARY KEY, a BIGINT, " +
+      "d BIGINT AS a * 2) ON CONFLICT IGNORE")
+    e1.execute("INSERT INTO rt VALUES (1, 3)")
+
+    val e2 = new Engine(spark, dir)
+    e2.execute("INSERT INTO rt VALUES (1, 999), (2, 5)")
+    assert(e2.execute("SELECT k, a, d FROM rt ORDER BY k")
+      .as[(Long, Long, Long)].collect().toSeq ==
+      Seq((1L, 3L, 6L), (2L, 5L, 10L)))
+  }
+}
