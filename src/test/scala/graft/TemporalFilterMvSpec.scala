@@ -80,6 +80,58 @@ class TemporalFilterMvSpec extends SparkSpecBase {
     assert(e.table("ccnt").count() == 0)
   }
 
+  test("fuzz: random DML + clock advances keep the temporal chain consistent") {
+    val rnd = new scala.util.Random(4242)
+    val e = new Engine(spark, tmpDir("tmpf-fuzz"))
+    e.execute("CREATE TABLE ft (k BIGINT PRIMARY KEY, tag VARCHAR, ts TIMESTAMP)")
+    e.execute("""CREATE MATERIALIZED VIEW frec (PRIMARY KEY (k)) AS
+      |SELECT k, tag, ts FROM ft WHERE ts > now() - INTERVAL '1' HOUR""".stripMargin)
+    e.execute("""CREATE MATERIALIZED VIEW fcnt (PRIMARY KEY (tag)) AS
+      |SELECT tag, count(*) AS n FROM frec GROUP BY tag""".stripMargin)
+
+    val hourMs = 3600L * 1000
+    var clock = System.currentTimeMillis() + 10 * hourMs // own the timeline
+    e.temporalNowOverrideMs = Some(clock)
+    var nextK = 1L
+    val live = scala.collection.mutable.Map[Long, (String, Long)]() // k -> (tag, tsMs)
+    def tsLit(ms: Long) = s"CAST('${new java.sql.Timestamp(ms)}' AS TIMESTAMP)"
+
+    for (step <- 1 to 22) {
+      rnd.nextInt(4) match {
+        case 0 => // insert, sometimes already beyond the horizon
+          val tag = s"t${rnd.nextInt(3)}"
+          val ts = clock - rnd.nextInt((1.5 * hourMs).toInt)
+          e.execute(s"INSERT INTO ft VALUES ($nextK, '$tag', ${tsLit(ts)})")
+          live(nextK) = (tag, ts); nextK += 1
+        case 1 if live.nonEmpty => // delete a random key
+          val k = live.keys.toSeq(rnd.nextInt(live.size))
+          e.execute(s"DELETE FROM ft WHERE k = $k")
+          live.remove(k)
+        case 2 if live.nonEmpty => // move a row's event time (in OR out)
+          val k = live.keys.toSeq(rnd.nextInt(live.size))
+          val ts = clock - rnd.nextInt((1.5 * hourMs).toInt)
+          e.execute(s"UPDATE ft SET ts = ${tsLit(ts)} WHERE k = $k")
+          live(k) = (live(k)._1, ts)
+        case _ => // time passes: rows age across the horizon
+          clock += rnd.nextInt((0.6 * hourMs).toInt)
+          e.temporalNowOverrideMs = Some(clock)
+      }
+      e.execute("FLUSH")
+      val horizon = clock - hourMs
+      val expected = live.toSeq.collect {
+        case (k, (tag, ts)) if ts > horizon => (k, tag)
+      }.sortBy(_._1)
+      val got = e.table("frec").select("k", "tag")
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      assert(got == expected, s"step $step: frec mismatch")
+      val expCnt = expected.groupBy(_._2).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val gotCnt = e.table("fcnt").as[(String, Long)].collect().toSeq.sortBy(_._1)
+      assert(gotCnt == expCnt, s"step $step: fcnt mismatch")
+    }
+    Seq("fcnt", "frec").foreach(n => e.streamingJob(n).foreach(_.stop()))
+  }
+
   test("temporal horizon survives restart (re-derived from the defining query)") {
     val dir = tmpDir("tmpf-restart")
     val e1 = new Engine(spark, dir)
