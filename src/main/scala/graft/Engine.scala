@@ -2101,6 +2101,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private val ShowParameters = """(?is)\s*SHOW\s+PARAMETERS\s*;?\s*""".r
   private val ShowInternalTables =
     """(?is)\s*SHOW\s+INTERNAL\s+TABLES\s*;?\s*""".r
+  private val ShowDatabases = """(?is)\s*SHOW\s+DATABASES\s*;?\s*""".r
+  private val ShowSchemas = """(?is)\s*SHOW\s+SCHEMAS\s*;?\s*""".r
 
   /** (default, description) per variable; insertion order = SHOW ALL order. */
   private val varDefaults: scala.collection.immutable.ListMap[String, (String, String)] =
@@ -3041,6 +3043,13 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case ResetVarStmt(name) =>
             setVariable(name, "DEFAULT")
             statusDf("RESET", canonicalVar(name))
+          case ShowDatabases() =>
+            import spark.implicits._
+            Seq("dev").toDF("name")
+          case ShowSchemas() =>
+            import spark.implicits._
+            Seq("public", "pg_catalog", "information_schema", "rw_catalog")
+              .toDF("name")
           case ShowParameters() => showAllVariables()
           case ShowVarStmt(raw)
               if !raw.contains(".") && !showStatementWords.contains(

@@ -155,5 +155,8 @@ class SessionVarSpec extends SparkSpecBase {
     val t = e.execute("SHOW TABLES")
     assert(t.select("name").as[String].collect().contains("st"))
     assert(e.execute("SHOW MATERIALIZED VIEWS").columns.nonEmpty)
+    assert(e.execute("SHOW DATABASES").as[String].collect().toSeq == Seq("dev"))
+    assert(e.execute("SHOW SCHEMAS").as[String].collect()
+      .contains("pg_catalog"))
   }
 }
