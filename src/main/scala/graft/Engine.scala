@@ -1338,6 +1338,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         bindMvTables(q) // the MV may join engine-managed tables
         val result = spark.sql(Engine.rewritePgSelect(
           Engine.TemporalJoinClause.replaceAllIn(q, "")))
+        if (isPerRowPlan(result))
+          registerTemporalFilter(name, q, result.columns.toSeq)
         jobs(name) = mv.start(withChangelogOps(q, result), ckpt,
           outputMode = e.outputMode)
     }
@@ -2712,6 +2714,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               jobs(name) = createMaterializedView(name, pk,
                 withChangelogOps(query, result),
                 outputMode = mode, queryText = Some(query))
+              // a per-row now()-horizon over a streaming source gets the
+              // same eviction/read semantics as the chained form
+              if (isPerRowPlan(result))
+                registerTemporalFilter(name, query, result.columns.toSeq)
               statusDf("CREATE MATERIALIZED VIEW (streaming)", name)
             }
           } else {

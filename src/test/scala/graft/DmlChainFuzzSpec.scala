@@ -40,6 +40,11 @@ class DmlChainFuzzSpec extends SparkSpecBase {
     val t = s"dft_$seed"
     val t2 = s"dft2_$seed"
     val twoTable = seed % 3 == 0
+    // single-table variants: a generated column (recomputed on every
+    // INSERT/UPDATE) or ON CONFLICT IGNORE (duplicate-PK inserts keep
+    // the stored row) ride under the same DML bursts and chain oracles
+    val genCol = !twoTable && seed % 5 == 2
+    val ocIgnore = !twoTable && seed % 5 == 4
     val model = scala.collection.mutable.Map[Long, Row3]()
     val model2 = scala.collection.mutable.Map[Long, Row2]()
     private var nextId = 0L
@@ -121,7 +126,10 @@ class DmlChainFuzzSpec extends SparkSpecBase {
     }
 
     def create(): Unit = {
-      e.execute(s"CREATE TABLE $t (id BIGINT PRIMARY KEY, g BIGINT, v BIGINT, text STRING)")
+      val genDdl = if (genCol) ", gen BIGINT AS v * 2 + g" else ""
+      val ocDdl = if (ocIgnore) " ON CONFLICT IGNORE" else ""
+      e.execute(s"CREATE TABLE $t (id BIGINT PRIMARY KEY, g BIGINT, " +
+        s"v BIGINT, text STRING$genDdl)$ocDdl")
       if (twoTable) createTwoTableStack() else createOneTableStack()
       defs.foreach { case (n, _, _) =>
         assert(e.streamingJob(n).nonEmpty,
@@ -161,9 +169,20 @@ class DmlChainFuzzSpec extends SparkSpecBase {
       */
     def burst(): Unit = {
       for (_ <- 0 until 1 + r.nextInt(3)) r.nextInt(7) match {
-        case 0 | 1 => // multi-row INSERT
-          val rows = Seq.fill(1 + r.nextInt(3)) { val id = freshId(); (id, randRow()) }
-          rows.foreach { case (id, row) => model(id) = row }
+        case 0 | 1 => // multi-row INSERT (sometimes duplicate-PK under IGNORE)
+          val used = scala.collection.mutable.Set[Long]()
+          val rows = Seq.fill(1 + r.nextInt(3)) {
+            val id =
+              if (ocIgnore && model.nonEmpty && r.nextBoolean()) {
+                val cand = model.keys.toSeq.sorted.apply(r.nextInt(model.size))
+                if (used.contains(cand)) freshId() else cand
+              } else freshId()
+            used += id
+            (id, randRow())
+          }
+          rows.foreach { case (id, row) =>
+            if (!ocIgnore || !model.contains(id)) model(id) = row
+          }
           e.execute(s"INSERT INTO $t VALUES " + rows.map { case (id, Row3(g, v, tx)) =>
             s"($id, $g, $v, '$tx')" }.mkString(", "))
         case 2 => // value update keyed on a group predicate
@@ -208,10 +227,20 @@ class DmlChainFuzzSpec extends SparkSpecBase {
 
     def check(tag: String): Unit = {
       // oracle 1: table contents vs the independent statement model
-      val got = e.table(t).as[(Long, Long, Long, String)].collect().toSeq.sorted
-      val want = model.toSeq.map { case (id, Row3(g, v, tx)) => (id, g, v, tx) }.sorted
-      assert(got == want, s"seed $seed $tag: table diverged from DML model\n" +
-        s"got:  $got\nwant: $want")
+      // (generated-column scenarios also verify gen = v * 2 + g per row)
+      if (genCol) {
+        val got = e.table(t).as[(Long, Long, Long, String, Long)]
+          .collect().toSeq.sorted
+        val want = model.toSeq.map { case (id, Row3(g, v, tx)) =>
+          (id, g, v, tx, v * 2 + g) }.sorted
+        assert(got == want, s"seed $seed $tag: table diverged from DML model\n" +
+          s"got:  $got\nwant: $want")
+      } else {
+        val got = e.table(t).as[(Long, Long, Long, String)].collect().toSeq.sorted
+        val want = model.toSeq.map { case (id, Row3(g, v, tx)) => (id, g, v, tx) }.sorted
+        assert(got == want, s"seed $seed $tag: table diverged from DML model\n" +
+          s"got:  $got\nwant: $want")
+      }
       if (twoTable) {
         val got2 = e.table(t2).as[(Long, Long, Long)].collect().toSeq.sorted
         val want2 = model2.toSeq.map { case (oid, Row2(k2, w)) => (oid, k2, w) }.sorted

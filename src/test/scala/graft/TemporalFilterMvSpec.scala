@@ -80,6 +80,26 @@ class TemporalFilterMvSpec extends SparkSpecBase {
     assert(e.table("ccnt").count() == 0)
   }
 
+  test("source-fed streaming MV with a now()-horizon evicts like the chained form") {
+    val e = new Engine(spark, tmpDir("tmpf-src"))
+    val srcDir = tmpDir("tmpf-src-data")
+    Seq((1L, 0L), (2L, 50L * 60 * 1000)).toDF("k", "ago_ms")
+      .withColumn("ts", expr("timestampadd(MILLISECOND, -ago_ms, now())"))
+      .drop("ago_ms")
+      .write.mode("append").parquet(srcDir)
+    e.execute(s"CREATE SOURCE tsrc WITH (path = '$srcDir', format = 'parquet')")
+    e.execute("""CREATE MATERIALIZED VIEW srecent (PRIMARY KEY (k)) AS
+      |SELECT k, ts FROM tsrc WHERE ts > now() - INTERVAL '1' HOUR""".stripMargin)
+    e.execute("FLUSH")
+    assert(e.table("srecent").select("k").as[Long].collect().toSet == Set(1L, 2L))
+
+    // the 50-min-old row crosses the horizon as the clock advances
+    e.temporalNowOverrideMs = Some(System.currentTimeMillis() + 30L * 60 * 1000)
+    e.execute("FLUSH")
+    assert(e.table("srecent").select("k").as[Long].collect().toSet == Set(1L))
+    e.streamingJob("srecent").foreach(_.stop())
+  }
+
   test("fuzz: random DML + clock advances keep the temporal chain consistent") {
     val rnd = new scala.util.Random(4242)
     val e = new Engine(spark, tmpDir("tmpf-fuzz"))
