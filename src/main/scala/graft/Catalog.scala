@@ -131,7 +131,10 @@ object DurableCatalog {
     * The frontier re-persists on every FETCH, so a restarted engine
     * resumes the cursor exactly where the last fetch left it.
     */
-  final case class CursorEntry(sub: String, pos: Long)
+  final case class CursorEntry(sub: String, pos: Long,
+      // rows already consumed WITHIN the first pending epoch after `pos`
+      // (row-limited `FETCH n` pagination, reference fetch_cursor.rs)
+      skip: Option[Long] = None)
 
   /** CREATE AGGREGATE: implementation key + WITH options — recovery
     * re-binds the name in the session function registry.

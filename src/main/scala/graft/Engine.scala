@@ -2299,23 +2299,74 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     spark.createDataFrame(java.util.Arrays.asList(rows.toArray: _*), schema)
   }
 
-  /** FETCH: all changelog epochs past the cursor's frontier, ordered by
-    * (epoch, seq) — each row is one change with its `_op`. Non-blocking:
-    * an up-to-date cursor returns an empty frame. Advances the frontier.
+  /** Rows already consumed within the first pending epoch per cursor
+    * (row-limited FETCH pagination; durable via CursorEntry.skip). */
+  private val cursorSkip = scala.collection.mutable.Map[String, Long]()
+
+  /** FETCH: changelog rows past the cursor's frontier, ordered by
+    * (epoch, seq, row image) — each row one change with its `_op`.
+    * Non-blocking: an up-to-date cursor returns an empty frame.
+    * `FETCH <n>` (reference: session/cursor_manager.rs fetch with count)
+    * delivers exactly n rows and persists an intra-epoch offset, so a
+    * client can drain a large epoch in bounded pages; NEXT/ALL keep
+    * delivering everything pending. The offset always addresses the
+    * FIRST pending epoch — a partially-consumed epoch pins `pos` just
+    * below itself, and epoch ids only grow.
     */
-  private def fetchCursor(cur: String): DataFrame = {
+  private def fetchCursor(cur: String, countSpec: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val (sub, pos) = cursors.getOrElse(cur,
       throw new IllegalArgumentException(s"unknown cursor $cur"))
+    val skip = cursorSkip.getOrElse(cur, 0L)
     val mvName = subscriptions(sub)
     val mv = mvs.get(mvName).get
     val (df, frontier) = mv.changelogAfter(pos)
-    cursors(cur) = (sub, frontier)
-    // committed frontier survives restart: a recovered engine resumes
-    // the cursor exactly after the last fetched epoch
-    catalog.save("cursors", cur, DurableCatalog.CursorEntry(sub, frontier))
-    if (df.columns.isEmpty) df
-    else df.orderBy(org.apache.spark.sql.functions.col("_epoch"),
-      org.apache.spark.sql.functions.col(graft.streaming.Changelog.SeqCol))
+    val n = Option(countSpec).map(_.toUpperCase.replace("FORWARD", "").trim)
+      .filter(_.forall(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
+    if (df.columns.isEmpty) {
+      cursors(cur) = (sub, frontier)
+      catalog.save("cursors", cur,
+        DurableCatalog.CursorEntry(sub, frontier, Some(skip)))
+      return df
+    }
+    // deterministic total order: epoch, seq, then the full row image
+    // (an UPDATE epoch reuses seq 0/1 across its U-/U+ rows)
+    val ordered = df.orderBy(
+      (Seq("_epoch", graft.streaming.Changelog.SeqCol) ++
+        df.columns.filterNot(Seq("_epoch",
+          graft.streaming.Changelog.SeqCol).contains)).map(col): _*)
+    n match {
+      case None => // NEXT / ALL: everything pending (minus any offset)
+        cursors(cur) = (sub, frontier)
+        cursorSkip.remove(cur)
+        catalog.save("cursors", cur, DurableCatalog.CursorEntry(sub, frontier))
+        if (skip > 0) ordered.offset(skip.toInt) else ordered
+      case Some(count) =>
+        // epoch sizes drive the (pos, skip) advance — small aggregate,
+        // no row collect; delivery itself stays a lazy offset+limit
+        val sizes = df.groupBy(col("_epoch")).count()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val total = sizes.map(_._2).sum
+        val consumed = math.min(skip + count, total)
+        // walk fully-consumed epochs IN ORDER and stop at the first
+        // partial one — the leftover becomes its intra-epoch offset
+        var acc = 0L
+        var newPos = pos
+        var partial = false
+        sizes.foreach { case (ep, sz) =>
+          if (!partial) {
+            if (acc + sz <= consumed) { acc += sz; newPos = ep }
+            else partial = true
+          }
+        }
+        var newSkip = consumed - acc
+        if (consumed == total) { newPos = frontier; newSkip = 0L }
+        cursors(cur) = (sub, newPos)
+        if (newSkip > 0) cursorSkip(cur) = newSkip else cursorSkip.remove(cur)
+        catalog.save("cursors", cur,
+          DurableCatalog.CursorEntry(sub, newPos, Some(newSkip)))
+        ordered.offset(skip.toInt).limit(count.toInt)
+    }
   }
 
   /** `CREATE SINK s AS <query> WITH (…)` (reference: handler/
@@ -3021,8 +3072,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case CloseCursor(cur) if queryCursors.contains(cur) =>
             queryCursors.remove(cur)
             statusDf("CLOSE", cur)
-          case FetchCursor(_, cur) if cursors.contains(cur) =>
-            fetchCursor(cur)
+          case FetchCursor(count, cur) if cursors.contains(cur) =>
+            fetchCursor(cur, count)
           case FetchCursor(count, cur) if queryCursors.contains(cur) =>
             fetchQueryCursor(cur, count)
           case Flush() =>
@@ -3225,6 +3276,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
     catalog.list[CursorEntry]("cursors").foreach { case (name, e) =>
       cursors(name) = (e.sub, e.pos)
+      e.skip.filter(_ > 0).foreach(cursorSkip(name) = _)
     }
 
     catalog.list[AggregateEntry]("aggregates").foreach { case (name, e) =>
