@@ -337,6 +337,43 @@ object Advanced extends QueryPack {
       } finally s.conf.set("spark.sql.shuffle.partitions", shufBefore)
     },
 
+    // Generated columns + ON CONFLICT under the DuckDB gate (reference:
+    // handler/create_table.rs): a table with `d BIGINT AS a * 2 + r`
+    // and ON CONFLICT IGNORE takes a seed insert, a duplicate-PK insert
+    // (kept rows must be the FIRST image), and an UPDATE that must
+    // recompute d; the final content must equal DuckDB evaluating the
+    // same statement sequence declaratively.
+    qDir("q_dml_features",
+      """WITH seed AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |         CAST(n_regionkey AS BIGINT) AS a FROM nation
+        |), dup AS ( -- duplicate-PK re-insert: IGNORE keeps the seed image
+        |  SELECT k, a FROM seed
+        |), upd AS (
+        |  SELECT k, CASE WHEN k % 3 = 0 THEN a + 10 ELSE a END AS a FROM seed
+        |)
+        |SELECT k, a, a * 2 + k AS d FROM upd ORDER BY k""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("q_dml_features").toString
+      val e = new graft.Engine(s, wh)
+      e.attachTables(dir)
+      val shufBefore = s.conf.get("spark.sql.shuffle.partitions")
+      e.execute("SET streaming_parallelism = 4")
+      try {
+        e.execute("CREATE TABLE feat_t (k BIGINT PRIMARY KEY, a BIGINT, " +
+          "d BIGINT AS a * 2 + k) ON CONFLICT IGNORE")
+        e.execute("INSERT INTO feat_t SELECT CAST(n_nationkey AS BIGINT), " +
+          "CAST(n_regionkey AS BIGINT) FROM nation")
+        // duplicate-PK burst with DIFFERENT values: IGNORE keeps the seed
+        e.execute("INSERT INTO feat_t SELECT CAST(n_nationkey AS BIGINT), " +
+          "CAST(n_regionkey AS BIGINT) + 99 FROM nation")
+        // generated column recomputes from the post-assignment row
+        e.execute("UPDATE feat_t SET a = a + 10 WHERE k % 3 = 0")
+        e.table("feat_t")
+          .select(col("k"), col("a"), col("d"))
+          .orderBy("k")
+      } finally s.conf.set("spark.sql.shuffle.partitions", shufBefore)
+    },
+
     // CREATE AGGREGATE aggregates called from plain SQL text (reference:
     // handler/create_aggregate.rs) — estimates checked against exact
     // aggregates computed in the same query, sketch-oracle style. The
