@@ -161,4 +161,10 @@ object DurableCatalog {
     * `object` or `object.column`; surfaced through pg_description.
     */
   final case class CommentEntry(text: String)
+
+  /** CREATE SCHEMA (reference: handler/create_schema.rs). Schemas are
+    * pure namespaces: objects in schema `s` store under the internal
+    * flat name `s__<object>`; `public` objects keep their bare name.
+    */
+  final case class SchemaEntry(owner: String)
 }

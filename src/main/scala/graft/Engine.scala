@@ -132,18 +132,28 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     */
   private def systemObjects: Seq[SystemCatalog.Obj] = {
     def schemaOf(df: => DataFrame) = scala.util.Try(df.schema).toOption
+    def obj(n: String, kind: String, schema: Option[org.apache.spark.sql.types.StructType]) = {
+      val (ns, bare) = splitNs(n)
+      SystemCatalog.Obj(n, kind, schema, ns, if (ns == "public") "" else bare)
+    }
+    // internal suffixes hide AFTER the schema prefix is stripped — a
+    // schema-qualified table whose bare name happens to be `base` must
+    // not vanish from the catalog
+    def hiddenInternal(n: String): Boolean = {
+      val bare = splitNs(n)._2
+      bare.endsWith("__base") || bare.contains("__casc") ||
+        bare.endsWith("__sinkq")
+    }
     val tableObjs = tableSchemas.keys.toSeq.sorted.map(n =>
-      SystemCatalog.Obj(n, "r", Some(tableSchemas(n))))
+      obj(n, "r", Some(tableSchemas(n))))
     val mvObjs = mvs.list
-      .filterNot(n => tableSchemas.contains(n) || n.endsWith("__base") ||
-        n.contains("__casc") || n.endsWith("__sinkq"))
-      .map(n => SystemCatalog.Obj(n, "m", schemaOf(table(n))))
+      .filterNot(n => tableSchemas.contains(n) || hiddenInternal(n))
+      .map(n => obj(n, "m", schemaOf(table(n))))
     val viewObjs = catalog.list[DurableCatalog.ViewEntry]("views")
-      .map { case (n, _) => SystemCatalog.Obj(n, "v", schemaOf(spark.table(n))) }
+      .map { case (n, _) => obj(n, "v", schemaOf(spark.table(n))) }
     val srcObjs = sources.keys.toSeq.sorted.map(n =>
-      SystemCatalog.Obj(n, "f", schemaOf(sources(n))))
-    val idxObjs = indexes.keys.toSeq.sorted.map(n =>
-      SystemCatalog.Obj(n, "i", None))
+      obj(n, "f", schemaOf(sources(n))))
+    val idxObjs = indexes.keys.toSeq.sorted.map(n => obj(n, "i", None))
     tableObjs ++ mvObjs ++ viewObjs ++ srcObjs ++ idxObjs
   }
 
@@ -181,7 +191,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         (n, "a", e.lang, "")
       }
     SystemCatalog.bindRw(spark, objs, pks, defs, deps, jobStatus,
-      sinkNames.toSeq, fns)
+      sinkNames.toSeq, fns, schemaNames.toSeq)
   }
 
   /** The engine's registered callables for pg_proc (psql `\df`, ORM
@@ -1678,7 +1688,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     */
   private def showCreate(kind: String, name: String): DataFrame = {
     import spark.implicits._
-    Seq((name, createDdl(kind, name))).toDF("name", "create_sql")
+    Seq((displayName(name), createDdl(kind, name))).toDF("name", "create_sql")
   }
 
   /** The re-issuable DDL of one object (SHOW CREATE's payload; also the
@@ -1701,7 +1711,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         }
         val conflict = e.onConflict
           .map(c => s" ON CONFLICT ${c.toUpperCase}").getOrElse("")
-        s"CREATE TABLE $name (${cols.mkString(", ")}, " +
+        s"CREATE TABLE ${displayName(name)} (${cols.mkString(", ")}, " +
           s"PRIMARY KEY (${e.pk.mkString(", ")}))$conflict"
       case "MATERIALIZED VIEW" =>
         val e = catalog.load[MvEntry]("mvs", name).getOrElse(
@@ -1709,11 +1719,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         val q = e.query.getOrElse(
           throw new IllegalArgumentException(
             s"$name was defined programmatically — no SQL text to show"))
-        s"CREATE MATERIALIZED VIEW $name (PRIMARY KEY (${e.pk.mkString(", ")})) AS $q"
+        s"CREATE MATERIALIZED VIEW ${displayName(name)} (PRIMARY KEY (${e.pk.mkString(", ")})) AS $q"
       case "VIEW" =>
         val e = catalog.load[ViewEntry]("views", name).getOrElse(
           throw new IllegalArgumentException(s"no such view $name"))
-        s"CREATE VIEW $name AS ${e.query}"
+        s"CREATE VIEW ${displayName(name)} AS ${e.query}"
       case "SOURCE" =>
         catalog.load[SourceEntry]("sources", name).getOrElse(
           throw new IllegalArgumentException(s"no such source $name")).ddl.trim
@@ -1722,11 +1732,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           throw new IllegalArgumentException(s"no such sink $name"))
         val opts = e.options.toSeq.sortBy(_._1)
           .map { case (ok, ov) => s"$ok = '$ov'" }.mkString(", ")
-        s"CREATE SINK $name FROM ${e.from} WITH ($opts)"
+        s"CREATE SINK ${displayName(name)} FROM ${displayName(e.from)} WITH ($opts)"
       case "INDEX" =>
         val e = catalog.load[IndexEntry]("indexes", name).getOrElse(
           throw new IllegalArgumentException(s"no such index $name"))
-        s"CREATE INDEX $name ON ${e.table} (${e.keys.mkString(", ")})"
+        s"CREATE INDEX ${displayName(name)} ON ${displayName(e.table)} " +
+          s"(${e.keys.mkString(", ")})"
     }
     ddl
   }
@@ -2613,6 +2624,184 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         table(n).createOrReplaceTempView(n)
     }
 
+  // ------------------------------------------------------------ schemas
+  //
+  // Reference: handler/create_schema.rs + frontend catalog — objects
+  // live in named schemas, and unqualified names resolve through the
+  // `search_path` session variable. This engine stores an object of
+  // schema `s` under the internal flat name `s__<name>` (`public` keeps
+  // bare names, so every pre-schema artifact and programmatic API call
+  // is unchanged); [[resolveSchemas]] rewrites qualified and
+  // search_path-resolved names to that internal form at the single
+  // statement entry, so every statement parser (DDL regexes, Spark SQL,
+  // DML, COMMENT, SHOW CREATE) sees flat names and needs no change.
+
+  private val schemaNames = scala.collection.mutable.SortedSet[String]()
+
+  private[graft] def schemaExists(s: String): Boolean =
+    s.equalsIgnoreCase("public") || schemaNames.contains(s)
+
+  /** Internal name → (schema, bare name) for display/introspection. */
+  private[graft] def splitNs(n: String): (String, String) = {
+    val i = n.indexOf("__")
+    if (i > 0 && schemaNames.contains(n.substring(0, i)))
+      (n.substring(0, i), n.substring(i + 2))
+    else ("public", n)
+  }
+
+  /** Internal name → user-facing `schema.name` (bare when public). */
+  private[graft] def displayName(n: String): String = {
+    val (s, b) = splitNs(n)
+    if (s == "public") b else s + "." + b
+  }
+
+  /** Current user for `"$user"` in search_path (pgwire sets it from the
+    * startup message; the reference's session user).
+    */
+  private[graft] var sessionUser: String = "graft"
+
+  /** search_path entries, `$user` substituted, in declared order. */
+  private def searchPathEntries: Seq[String] =
+    varValue("search_path").split(",").toSeq
+      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .map(e => if (e == "$user") sessionUser else e)
+      .filter(_.nonEmpty)
+
+  /** Every user-visible object name (internal form), all kinds. */
+  private def allObjectNames: Set[String] =
+    tableSchemas.keySet.toSet ++ mvs.list ++ sources.keys ++
+      indexes.keys ++ sinkNames ++
+      catalog.list[DurableCatalog.ViewEntry]("views").map(_._1) ++
+      catalog.list[DurableCatalog.SubEntry]("subscriptions").map(_._1)
+
+  private val CreateSchemaStmt =
+    """(?is)\s*CREATE\s+SCHEMA\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s*;?\s*""".r
+  private val DropSchemaStmt =
+    """(?is)\s*DROP\s+SCHEMA\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*(?:(CASCADE|RESTRICT)\s*)?;?\s*""".r
+
+  private val ReservedSchemas = Set("public", "pg_catalog",
+    "information_schema", "rw_catalog", "pg_temp", "pg_toast")
+
+  private def createSchema(name: String, ifNotExists: Boolean): DataFrame = {
+    if (schemaNames.contains(name) ||
+        ReservedSchemas.contains(name.toLowerCase)) {
+      if (ifNotExists) return statusDf("CREATE SCHEMA", name)
+      throw new IllegalArgumentException(s"schema \"$name\" already exists")
+    }
+    require(!name.contains("__"),
+      s"schema name $name may not contain '__' (reserved separator)")
+    catalog.save("schemas", name, DurableCatalog.SchemaEntry(sessionUser))
+    schemaNames += name
+    statusDf("CREATE SCHEMA", name)
+  }
+
+  private def dropSchema(name: String, ifExists: Boolean,
+      mode: String): DataFrame = {
+    if (!schemaNames.contains(name)) {
+      if (ifExists) return statusDf("DROP SCHEMA", name)
+      throw new IllegalArgumentException(s"schema \"$name\" does not exist")
+    }
+    def contained: Seq[String] =
+      allObjectNames.filter(_.startsWith(name + "__")).toSeq.sorted
+    if (contained.nonEmpty && (mode == null || mode.equalsIgnoreCase("RESTRICT")))
+      throw new IllegalArgumentException(
+        s"cannot drop schema $name because other objects depend on it (" +
+          contained.map(displayName).mkString(", ") + ") — add CASCADE")
+    // CASCADE: route every contained object through its ordinary DROP
+    // path (storage, jobs, catalog entries die with it). Chain fences
+    // can refuse an upstream drop while a downstream lives, so loop
+    // until a pass makes no progress, then surface what's left.
+    var left = contained
+    var progress = true
+    while (left.nonEmpty && progress) {
+      progress = false
+      left = left.filterNot { n =>
+        val kind =
+          if (tableSchemas.contains(n)) "TABLE"
+          else if (sinkNames.contains(n)) "SINK"
+          else if (catalog.load[DurableCatalog.ViewEntry]("views", n).isDefined) "VIEW"
+          else if (sources.contains(n)) "SOURCE"
+          else if (indexes.contains(n)) "INDEX"
+          else if (catalog.load[DurableCatalog.SubEntry]("subscriptions", n).isDefined)
+            "SUBSCRIPTION"
+          else "MATERIALIZED VIEW"
+        val ok = scala.util.Try(execute(s"DROP $kind $n")).isSuccess
+        if (ok) progress = true
+        ok
+      }
+    }
+    require(left.isEmpty,
+      s"DROP SCHEMA $name CASCADE could not drop: ${left.mkString(", ")}")
+    catalog.delete("schemas", name)
+    schemaNames -= name
+    statusDf("DROP SCHEMA", name)
+  }
+
+  /** Rewrite schema-qualified (`s.t` → `s__t`, `public.t` → `t`) and
+    * search_path-resolved unqualified names to the internal flat form,
+    * outside string literals. Creation statements without a schema land
+    * in the first existing schema on the search_path (PG semantics).
+    */
+  private def resolveSchemas(stmt: String): String = {
+    // explicit `public.x` stays qualified until the search_path phases
+    // ran — stripping it first would let the path re-capture the name
+    def stripPublic(s: String): String =
+      if (!s.toLowerCase.contains("public.")) s
+      else Engine.mapOutsideLiterals(s)(
+        _.replaceAll("(?i)(?<![\\w.\"])public\\.([A-Za-z_]\\w*)", "$1"))
+    if (schemaNames.isEmpty) return stripPublic(stmt)
+    var out = stmt
+    if (out.contains(".")) {
+      out = Engine.mapOutsideLiterals(out) { seg0 =>
+        var seg = seg0
+        schemaNames.toSeq.foreach { s =>
+          if (seg.toLowerCase.contains(s.toLowerCase + ".")) {
+            val repl = java.util.regex.Matcher.quoteReplacement(s + "__") + "$1"
+            seg = seg.replaceAll(
+              "(?i)(?<![\\w.\"])" + s + "\\.([A-Za-z_]\\w*)", repl)
+          }
+        }
+        seg
+      }
+    }
+    val path = searchPathEntries
+    val userPath = path.filter(schemaNames.contains)
+    if (userPath.isEmpty) return stripPublic(out)
+    val known = allObjectNames
+    // creation target: first existing schema on the path (public = flat)
+    val createTarget = path.find(schemaExists).getOrElse("public")
+    if (createTarget != "public") {
+      val CreateName = ("(?is)^(\\s*CREATE\\s+(?:TABLE|MATERIALIZED\\s+VIEW|" +
+        "VIEW|SOURCE|SINK|INDEX|SUBSCRIPTION)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?)" +
+        "([A-Za-z_]\\w*)((?![\\w.]).*)").r
+      out = out match {
+        case CreateName(head, name, rest)
+            if splitNs(name)._1 == "public" && !name.contains("__") =>
+          head + createTarget + "__" + name + rest
+        case _ => out
+      }
+    }
+    // reads: for each bare name visible through the path, the FIRST
+    // path entry owning it wins (public participates in order)
+    val bareCandidates = userPath.flatMap { s =>
+      known.filter(_.startsWith(s + "__")).map(_.stripPrefix(s + "__"))
+    }.distinct
+    bareCandidates.foreach { bare =>
+      val winner = path.collectFirst {
+        case "public" if known.contains(bare) => bare
+        case s if schemaNames.contains(s) && known.contains(s + "__" + bare) =>
+          s + "__" + bare
+      }
+      winner.filter(_ != bare).foreach { internal =>
+        val re = "(?i)(?<![\\w.\"])" + bare + "\\b(?!\\s*\\()"
+        out = Engine.mapOutsideLiterals(out)(
+          _.replaceAll(re,
+            java.util.regex.Matcher.quoteReplacement(internal)))
+      }
+    }
+    stripPublic(out)
+  }
+
   def execute(statement00: String): DataFrame = {
     // interactive clients (psql) terminate statements with ';' — most
     // frontend regexes tolerate it, but DML and passthrough SQL don't
@@ -2640,14 +2829,15 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     // introspection (psql \dt, pgjdbc getTables, ORMs): (re)bind the
     // pg_catalog/information_schema relations from the live catalog and
     // translate the Postgres dialect bits those clients emit
-    val statement =
+    val statement2 =
       if (SystemCatalog.referenced(statement1)) {
         SystemCatalog.bind(spark, systemObjects,
           catalog.list[DurableCatalog.CommentEntry]("comments")
             .map { case (k, e) => k.replace('-', '.') -> e.text }.toMap,
           systemFunctions,
           varDefaults.toSeq.map { case (n, (boot, desc)) =>
-            (n, varValue(n), boot, desc) })
+            (n, varValue(n), boot, desc) },
+          schemaNames.toSeq)
         rwBind()
         val rw = SystemCatalog.rewrite(statement1)
         // probes against catalog concepts this engine does not model
@@ -2658,6 +2848,17 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             catch { case scala.util.control.NonFatal(_) => spark.emptyDataFrame }
         rw
       } else statement1
+    // CREATE/DROP SCHEMA act on the namespace itself (their identifiers
+    // must not resolve); everything else resolves schema-qualified and
+    // search_path names to internal flat names at this single entry
+    statement2 match {
+      case CreateSchemaStmt(ifNot, name) =>
+        return createSchema(name, ifNot != null)
+      case DropSchemaStmt(ifEx, name, mode) =>
+        return dropSchema(name, ifEx != null, mode)
+      case _ =>
+    }
+    val statement = resolveSchemas(statement2)
     bindMvTables(statement)
     statement match {
       case Discard(_) => return statusDf("DISCARD", "")
@@ -3105,8 +3306,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             Seq("dev").toDF("name")
           case ShowSchemas() =>
             import spark.implicits._
-            Seq("public", "pg_catalog", "information_schema", "rw_catalog")
-              .toDF("name")
+            (Seq("public", "pg_catalog", "information_schema", "rw_catalog")
+              ++ schemaNames.toSeq).toDF("name")
           case ShowParameters() => showAllVariables()
           case ShowVarStmt(raw)
               if !raw.contains(".") && !showStatementWords.contains(
@@ -3187,6 +3388,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private def recoverCatalog(): Unit = {
     import DurableCatalog._
     import org.apache.spark.sql.types.{DataType, StructType}
+
+    // schemas first — name resolution for every later object depends
+    // on knowing the namespace set
+    schemaNames ++= catalog.list[SchemaEntry]("schemas").map(_._1)
 
     catalog.list[TableEntry]("tables").foreach { case (name, e) =>
       mvs.define(name, e.pk, e.nBuckets.getOrElse(32))
@@ -3321,6 +3526,30 @@ object Engine {
   /** `current_setting('name')` → session-variable value literal. */
   private[graft] val CurrentSettingRe =
     """(?i)\bcurrent_setting\s*\(\s*'([\w. ]+)'\s*\)""".r
+
+  /** Apply `f` to the chunks of `s` OUTSIDE single-quoted string
+    * literals (quote-doubling aware), preserving literals verbatim —
+    * so identifier rewrites can never corrupt string data.
+    */
+  private[graft] def mapOutsideLiterals(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val cur = new StringBuilder
+    var i = 0; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inStr && c == '\'') {
+        out.append(f(cur.toString)); cur.clear(); inStr = true; out.append(c)
+      } else if (inStr && c == '\'') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+          out.append("''"); i += 1
+        } else { inStr = false; out.append(c) }
+      } else if (inStr) out.append(c)
+      else cur.append(c)
+      i += 1
+    }
+    out.append(f(cur.toString))
+    out.toString
+  }
 
   // ---- PG/reference SQL forms Spark's parser lacks, rewritten
   // textually into Spark-executable SQL. Envelope documented per form;

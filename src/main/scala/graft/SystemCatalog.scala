@@ -25,7 +25,14 @@ object SystemCatalog {
     * kind: r = table, m = materialized view, v = view, i = index,
     * f = source (surfaced as a foreign table).
     */
-  final case class Obj(name: String, kind: String, schema: Option[StructType])
+  /** `name` is the engine-internal flat name (`s__t` for schema `s`);
+    * `ns`/`rel` carry the user-facing namespace and bare relation name
+    * (rel empty → same as name, the public-schema common case).
+    */
+  final case class Obj(name: String, kind: String, schema: Option[StructType],
+      ns: String = "public", rel: String = "") {
+    def bare: String = if (rel.isEmpty) name else rel
+  }
 
   /** One callable as pg_proc sees it. kind: f = function, a = aggregate,
     * w = window; system shims live in pg_catalog (hidden from psql's
@@ -194,6 +201,7 @@ object SystemCatalog {
   private val NsPgCatalog = 11L
   private val NsPublic = 2200L
   private val NsInfoSchema = 13000L
+  private val FirstUserNsOid = 16000L
   private val FirstUserOid = 16384L
   private val Owner = 10L // the bootstrap role ("graft")
 
@@ -204,7 +212,8 @@ object SystemCatalog {
   def bind(spark: SparkSession, objs0: Seq[Obj],
       comments: Map[String, String] = Map.empty,
       funcs: Seq[Func] = Seq.empty,
-      settings: Seq[(String, String, String, String)] = Seq.empty): Unit = {
+      settings: Seq[(String, String, String, String)] = Seq.empty,
+      userSchemas: Seq[String] = Seq.empty): Unit = {
     val s = spark
     import s.implicits._
 
@@ -212,14 +221,21 @@ object SystemCatalog {
     val objs = objs0.sortBy(_.name)
     val oidByName = objs.zipWithIndex
       .map { case (o, i) => o.name -> (FirstUserOid + i) }.toMap
+    // user schemas get oids after the base namespaces, name-sorted
+    val nsOid: Map[String, Long] =
+      Map("pg_catalog" -> NsPgCatalog, "public" -> NsPublic,
+        "information_schema" -> NsInfoSchema) ++
+        userSchemas.sorted.zipWithIndex
+          .map { case (n, i) => n -> (FirstUserNsOid + i) }
 
-    Seq((NsPgCatalog, "pg_catalog", Owner), (NsPublic, "public", Owner),
-      (NsInfoSchema, "information_schema", Owner))
+    (Seq((NsPgCatalog, "pg_catalog", Owner), (NsPublic, "public", Owner),
+      (NsInfoSchema, "information_schema", Owner)) ++
+      userSchemas.sorted.map(n => (nsOid(n), n, Owner)))
       .toDF("oid", "nspname", "nspowner")
       .createOrReplaceTempView("pg_namespace")
 
     objs.map { o =>
-      (oidByName(o.name), o.name, NsPublic, o.kind, Owner,
+      (oidByName(o.name), o.bare, nsOid.getOrElse(o.ns, NsPublic), o.kind, Owner,
         2L /*relam: heap*/, 0 /*relpages*/, 0.0f /*reltuples*/,
         false /*relhasindex*/, "p" /*relpersistence*/, 0 /*relchecks*/,
         false /*relhasrules*/, false /*relhastriggers*/,
@@ -301,16 +317,16 @@ object SystemCatalog {
       .createOrReplaceTempView("pg_database")
 
     def ofKind(k: String) = objs.filter(_.kind == k)
-    ofKind("r").map(o => ("public", o.name, "graft",
+    ofKind("r").map(o => (o.ns, o.bare, "graft",
         Option.empty[String], false, false, false))
       .toDF("schemaname", "tablename", "tableowner", "tablespace",
         "hasindexes", "hasrules", "hastriggers")
       .createOrReplaceTempView("pg_tables")
-    ofKind("m").map(o => ("public", o.name, "graft", true, ""))
+    ofKind("m").map(o => (o.ns, o.bare, "graft", true, ""))
       .toDF("schemaname", "matviewname", "matviewowner", "ispopulated",
         "definition")
       .createOrReplaceTempView("pg_matviews")
-    ofKind("v").map(o => ("public", o.name, "graft", ""))
+    ofKind("v").map(o => (o.ns, o.bare, "graft", ""))
       .toDF("schemaname", "viewname", "viewowner", "definition")
       .createOrReplaceTempView("pg_views")
 
@@ -331,14 +347,14 @@ object SystemCatalog {
         case "f" => "FOREIGN"
         case _ => "MATERIALIZED VIEW" // info-schema extension, like the reference
       }
-      ("dev", "public", o.name, tt)
+      ("dev", o.ns, o.bare, tt)
     }
     isTables.toDF("table_catalog", "table_schema", "table_name", "table_type")
       .createOrReplaceTempView("information_schema_tables")
 
     objs.flatMap { o =>
       o.schema.toSeq.flatMap(_.fields.zipWithIndex.map { case (f, i) =>
-        ("dev", "public", o.name, f.name, i + 1, Option.empty[String],
+        ("dev", o.ns, o.bare, f.name, i + 1, Option.empty[String],
           if (f.nullable) "YES" else "NO", dataTypeName(f.dataType),
           typNameOf.getOrElse(oidOf(f.dataType).toLong, "text"))
       })
@@ -347,8 +363,9 @@ object SystemCatalog {
         "udt_name")
       .createOrReplaceTempView("information_schema_columns")
 
-    Seq(("public", Owner), ("pg_catalog", Owner),
-        ("information_schema", Owner))
+    (Seq(("public", Owner), ("pg_catalog", Owner),
+        ("information_schema", Owner)) ++
+      userSchemas.sorted.map(n => (n, Owner)))
       .toDF("schema_name", "schema_owner")
       .createOrReplaceTempView("information_schema_schemata")
 
@@ -394,7 +411,8 @@ object SystemCatalog {
       deps: Seq[(String, String)],
       jobs: Map[String, String],
       sinks: Seq[String],
-      fns: Seq[(String, String, String, String)]): Unit = {
+      fns: Seq[(String, String, String, String)],
+      userSchemas: Seq[String] = Seq.empty): Unit = {
     val s = spark
     import s.implicits._
     val none: Option[java.sql.Timestamp] = None
@@ -404,19 +422,24 @@ object SystemCatalog {
     val owner = Owner.toInt
     val acl = Seq.empty[String]
     def dOf(n: String) = defs.getOrElse(n, "")
+    val nsIdOf: Map[String, Int] =
+      Map("public" -> NsPublic.toInt) ++ userSchemas.sorted.zipWithIndex
+        .map { case (n, i) => n -> (FirstUserNsOid + i).toInt }
+    def nsOf(o: Obj): Int = nsIdOf.getOrElse(o.ns, NsPublic.toInt)
 
     Seq((0, "dev", owner, acl))
       .toDF("id", "name", "owner", "acl")
       .createOrReplaceTempView("rw_databases")
-    Seq((NsPgCatalog.toInt, "pg_catalog", 0, owner, acl),
+    (Seq((NsPgCatalog.toInt, "pg_catalog", 0, owner, acl),
         (NsPublic.toInt, "public", 0, owner, acl),
         (NsInfoSchema.toInt, "information_schema", 0, owner, acl),
-        (13100, "rw_catalog", 0, owner, acl))
+        (13100, "rw_catalog", 0, owner, acl)) ++
+      userSchemas.sorted.map(n => (nsIdOf(n), n, 0, owner, acl)))
       .toDF("id", "name", "database_id", "owner", "acl")
       .createOrReplaceTempView("rw_schemas")
 
     def baseRows(kind: String) = objs.filter(_.kind == kind).map { o =>
-      (oidByName(o.name), o.name, NsPublic.toInt, owner, dOf(o.name))
+      (oidByName(o.name), o.bare, nsOf(o), owner, dOf(o.name))
     }
     baseRows("r").map { case (id, n, sc, ow, df) =>
       (id, n, sc, ow, df, false, acl, none, none,
@@ -453,8 +476,8 @@ object SystemCatalog {
 
     val relType = Map("r" -> "table", "m" -> "materialized view",
       "v" -> "view", "f" -> "source", "i" -> "index")
-    (objs.map(o => (oidByName(o.name), o.name,
-        relType.getOrElse(o.kind, "table"), NsPublic.toInt, owner,
+    (objs.map(o => (oidByName(o.name), o.bare,
+        relType.getOrElse(o.kind, "table"), nsOf(o), owner,
         dOf(o.name), acl)) ++
       sinks.sorted.map(n => (oidByName(n), n, "sink", NsPublic.toInt,
         owner, dOf(n), acl)))
