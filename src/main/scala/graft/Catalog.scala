@@ -167,4 +167,16 @@ object DurableCatalog {
     * flat name `s__<object>`; `public` objects keep their bare name.
     */
   final case class SchemaEntry(owner: String)
+
+  /** CREATE USER (reference: handler/create_user.rs + user catalog). */
+  final case class UserEntry(superuser: Boolean, createdb: Boolean,
+      login: Boolean, password: Option[String])
+
+  /** Object creator (reference keeps owner ids in each catalog entry). */
+  final case class OwnerEntry(user: String)
+
+  /** GRANT/REVOKE state for one object key: user → privilege list
+    * (reference: handler/handle_privilege.rs).
+    */
+  final case class AclEntry(grants: Map[String, Seq[String]])
 }

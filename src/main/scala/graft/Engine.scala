@@ -191,7 +191,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         (n, "a", e.lang, "")
       }
     SystemCatalog.bindRw(spark, objs, pks, defs, deps, jobStatus,
-      sinkNames.toSeq, fns, schemaNames.toSeq)
+      sinkNames.toSeq, fns, schemaNames.toSeq,
+      users.toSeq.map { case (n, e) => (n, e.superuser, e.createdb, e.login) })
   }
 
   /** The engine's registered callables for pg_proc (psql `\df`, ORM
@@ -2033,8 +2034,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * a narrow INSERT; all values cast to the stored schema. Returns
     * the loaded row count.
     */
-  def copyInto(name: String, rows: DataFrame): Long = {
+  def copyInto(name0: String, rows: DataFrame): Long = {
     import org.apache.spark.sql.functions.col
+    val name = resolveSchemas(name0) // COPY s.t arrives unresolved
+    require(objAllowed(sessionUser, name, "INSERT"),
+      s"permission denied for ${displayName(name)} (as $sessionUser)")
     val mv = mvs.get(name).getOrElse(throw new IllegalArgumentException(
       s"COPY: no such table $name"))
     val target = {
@@ -2737,6 +2741,286 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     statusDf("DROP SCHEMA", name)
   }
 
+  // ------------------------------------------------- users / privileges
+  //
+  // Reference: handler/create_user.rs, alter_user.rs, drop_user.rs,
+  // handle_privilege.rs + user::UserAuthentication. Users and ACLs are
+  // durable catalog entries mirrored in memory; every statement passes
+  // [[checkPrivileges]] at the single entry. The bootstrap user `graft`
+  // is a superuser (the reference's `root`); object creators own their
+  // objects, owners and superusers bypass ACLs.
+
+  private val users =
+    scala.collection.mutable.Map[String, DurableCatalog.UserEntry]()
+  private val objectOwners = scala.collection.mutable.Map[String, String]()
+  // object key → user → privileges ("SELECT"/"INSERT"/"UPDATE"/
+  // "DELETE"/"CREATE"/"ALL"); schema keys are "s-<schema>", the
+  // database key "db-dev"
+  private val acls =
+    scala.collection.mutable.Map[String, Map[String, Seq[String]]]()
+
+  /** Bootstrap superusers: `graft` plus the reference's defaults
+    * (common/src/catalog/mod.rs DEFAULT_SUPER_USER "root" /
+    * DEFAULT_SUPER_USER_FOR_PG "postgres") so stock clients connect.
+    */
+  private val BootstrapSuperusers = Set("graft", "root", "postgres")
+
+  private[graft] def userExists(u: String): Boolean =
+    BootstrapSuperusers.contains(u) || users.contains(u)
+
+  private def isSuperuser(u: String): Boolean =
+    BootstrapSuperusers.contains(u) || users.get(u).exists(_.superuser)
+
+  private def ownerOf(obj: String): String =
+    objectOwners.getOrElse(obj, "graft")
+
+  private def aclAllows(u: String, key: String, priv: String): Boolean =
+    acls.get(key).exists(_.get(u).exists(ps =>
+      ps.contains(priv) || ps.contains("ALL")))
+
+  /** May `u` exercise `priv` on object `obj` (internal name)? */
+  private def objAllowed(u: String, obj: String, priv: String): Boolean =
+    isSuperuser(u) || ownerOf(obj) == u || aclAllows(u, obj, priv)
+
+  private val CreateUserStmt =
+    """(?is)^\s*CREATE\s+USER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)((?:\s+WITH)?(?:\s+(?:\w+|PASSWORD\s+(?:'[^']*'|NULL)))*)\s*;?\s*$""".r
+  private val AlterUserStmt =
+    """(?is)^\s*ALTER\s+USER\s+(\w+)\s+(?:RENAME\s+TO\s+(\w+)|((?:\s*WITH)?(?:\s*(?:\w+|PASSWORD\s+(?:'[^']*'|NULL)))*))\s*;?\s*$""".r
+  private val DropUserStmt =
+    """(?is)^\s*DROP\s+USER\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*$""".r
+  private val GrantStmt =
+    """(?is)^\s*GRANT\s+(.+?)\s+ON\s+(.+?)\s+TO\s+(\w+)(\s+WITH\s+GRANT\s+OPTION)?\s*;?\s*$""".r
+  private val RevokeStmt =
+    """(?is)^\s*REVOKE\s+(?:GRANT\s+OPTION\s+FOR\s+)?(.+?)\s+ON\s+(.+?)\s+FROM\s+(\w+)\s*;?\s*$""".r
+  private val SetRoleStmt =
+    """(?is)^\s*SET\s+(?:ROLE\s+|SESSION\s+AUTHORIZATION\s+)(\w+)\s*;?\s*$""".r
+  private val ResetRoleStmt =
+    """(?is)^\s*RESET\s+(?:ROLE|SESSION\s+AUTHORIZATION)\s*;?\s*$""".r
+
+  private def parseUserOptions(optText: String,
+      base: DurableCatalog.UserEntry): DurableCatalog.UserEntry = {
+    var e = base
+    val PasswordRe = """(?is)PASSWORD\s+('[^']*'|NULL)""".r
+    PasswordRe.findFirstMatchIn(optText).foreach { m =>
+      e = e.copy(password =
+        if (m.group(1).equalsIgnoreCase("NULL")) None
+        else Some(m.group(1).stripPrefix("'").stripSuffix("'")))
+    }
+    PasswordRe.replaceAllIn(optText, " ").split("\\s+")
+      .map(_.trim.toUpperCase).filter(_.nonEmpty).foreach {
+        case "SUPERUSER" => e = e.copy(superuser = true)
+        case "NOSUPERUSER" => e = e.copy(superuser = false)
+        case "CREATEDB" => e = e.copy(createdb = true)
+        case "NOCREATEDB" => e = e.copy(createdb = false)
+        case "LOGIN" => e = e.copy(login = true)
+        case "NOLOGIN" => e = e.copy(login = false)
+        case "WITH" | "CREATEUSER" | "NOCREATEUSER" => ()
+        case other =>
+          throw new IllegalArgumentException(s"unknown user option $other")
+      }
+    e
+  }
+
+  private def handleUserStatement(stmt: String): Option[DataFrame] =
+    stmt match {
+      case CreateUserStmt(name, opts) =>
+        require(isSuperuser(sessionUser) ||
+          users.get(sessionUser).exists(_.createdb),
+          s"permission denied to create user (as $sessionUser)")
+        if (userExists(name)) {
+          if (stmt.toUpperCase.contains("IF NOT EXISTS"))
+            return Some(statusDf("CREATE USER", name))
+          throw new IllegalArgumentException(s"user \"$name\" already exists")
+        }
+        val e = parseUserOptions(opts,
+          DurableCatalog.UserEntry(superuser = false, createdb = false,
+            login = true, password = None))
+        users(name) = e
+        catalog.save("users", name, e)
+        Some(statusDf("CREATE USER", name))
+      case AlterUserStmt(name, renameTo, opts) =>
+        require(isSuperuser(sessionUser) || sessionUser == name,
+          s"permission denied to alter user (as $sessionUser)")
+        val cur = users.getOrElse(name,
+          throw new IllegalArgumentException(s"user \"$name\" does not exist"))
+        if (renameTo != null) {
+          users.remove(name); users(renameTo) = cur
+          catalog.delete("users", name)
+          catalog.save("users", renameTo, cur)
+          objectOwners.filter(_._2 == name).foreach { case (k, _) =>
+            objectOwners(k) = renameTo
+            catalog.save("owners", k, DurableCatalog.OwnerEntry(renameTo))
+          }
+        } else {
+          val e = parseUserOptions(Option(opts).getOrElse(""), cur)
+          users(name) = e
+          catalog.save("users", name, e)
+        }
+        Some(statusDf("ALTER USER", name))
+      case DropUserStmt(ifEx, name) =>
+        require(isSuperuser(sessionUser),
+          s"permission denied to drop user (as $sessionUser)")
+        if (!users.contains(name)) {
+          if (ifEx != null) return Some(statusDf("DROP USER", name))
+          throw new IllegalArgumentException(s"user \"$name\" does not exist")
+        }
+        val owned = objectOwners.filter(_._2 == name).keys.toSeq.sorted
+        require(owned.isEmpty,
+          s"user $name owns objects (${owned.map(displayName).mkString(", ")})" +
+            " — drop or reassign them first")
+        users.remove(name)
+        catalog.delete("users", name)
+        acls.keys.toSeq.foreach { k =>
+          if (acls(k).contains(name)) {
+            acls(k) = acls(k) - name
+            catalog.save("acls", k, DurableCatalog.AclEntry(acls(k)))
+          }
+        }
+        Some(statusDf("DROP USER", name))
+      case SetRoleStmt(name) =>
+        require(userExists(name), s"role \"$name\" does not exist")
+        sessionUser = name
+        Some(statusDf("SET", "role"))
+      case ResetRoleStmt() =>
+        sessionUser = "graft"
+        Some(statusDf("RESET", "role"))
+      case GrantStmt(privText, target, user, _) =>
+        Some(applyGrant(privText, target, user, revoke = false))
+      case RevokeStmt(privText, target, user) =>
+        Some(applyGrant(privText, target, user, revoke = true))
+      case _ => None
+    }
+
+  private def applyGrant(privText: String, target0: String, user: String,
+      revoke: Boolean): DataFrame = {
+    require(userExists(user), s"user \"$user\" does not exist")
+    val privs = privText.split(",").toSeq
+      .map(_.trim.toUpperCase.replaceAll("\\s+", " "))
+      .map { case "ALL PRIVILEGES" => "ALL"; case p => p }
+    val ok = Set("SELECT", "INSERT", "UPDATE", "DELETE", "CREATE",
+      "USAGE", "CONNECT", "ALL")
+    privs.foreach(p => require(ok.contains(p), s"unknown privilege $p"))
+    val target = target0.trim.replaceAll("\\s+", " ")
+    val AllInSchema = "(?is)ALL\\s+TABLES\\s+IN\\s+SCHEMA\\s+(\\w+)".r
+    val SchemaT = "(?is)SCHEMA\\s+(\\w+)".r
+    val DatabaseT = "(?is)DATABASE\\s+(\\w+)".r
+    val RelT = "(?is)(?:TABLE\\s+|MATERIALIZED\\s+VIEW\\s+|SOURCE\\s+)?([\\w,\\s]+)".r
+    val keys: Seq[String] = target match {
+      case AllInSchema(s) =>
+        require(schemaExists(s), s"schema \"$s\" does not exist")
+        val pre = if (s.equalsIgnoreCase("public")) "" else s + "__"
+        allObjectNames.filter { n =>
+          if (pre.isEmpty) splitNs(n)._1 == "public" else n.startsWith(pre)
+        }.toSeq.sorted
+      case SchemaT(s) =>
+        require(schemaExists(s), s"schema \"$s\" does not exist")
+        Seq("s-" + s)
+      case DatabaseT(d) => Seq("db-" + d)
+      case RelT(list) =>
+        list.split(",").toSeq.map(_.trim).map { n =>
+          require(allObjectNames.contains(n),
+            s"relation \"$n\" does not exist")
+          n
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported GRANT target $other")
+    }
+    // only the owner (or a superuser) can grant on an object
+    keys.foreach { k =>
+      val owner =
+        if (k.startsWith("s-"))
+          catalog.load[DurableCatalog.SchemaEntry]("schemas",
+            k.stripPrefix("s-")).map(_.owner).getOrElse("graft")
+        else if (k.startsWith("db-")) "graft"
+        else ownerOf(k)
+      require(isSuperuser(sessionUser) || owner == sessionUser,
+        s"permission denied for ${k.stripPrefix("s-")} (as $sessionUser)")
+    }
+    keys.foreach { k =>
+      val cur = acls.getOrElse(k, Map.empty)
+      val had = cur.getOrElse(user, Seq.empty)
+      val next =
+        if (revoke)
+          if (privs.contains("ALL")) Seq.empty
+          else had.filterNot(privs.contains)
+        else (had ++ privs).distinct
+      val updated = if (next.isEmpty) cur - user else cur + (user -> next)
+      if (updated.isEmpty) { acls.remove(k); catalog.delete("acls", k) }
+      else { acls(k) = updated
+        catalog.save("acls", k, DurableCatalog.AclEntry(updated)) }
+    }
+    statusDf(if (revoke) "REVOKE" else "GRANT", user)
+  }
+
+  /** Enforce privileges for `stmt` (post-resolution, internal names) as
+    * `sessionUser`. Superusers and owners bypass; everyone may read the
+    * system catalogs.
+    */
+  private def checkPrivileges(stmt: String): Unit = {
+    val u = sessionUser
+    if (isSuperuser(u)) return
+    val known = allObjectNames
+    def referenced: Seq[String] = known.toSeq.filter(n =>
+      java.util.regex.Pattern.compile("(?i)(?<![\\w.])" +
+        java.util.regex.Pattern.quote(n) + "\\b").matcher(stmt).find())
+    val CreateRe = ("(?is)^\\s*CREATE\\s+(?:TABLE|MATERIALIZED\\s+VIEW|VIEW|" +
+      "SOURCE|SINK|INDEX|SUBSCRIPTION)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+).*").r
+    val DropRe = ("(?is)^\\s*DROP\\s+(?:TABLE|MATERIALIZED\\s+VIEW|VIEW|" +
+      "SOURCE|SINK|INDEX|SUBSCRIPTION)\\s+(?:IF\\s+EXISTS\\s+)?(\\w+).*").r
+    val DmlRe =
+      """(?is)^\s*(INSERT\s+INTO|UPDATE|DELETE\s+FROM|COPY)\s+(\w+).*""".r
+    stmt match {
+      case CreateRe(name) =>
+        val ns = splitNs(name)._1
+        val schemaOwner =
+          if (ns == "public") "graft"
+          else catalog.load[DurableCatalog.SchemaEntry]("schemas", ns)
+            .map(_.owner).getOrElse("graft")
+        require(schemaOwner == u || aclAllows(u, "s-" + ns, "CREATE") ||
+          aclAllows(u, "db-dev", "CREATE"),
+          s"permission denied for schema $ns (as $u)")
+        // CREATE … AS SELECT also reads
+        referenced.filterNot(_ == name).foreach { n =>
+          require(objAllowed(u, n, "SELECT"),
+            s"permission denied for ${displayName(n)} (as $u)")
+        }
+      case DropRe(name) =>
+        require(ownerOf(name) == u,
+          s"must be owner of ${displayName(name)} (as $u)")
+      case DmlRe(verb, name) =>
+        val priv = verb.trim.split("\\s+")(0).toUpperCase match {
+          case "COPY" => "INSERT"
+          case v => v
+        }
+        require(objAllowed(u, name, priv),
+          s"permission denied for ${displayName(name)} (as $u)")
+        referenced.filterNot(_ == name).foreach { n =>
+          require(objAllowed(u, n, "SELECT"),
+            s"permission denied for ${displayName(n)} (as $u)")
+        }
+      case _ =>
+        referenced.foreach { n =>
+          require(objAllowed(u, n, "SELECT"),
+            s"permission denied for ${displayName(n)} (as $u)")
+        }
+    }
+  }
+
+  /** Record ownership after a successful CREATE (single post-hook; the
+    * reference records owner ids in every catalog entry).
+    */
+  private def recordOwner(stmt: String): Unit = {
+    if (sessionUser == "graft") return // bootstrap owner is the default
+    val CreateRe = ("(?is)^\\s*CREATE\\s+(?:TABLE|MATERIALIZED\\s+VIEW|VIEW|" +
+      "SOURCE|SINK|INDEX|SUBSCRIPTION)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+).*").r
+    stmt match {
+      case CreateRe(name) =>
+        objectOwners(name) = sessionUser
+        catalog.save("owners", name, DurableCatalog.OwnerEntry(sessionUser))
+      case _ => ()
+    }
+  }
+
   /** Rewrite schema-qualified (`s.t` → `s__t`, `public.t` → `t`) and
     * search_path-resolved unqualified names to the internal flat form,
     * outside string literals. Creation statements without a schema land
@@ -2826,20 +3110,31 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           else m.matched
         })
       else statement1a
+    // PG's bare `current_user` / `session_user` keywords (ORM probes,
+    // psql \conninfo flows) splice the live session user as a literal
+    val statement1u =
+      if ("(?i)\\b(current_user|session_user)\\b".r
+          .findFirstIn(statement1).isDefined)
+        Engine.mapOutsideLiterals(statement1)(_.replaceAll(
+          "(?i)\\b(?:current_user|session_user)\\b(?!\\s*\\()",
+          "'" + sessionUser + "'"))
+      else statement1
     // introspection (psql \dt, pgjdbc getTables, ORMs): (re)bind the
     // pg_catalog/information_schema relations from the live catalog and
     // translate the Postgres dialect bits those clients emit
     val statement2 =
-      if (SystemCatalog.referenced(statement1)) {
+      if (SystemCatalog.referenced(statement1u)) {
         SystemCatalog.bind(spark, systemObjects,
           catalog.list[DurableCatalog.CommentEntry]("comments")
             .map { case (k, e) => k.replace('-', '.') -> e.text }.toMap,
           systemFunctions,
           varDefaults.toSeq.map { case (n, (boot, desc)) =>
             (n, varValue(n), boot, desc) },
-          schemaNames.toSeq)
+          schemaNames.toSeq,
+          users.toSeq.map { case (n, e) =>
+            (n, e.superuser, e.createdb, e.login) })
         rwBind()
-        val rw = SystemCatalog.rewrite(statement1)
+        val rw = SystemCatalog.rewrite(statement1u)
         // probes against catalog concepts this engine does not model
         // (policies, publications, …) answer empty, so psql's \d flow
         // and ORM introspection complete instead of erroring midway
@@ -2847,7 +3142,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           return try spark.sql(rw)
             catch { case scala.util.control.NonFatal(_) => spark.emptyDataFrame }
         rw
-      } else statement1
+      } else statement1u
     // CREATE/DROP SCHEMA act on the namespace itself (their identifiers
     // must not resolve); everything else resolves schema-qualified and
     // search_path names to internal flat names at this single entry
@@ -2859,6 +3154,15 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case _ =>
     }
     val statement = resolveSchemas(statement2)
+    handleUserStatement(statement) match {
+      case Some(df) => return df
+      case None =>
+    }
+    checkPrivileges(statement)
+    // owner records before dispatch: a failed CREATE leaves a stale
+    // entry keyed by a non-existent object (harmless, next CREATE of
+    // that name overwrites)
+    recordOwner(statement)
     bindMvTables(statement)
     statement match {
       case Discard(_) => return statusDf("DISCARD", "")
@@ -3392,6 +3696,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     // schemas first — name resolution for every later object depends
     // on knowing the namespace set
     schemaNames ++= catalog.list[SchemaEntry]("schemas").map(_._1)
+    users ++= catalog.list[UserEntry]("users")
+    objectOwners ++= catalog.list[OwnerEntry]("owners")
+      .map { case (k, e) => k -> e.user }
+    acls ++= catalog.list[AclEntry]("acls")
+      .map { case (k, e) => k -> e.grants }
 
     catalog.list[TableEntry]("tables").foreach { case (name, e) =>
       mvs.define(name, e.pk, e.nBuckets.getOrElse(32))

@@ -40,6 +40,23 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
   private val server = new ServerSocket(requestedPort)
   @volatile private var running = false
 
+  /** Per-connection session user (each connection runs on its own
+    * thread): startup's `user` parameter seeds it; SET ROLE inside the
+    * engine writes back through [[runEngine]] so the identity persists
+    * across the connection's statements.
+    */
+  private val connUser: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "graft")
+
+  /** All engine execution goes through here: one engine, many
+    * connections — planning serializes on the engine monitor, and the
+    * connection's user is installed for privilege checks.
+    */
+  private def runEngine(sql: String): DataFrame = engine.synchronized {
+    engine.sessionUser = connUser.get
+    try engine.execute(sql) finally connUser.set(engine.sessionUser)
+  }
+
   /** The bound port (useful with requestedPort = 0). */
   def port: Int = server.getLocalPort
 
@@ -286,7 +303,7 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
           val (it, schema, prior) = suspended.get(portal) match {
             case Some(t) => t
             case None =>
-              val df = engine.synchronized(engine.execute(sql))
+              val df = runEngine(sql)
               if (!described.contains(portal))
                 rowDescription(out, df.schema, resFmts)
               (df.toLocalIterator(), df.schema, 0L)
@@ -409,7 +426,7 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
                 if (!isPureQuery(sql) || unbound) writeMsg(out, 'n') { _ => }
                 else // schema from the analyzed plan only - no job runs
                   try {
-                    val schema = engine.synchronized(engine.execute(sql).schema)
+                    val schema = runEngine(sql).schema
                     rowDescription(out, schema, resFmts)
                     if (kind == 'P') described += name
                   } catch {
@@ -517,9 +534,23 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
           out.writeByte('N'); out.flush()
         case 196608 => // protocol 3.0: key\0value\0 … \0
           // body is NUL-separated key/value pairs (user, database, …) —
-          // read and discard: trust auth accepts any identity
+          // trust auth accepts any identity; the user name becomes the
+          // connection's session user (privilege checks key off it)
           val body = new Array[Byte](len - 8)
           in.readFully(body)
+          // -1: keep empty values so key/value pairing stays aligned
+          new String(body, "UTF-8").split("\u0000", -1).grouped(2).foreach {
+            case Array("user", u) if u.nonEmpty => connUser.set(u)
+            case _ =>
+          }
+          // PG semantics: an unknown role cannot connect (28000) --
+          // trust auth skips only the password, never the identity
+          if (!engine.userExists(connUser.get)) {
+            errorResponse(out, "28000",
+              s"role \"${connUser.get}\" does not exist")
+            out.flush()
+            return false
+          }
           negotiating = false
         case 80877102 => // CancelRequest: no query registry — ignore
           return false
@@ -608,7 +639,7 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     try {
       // one engine, many connections: serialize statement planning; row
       // delivery streams outside the lock (Spark jobs are thread-safe)
-      val df: DataFrame = engine.synchronized(engine.execute(sql))
+      val df: DataFrame = runEngine(sql)
       val schema = df.schema
       rowDescription(out, schema)
       val it = df.toLocalIterator()
@@ -708,7 +739,10 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
                else reader.option("delimiter", "\t")
                  .option("nullValue", "\\N").option("quote", "\u0000"))
                 .csv(spark.createDataset(lines))
-            val n = engine.synchronized(engine.copyInto(table, parsed))
+            val n = engine.synchronized {
+              engine.sessionUser = connUser.get
+              engine.copyInto(table, parsed)
+            }
             writeMsg(out, 'C')(cstr(_, s"COPY $n"))
           } catch {
             case e: Throwable => errorResponse(out, "XX000",
@@ -726,7 +760,7 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
   private def copyOut(out: DataOutputStream, query: String,
       opts: Option[String]): Unit =
     try {
-      val df: DataFrame = engine.synchronized(engine.execute(query))
+      val df: DataFrame = runEngine(query)
       val schema = df.schema
       val csv = opts.exists(_.toLowerCase.contains("csv"))
       writeMsg(out, 'H') { b => // CopyOutResponse, all-text columns

@@ -44,7 +44,7 @@ object SystemCatalog {
   private val SysNames = Seq("pg_class", "pg_namespace", "pg_attribute",
     "pg_type", "pg_description", "pg_database", "pg_tables", "pg_views",
     "pg_matviews", "pg_am", "pg_attrdef", "pg_collation", "pg_index",
-    "pg_inherits", "pg_roles", "pg_proc", "pg_settings")
+    "pg_inherits", "pg_roles", "pg_user", "pg_proc", "pg_settings")
   private val Trigger =
     ("(?i)\\b(pg_catalog|information_schema|rw_catalog|rw_\\w+|" +
       SysNames.mkString("|") + ")\\b").r
@@ -202,6 +202,7 @@ object SystemCatalog {
   private val NsPublic = 2200L
   private val NsInfoSchema = 13000L
   private val FirstUserNsOid = 16000L
+  private val FirstUserRoleOid = 16100L
   private val FirstUserOid = 16384L
   private val Owner = 10L // the bootstrap role ("graft")
 
@@ -213,7 +214,8 @@ object SystemCatalog {
       comments: Map[String, String] = Map.empty,
       funcs: Seq[Func] = Seq.empty,
       settings: Seq[(String, String, String, String)] = Seq.empty,
-      userSchemas: Seq[String] = Seq.empty): Unit = {
+      userSchemas: Seq[String] = Seq.empty,
+      userRows: Seq[(String, Boolean, Boolean, Boolean)] = Seq.empty): Unit = {
     val s = spark
     import s.implicits._
 
@@ -307,9 +309,20 @@ object SystemCatalog {
 
     Seq((2L, "heap")).toDF("oid", "amname")
       .createOrReplaceTempView("pg_am")
-    Seq((Owner, "graft", true, true))
-      .toDF("oid", "rolname", "rolsuper", "rolcanlogin")
+    // (name, super, createdb, login); graft is the bootstrap superuser
+    val allUsers = (("graft", true, true, true) +:
+      userRows.filterNot(_._1 == "graft")).sortBy(_._1)
+    allUsers.zipWithIndex.map { case ((n, sup, cdb, login), i) =>
+      (if (n == "graft") Owner else FirstUserRoleOid + i, n, sup, true,
+        false, cdb, login, false, -1, Option.empty[String], false)
+    }.toDF("oid", "rolname", "rolsuper", "rolinherit", "rolcreaterole",
+        "rolcreatedb", "rolcanlogin", "rolreplication", "rolconnlimit",
+        "rolvaliduntil", "rolbypassrls")
       .createOrReplaceTempView("pg_roles")
+    allUsers.zipWithIndex.map { case ((n, sup, cdb, _), i) =>
+      (n, if (n == "graft") Owner else FirstUserRoleOid + i, cdb, sup)
+    }.toDF("usename", "usesysid", "usecreatedb", "usesuper")
+      .createOrReplaceTempView("pg_user")
     Seq((1L, "dev", Owner, 6 /*UTF8*/, "C", "C", false, true,
         Option.empty[Seq[String]]))
       .toDF("oid", "datname", "datdba", "encoding", "datcollate",
@@ -412,7 +425,8 @@ object SystemCatalog {
       jobs: Map[String, String],
       sinks: Seq[String],
       fns: Seq[(String, String, String, String)],
-      userSchemas: Seq[String] = Seq.empty): Unit = {
+      userSchemas: Seq[String] = Seq.empty,
+      userRows: Seq[(String, Boolean, Boolean, Boolean)] = Seq.empty): Unit = {
     val s = spark
     import s.implicits._
     val none: Option[java.sql.Timestamp] = None
@@ -512,6 +526,14 @@ object SystemCatalog {
     }.toDF("id", "name", "schema_id", "owner", "kind", "language",
         "link", "acl")
       .createOrReplaceTempView("rw_functions")
+
+    (("graft", true, true, true) +: userRows.filterNot(_._1 == "graft"))
+      .sortBy(_._1).zipWithIndex.map { case ((n, sup, cdb, login), i) =>
+        (if (n == "graft") owner else (FirstUserRoleOid + i).toInt,
+          n, sup, cdb, sup /*create_user*/, login)
+      }.toDF("id", "name", "is_super", "create_db", "create_user",
+        "can_login")
+      .createOrReplaceTempView("rw_users")
   }
 
   private val FirstFuncOid = 30000L

@@ -13,7 +13,7 @@ class PgWireSpec extends SparkSpecBase {
 
   private case class Msg(tpe: Char, body: Array[Byte])
 
-  private final class Client(port: Int) {
+  private final class Client(port: Int, user: String = "graft") {
     private val sock = new Socket("127.0.0.1", port)
     private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
@@ -21,7 +21,7 @@ class PgWireSpec extends SparkSpecBase {
     def startup(): Seq[Msg] = {
       out.writeInt(8); out.writeInt(80877103); out.flush() // SSLRequest
       assert(in.readByte() == 'N', "expected cleartext refusal")
-      val params = ("user\u0000graft\u0000database\u0000dev\u0000\u0000").getBytes(UTF_8)
+      val params = (s"user\u0000${user}\u0000database\u0000dev\u0000\u0000").getBytes(UTF_8)
       out.writeInt(8 + params.length); out.writeInt(196608)
       out.write(params); out.flush()
       drainUntilReady()
@@ -826,6 +826,48 @@ class PgWireSpec extends SparkSpecBase {
       assert(bad.exists(_.tpe == 'E'))
       assert(c.query("SELECT 1 AS one").exists(_.tpe == 'D'))
       c.close()
+    } finally srv.stop()
+  }
+
+  test("pgwire: startup user drives privilege checks; SET ROLE persists") {
+    val e = new Engine(spark, tmpDir("pgwire-priv"))
+    val srv = new PgWireServer(e)
+    srv.start()
+    try {
+      // superuser connection seeds the world
+      val admin = new Client(srv.port)
+      admin.startup()
+      admin.query("CREATE TABLE secrets (k BIGINT PRIMARY KEY, v STRING)")
+      admin.query("INSERT INTO secrets VALUES (1, 'x')")
+      admin.query("CREATE USER mallory")
+      admin.query("CREATE USER intern")
+      admin.query("GRANT SELECT ON secrets TO intern")
+
+      // the startup message's user IS the session identity
+      val mallory = new Client(srv.port, user = "mallory")
+      mallory.startup()
+      val denied = mallory.query("SELECT * FROM secrets")
+      assert(denied.exists(_.tpe == 'E'), "expected permission denied")
+      val asWho = mallory.query("SELECT current_user AS me")
+      assert(new String(asWho.find(_.tpe == 'D').get.body, UTF_8)
+        .contains("mallory"))
+
+      val intern = new Client(srv.port, user = "intern")
+      intern.startup()
+      assert(intern.query("SELECT v FROM secrets").exists(_.tpe == 'D'))
+      assert(intern.query("INSERT INTO secrets VALUES (2, 'y')")
+        .exists(_.tpe == 'E'), "INSERT not granted")
+
+      // SET ROLE persists across the connection's statements
+      admin.query("SET ROLE intern")
+      assert(admin.query("SELECT current_user AS me").find(_.tpe == 'D')
+        .exists(m => new String(m.body, UTF_8).contains("intern")))
+      assert(admin.query("DROP TABLE secrets").exists(_.tpe == 'E'),
+        "intern must not drop graft's table")
+      admin.query("RESET ROLE")
+      assert(admin.query("DROP TABLE secrets").exists(m => m.tpe == 'C'))
+
+      admin.close(); mallory.close(); intern.close()
     } finally srv.stop()
   }
 }

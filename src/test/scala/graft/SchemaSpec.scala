@@ -67,29 +67,29 @@ class SchemaSpec extends SparkSpecBase {
   test("search_path resolves unqualified reads and creations in order") {
     val e = new Engine(spark, tmpDir("schemas"))
     e.execute("CREATE SCHEMA app")
-    e.execute("CREATE TABLE app.t (k BIGINT PRIMARY KEY, v STRING)")
-    e.execute("INSERT INTO app.t VALUES (1, 'in-app')")
+    e.execute("CREATE TABLE app.spt (k BIGINT PRIMARY KEY, v STRING)")
+    e.execute("INSERT INTO app.spt VALUES (1, 'in-app')")
 
     // not on the path → unqualified read fails
-    intercept[Exception](e.execute("SELECT * FROM t").collect())
+    intercept[Exception](e.execute("SELECT * FROM spt").collect())
 
     e.execute("SET search_path TO app, public")
-    assert(e.execute("SELECT v FROM t").head().getString(0) == "in-app")
+    assert(e.execute("SELECT v FROM spt").head().getString(0) == "in-app")
 
     // unqualified CREATE lands in the first schema on the path
-    e.execute("CREATE TABLE u (k BIGINT PRIMARY KEY)")
-    e.execute("INSERT INTO u VALUES (7)")
-    assert(e.execute("SELECT k FROM app.u").head().getLong(0) == 7L)
+    e.execute("CREATE TABLE spu (k BIGINT PRIMARY KEY)")
+    e.execute("INSERT INTO spu VALUES (7)")
+    assert(e.execute("SELECT k FROM app.spu").head().getLong(0) == 7L)
 
     // public object with the same name: PATH ORDER decides
-    e.execute("CREATE TABLE public.t (k BIGINT PRIMARY KEY, v STRING)")
-    e.execute("INSERT INTO public.t VALUES (2, 'in-public')")
-    assert(e.execute("SELECT v FROM t").head().getString(0) == "in-app")
+    e.execute("CREATE TABLE public.spt (k BIGINT PRIMARY KEY, v STRING)")
+    e.execute("INSERT INTO public.spt VALUES (2, 'in-public')")
+    assert(e.execute("SELECT v FROM spt").head().getString(0) == "in-app")
     e.execute("SET search_path TO public, app")
-    assert(e.execute("SELECT v FROM t").head().getString(0) == "in-public")
+    assert(e.execute("SELECT v FROM spt").head().getString(0) == "in-public")
 
     e.execute("RESET search_path")
-    intercept[Exception](e.execute("SELECT * FROM u").collect())
+    intercept[Exception](e.execute("SELECT * FROM spu").collect())
   }
 
   test("drop schema: RESTRICT refuses, CASCADE drops contained objects") {
