@@ -1621,8 +1621,17 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         "re-create the dependents first")
   }
 
-  private def renameObject(kindS: String, from: String, to: String): DataFrame = {
+  private def renameObject(kindS: String, from: String, to0: String,
+      keepSchema: Boolean = true): DataFrame = {
     val isTable = kindS.equalsIgnoreCase("TABLE")
+    // PG semantics: RENAME keeps the object's schema — a bare new name
+    // for a schema-qualified object stays in that schema (SET SCHEMA,
+    // which passes keepSchema = false, is the explicit move)
+    val to =
+      if (keepSchema && splitNs(to0)._1 == "public" &&
+          splitNs(from)._1 != "public" && !to0.contains("__"))
+        splitNs(from)._1 + "__" + to0
+      else to0
     require(mvs.get(to).isEmpty && !tableSchemas.contains(to),
       s"RENAME: $to already exists")
     fenceChainedDependents(from, "RENAME")
@@ -1668,9 +1677,87 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           e.query.foreach(q => resumeMvMaintenance(to, newMv, e, q))
       }
     }
+    // ownership and ACLs travel with the object
+    objectOwners.remove(from).foreach { u =>
+      objectOwners(to) = u
+      catalog.delete("owners", from)
+      catalog.save("owners", to, DurableCatalog.OwnerEntry(u))
+    }
+    acls.remove(from).foreach { g =>
+      acls(to) = g
+      catalog.delete("acls", from)
+      catalog.save("acls", to, DurableCatalog.AclEntry(g))
+    }
     spark.catalog.dropTempView(from)
     statusDf(s"ALTER ${kindS.toUpperCase.replaceAll("\\s+", " ")} RENAME",
       s"$from -> $to")
+  }
+
+  private val AlterOwner =
+    ("""(?is)\s*ALTER\s+(TABLE|MATERIALIZED\s+VIEW|VIEW|SOURCE|SINK|""" +
+      """SCHEMA|DATABASE)\s+(\w+)\s+OWNER\s+TO\s+(\w+)\s*;?\s*""").r
+  private val AlterSetSchema =
+    """(?is)\s*ALTER\s+(TABLE|MATERIALIZED\s+VIEW)\s+(\w+)\s+SET\s+SCHEMA\s+(\w+)\s*;?\s*""".r
+  private val AlterSwap =
+    """(?is)\s*ALTER\s+(TABLE|MATERIALIZED\s+VIEW)\s+(\w+)\s+SWAP\s+WITH\s+(\w+)\s*;?\s*""".r
+
+  /** `ALTER <kind> x OWNER TO u` (reference: handler/alter_owner.rs). */
+  private def alterOwner(kindS: String, name: String, user: String): DataFrame = {
+    require(userExists(user), s"user \"$user\" does not exist")
+    if (kindS.equalsIgnoreCase("SCHEMA")) {
+      require(schemaNames.contains(name), s"schema \"$name\" does not exist")
+      require(isSuperuser(sessionUser),
+        s"permission denied to alter schema owner (as $sessionUser)")
+      catalog.save("schemas", name, DurableCatalog.SchemaEntry(user))
+    } else if (kindS.equalsIgnoreCase("DATABASE")) {
+      require(isSuperuser(sessionUser), "permission denied")
+    } else {
+      require(allObjectNames.contains(name),
+        s"relation \"$name\" does not exist")
+      require(isSuperuser(sessionUser) || ownerOf(name) == sessionUser,
+        s"must be owner of ${displayName(name)} (as $sessionUser)")
+      objectOwners(name) = user
+      catalog.save("owners", name, DurableCatalog.OwnerEntry(user))
+    }
+    statusDf(s"ALTER ${kindS.toUpperCase.replaceAll("\\s+", " ")}", name)
+  }
+
+  /** `ALTER TABLE/MV x SET SCHEMA s` (reference: alter_set_schema.rs) —
+    * an internal rename to the target namespace; storage, catalog
+    * entries, jobs, ownership and ACLs all move with it.
+    */
+  private def alterSetSchema(kindS: String, name: String,
+      target: String): DataFrame = {
+    require(schemaExists(target), s"schema \"$target\" does not exist")
+    require(isSuperuser(sessionUser) || ownerOf(name) == sessionUser,
+      s"must be owner of ${displayName(name)} (as $sessionUser)")
+    val bare = splitNs(name)._2
+    val to =
+      if (target.equalsIgnoreCase("public")) bare else target + "__" + bare
+    if (to == name) return statusDf("ALTER", name) // already there
+    renameObject(kindS, name, to, keepSchema = false)
+    statusDf(s"ALTER ${kindS.toUpperCase.replaceAll("\\s+", " ")}",
+      displayName(to))
+  }
+
+  /** `ALTER TABLE/MV a SWAP WITH b` (reference: alter_swap_rename.rs):
+    * both objects exchange names atomically from the session's view —
+    * three renames through a temp name under the engine lock.
+    */
+  private def alterSwap(kindS: String, a: String, b: String): DataFrame = {
+    require(a != b, "SWAP WITH requires two distinct objects")
+    Seq(a, b).foreach(n =>
+      require(isSuperuser(sessionUser) || ownerOf(n) == sessionUser,
+        s"must be owner of ${displayName(n)} (as $sessionUser)"))
+    val tmp = s"__swap_${a}"
+    renameObject(kindS, a, tmp)
+    try renameObject(kindS, b, a)
+    catch {
+      case e: Throwable => renameObject(kindS, tmp, a); throw e
+    }
+    renameObject(kindS, tmp, b)
+    statusDf(s"ALTER ${kindS.toUpperCase.replaceAll("\\s+", " ")} SWAP",
+      s"$a <-> $b")
   }
 
   private val AlterAddCol =
@@ -1751,6 +1838,19 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private val DropSink = """(?is)\s*DROP\s+SINK\s+(\w+)\s*;?\s*""".r
   private val ShowSources = """(?is)\s*SHOW\s+SOURCES\s*;?\s*""".r
   private val ShowJobs = """(?is)\s*SHOW\s+JOBS\s*;?\s*""".r
+  private val CancelJobs =
+    """(?is)\s*CANCEL\s+JOBS?\s+([\w,\s]+?)\s*;?\s*""".r
+  private val WaitStmt = """(?is)\s*WAIT\s*;?\s*""".r
+  private val RecoverStmt = """(?is)\s*RECOVER\s*;?\s*""".r
+
+  /** rw_streaming_jobs ids → job names (the bindRw oid assignment:
+    * FirstUserOid + position among name-sorted objects + sinks).
+    */
+  private def jobIdMap: Map[Int, String] = {
+    val names = systemObjects.sortBy(_.name).map(_.name) ++
+      sinkNames.toSeq.sorted
+    names.zipWithIndex.map { case (n, i) => (16384 + i) -> n }.toMap
+  }
   private val CreateView =
     """(?is)\s*CREATE\s+VIEW\s+(\w+)\s+AS\s+(.*?)\s*;?\s*""".r
   private val DropView =
@@ -3404,6 +3504,39 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             jobs.toSeq.sortBy(_._1)
               .map { case (n, q) => (n, q.isActive, q.status.message) }
               .toDF("name", "active", "status")
+          case CancelJobs(list) =>
+            // reference: handler/cancel_job.rs — stop the named (or
+            // rw_streaming_jobs-id'd) streaming jobs; each stops at a
+            // batch boundary (processAllAvailable first would block on a
+            // busy source — CANCEL is the impatient path)
+            import spark.implicits._
+            val byId = jobIdMap
+            val targets = list.split(",").toSeq.map(_.trim).map { t =>
+              if (t.forall(_.isDigit)) byId.getOrElse(t.toInt,
+                throw new IllegalArgumentException(s"no job with id $t"))
+              else t
+            }
+            targets.map { n =>
+              val q = jobs.getOrElse(n,
+                throw new IllegalArgumentException(s"no such job $n"))
+              if (q.isActive) q.stop()
+              n
+            }.toDF("canceled")
+          case WaitStmt() =>
+            // reference: handler/wait.rs — block until every streaming
+            // job has processed all available input (a global barrier)
+            drainAllJobs()
+            statusDf("WAIT", "")
+          case RecoverStmt() =>
+            // reference: handler/recover.rs — ad-hoc recovery trigger;
+            // here: retry every parked catalog recovery (e.g. sources
+            // whose backing files appeared after startup)
+            retryPendingRecovery()
+            statusDf("RECOVER", "")
+          case AlterOwner(kindS, name, user) => alterOwner(kindS, name, user)
+          case AlterSetSchema(kindS, name, target) =>
+            alterSetSchema(kindS, name, target)
+          case AlterSwap(kindS, a, b) => alterSwap(kindS, a, b)
           case ShowSinks() =>
             import spark.implicits._
             sinkNames.toSeq.toDF("name")

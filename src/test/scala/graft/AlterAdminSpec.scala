@@ -1,0 +1,85 @@
+package graft
+
+/** ALTER … OWNER TO / SET SCHEMA / SWAP WITH plus the operational
+  * statements CANCEL JOBS, WAIT, RECOVER (reference: handler/
+  * alter_owner.rs, alter_set_schema.rs, alter_swap_rename.rs,
+  * cancel_job.rs, wait.rs, recover.rs).
+  */
+class AlterAdminSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("ALTER OWNER TO moves ownership; enforcement follows") {
+    val e = new Engine(spark, tmpDir("alteradmin"))
+    e.execute("CREATE TABLE aa_t (k BIGINT PRIMARY KEY)")
+    e.execute("INSERT INTO aa_t VALUES (1)")
+    e.execute("CREATE USER owen")
+    e.execute("ALTER TABLE aa_t OWNER TO owen")
+
+    // the new owner has full rights without any grant
+    e.execute("SET ROLE owen")
+    assert(e.execute("SELECT k FROM aa_t").head().getLong(0) == 1L)
+    e.execute("INSERT INTO aa_t VALUES (2)")
+    // and can pass ownership on
+    e.execute("ALTER TABLE aa_t OWNER TO graft")
+    intercept[Exception](e.execute("DROP TABLE aa_t"))
+    e.execute("RESET ROLE")
+    e.execute("DROP TABLE aa_t")
+  }
+
+  test("ALTER SET SCHEMA moves the object; RENAME stays in-schema") {
+    val e = new Engine(spark, tmpDir("alteradmin"))
+    e.execute("CREATE SCHEMA vault")
+    e.execute("CREATE TABLE aa_m (k BIGINT PRIMARY KEY, v STRING)")
+    e.execute("INSERT INTO aa_m VALUES (1, 'x')")
+
+    e.execute("ALTER TABLE aa_m SET SCHEMA vault")
+    intercept[Exception](e.execute("SELECT * FROM aa_m").collect())
+    assert(e.execute("SELECT v FROM vault.aa_m").head().getString(0) == "x")
+    // introspection follows the move
+    assert(e.execute("SELECT table_schema FROM information_schema.tables " +
+      "WHERE table_name = 'aa_m'").as[String].collect().toSeq == Seq("vault"))
+
+    // RENAME of a schema-qualified object keeps the schema (PG)
+    e.execute("ALTER TABLE vault.aa_m RENAME TO aa_m2")
+    assert(e.execute("SELECT v FROM vault.aa_m2").head().getString(0) == "x")
+    // move back to public
+    e.execute("ALTER TABLE vault.aa_m2 SET SCHEMA public")
+    assert(e.execute("SELECT v FROM aa_m2").head().getString(0) == "x")
+    e.execute("DROP TABLE aa_m2")
+    e.execute("DROP SCHEMA vault")
+  }
+
+  test("ALTER SWAP WITH exchanges two tables' names") {
+    val e = new Engine(spark, tmpDir("alteradmin"))
+    e.execute("CREATE TABLE aa_live (k BIGINT PRIMARY KEY, v STRING)")
+    e.execute("CREATE TABLE aa_staged (k BIGINT PRIMARY KEY, v STRING)")
+    e.execute("INSERT INTO aa_live VALUES (1, 'old')")
+    e.execute("INSERT INTO aa_staged VALUES (1, 'new')")
+
+    e.execute("ALTER TABLE aa_live SWAP WITH aa_staged")
+    assert(e.execute("SELECT v FROM aa_live").head().getString(0) == "new")
+    assert(e.execute("SELECT v FROM aa_staged").head().getString(0) == "old")
+  }
+
+  test("CANCEL JOBS stops a streaming job; WAIT and RECOVER acknowledge") {
+    val e = new Engine(spark, tmpDir("alteradmin"))
+    e.execute("CREATE TABLE aa_src (k BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("INSERT INTO aa_src VALUES (1, 10)")
+    e.execute("CREATE MATERIALIZED VIEW aa_mv (PRIMARY KEY (k)) AS " +
+      "SELECT k, v FROM aa_src")
+    e.execute("FLUSH")
+
+    val active = e.execute("SHOW JOBS")
+      .where("active").select("name").as[String].collect().toSet
+    assert(active.contains("aa_mv"), active.toString)
+
+    e.execute("CANCEL JOB aa_mv")
+    val after = e.execute("SHOW JOBS")
+      .where("name = 'aa_mv'").select("active").as[Boolean].collect()
+    assert(after.isEmpty || !after.head)
+    intercept[Exception](e.execute("CANCEL JOB nope"))
+
+    assert(e.execute("WAIT").columns.nonEmpty)
+    assert(e.execute("RECOVER").columns.nonEmpty)
+  }
+}
