@@ -327,18 +327,27 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
           case 'Q' =>
             inErrorState = false // simple query resets extended-proto state
             val sql = new String(body, UTF_8).stripSuffix("\u0000").trim
-            if (sql.isEmpty) writeMsg(out, 'I') { _ => } // EmptyQueryResponse
-            else sql match {
-              case PgWireServer.CopyInStmt(tbl, colList, opts) =>
-                copyIn(in, out, tbl, Option(colList), Option(opts))
-              case PgWireServer.CopyOutStmt(innerQ, tbl, colList, opts) =>
-                val q = Option(innerQ).getOrElse {
-                  val cols = Option(colList).map(_.trim).filter(_.nonEmpty)
-                    .getOrElse("*")
-                  s"SELECT $cols FROM $tbl"
+            // a simple Query may carry SEVERAL ;-separated statements
+            // (psql -c, migration scripts): each gets its own
+            // CommandComplete, an error skips the rest, ONE ReadyForQuery
+            val parts = PgWireServer.splitStatements(sql)
+            if (parts.isEmpty) writeMsg(out, 'I') { _ => } // EmptyQueryResponse
+            else {
+              var ok = true
+              parts.foreach { st =>
+                if (ok) st match {
+                  case PgWireServer.CopyInStmt(tbl, colList, opts) =>
+                    copyIn(in, out, tbl, Option(colList), Option(opts))
+                  case PgWireServer.CopyOutStmt(innerQ, tbl, colList, opts) =>
+                    val q = Option(innerQ).getOrElse {
+                      val cols = Option(colList).map(_.trim).filter(_.nonEmpty)
+                        .getOrElse("*")
+                      s"SELECT $cols FROM $tbl"
+                    }
+                    copyOut(out, q, Option(opts))
+                  case _ => ok = runQuery(out, st)
                 }
-                copyOut(out, q, Option(opts))
-              case _ => runQuery(out, sql)
+              }
             }
             readyForQuery(out)
 
@@ -635,7 +644,11 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     * partition resident at a time, so a large SELECT from one client
     * cannot OOM the shared engine process).
     */
-  private def runQuery(out: DataOutputStream, sql: String): Unit =
+  /** Run one statement of a simple-Query message; false on error (the
+    * remaining statements of a multi-statement message must be skipped,
+    * per the protocol spec).
+    */
+  private def runQuery(out: DataOutputStream, sql: String): Boolean =
     try {
       // one engine, many connections: serialize statement planning; row
       // delivery streams outside the lock (Spark jobs are thread-safe)
@@ -649,10 +662,12 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
       // PG reports reportable-GUC changes via ParameterStatus after a
       // successful SET/RESET — psql/pgjdbc track TimeZone etc. this way
       if (sql.matches("(?is)\\s*(SET|RESET)\\b.*")) reportParameters(out)
+      true
     } catch {
       case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
         errorResponse(out, "XX000", msg.linesIterator.take(4).mkString(" | "))
+        false
     }
 
   /** PG's reportable GUCs (protocol name casing preserved). */
@@ -796,6 +811,44 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
 }
 
 object PgWireServer {
+
+  /** Split a simple-Query payload into its ;-separated statements,
+    * honoring single-quoted literals ('' doubling), double-quoted
+    * identifiers, and dollar-quoted bodies ($$…$$ / $tag$…$tag$ — the
+    * quoting CREATE FUNCTION bodies arrive in).
+    */
+  private[graft] def splitStatements(sql: String): Seq[String] = {
+    val stmts = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    var inSingle = false
+    var inDouble = false
+    var dollarTag: String = null
+    val DollarRe = java.util.regex.Pattern.compile("\\$[A-Za-z_0-9]*\\$")
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inSingle) { cur.append(c); if (c == '\'') inSingle = false; i += 1 }
+      else if (inDouble) { cur.append(c); if (c == '"') inDouble = false; i += 1 }
+      else if (dollarTag != null) {
+        if (c == '$' && sql.startsWith(dollarTag, i)) {
+          cur.append(dollarTag); i += dollarTag.length; dollarTag = null
+        } else { cur.append(c); i += 1 }
+      } else c match {
+        case '\'' => inSingle = true; cur.append(c); i += 1
+        case '"' => inDouble = true; cur.append(c); i += 1
+        case '$' =>
+          val m = DollarRe.matcher(sql); m.region(i, sql.length)
+          if (m.lookingAt()) {
+            dollarTag = m.group(); cur.append(dollarTag); i += dollarTag.length
+          } else { cur.append(c); i += 1 }
+        case ';' => stmts += cur.toString; cur.clear(); i += 1
+        case _ => cur.append(c); i += 1
+      }
+    }
+    stmts += cur.toString
+    stmts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   private[graft] val CopyInStmt =
     """(?is)\s*COPY\s+(\w+)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN\s*(?:WITH\s*)?(?:\(([^)]*)\))?\s*;?\s*""".r
   private[graft] val CopyOutStmt =

@@ -870,4 +870,46 @@ class PgWireSpec extends SparkSpecBase {
       admin.close(); mallory.close(); intern.close()
     } finally srv.stop()
   }
+
+  test("pgwire: multi-statement simple Query (psql -c 'a; b') and dollar quotes") {
+    val e = new Engine(spark, tmpDir("pgwire-multi"))
+    val srv = new PgWireServer(e)
+    srv.start()
+    try {
+      val c = new Client(srv.port)
+      c.startup()
+      // three statements in ONE Query message: three CommandCompletes,
+      // one ReadyForQuery, data rows from the SELECT
+      val ms = c.query(
+        "CREATE TABLE ms_t (k BIGINT PRIMARY KEY, v STRING); " +
+          "INSERT INTO ms_t VALUES (1, 'a;b'); SELECT k, v FROM ms_t")
+      assert(ms.count(_.tpe == 'C') == 3, ms.map(_.tpe).mkString)
+      assert(ms.count(_.tpe == 'Z') == 1)
+      assert(ms.exists(m => m.tpe == 'D' &&
+        new String(m.body, UTF_8).contains("a;b")))
+
+      // an error mid-batch skips the remaining statements
+      val err = c.query(
+        "INSERT INTO ms_t VALUES (2, 'x'); SELECT * FROM missing_tbl; " +
+          "INSERT INTO ms_t VALUES (3, 'y')")
+      assert(err.count(_.tpe == 'E') == 1)
+      assert(err.count(_.tpe == 'C') == 1, "third statement must not run")
+      val cnt = c.query("SELECT count(*) AS n FROM ms_t")
+      assert(cnt.exists(m => m.tpe == 'D' &&
+        new String(m.body, UTF_8).contains("2")))
+
+      // dollar-quoted function body with semicolons survives splitting
+      if (graft.functions.EmbeddedUdfRuntime.available("javascript")) {
+        val fn = c.query(
+          "CREATE FUNCTION msf(x BIGINT) RETURNS BIGINT LANGUAGE javascript " +
+            "AS $$ function msf(x) { var y = BigInt(x) + 1n; return y; } $$; " +
+            "SELECT msf(41) AS a")
+        assert(fn.count(_.tpe == 'E') == 0, fn.map(m =>
+          new String(m.body, UTF_8)).mkString(" / "))
+        assert(fn.exists(m => m.tpe == 'D' &&
+          new String(m.body, UTF_8).contains("42")))
+      }
+      c.close()
+    } finally srv.stop()
+  }
 }
