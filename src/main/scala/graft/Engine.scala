@@ -1834,6 +1834,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val Describe =
     """(?is)\s*(?:DESC(?:RIBE)?\s+(?:TABLE\s+)?|SHOW\s+COLUMNS\s+FROM\s+)(\w+)\s*;?\s*""".r
+  private val ExplainAnalyze =
+    """(?is)\s*EXPLAIN\s+ANALYZE\s+(.+)""".r
   private val Explain = """(?is)\s*EXPLAIN\s+(?:\((?:\w+[,\s]*)+\)\s+)?(.+)""".r
   private val DropSink = """(?is)\s*DROP\s+SINK\s+(\w+)\s*;?\s*""".r
   private val ShowSources = """(?is)\s*SHOW\s+SOURCES\s*;?\s*""".r
@@ -3577,6 +3579,35 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             import spark.implicits._
             mvs.list.filter(n => n.endsWith("__base") ||
               n.contains("__casc") || n.endsWith("__sinkq")).toDF("name")
+          case ExplainAnalyze(rest) =>
+            // reference: handler/explain_analyze.rs — run the query to
+            // completion, then render the FINAL physical plan (post-AQE)
+            // with each operator's actual runtime metrics (rows, sizes,
+            // times) from Spark's SQLMetrics
+            import spark.implicits._
+            bindMvTables(rest)
+            val df = spark.sql(rest)
+            // run THE instrumented plan (df.foreach would execute a
+            // separate copy, leaving these metrics at zero); count() on
+            // the InternalRow RDD keeps rows off the driver
+            df.queryExecution.executedPlan.execute().count()
+            import org.apache.spark.sql.execution.SparkPlan
+            import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+            def finalPlan(p: SparkPlan): SparkPlan = p match {
+              case a: AdaptiveSparkPlanExec => finalPlan(a.executedPlan)
+              case q: QueryStageExec => finalPlan(q.plan) // AQE stage wrapper
+              case other => other
+            }
+            def render(p: SparkPlan, depth: Int): Seq[String] = {
+              val ms = p.metrics.toSeq
+                .filter { case (_, m) => m.value > 0 }
+                .sortBy(_._1)
+                .map { case (k, m) => s"$k=${m.value}" }
+              val line = ("  " * depth) + p.nodeName +
+                (if (ms.nonEmpty) ms.mkString(" [", ", ", "]") else "")
+              line +: p.children.flatMap(c => render(finalPlan(c), depth + 1))
+            }
+            render(finalPlan(df.queryExecution.executedPlan), 0).toDF("plan")
           case Explain(rest) =>
             // reference: handler/explain.rs — EXPLAIN CREATE MATERIALIZED
             // VIEW plans the inner SELECT; plain EXPLAIN plans the query.

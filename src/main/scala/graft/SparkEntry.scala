@@ -23,6 +23,7 @@ object SparkEntry {
     Functions2,
     Functions3,
     Functions4,
+    PgSyntax,
     TableFunctions,
     Subqueries,
     TimeWindows,

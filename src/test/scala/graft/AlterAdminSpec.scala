@@ -61,6 +61,21 @@ class AlterAdminSpec extends SparkSpecBase {
     assert(e.execute("SELECT v FROM aa_staged").head().getString(0) == "old")
   }
 
+  test("EXPLAIN ANALYZE renders the executed plan with runtime metrics") {
+    val e = new Engine(spark, tmpDir("alteradmin"))
+    e.execute("CREATE TABLE ea_t (k BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("INSERT INTO ea_t SELECT id, id * 2 FROM range(100)")
+
+    val plan = e.execute(
+      "EXPLAIN ANALYZE SELECT v, count(*) AS n FROM ea_t GROUP BY v")
+      .as[String].collect()
+    assert(plan.nonEmpty)
+    // post-execution metrics are present (actual row counts)
+    assert(plan.exists(_.contains("numOutputRows=")), plan.mkString("\n"))
+    assert(plan.exists(_.toLowerCase.contains("aggregate")),
+      plan.mkString("\n"))
+  }
+
   test("CANCEL JOBS stops a streaming job; WAIT and RECOVER acknowledge") {
     val e = new Engine(spark, tmpDir("alteradmin"))
     e.execute("CREATE TABLE aa_src (k BIGINT PRIMARY KEY, v BIGINT)")

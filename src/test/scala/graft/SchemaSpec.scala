@@ -30,37 +30,37 @@ class SchemaSpec extends SparkSpecBase {
   test("qualified DDL/DML/queries and cross-schema joins") {
     val e = new Engine(spark, tmpDir("schemas"))
     e.execute("CREATE SCHEMA sales")
-    e.execute("CREATE TABLE sales.orders (id BIGINT PRIMARY KEY, cust STRING)")
-    e.execute("INSERT INTO sales.orders VALUES (1, 'ann'), (2, 'bob')")
+    e.execute("CREATE TABLE sales.sorders (id BIGINT PRIMARY KEY, cust STRING)")
+    e.execute("INSERT INTO sales.sorders VALUES (1, 'ann'), (2, 'bob')")
     // public table with the same bare name is a DIFFERENT object
-    e.execute("CREATE TABLE orders (id BIGINT PRIMARY KEY, cust STRING)")
-    e.execute("INSERT INTO orders VALUES (9, 'zed')")
+    e.execute("CREATE TABLE sorders (id BIGINT PRIMARY KEY, cust STRING)")
+    e.execute("INSERT INTO sorders VALUES (9, 'zed')")
 
-    assert(e.execute("SELECT count(*) c FROM sales.orders").head().getLong(0) == 2)
-    assert(e.execute("SELECT count(*) c FROM orders").head().getLong(0) == 1)
-    assert(e.execute("SELECT count(*) c FROM public.orders").head().getLong(0) == 1)
+    assert(e.execute("SELECT count(*) c FROM sales.sorders").head().getLong(0) == 2)
+    assert(e.execute("SELECT count(*) c FROM sorders").head().getLong(0) == 1)
+    assert(e.execute("SELECT count(*) c FROM public.sorders").head().getLong(0) == 1)
 
     // cross-schema join; string literals must never be rewritten
     val j = e.execute(
-      "SELECT a.cust FROM sales.orders a JOIN public.orders b ON a.id < b.id " +
-        "WHERE a.cust <> 'sales.orders' ORDER BY a.cust")
+      "SELECT a.cust FROM sales.sorders a JOIN public.sorders b ON a.id < b.id " +
+        "WHERE a.cust <> 'sales.sorders' ORDER BY a.cust")
     assert(j.as[String].collect().toSeq == Seq("ann", "bob"))
 
     // qualified UPDATE/DELETE
-    e.execute("UPDATE sales.orders SET cust = 'ann2' WHERE id = 1")
-    e.execute("DELETE FROM sales.orders WHERE id = 2")
-    assert(e.execute("SELECT cust FROM sales.orders").as[String].collect()
+    e.execute("UPDATE sales.sorders SET cust = 'ann2' WHERE id = 1")
+    e.execute("DELETE FROM sales.sorders WHERE id = 2")
+    assert(e.execute("SELECT cust FROM sales.sorders").as[String].collect()
       .toSeq == Seq("ann2"))
 
     // DESCRIBE + SHOW CREATE round-trip through the qualified form
-    assert(e.execute("DESCRIBE sales.orders").count() >= 2)
-    val ddl = e.execute("SHOW CREATE TABLE sales.orders").head().getString(1)
-    assert(ddl.contains("sales.orders"), ddl)
+    assert(e.execute("DESCRIBE sales.sorders").count() >= 2)
+    val ddl = e.execute("SHOW CREATE TABLE sales.sorders").head().getString(1)
+    assert(ddl.contains("sales.sorders"), ddl)
 
     // MV over a qualified table, itself in a schema
     e.execute("CREATE SCHEMA rpt")
     e.execute("CREATE MATERIALIZED VIEW rpt.cnt (PRIMARY KEY (cust)) AS " +
-      "SELECT cust, count(*) AS n FROM sales.orders GROUP BY cust")
+      "SELECT cust, count(*) AS n FROM sales.sorders GROUP BY cust")
     assert(e.execute("SELECT n FROM rpt.cnt").head().getLong(0) == 1L)
   }
 
