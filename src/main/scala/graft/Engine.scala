@@ -2780,6 +2780,63 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       catalog.list[DurableCatalog.ViewEntry]("views").map(_._1) ++
       catalog.list[DurableCatalog.SubEntry]("subscriptions").map(_._1)
 
+  // --------------------------------------------- wire-session registry
+  //
+  // Reference: handler/show.rs SHOW PROCESSLIST + handler/kill_process.rs
+  // + pg_stat_activity. pgwire registers each connection here (pid,
+  // user, client address, live query text, a kill closure); KILL <pid>
+  // closes the socket, introspection renders the rows.
+
+  final case class WireSession(user: String, clientAddr: String,
+      database: String, startedAtMs: Long,
+      @volatile var query: String = "",
+      @volatile var queryStartMs: Long = 0L,
+      kill: () => Unit = () => ())
+
+  private[graft] val wireSessions =
+    new java.util.concurrent.ConcurrentHashMap[Int, WireSession]()
+  private val nextPid = new java.util.concurrent.atomic.AtomicInteger(1000)
+
+  private[graft] def registerWireSession(user: String, addr: String,
+      database: String, kill: () => Unit): Int = {
+    val pid = nextPid.getAndIncrement()
+    wireSessions.put(pid,
+      WireSession(user, addr, database, System.currentTimeMillis(), kill = kill))
+    pid
+  }
+
+  private[graft] def wireSessionQuery(pid: Int, sql: String): Unit =
+    Option(wireSessions.get(pid)).foreach { s =>
+      s.query = sql; s.queryStartMs = System.currentTimeMillis()
+    }
+
+  private[graft] def unregisterWireSession(pid: Int): Unit =
+    wireSessions.remove(pid)
+
+  private val ShowProcessList =
+    """(?is)\s*SHOW\s+PROCESSLIST\s*;?\s*""".r
+  private val KillStmt = """(?is)\s*KILL\s+(?:QUERY\s+)?(\d+)\s*;?\s*""".r
+
+  // ------------------------------------------------------------ databases
+  //
+  // Reference: handler/create_database.rs / drop_database.rs. The
+  // registry is durable and validates pgwire's startup `database`
+  // parameter (unknown → 3D000, PG semantics). DOCUMENTED DIVERGENCE:
+  // all databases share this engine's one catalog — the reference
+  // isolates catalogs per database; here CREATE DATABASE provides the
+  // connectable namespace, and schema-level namespacing provides the
+  // isolation layer.
+
+  private val CreateDatabaseStmt =
+    """(?is)\s*CREATE\s+DATABASE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s*;?\s*""".r
+  private val DropDatabaseStmt =
+    """(?is)\s*DROP\s+DATABASE\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*""".r
+
+  private val databases = scala.collection.mutable.SortedSet[String]()
+
+  private[graft] def databaseExists(d: String): Boolean =
+    d == "dev" || databases.contains(d)
+
   private val CreateSchemaStmt =
     """(?is)\s*CREATE\s+SCHEMA\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s*;?\s*""".r
   private val DropSchemaStmt =
@@ -3234,7 +3291,16 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             (n, varValue(n), boot, desc) },
           schemaNames.toSeq,
           users.toSeq.map { case (n, e) =>
-            (n, e.superuser, e.createdb, e.login) })
+            (n, e.superuser, e.createdb, e.login) },
+          {
+            import scala.jdk.CollectionConverters._
+            wireSessions.entrySet().iterator().asScala.toSeq.map { en =>
+              val s = en.getValue
+              (en.getKey, s.user, s.database, s.clientAddr,
+                s.startedAtMs, s.query)
+            }
+          },
+          databases.toSeq)
         rwBind()
         val rw = SystemCatalog.rewrite(statement1u)
         // probes against catalog concepts this engine does not model
@@ -3253,6 +3319,54 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         return createSchema(name, ifNot != null)
       case DropSchemaStmt(ifEx, name, mode) =>
         return dropSchema(name, ifEx != null, mode)
+      case CreateDatabaseStmt(ifNot, name) =>
+        if (databaseExists(name)) {
+          if (ifNot == null) throw new IllegalArgumentException(
+            s"database \"$name\" already exists")
+        } else {
+          require(isSuperuser(sessionUser) ||
+            users.get(sessionUser).exists(_.createdb),
+            s"permission denied to create database (as $sessionUser)")
+          databases += name
+          catalog.save("databases", name, DurableCatalog.SchemaEntry(sessionUser))
+        }
+        return statusDf("CREATE DATABASE", name)
+      case DropDatabaseStmt(ifEx, name) =>
+        if (name == "dev") throw new IllegalArgumentException(
+          "cannot drop the current database dev")
+        if (!databases.contains(name)) {
+          if (ifEx == null) throw new IllegalArgumentException(
+            s"database \"$name\" does not exist")
+        } else {
+          require(isSuperuser(sessionUser), "permission denied")
+          databases -= name
+          catalog.delete("databases", name)
+        }
+        return statusDf("DROP DATABASE", name)
+      case ShowProcessList() =>
+        import spark.implicits._
+        val now = System.currentTimeMillis()
+        return {
+          import scala.jdk.CollectionConverters._
+          wireSessions.entrySet().iterator().asScala.toSeq
+            .sortBy(_.getKey)
+            .map { e =>
+              val s = e.getValue
+              (e.getKey, s.user, s.clientAddr, s.database,
+                if (s.query.nonEmpty) (now - s.queryStartMs) / 1000 else 0L,
+                s.query)
+            }
+            .toDF("id", "user", "host", "database", "time", "info")
+        }
+      case KillStmt(pidS) =>
+        require(isSuperuser(sessionUser),
+          s"permission denied to kill backends (as $sessionUser)")
+        val pid = pidS.toInt
+        val s = Option(wireSessions.get(pid)).getOrElse(
+          throw new IllegalArgumentException(s"no backend with pid $pid"))
+        s.kill()
+        wireSessions.remove(pid)
+        return statusDf("KILL", pidS)
       case _ =>
     }
     val statement = resolveSchemas(statement2)
@@ -3771,7 +3885,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             statusDf("RESET", canonicalVar(name))
           case ShowDatabases() =>
             import spark.implicits._
-            Seq("dev").toDF("name")
+            ("dev" +: databases.toSeq).toDF("name")
           case ShowSchemas() =>
             import spark.implicits._
             (Seq("public", "pg_catalog", "information_schema", "rw_catalog")
@@ -3860,6 +3974,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     // schemas first — name resolution for every later object depends
     // on knowing the namespace set
     schemaNames ++= catalog.list[SchemaEntry]("schemas").map(_._1)
+    databases ++= catalog.list[SchemaEntry]("databases").map(_._1)
     users ++= catalog.list[UserEntry]("users")
     objectOwners ++= catalog.list[OwnerEntry]("owners")
       .map { case (k, e) => k -> e.user }

@@ -47,6 +47,10 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     */
   private val connUser: ThreadLocal[String] =
     ThreadLocal.withInitial(() => "graft")
+  private val connDb: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "dev")
+  private val connPid: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
 
   /** All engine execution goes through here: one engine, many
     * connections — planning serializes on the engine monitor, and the
@@ -54,7 +58,11 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     */
   private def runEngine(sql: String): DataFrame = engine.synchronized {
     engine.sessionUser = connUser.get
-    try engine.execute(sql) finally connUser.set(engine.sessionUser)
+    engine.wireSessionQuery(connPid.get, sql)
+    try engine.execute(sql) finally {
+      connUser.set(engine.sessionUser)
+      engine.wireSessionQuery(connPid.get, "")
+    }
   }
 
   /** The bound port (useful with requestedPort = 0). */
@@ -270,8 +278,10 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     // after an ErrorResponse inside the extended protocol, the backend
     // must discard everything until Sync (protocol spec, error recovery)
     var inErrorState = false
+    var pid = 0
     try {
-      if (!handshake(in, out)) return
+      if (!handshake(sock, in, out)) return
+      pid = connPid.get.intValue
       var open = true
       while (open) {
         val tpe = try in.readByte() catch { case _: EOFException => 'X'.toByte }
@@ -478,6 +488,7 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     } catch {
       case _: EOFException | _: SocketException => // client went away
     } finally {
+      if (pid != 0) engine.unregisterWireSession(pid)
       try sock.close() catch { case _: IOException => }
     }
   }
@@ -533,7 +544,8 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
   }
 
   /** SSL/GSS negotiation + StartupMessage → auth ok + parameters. */
-  private def handshake(in: DataInputStream, out: DataOutputStream): Boolean = {
+  private def handshake(sock: Socket, in: DataInputStream,
+      out: DataOutputStream): Boolean = {
     var negotiating = true
     while (negotiating) {
       val len = in.readInt()
@@ -550,7 +562,15 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
           // -1: keep empty values so key/value pairing stays aligned
           new String(body, "UTF-8").split("\u0000", -1).grouped(2).foreach {
             case Array("user", u) if u.nonEmpty => connUser.set(u)
+            case Array("database", d) if d.nonEmpty => connDb.set(d)
             case _ =>
+          }
+          // PG semantics: the target database must exist (3D000)
+          if (!engine.databaseExists(connDb.get)) {
+            errorResponse(out, "3D000",
+              s"database \"${connDb.get}\" does not exist")
+            out.flush()
+            return false
           }
           // PG semantics: an unknown role cannot connect (28000) --
           // trust auth skips only the password, never the identity
@@ -575,7 +595,13 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
       "integer_datetimes" -> "on").foreach { case (k, v) =>
       writeMsg(out, 'S') { b => cstr(b, k); cstr(b, v) }
     }
-    writeMsg(out, 'K') { b => b.writeInt(0); b.writeInt(0) } // BackendKeyData
+    // BackendKeyData: the real backend pid (pg_stat_activity / KILL
+    // target); cancel keys are not implemented (0)
+    val pid = engine.registerWireSession(connUser.get,
+      String.valueOf(sock.getRemoteSocketAddress), connDb.get,
+      () => { try sock.close() catch { case _: IOException => } })
+    connPid.set(Integer.valueOf(pid))
+    writeMsg(out, 'K') { b => b.writeInt(pid); b.writeInt(0) }
     readyForQuery(out)
     true
   }

@@ -44,7 +44,8 @@ object SystemCatalog {
   private val SysNames = Seq("pg_class", "pg_namespace", "pg_attribute",
     "pg_type", "pg_description", "pg_database", "pg_tables", "pg_views",
     "pg_matviews", "pg_am", "pg_attrdef", "pg_collation", "pg_index",
-    "pg_inherits", "pg_roles", "pg_user", "pg_proc", "pg_settings")
+    "pg_inherits", "pg_roles", "pg_user", "pg_proc", "pg_settings",
+    "pg_stat_activity")
   private val Trigger =
     ("(?i)\\b(pg_catalog|information_schema|rw_catalog|rw_\\w+|" +
       SysNames.mkString("|") + ")\\b").r
@@ -215,7 +216,10 @@ object SystemCatalog {
       funcs: Seq[Func] = Seq.empty,
       settings: Seq[(String, String, String, String)] = Seq.empty,
       userSchemas: Seq[String] = Seq.empty,
-      userRows: Seq[(String, Boolean, Boolean, Boolean)] = Seq.empty): Unit = {
+      userRows: Seq[(String, Boolean, Boolean, Boolean)] = Seq.empty,
+      // (pid, usename, datname, client_addr, backend_start ms, query)
+      activity: Seq[(Int, String, String, String, Long, String)] = Seq.empty,
+      databases: Seq[String] = Seq.empty): Unit = {
     val s = spark
     import s.implicits._
 
@@ -323,11 +327,21 @@ object SystemCatalog {
       (n, if (n == "graft") Owner else FirstUserRoleOid + i, cdb, sup)
     }.toDF("usename", "usesysid", "usecreatedb", "usesuper")
       .createOrReplaceTempView("pg_user")
-    Seq((1L, "dev", Owner, 6 /*UTF8*/, "C", "C", false, true,
-        Option.empty[Seq[String]]))
+    (("dev", 1L) +: databases.sorted.filterNot(_ == "dev").zipWithIndex
+        .map { case (d, i) => (d, 100L + i) })
+      .map { case (d, oid) => (oid, d, Owner, 6 /*UTF8*/, "C", "C",
+        false, true, Option.empty[Seq[String]]) }
       .toDF("oid", "datname", "datdba", "encoding", "datcollate",
         "datctype", "datistemplate", "datallowconn", "datacl")
       .createOrReplaceTempView("pg_database")
+
+    // live backends (psql \watch dashboards, ORM pool health checks)
+    activity.sortBy(_._1).map { case (pid, u, d, addr, startMs, q) =>
+      (pid, u, d, addr, new java.sql.Timestamp(startMs),
+        if (q.isEmpty) "idle" else "active", q, "client backend")
+    }.toDF("pid", "usename", "datname", "client_addr", "backend_start",
+        "state", "query", "backend_type")
+      .createOrReplaceTempView("pg_stat_activity")
 
     def ofKind(k: String) = objs.filter(_.kind == k)
     ofKind("r").map(o => (o.ns, o.bare, "graft",

@@ -912,4 +912,63 @@ class PgWireSpec extends SparkSpecBase {
       c.close()
     } finally srv.stop()
   }
+
+  test("pgwire: processlist, pg_stat_activity, KILL, database validation") {
+    val e = new Engine(spark, tmpDir("pgwire-proc"))
+    val srv = new PgWireServer(e)
+    srv.start()
+    try {
+      val a = new Client(srv.port)
+      a.startup()
+      val b = new Client(srv.port)
+      b.startup()
+
+      // two live backends with pids, users, hosts
+      val pl = a.query("SHOW PROCESSLIST")
+      assert(pl.count(_.tpe == 'D') >= 2, pl.map(_.tpe).mkString)
+      val act = a.query(
+        "SELECT pid, usename, state FROM pg_stat_activity ORDER BY pid")
+      assert(act.count(_.tpe == 'D') >= 2)
+      assert(act.exists(m => m.tpe == 'D' &&
+        new String(m.body, UTF_8).contains("graft")))
+
+      // KILL the second backend: its socket dies, the first survives
+      val pids = e.execute("SHOW PROCESSLIST")
+        .select("id").collect().map(_.getInt(0)).sorted
+      a.query(s"KILL ${pids.last}")
+      Thread.sleep(200)
+      assert(a.query("SELECT 1 AS x").exists(_.tpe == 'D'))
+      assert(e.execute("SHOW PROCESSLIST").count() == 1)
+
+      // database registry: unknown db refused at startup with 3D000,
+      // created databases accepted and listed
+      val bad = new Client(srv.port, user = "graft")
+      intercept[Throwable] { // ErrorResponse then close → assert fails in startup
+        badStartupDb(srv.port, "nope")
+      }
+      a.query("CREATE DATABASE extra")
+      badStartupDb(srv.port, "extra") // connects fine now
+      val dbs = a.query("SELECT datname FROM pg_database ORDER BY datname")
+      assert(dbs.exists(m => m.tpe == 'D' &&
+        new String(m.body, UTF_8).contains("extra")))
+      bad.close(); a.close()
+    } finally srv.stop()
+  }
+
+  /** Raw startup against database `db`; throws if the server answers
+    * ErrorResponse instead of AuthenticationOk.
+    */
+  private def badStartupDb(port: Int, db: String): Unit = {
+    val sock = new Socket("127.0.0.1", port)
+    try {
+      val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      val params = (s"user\u0000graft\u0000database\u0000$db\u0000\u0000").getBytes(UTF_8)
+      out.writeInt(8 + params.length); out.writeInt(196608)
+      out.write(params); out.flush()
+      val t = in.readByte().toChar
+      if (t == 'E') throw new RuntimeException("refused")
+      assert(t == 'R', s"expected AuthenticationOk, got $t")
+    } finally sock.close()
+  }
 }
