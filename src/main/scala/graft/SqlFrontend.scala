@@ -128,13 +128,52 @@ object SqlFrontend {
   private val WatermarkRe =
     """(?is)\s*WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s*'([^']+)'\s*(\w+)?\s*""".r
 
-  private val ColDefRe = """(?is)\s*(\w+)\s+([\w()0-9, ]+?)\s*""".r
+  private val ColDefRe = """(?is)\s*(\w+)\s+([\w()\[\]<>0-9, ]+?)\s*""".r
 
   private val FormatEncodeRe =
     """(?is)^\s*FORMAT\s+(\w+)\s+ENCODE\s+(\w+)\s*;?\s*$""".r
 
   private[graft] def sqlType(t: String): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
+    val up = t.trim.replaceAll("\\s+", " ")
+    // PG array suffix: `T[]` (any nesting depth)
+    if (up.endsWith("[]"))
+      return ArrayType(sqlType(up.dropRight(2)))
+    // type-argument splitter: ',' at zero paren AND angle depth (local —
+    // splitTopLevel must not treat '<' as nesting, expressions use it
+    // as an operator)
+    def splitTypeArgs(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var depth = 0; var start = 0; var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '(' | '<' => depth += 1
+          case ')' | '>' => depth -= 1
+          case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+          case _ =>
+        }
+        i += 1
+      }
+      out += s.substring(start)
+      out.result()
+    }
+    // reference STRUCT<a T, b U> (handler/create_table.rs struct types)
+    if (up.toUpperCase.startsWith("STRUCT<") && up.endsWith(">")) {
+      val inner = up.substring(7, up.length - 1)
+      val fields = splitTypeArgs(inner).map(_.trim).map { f =>
+        val sp = f.indexOf(' ')
+        require(sp > 0, s"malformed struct field $f")
+        StructField(f.substring(0, sp).trim, sqlType(f.substring(sp + 1)))
+      }
+      return StructType(fields)
+    }
+    // reference MAP(K, V)
+    if (up.toUpperCase.startsWith("MAP(") && up.endsWith(")")) {
+      val inner = up.substring(4, up.length - 1)
+      val kv = splitTypeArgs(inner).map(_.trim)
+      require(kv.size == 2, s"MAP needs two type args: $up")
+      return MapType(sqlType(kv(0)), sqlType(kv(1)))
+    }
     t.trim.toUpperCase.replaceAll("\\s+", " ") match {
       case "BIGINT" | "INT8" => LongType
       case "INT" | "INTEGER" | "INT4" => IntegerType
@@ -146,6 +185,13 @@ object SqlFrontend {
       case "TIMESTAMP" | "TIMESTAMPTZ" => TimestampType
       case "DATE" => DateType
       case "BYTEA" | "BINARY" => BinaryType
+      // jsonb travels as its text rendering (the jsonb function pack
+      // operates on strings end-to-end)
+      case "JSONB" | "JSON" => StringType
+      // PG interval: day-time precision is parquet-storable
+      case "INTERVAL" => DayTimeIntervalType()
+      // reference serial = engine-generated row id (BIGINT)
+      case "SERIAL" => LongType
       case d if d.startsWith("DECIMAL") || d.startsWith("NUMERIC") =>
         val ps = "\\d+".r.findAllIn(d).toSeq
         if (ps.size == 2) DecimalType(ps(0).toInt, ps(1).toInt)
@@ -173,13 +219,46 @@ object SqlFrontend {
       onConflict: Option[String] = None)
 
   private val DefaultColRe =
-    """(?is)\s*(\w+)\s+([\w()0-9, ]+?)\s+DEFAULT\s+(.+?)\s*""".r
+    """(?is)\s*(\w+)\s+([\w()\[\]<>0-9, ]+?)\s+DEFAULT\s+(.+?)\s*""".r
   private val GeneratedColRe =
-    """(?is)\s*(\w+)\s+([\w()0-9, ]+?)\s+AS\s+(.+?)\s*""".r
+    """(?is)\s*(\w+)\s+([\w()\[\]<>0-9, ]+?)\s+AS\s+(.+?)\s*""".r
 
   private val CreateTableHeadRe =
     """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*""".r
   private val PkConstraintRe = """(?is)\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*""".r
+  /** Column-list splitter: ',' at zero paren depth AND outside any
+    * STRUCT<...> type-argument block. '<' opens nesting only directly
+    * after the word STRUCT (or while already inside one) — expression
+    * positions (DEFAULT clauses) use < as an operator.
+    */
+  private def splitColumnDefs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var paren = 0; var angle = 0; var start = 0; var i = 0
+    def wordBefore(j: Int): String = {
+      var e = j
+      while (e > 0 && Character.isWhitespace(s.charAt(e - 1))) e -= 1
+      var b = e
+      while (b > 0 && (Character.isLetterOrDigit(s.charAt(b - 1)) ||
+        s.charAt(b - 1) == '_')) b -= 1
+      s.substring(b, e).toUpperCase
+    }
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => i += 1; while (i < s.length && s.charAt(i) != '\'') i += 1
+        case '(' => paren += 1
+        case ')' => paren -= 1
+        case '<' if angle > 0 || wordBefore(i) == "STRUCT" => angle += 1
+        case '>' if angle > 0 => angle -= 1
+        case ',' if paren == 0 && angle == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
   private val InlinePkRe = """(?is)^(.*?)\s+PRIMARY\s+KEY\s*$""".r
   private val OnConflictTailRe =
     """(?is)^ON\s+CONFLICT\s+(OVERWRITE|IGNORE|DO\s+UPDATE\s+IF\s+NOT\s+NULL)\s*;?$""".r
@@ -195,7 +274,7 @@ object SqlFrontend {
         var schema = Vector.empty[org.apache.spark.sql.types.StructField]
         var defaults = Map.empty[String, String]
         var generated = Map.empty[String, String]
-        splitTopLevel(rest.substring(1, close), ',').foreach {
+        splitColumnDefs(rest.substring(1, close)).foreach {
           case PkConstraintRe(cols) =>
             pk ++= cols.split(",").map(_.trim)
           case DefaultColRe(cname, ctype, dflt) =>
@@ -244,7 +323,7 @@ object SqlFrontend {
       var schema = Vector.empty[org.apache.spark.sql.types.StructField]
       if (rest.startsWith("(")) {
         val close = matchingParen(rest, 0)
-        splitTopLevel(rest.substring(1, close), ',').foreach {
+        splitColumnDefs(rest.substring(1, close)).foreach {
           case WatermarkRe(c, delay, unit) =>
             wmCol = Some(c)
             wmDelay = Some(

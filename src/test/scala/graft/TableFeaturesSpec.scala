@@ -68,4 +68,31 @@ class TableFeaturesSpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect().toSeq ==
       Seq((1L, 3L, 6L), (2L, 5L, 10L)))
   }
+
+  test("complex DDL types: arrays, struct, map, jsonb, interval") {
+    val dir = tmpDir("types")
+    val e = new Engine(spark, dir)
+    e.execute("CREATE TABLE ct (k BIGINT PRIMARY KEY, tags VARCHAR[], " +
+      "pt STRUCT<x INT, y INT>, props MAP(VARCHAR, BIGINT), js JSONB, " +
+      "dur INTERVAL)")
+    e.execute("INSERT INTO ct SELECT 1, array('a', 'b'), " +
+      "named_struct('x', 3, 'y', 4), map('n', CAST(7 AS BIGINT)), " +
+      "'{\"deep\": true}', INTERVAL '2' HOUR")
+
+    val row = e.execute("SELECT k, tags[0] AS t0, pt.x AS px, " +
+      "props['n'] AS pn, get_json_object(js, '$.deep') AS jd FROM ct")
+      .head()
+    assert(row.getLong(0) == 1L && row.getString(1) == "a" &&
+      row.getInt(2) == 3 && row.getLong(3) == 7L &&
+      row.getString(4) == "true")
+
+    // nested array type + struct field in DEFAULT position parses too
+    e.execute("CREATE TABLE ct2 (k BIGINT PRIMARY KEY, " +
+      "m BIGINT[][], s STRUCT<a STRUCT<b INT>, c VARCHAR>)")
+    assert(e.execute("DESCRIBE ct2").count() >= 3)
+
+    // the declared schema (with nested types) survives restart
+    val e2 = new Engine(spark.newSession(), dir)
+    assert(e2.execute("SELECT pt.y FROM ct").head().getInt(0) == 4)
+  }
 }
