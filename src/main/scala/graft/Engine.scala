@@ -2350,6 +2350,33 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
   /** Public read of one session variable (pgwire's ParameterStatus
     * reporting); None for unknown names. */
+  /** Install one connection's session-variable state (reference: each
+    * pgwire session owns its config — src/common/src/session_config/).
+    * Diff-applied through [[setVariable]]-equivalent behavior hooks so
+    * live knobs (timezone, shuffle width, implicit flush) follow the
+    * connection that is about to execute.
+    */
+  private[graft] def installSessionVars(vars: Map[String, String]): Unit = {
+    val live = sessionVars.toMap
+    if (live == vars) return
+    (live.keySet -- vars.keySet).foreach { n =>
+      sessionVars.remove(n)
+      applyVarBehavior(n, varDefaults(n)._1)
+    }
+    vars.foreach { case (n, v) =>
+      if (!live.get(n).contains(v)) {
+        sessionVars(n) = v
+        applyVarBehavior(n, v)
+      }
+    }
+  }
+
+  /** Snapshot of the non-default session variables (per-connection
+    * save/restore around each pgwire statement).
+    */
+  private[graft] def snapshotSessionVars(): Map[String, String] =
+    sessionVars.toMap
+
   def sessionVariable(name: String): Option[String] =
     Some(canonicalVar(name)).filter(varDefaults.contains).map(varValue)
 

@@ -51,6 +51,10 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     ThreadLocal.withInitial(() => "dev")
   private val connPid: ThreadLocal[Integer] =
     ThreadLocal.withInitial(() => Integer.valueOf(0))
+  // each connection owns its session-variable state (PG: GUCs are
+  // per-backend); installed before and captured after every statement
+  private val connVars: ThreadLocal[Map[String, String]] =
+    ThreadLocal.withInitial(() => Map.empty[String, String])
 
   /** All engine execution goes through here: one engine, many
     * connections — planning serializes on the engine monitor, and the
@@ -58,9 +62,11 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     */
   private def runEngine(sql: String): DataFrame = engine.synchronized {
     engine.sessionUser = connUser.get
+    engine.installSessionVars(connVars.get)
     engine.wireSessionQuery(connPid.get, sql)
     try engine.execute(sql) finally {
       connUser.set(engine.sessionUser)
+      connVars.set(engine.snapshotSessionVars())
       engine.wireSessionQuery(connPid.get, "")
     }
   }

@@ -971,4 +971,36 @@ class PgWireSpec extends SparkSpecBase {
       assert(t == 'R', s"expected AuthenticationOk, got $t")
     } finally sock.close()
   }
+
+  test("pgwire: session variables are per-connection (PG GUC semantics)") {
+    val e = new Engine(spark, tmpDir("pgwire-guc"))
+    val srv = new PgWireServer(e)
+    srv.start()
+    try {
+      val a = new Client(srv.port)
+      a.startup()
+      val b = new Client(srv.port)
+      b.startup()
+
+      a.query("SET application_name = 'conn-a'")
+      a.query("SET statement_timeout = 5000")
+      def shown(c: Client, v: String): String = {
+        val ms = c.query(s"SHOW $v")
+        new String(ms.find(_.tpe == 'D').get.body, UTF_8)
+          .replaceAll("[^ -~]", "")
+      }
+      assert(shown(a, "application_name").contains("conn-a"))
+      // b still sees the defaults
+      assert(!shown(b, "application_name").contains("conn-a"))
+      assert(shown(b, "statement_timeout").contains("0"))
+      // b's own SET does not leak back into a
+      b.query("SET application_name = 'conn-b'")
+      assert(shown(a, "application_name").contains("conn-a"))
+      // RESET on a stays scoped to a
+      a.query("RESET application_name")
+      assert(!shown(a, "application_name").contains("conn-a"))
+      assert(shown(b, "application_name").contains("conn-b"))
+      a.close(); b.close()
+    } finally srv.stop()
+  }
 }
