@@ -1761,7 +1761,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   }
 
   private val AlterAddCol =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()0-9, ]+?)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()\[\]<>0-9, ]+?)(?:\s+DEFAULT\s+(.+?))?\s*;?\s*""".r
   private val AlterDropCol =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*;?\s*""".r
 
@@ -3767,7 +3767,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           // eager store rewrite so merges stay schema-uniform
           case AlterRename(kindS, from, to) if mvs.get(from).isDefined =>
             renameObject(kindS, from, to)
-          case AlterAddCol(name, cname, ctype) if tableSchemas.contains(name) =>
+          case AlterAddCol(name, cname, ctype, dflt) if tableSchemas.contains(name) =>
             val t = SqlFrontend.sqlType(ctype)
             require(!tableSchemas(name).fieldNames.contains(cname),
               s"ALTER TABLE $name: column $cname already exists")
@@ -3775,8 +3775,17 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             tableSchemas(name) = org.apache.spark.sql.types.StructType(
               tableSchemas(name).fields :+
                 org.apache.spark.sql.types.StructField(cname, t))
-            mvs.get(name).foreach(_.rewriteSchema(
-              _.withColumn(cname, org.apache.spark.sql.functions.lit(null).cast(t))))
+            // DEFAULT: existing rows backfill with the expression NOW
+            // (PG semantics for a constant default) and future narrow
+            // INSERTs keep filling it via the declared-default path
+            val fill = Option(dflt)
+              .map(d => org.apache.spark.sql.functions.expr(d).cast(t))
+              .getOrElse(org.apache.spark.sql.functions.lit(null).cast(t))
+            mvs.get(name).foreach(_.rewriteSchema(_.withColumn(cname, fill)))
+            Option(dflt).foreach { d =>
+              tableDefaults(name) =
+                tableDefaults.getOrElse(name, Map.empty) + (cname -> d)
+            }
             saveTableEntry(name)
             statusDf("ALTER TABLE", name)
           case AlterDropCol(name, cname) if tableSchemas.contains(name) =>

@@ -95,4 +95,28 @@ class TableFeaturesSpec extends SparkSpecBase {
     val e2 = new Engine(spark.newSession(), dir)
     assert(e2.execute("SELECT pt.y FROM ct").head().getInt(0) == 4)
   }
+
+  test("ALTER TABLE ADD COLUMN DEFAULT backfills and fills future inserts") {
+    val dir = tmpDir("addcol")
+    val e = new Engine(spark, dir)
+    e.execute("CREATE TABLE ac (k BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("INSERT INTO ac VALUES (1, 10), (2, 20)")
+    e.execute("ALTER TABLE ac ADD COLUMN tag VARCHAR DEFAULT 'n/a'")
+
+    // existing rows backfilled with the default
+    assert(e.execute("SELECT tag FROM ac WHERE k = 1").head().getString(0)
+      == "n/a")
+    // narrow INSERT fills the default; explicit value wins
+    e.execute("INSERT INTO ac (k, v) VALUES (3, 30)")
+    e.execute("INSERT INTO ac VALUES (4, 40, 'set')")
+    assert(e.execute("SELECT k, tag FROM ac ORDER BY k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "n/a"), (2L, "n/a"), (3L, "n/a"), (4L, "set")))
+
+    // survives restart (declared default persisted)
+    val e2 = new Engine(spark.newSession(), dir)
+    e2.execute("INSERT INTO ac (k, v) VALUES (5, 50)")
+    assert(e2.execute("SELECT tag FROM ac WHERE k = 5").head().getString(0)
+      == "n/a")
+  }
 }
