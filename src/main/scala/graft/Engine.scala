@@ -1693,6 +1693,71 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       s"$from -> $to")
   }
 
+  private val AlterParallelism =
+    ("""(?is)\s*ALTER\s+(TABLE|MATERIALIZED\s+VIEW)\s+(\w+)\s+SET\s+""" +
+      """PARALLELISM\s*=?\s*(\d+|ADAPTIVE)\s*;?\s*""").r
+
+  /** `ALTER TABLE/MV x SET PARALLELISM = n` (reference:
+    * handler/alter_parallelism.rs — re-distributes a streaming job).
+    * Here parallelism IS the store's bucket count (the distribution
+    * unit every bucket-pruned read/merge keys off), so the statement
+    * re-buckets the store: quiesce, stage the full image, clear the old
+    * layout, merge under the new one, persist it, resume maintenance.
+    * O(table) once — the price of a layout change, same as the
+    * reference's shuffle re-distribution.
+    */
+  private def alterParallelism(kindS: String, name: String,
+      nStr: String): DataFrame = {
+    val target = if (nStr.equalsIgnoreCase("ADAPTIVE")) 32 else nStr.toInt
+    require(target > 0 && target <= 4096,
+      s"PARALLELISM must be in [1, 4096], got $target")
+    val old = mvs.get(name).getOrElse(throw new IllegalArgumentException(
+      s"no such ${kindS.toLowerCase} $name"))
+    require(isSuperuser(sessionUser) || ownerOf(name) == sessionUser,
+      s"must be owner of ${displayName(name)} (as $sessionUser)")
+    if (old.nBuckets == target)
+      return statusDf("ALTER", s"$name parallelism unchanged")
+    require(mvs.get(s"${name}__base").isEmpty,
+      s"$name is an over-window MV — re-create it under the new parallelism")
+    jobs.get(name).foreach { j =>
+      if (j.isActive) { j.processAllAvailable(); j.stop() }
+    }
+    // the bucketed store lives at <warehouse>/<name>/data (the sibling
+    // data.changelog must survive the re-bucket untouched)
+    val dir = java.nio.file.Paths.get(warehouseDir, name, "data")
+    val staging = java.nio.file.Paths.get(warehouseDir, s".$name.rebucket")
+    val content = old.read()
+    val hasRows = content.schema.nonEmpty
+    if (hasRows)
+      content.write.mode("overwrite").parquet(staging.toString)
+    // old-layout bucket dirs must go: dynamic partition overwrite only
+    // replaces buckets the new write touches, and a shrink would leave
+    // stale high-bucket dirs double-counting every read
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("__bucket="))
+        .foreach(p => org.apache.commons.io.FileUtils
+          .deleteDirectory(p.toFile))
+    }
+    mvs.drop(name)
+    val fresh = mvs.define(name, old.primaryKey, target, old.bucketKeys)
+    if (hasRows) {
+      fresh.merge(spark.read.parquet(staging.toString))
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+    }
+    // persist the layout and resume maintenance under it
+    if (tableSchemas.contains(name)) saveTableEntry(name)
+    else catalog.load[DurableCatalog.MvEntry]("mvs", name).foreach { e0 =>
+      val e = e0.copy(nBuckets = target)
+      catalog.save("mvs", name, e)
+      if (e.streaming && !e.over.contains(true))
+        e.query.foreach(q => resumeMvMaintenance(name, fresh, e, q))
+    }
+    statusDf(s"ALTER ${kindS.toUpperCase.replaceAll("\\s+", " ")}",
+      s"$name parallelism ${old.nBuckets} -> $target")
+  }
+
   private val AlterOwner =
     ("""(?is)\s*ALTER\s+(TABLE|MATERIALIZED\s+VIEW|VIEW|SOURCE|SINK|""" +
       """SCHEMA|DATABASE)\s+(\w+)\s+OWNER\s+TO\s+(\w+)\s*;?\s*""").r
@@ -3676,6 +3741,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             // whose backing files appeared after startup)
             retryPendingRecovery()
             statusDf("RECOVER", "")
+          case AlterParallelism(kindS, name, n) =>
+            alterParallelism(kindS, name, n)
           case AlterOwner(kindS, name, user) => alterOwner(kindS, name, user)
           case AlterSetSchema(kindS, name, target) =>
             alterSetSchema(kindS, name, target)

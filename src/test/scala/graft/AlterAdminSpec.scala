@@ -97,4 +97,32 @@ class AlterAdminSpec extends SparkSpecBase {
     assert(e.execute("WAIT").columns.nonEmpty)
     assert(e.execute("RECOVER").columns.nonEmpty)
   }
+
+  test("ALTER SET PARALLELISM re-buckets the store; layout persists") {
+    val dir = tmpDir("alteradmin")
+    val e = new Engine(spark, dir)
+    e.execute("CREATE TABLE ap_t (k BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("INSERT INTO ap_t SELECT id, id * 3 FROM range(200)")
+
+    e.execute("ALTER TABLE ap_t SET PARALLELISM = 4")
+    // content identical under the new layout
+    assert(e.execute("SELECT count(*) c FROM ap_t").head().getLong(0) == 200)
+    assert(e.execute("SELECT v FROM ap_t WHERE k = 7").head().getLong(0) == 21)
+    // exactly 4 bucket dirs on disk (stale 32-way layout cleared)
+    val buckets = new java.io.File(s"$dir/ap_t/data").listFiles()
+      .count(_.getName.startsWith("__bucket="))
+    assert(buckets == 4, s"expected 4 bucket dirs, found $buckets")
+
+    // merges keep working under the new layout; shrink → grow round-trip
+    e.execute("INSERT INTO ap_t VALUES (500, 1500)")
+    e.execute("ALTER TABLE ap_t SET PARALLELISM = 8")
+    assert(e.execute("SELECT count(*) c FROM ap_t").head().getLong(0) == 201)
+
+    // the new layout survives restart (bucket-pruned reads depend on it)
+    val e2 = new Engine(spark.newSession(), dir)
+    assert(e2.execute("SELECT v FROM ap_t WHERE k = 500").head().getLong(0)
+      == 1500)
+    e2.execute("INSERT INTO ap_t VALUES (501, 1503)")
+    assert(e2.execute("SELECT count(*) c FROM ap_t").head().getLong(0) == 202)
+  }
 }
