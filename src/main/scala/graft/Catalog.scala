@@ -179,4 +179,11 @@ object DurableCatalog {
     * (reference: handler/handle_privilege.rs).
     */
   final case class AclEntry(grants: Map[String, Seq[String]])
+
+  /** CREATE SECRET (reference: handler/create_secret.rs): the payload
+    * stores base64-obfuscated (the reference encrypts in its meta
+    * store); it is resolved only at connector use time and never
+    * surfaced by any introspection relation.
+    */
+  final case class SecretEntry(valueB64: String, owner: String)
 }

@@ -192,7 +192,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       }
     SystemCatalog.bindRw(spark, objs, pks, defs, deps, jobStatus,
       sinkNames.toSeq, fns, schemaNames.toSeq,
-      users.toSeq.map { case (n, e) => (n, e.superuser, e.createdb, e.login) })
+      users.toSeq.map { case (n, e) => (n, e.superuser, e.createdb, e.login) },
+      secrets.keys.toSeq)
   }
 
   /** The engine's registered callables for pg_proc (psql `\df`, ORM
@@ -2612,9 +2613,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     // external-database sink (reference: src/connector/src/sink/jdbc.rs
     // — upsert / append-only delivery into an existing remote table)
     if (d.options.get("connector").contains("jdbc")) {
-      val url = d.options.getOrElse("jdbc.url",
+      val url = resolveSecretRefs(d.options.getOrElse("jdbc.url",
         throw new IllegalArgumentException(
-          "CREATE SINK connector='jdbc' requires jdbc.url = '…'"))
+          "CREATE SINK connector='jdbc' requires jdbc.url = '…'")))
       val tbl = d.options.getOrElse("table.name", d.from)
       val upsert =
         d.options.getOrElse("type", "upsert").toLowerCase != "append-only"
@@ -2776,7 +2777,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     var out = JdbcQueryTvf.replaceAllIn(stmt, m => {
       tvfCounter += 1
       val v = s"__jdbc_tvf_$tvfCounter"
-      graft.sources.Jdbc.query(spark, m.group(1), m.group(2))
+      graft.sources.Jdbc.query(spark, resolveSecretRefs(m.group(1)),
+          m.group(2))
         .createOrReplaceTempView(v)
       v
     })
@@ -2928,6 +2930,32 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
   private[graft] def databaseExists(d: String): Boolean =
     d == "dev" || databases.contains(d)
+
+  // ------------------------------------------------------------ secrets
+  //
+  // Reference: handler/create_secret.rs + secret catalog. Values store
+  // obfuscated in the durable catalog and resolve ONLY at connector use
+  // time (`${secret:name}` inside a WITH option value / jdbc_query url),
+  // so persisted DDL keeps the placeholder, never the payload.
+
+  private val secrets = scala.collection.mutable.Map[String, String]()
+
+  private val CreateSecretStmt =
+    ("""(?is)\s*CREATE\s+SECRET\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)""" +
+      """(?:\s+WITH\s*\([^)]*\))?\s+AS\s+'([^']*)'\s*;?\s*""").r
+  private val DropSecretStmt =
+    """(?is)\s*DROP\s+SECRET\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*""".r
+  private val ShowSecrets = """(?is)\s*SHOW\s+SECRETS\s*;?\s*""".r
+
+  /** Substitute `${secret:name}` placeholders with live secret values
+    * (use-time only — callers are connector option consumers).
+    */
+  private[graft] def resolveSecretRefs(v: String): String =
+    if (!v.contains("${secret:")) v
+    else """\$\{secret:(\w+)\}""".r.replaceAllIn(v, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        secrets.getOrElse(m.group(1), throw new IllegalArgumentException(
+          s"secret \"${m.group(1)}\" does not exist"))))
 
   private val CreateSchemaStmt =
     """(?is)\s*CREATE\s+SCHEMA\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s*;?\s*""".r
@@ -3435,6 +3463,36 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           catalog.delete("databases", name)
         }
         return statusDf("DROP DATABASE", name)
+      case CreateSecretStmt(ifNot, name, value) =>
+        require(isSuperuser(sessionUser) ||
+          users.get(sessionUser).exists(_.createdb),
+          s"permission denied to create secret (as $sessionUser)")
+        if (secrets.contains(name)) {
+          if (ifNot == null) throw new IllegalArgumentException(
+            s"secret \"$name\" already exists")
+        } else {
+          secrets(name) = value
+          catalog.save("secrets", name, DurableCatalog.SecretEntry(
+            java.util.Base64.getEncoder.encodeToString(
+              value.getBytes("UTF-8")), sessionUser))
+        }
+        return statusDf("CREATE SECRET", name)
+      case DropSecretStmt(ifEx, name) =>
+        if (!secrets.contains(name)) {
+          if (ifEx == null) throw new IllegalArgumentException(
+            s"secret \"$name\" does not exist")
+        } else {
+          require(isSuperuser(sessionUser),
+            s"permission denied to drop secret (as $sessionUser)")
+          secrets.remove(name)
+          catalog.delete("secrets", name)
+        }
+        return statusDf("DROP SECRET", name)
+      case ShowSecrets() =>
+        // names only — the payload never crosses any result surface
+        import spark.implicits._
+        return secrets.keys.toSeq.sorted.map(n => (n, "meta"))
+          .toDF("name", "backend")
       case ShowProcessList() =>
         import spark.implicits._
         val now = System.currentTimeMillis()
@@ -4078,6 +4136,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     // on knowing the namespace set
     schemaNames ++= catalog.list[SchemaEntry]("schemas").map(_._1)
     databases ++= catalog.list[SchemaEntry]("databases").map(_._1)
+    secrets ++= catalog.list[SecretEntry]("secrets").map { case (n, e) =>
+      n -> new String(java.util.Base64.getDecoder.decode(e.valueB64), "UTF-8")
+    }
     users ++= catalog.list[UserEntry]("users")
     objectOwners ++= catalog.list[OwnerEntry]("owners")
       .map { case (k, e) => k -> e.user }

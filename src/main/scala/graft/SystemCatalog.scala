@@ -69,7 +69,7 @@ object SystemCatalog {
     // (actors/fragments/hummock LSM/meta cluster) — concepts this
     // engine delegates to Spark; "none defined" is the truthful answer
     "rw_actor\\w*|rw_fragment\\w*|rw_hummock_\\w+|rw_connections|" +
-    "rw_secrets|rw_event_logs|rw_ddl_progress|rw_meta_snapshot|" +
+    "rw_event_logs|rw_ddl_progress|rw_meta_snapshot|" +
     "rw_rate_limit|rw_internal_table\\w*|rw_iceberg_\\w+|rw_worker\\w*|" +
     "rw_parallel_units|rw_system_tables|rw_types)\\b").r
 
@@ -440,7 +440,8 @@ object SystemCatalog {
       sinks: Seq[String],
       fns: Seq[(String, String, String, String)],
       userSchemas: Seq[String] = Seq.empty,
-      userRows: Seq[(String, Boolean, Boolean, Boolean)] = Seq.empty): Unit = {
+      userRows: Seq[(String, Boolean, Boolean, Boolean)] = Seq.empty,
+      secretNames: Seq[String] = Seq.empty): Unit = {
     val s = spark
     import s.implicits._
     val none: Option[java.sql.Timestamp] = None
@@ -548,6 +549,12 @@ object SystemCatalog {
       }.toDF("id", "name", "is_super", "create_db", "create_user",
         "can_login")
       .createOrReplaceTempView("rw_users")
+
+    // secret NAMES only (reference rw_secrets never exposes payloads)
+    secretNames.sorted.zipWithIndex
+      .map { case (n, i) => (31000 + i, n, NsPublic.toInt, owner, acl) }
+      .toDF("id", "name", "schema_id", "owner", "acl")
+      .createOrReplaceTempView("rw_secrets")
   }
 
   private val FirstFuncOid = 30000L

@@ -82,4 +82,45 @@ class JdbcFederationSpec extends SparkSpecBase {
     val p = joined.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
   }
+
+  test("secrets: lifecycle, rw_secrets names-only, use-time resolution in jdbc_query") {
+    val wh = tmpDir("secrets")
+    val e = new Engine(spark, wh)
+
+    // a Derby db reachable only through the secret-resolved URL
+    val dbDir = tmpDir("derby-sec")
+    val url = s"jdbc:derby:$dbDir/sec;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE remote_t (id INT, v VARCHAR(10))")
+    st.execute("INSERT INTO remote_t VALUES (1, 'hello')")
+    st.close(); conn.close()
+
+    e.execute(s"CREATE SECRET dburl WITH (backend = 'meta') AS '$url'")
+    intercept[Exception](e.execute(s"CREATE SECRET dburl AS 'other'"))
+    e.execute("CREATE SECRET IF NOT EXISTS dburl AS 'ignored'")
+
+    // introspection lists the NAME; the payload appears nowhere
+    val listed = e.execute("SHOW SECRETS").collect().map(_.getString(0))
+    assert(listed.toSeq == Seq("dburl"))
+    val rw = e.execute("SELECT name FROM rw_catalog.rw_secrets").collect()
+    assert(rw.map(_.getString(0)).toSeq == Seq("dburl"))
+    assert(!e.execute("SELECT * FROM rw_catalog.rw_secrets").columns
+      .exists(_.toLowerCase.contains("value")))
+
+    // ${secret:name} resolves at use time inside the TVF url
+    val got = e.execute(
+      "SELECT v FROM jdbc_query('${secret:dburl}', 'SELECT v FROM remote_t')")
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("hello"))
+
+    // survives restart (obfuscated at rest); unknown refs fail loudly
+    val e2 = new Engine(spark.newSession(), wh)
+    assert(e2.execute("SHOW SECRETS").count() == 1)
+    val err = intercept[Exception](e2.execute(
+      "SELECT * FROM jdbc_query('${secret:nope}', 'SELECT 1')"))
+    assert(err.getMessage.contains("nope"), err.getMessage)
+    e2.execute("DROP SECRET dburl")
+    assert(e2.execute("SHOW SECRETS").count() == 0)
+  }
 }
