@@ -139,6 +139,12 @@ object SystemCatalog {
     // pg_get_expr's optional 3rd arg (pretty-print) — one shim arity
     s = s.replaceAll("(?i)\\bpg_get_expr\\s*\\(([^()]*?),\\s*(?:true|false)\\s*\\)",
       "pg_get_expr($1)")
+    // psql \du: ARRAY(SELECT … pg_auth_members …) memberof — Spark has
+    // no ARRAY(subquery), and role membership is not modeled (every
+    // role stands alone), so the truthful answer is the empty list
+    s = s.replaceAll(
+      "(?is)ARRAY\\s*\\(\\s*SELECT\\b.*?pg_auth_members.*?\\)\\s+as\\s+memberof",
+      "array() as memberof")
     s
   }
 

@@ -474,6 +474,19 @@ class PgWireSpec extends SparkSpecBase {
       val dfOut = run("\\df graft_*")
       assert(dfOut.contains("graft_dot") && dfOut.contains("graft_gcd"), dfOut)
       assert(!dfOut.toLowerCase.contains("error"), dfOut)
+
+      // schema + user UX: \dn lists schemas, \du lists roles, and a
+      // schema-qualified table round-trips through psql verbatim
+      run("CREATE SCHEMA psq", "CREATE USER psuser",
+        "CREATE TABLE psq.pt2 (id BIGINT PRIMARY KEY, v DOUBLE)",
+        "INSERT INTO psq.pt2 VALUES (7, 1.5)")
+      val nsOut = run("\\dn", "\\du",
+        "SELECT id, v FROM psq.pt2", "\\dt psq.*")
+      assert(nsOut.contains("psq"), nsOut)
+      assert(nsOut.contains("psuser"), nsOut)
+      assert(nsOut.contains("7|1.5"), nsOut)
+      assert(nsOut.contains("psq|pt2"), nsOut)
+      assert(!nsOut.toLowerCase.contains("error"), nsOut)
     } finally srv.stop()
   }
 
