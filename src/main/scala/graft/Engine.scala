@@ -3531,7 +3531,16 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     recordOwner(statement)
     bindMvTables(statement)
     statement match {
-      case Discard(_) => return statusDf("DISCARD", "")
+      case Discard(kind) =>
+        // PG semantics: DISCARD ALL resets session state (GUCs back to
+        // defaults, role back to the connection identity); the narrower
+        // forms have nothing engine-side to release and just ack
+        if (kind.equalsIgnoreCase("ALL")) {
+          sessionVars.keys.toSeq
+            .foreach(n => applyVarBehavior(n, varDefaults(n)._1))
+          sessionVars.clear()
+        }
+        return statusDf("DISCARD", "")
       case CommentOn(_, target, text, nul) =>
         // catalog keys are \w+; object names are too, so the dot of a
         // column target encodes unambiguously as '-'

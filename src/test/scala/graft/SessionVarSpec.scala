@@ -159,4 +159,17 @@ class SessionVarSpec extends SparkSpecBase {
     assert(e.execute("SHOW SCHEMAS").as[String].collect()
       .contains("pg_catalog"))
   }
+
+  test("DISCARD ALL resets session variables to defaults") {
+    val e = new Engine(spark, tmpDir("discard"))
+    e.execute("SET application_name = 'x'")
+    e.execute("SET extra_float_digits TO 3")
+    e.execute("DISCARD ALL")
+    assert(e.execute("SHOW application_name").head().getString(0) == "")
+    assert(e.execute("SHOW extra_float_digits").head().getString(0) == "1")
+    // narrower forms ack without touching state
+    e.execute("SET application_name = 'y'")
+    e.execute("DISCARD PLANS")
+    assert(e.execute("SHOW application_name").head().getString(0) == "y")
+  }
 }
