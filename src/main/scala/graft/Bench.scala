@@ -58,15 +58,24 @@ object Bench {
     }
     val errors = outcomes.collect { case (name, Left(msg)) => (name, msg) }
     errors.foreach { case (n, m) => System.err.println(s"[bench] $n FAILED: $m") }
+    // 3 decimals (ms resolution): keeps the full per-query line compact
+    // enough for log-tail windows without losing measurement precision
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def dict(f: ((String, Double, Double)) => Double) = results
-      .map(t => Verify.jsonQuote(t._1) + ":" + f(t)).mkString("{", ",", "}")
+      .map(t => Verify.jsonQuote(t._1) + ":" + r3(f(t))).mkString("{", ",", "}")
     val qs = dict(_._3)
     val total = results.map(_._3).sum
     val cold = if (repeat > 1) s""","queries_cold":${dict(_._2)}""" else ""
     val errs = errors
       .map { case (k, v) => Verify.jsonQuote(k) + ":" + Verify.jsonQuote(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$cold,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$cold,"errors":$errs,"sf":"$sfDir"}""")
+    // compact summary LAST so any bounded tail of the output still
+    // contains one complete, parseable record (the full line above can
+    // overflow a log-tail window)
+    val top = results.sortBy(-_._3).take(10)
+      .map(t => Verify.jsonQuote(t._1) + ":" + r3(t._3)).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"error_count":${errors.size},"truncated":true,"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -112,10 +112,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     // temporal-filter MV: residual horizon filter — reads are exact at
     // any instant, eviction (at barrier drains) only reclaims state
     val df1 = temporalFilters.get(name) match {
-      case Some((c, ms)) if df0.columns.contains(c) =>
+      case Some((c, ms, incl)) if df0.columns.contains(c) =>
         val cutoff = new java.sql.Timestamp(temporalNowMs - ms)
-        df0.where(org.apache.spark.sql.functions.col(c) >
-          org.apache.spark.sql.functions.lit(cutoff))
+        val cc = org.apache.spark.sql.functions.col(c)
+        val cv = org.apache.spark.sql.functions.lit(cutoff)
+        df0.where(if (incl) cc >= cv else cc > cv)
       case _ => df0
     }
     if (hiddenRowIdTables.contains(name)) df1.drop(Engine.RowIdCol) else df1
@@ -715,24 +716,29 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   // EVICTS aged-out rows as real delete epochs — downstream chained
   // MVs retract exactly as the reference's DynamicFilter emits
   // retractions when the Now bound advances. name → (tsCol, horizonMs).
+  // name -> (tsCol, horizonMs, inclusive): inclusive=true when the
+  // defining comparison was >= (the boundary row at exactly the horizon
+  // stays visible and must not be evicted)
   private val temporalFilters =
-    scala.collection.mutable.Map[String, (String, Long)]()
+    scala.collection.mutable.Map[String, (String, Long, Boolean)]()
 
   /** Test hook: the temporal "now" in millis (reads and eviction).
     * None = wall clock. */
   @volatile var temporalNowOverrideMs: Option[Long] = None
 
   private val TemporalFilterPat =
-    ("""(?i)\b([A-Za-z_]\w*)\s*>=?\s*(?:now\s*\(\s*\)|current_timestamp""" +
+    ("""(?i)\b([A-Za-z_]\w*)\s*(>=?)\s*(?:now\s*\(\s*\)|current_timestamp""" +
       """(?:\s*\(\s*\))?)\s*-\s*interval\s+'([^']+)'\s*([A-Za-z]*)""").r
 
   /** Detect `col > now() - interval '…' [unit]` in a defining query.
     * Both Spark spellings bind: `interval '1' hour` and `interval '1 hour'`.
     */
-  private[graft] def detectTemporalFilter(query: String): Option[(String, Long)] =
+  private[graft] def detectTemporalFilter(
+      query: String): Option[(String, Long, Boolean)] =
     TemporalFilterPat.findFirstMatchIn(query).flatMap { m =>
-      val quoted = m.group(2).trim
-      val unitOut = Option(m.group(3)).map(_.trim.toLowerCase).filter(_.nonEmpty)
+      val inclusive = m.group(2) == ">="
+      val quoted = m.group(3).trim
+      val unitOut = Option(m.group(4)).map(_.trim.toLowerCase).filter(_.nonEmpty)
       val parts = unitOut match {
         case Some(u) => Some((quoted, u))
         case None => quoted.split("\\s+") match {
@@ -751,7 +757,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case _ => None
         }
         val n = scala.util.Try(nStr.trim.toDouble).toOption
-        for (u <- unitMs; v <- n) yield (m.group(1), (v * u).toLong)
+        for (u <- unitMs; v <- n) yield (m.group(1), (v * u).toLong, inclusive)
       }
     }
 
@@ -765,7 +771,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private def registerTemporalFilter(name: String, query: String,
       outputCols: Seq[String]): Unit =
     detectTemporalFilter(query)
-      .filter { case (c, _) => outputCols.contains(c) }
+      .filter { case (c, _, _) => outputCols.contains(c) }
       .foreach(temporalFilters(name) = _)
 
   /** Age out rows past the horizon as REAL delete epochs (the
@@ -773,12 +779,15 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * Runs at barrier drains; reads are exact in between via the
     * residual filter in [[table]]. */
   private def evictTemporal(name: String): Unit =
-    for ((c, ms) <- temporalFilters.get(name); mv <- mvs.get(name)) {
+    for ((c, ms, incl) <- temporalFilters.get(name); mv <- mvs.get(name)) {
       val cutoff = new java.sql.Timestamp(temporalNowMs - ms)
       val base = mv.read()
       if (base.columns.contains(c)) {
-        val cond = org.apache.spark.sql.functions.col(c) <=
-          org.apache.spark.sql.functions.lit(cutoff)
+        // evict the exact complement of the read filter: >= keeps the
+        // boundary row, so eviction is strict <; > evicts <=
+        val cc = org.apache.spark.sql.functions.col(c)
+        val cv = org.apache.spark.sql.functions.lit(cutoff)
+        val cond = if (incl) cc < cv else cc <= cv
         if (!base.where(cond).isEmpty)
           graft.operators.Dml.deleteWhere(mv, cond)
       }
@@ -2860,6 +2869,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     */
   private[graft] var sessionUser: String = "graft"
 
+  /** The connection's authenticated identity (pgwire startup `user`).
+    * SET ROLE may only escalate from this, never past it: a
+    * non-superuser startup identity can assume only itself, and RESET
+    * ROLE restores this identity — the reference gates identity at
+    * auth and has no in-band escalation path at all.
+    */
+  private[graft] var startupUser: String = "graft"
+
   /** search_path entries, `$user` substituted, in declared order. */
   private def searchPathEntries: Seq[String] =
     varValue("search_path").split(",").toSeq
@@ -2885,24 +2902,67 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       database: String, startedAtMs: Long,
       @volatile var query: String = "",
       @volatile var queryStartMs: Long = 0L,
-      kill: () => Unit = () => ())
+      kill: () => Unit = () => (),
+      secret: Int = 0,
+      @volatile var cancelRequested: Boolean = false)
 
   private[graft] val wireSessions =
     new java.util.concurrent.ConcurrentHashMap[Int, WireSession]()
   private val nextPid = new java.util.concurrent.atomic.AtomicInteger(1000)
+  private val secretRng = new java.security.SecureRandom()
 
   private[graft] def registerWireSession(user: String, addr: String,
       database: String, kill: () => Unit): Int = {
     val pid = nextPid.getAndIncrement()
     wireSessions.put(pid,
-      WireSession(user, addr, database, System.currentTimeMillis(), kill = kill))
+      WireSession(user, addr, database, System.currentTimeMillis(),
+        kill = kill, secret = secretRng.nextInt()))
     pid
   }
 
+  /** BackendKeyData secret for CancelRequest validation. */
+  private[graft] def wireSessionSecret(pid: Int): Int =
+    Option(wireSessions.get(pid)).map(_.secret).getOrElse(0)
+
+  /** CancelRequest (reference: pg_protocol.rs process_cancel_msg):
+    * validates the (pid, secret) pair and cancels the backend's active
+    * Spark jobs WITHOUT taking the engine monitor — the target thread
+    * holds it while executing. Wrong key = silent no-op (PG semantics:
+    * cancellation is never acknowledged to the requester).
+    */
+  private[graft] def cancelWireQuery(pid: Int, secret: Int): Unit =
+    Option(wireSessions.get(pid))
+      .filter(s => s.secret == secret && s.secret != 0)
+      .foreach { s =>
+        s.cancelRequested = true
+        spark.sparkContext.cancelJobGroup(s"pgwire-$pid")
+      }
+
+  /** True exactly once after a cancel hit this backend (the connection
+    * thread turns the aborted job into SQLSTATE 57014).
+    */
+  private[graft] def consumeCancelFlag(pid: Int): Boolean =
+    Option(wireSessions.get(pid)).exists { s =>
+      val was = s.cancelRequested; s.cancelRequested = false; was
+    }
+
   private[graft] def wireSessionQuery(pid: Int, sql: String): Unit =
     Option(wireSessions.get(pid)).foreach { s =>
-      s.query = sql; s.queryStartMs = System.currentTimeMillis()
+      // never hold credential payloads in the live-query registry:
+      // CREATE USER … PASSWORD '…' / CREATE SECRET … AS '…' would
+      // otherwise surface through processlist/pg_stat_activity
+      s.query = sql
+        .replaceAll("(?is)(PASSWORD\\s+)'(?:[^']|'')*'", "$1'***'")
+        .replaceAll("(?is)(\\bAS\\s+)'(?:[^']|'')*'(\\s*;?\\s*$)", "$1'***'$2")
+      s.queryStartMs = System.currentTimeMillis()
     }
+
+  /** PG semantics: other backends' in-flight query text is visible only
+    * to superusers and the backend's own user.
+    */
+  private def visibleQuery(owner: String, q: String): String =
+    if (q.isEmpty || isSuperuser(sessionUser) || owner == sessionUser) q
+    else "<insufficient privilege>"
 
   private[graft] def unregisterWireSession(pid: Int): Unit =
     wireSessions.remove(pid)
@@ -3047,6 +3107,17 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private[graft] def userExists(u: String): Boolean =
     BootstrapSuperusers.contains(u) || users.contains(u)
 
+  /** The stored password (pgwire auth; None = trust for this user —
+    * the reference's UserAuthenticator::None vs ClearText/MD5,
+    * src/utils/pgwire/src/pg_server.rs).
+    */
+  private[graft] def userPassword(u: String): Option[String] =
+    users.get(u).flatMap(_.password)
+
+  /** NOLOGIN users cannot connect (28000, PG semantics). */
+  private[graft] def userCanLogin(u: String): Boolean =
+    BootstrapSuperusers.contains(u) || users.get(u).exists(_.login)
+
   private def isSuperuser(u: String): Boolean =
     BootstrapSuperusers.contains(u) || users.get(u).exists(_.superuser)
 
@@ -3143,10 +3214,17 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           if (ifEx != null) return Some(statusDf("DROP USER", name))
           throw new IllegalArgumentException(s"user \"$name\" does not exist")
         }
-        val owned = objectOwners.filter(_._2 == name).keys.toSeq.sorted
+        // stale entries for dropped objects don't block (recordOwner
+        // can leave one behind when the CREATE itself failed)
+        val live = allObjectNames
+        val owned = objectOwners.filter(_._2 == name).keys.toSeq
+          .filter(live.contains).sorted
         require(owned.isEmpty,
           s"user $name owns objects (${owned.map(displayName).mkString(", ")})" +
             " — drop or reassign them first")
+        objectOwners.filter(_._2 == name).keys.toSeq.foreach { k =>
+          objectOwners.remove(k); catalog.delete("owners", k)
+        }
         users.remove(name)
         catalog.delete("users", name)
         acls.keys.toSeq.foreach { k =>
@@ -3158,10 +3236,15 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         Some(statusDf("DROP USER", name))
       case SetRoleStmt(name) =>
         require(userExists(name), s"role \"$name\" does not exist")
+        // PG gates SET ROLE on membership; with no role grants the
+        // rendering is: superuser startup identity may assume anyone,
+        // everyone else only themselves (no in-band escalation).
+        require(isSuperuser(startupUser) || name == startupUser,
+          s"permission denied to set role \"$name\" (as $startupUser)")
         sessionUser = name
         Some(statusDf("SET", "role"))
       case ResetRoleStmt() =>
-        sessionUser = "graft"
+        sessionUser = startupUser
         Some(statusDf("RESET", "role"))
       case GrantStmt(privText, target, user, _) =>
         Some(applyGrant(privText, target, user, revoke = false))
@@ -3293,7 +3376,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val CreateRe = ("(?is)^\\s*CREATE\\s+(?:TABLE|MATERIALIZED\\s+VIEW|VIEW|" +
       "SOURCE|SINK|INDEX|SUBSCRIPTION)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+).*").r
     stmt match {
-      case CreateRe(name) =>
+      case CreateRe(name) if !allObjectNames.contains(name) =>
+        // never reassign a live name: a failing CREATE (duplicate) or
+        // IF NOT EXISTS on an existing object must not hijack the
+        // current owner's entry (the issuer could then DROP/GRANT it)
         objectOwners(name) = sessionUser
         catalog.save("owners", name, DurableCatalog.OwnerEntry(sessionUser))
       case _ => ()
@@ -3417,7 +3503,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             wireSessions.entrySet().iterator().asScala.toSeq.map { en =>
               val s = en.getValue
               (en.getKey, s.user, s.database, s.clientAddr,
-                s.startedAtMs, s.query)
+                s.startedAtMs, visibleQuery(s.user, s.query))
             }
           },
           databases.toSeq)
@@ -3504,7 +3590,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               val s = e.getValue
               (e.getKey, s.user, s.clientAddr, s.database,
                 if (s.query.nonEmpty) (now - s.queryStartMs) / 1000 else 0L,
-                s.query)
+                visibleQuery(s.user, s.query))
             }
             .toDF("id", "user", "host", "database", "time", "info")
         }
@@ -3581,6 +3667,15 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         // a user table IS a PK-merged MV with DML as its only writer
         // (reference: handler/create_table.rs — tables are materialized
         // states fed by DML/source, same storage as MVs)
+        if (allObjectNames.contains(name)) {
+          // PG semantics: duplicate names error (42P07); IF NOT EXISTS
+          // is a no-op — never silently redefine over live storage
+          if ("(?is)^\\s*CREATE\\s+TABLE\\s+IF\\s+NOT\\s+EXISTS\\b".r
+              .findPrefixMatchOf(statement).isDefined)
+            return statusDf("CREATE TABLE", name)
+          throw new IllegalArgumentException(
+            s"relation \"${displayName(name)}\" already exists")
+        }
         require(pk.nonEmpty,
           s"CREATE TABLE $name requires a PRIMARY KEY (merging on a " +
             "guessed key would silently drop rows)")

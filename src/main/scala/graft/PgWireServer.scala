@@ -35,7 +35,8 @@ import org.apache.spark.sql.types._
   * connections); rows stream to the socket via toLocalIterator, so
   * client-bound delivery never materializes a full result server-side.
   */
-final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
+final class PgWireServer(engine: Engine, requestedPort: Int = 0,
+    authMethod: String = "md5") {
 
   private val server = new ServerSocket(requestedPort)
   @volatile private var running = false
@@ -46,6 +47,10 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     * across the connection's statements.
     */
   private val connUser: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "graft")
+  // the authenticated startup identity: SET ROLE can never move this,
+  // and RESET ROLE restores it (no in-band privilege escalation)
+  private val connStartupUser: ThreadLocal[String] =
     ThreadLocal.withInitial(() => "graft")
   private val connDb: ThreadLocal[String] =
     ThreadLocal.withInitial(() => "dev")
@@ -62,6 +67,7 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     */
   private def runEngine(sql: String): DataFrame = engine.synchronized {
     engine.sessionUser = connUser.get
+    engine.startupUser = connStartupUser.get
     engine.installSessionVars(connVars.get)
     engine.wireSessionQuery(connPid.get, sql)
     try engine.execute(sql) finally {
@@ -288,6 +294,11 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     try {
       if (!handshake(sock, in, out)) return
       pid = connPid.get.intValue
+      // every Spark job this connection submits joins one job group so
+      // a CancelRequest can abort the active statement (psql Ctrl-C);
+      // interruptOnCancel reaches straggler tasks too
+      engine.spark.sparkContext.setJobGroup(s"pgwire-$pid",
+        s"pgwire backend $pid", interruptOnCancel = true)
       var open = true
       while (open) {
         val tpe = try in.readByte() catch { case _: EOFException => 'X'.toByte }
@@ -307,6 +318,9 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
         // connection (the client's Sync gets its ReadyForQuery as usual)
         def guarded(handler: => Unit): Unit =
           try handler catch {
+            case scala.util.control.NonFatal(e)
+                if engine.consumeCancelFlag(connPid.get) =>
+              extErr("57014", "canceling statement due to user request")
             case scala.util.control.NonFatal(e) => extErr("XX000",
               Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
           }
@@ -567,7 +581,8 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
           in.readFully(body)
           // -1: keep empty values so key/value pairing stays aligned
           new String(body, "UTF-8").split("\u0000", -1).grouped(2).foreach {
-            case Array("user", u) if u.nonEmpty => connUser.set(u)
+            case Array("user", u) if u.nonEmpty =>
+              connUser.set(u); connStartupUser.set(u)
             case Array("database", d) if d.nonEmpty => connDb.set(d)
             case _ =>
           }
@@ -586,8 +601,53 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
             out.flush()
             return false
           }
+          if (!engine.userCanLogin(connUser.get)) {
+            errorResponse(out, "28000",
+              s"role \"${connUser.get}\" is not permitted to log in")
+            out.flush()
+            return false
+          }
+          // password authentication (reference pg_protocol.rs:592-596
+          // AuthenticationCleartextPassword/MD5Password + pg_server.rs
+          // UserAuthenticator): a role with a stored password must prove
+          // it; a role without one connects on trust
+          engine.userPassword(connUser.get) match {
+            case Some(stored) =>
+              val expected =
+                if (authMethod == "cleartext") {
+                  writeMsg(out, 'R')(_.writeInt(3))
+                  out.flush()
+                  stored
+                } else { // md5: md5(md5(password + user) + salt), hex
+                  val salt = new Array[Byte](4)
+                  new java.security.SecureRandom().nextBytes(salt)
+                  writeMsg(out, 'R') { b => b.writeInt(5); b.write(salt) }
+                  out.flush()
+                  "md5" + md5hex(
+                    md5hex((stored + connUser.get).getBytes(UTF_8))
+                      .getBytes(UTF_8) ++ salt)
+                }
+              val ptpe = in.readByte()
+              val plen = in.readInt()
+              val pbody = new Array[Byte](math.max(plen - 4, 0))
+              in.readFully(pbody)
+              val given = new String(pbody, UTF_8).takeWhile(_ != 0.toChar)
+              if (ptpe != 'p' || given != expected) {
+                errorResponse(out, "28P01",
+                  s"password authentication failed for user \"${connUser.get}\"")
+                out.flush()
+                return false
+              }
+            case None => ()
+          }
           negotiating = false
-        case 80877102 => // CancelRequest: no query registry — ignore
+        case 80877102 =>
+          // CancelRequest (reference pg_protocol.rs process_cancel_msg):
+          // validate the BackendKeyData pair and abort the target
+          // backend's active statement; never acknowledged either way
+          val cpid = in.readInt()
+          val csecret = in.readInt()
+          engine.cancelWireQuery(cpid, csecret)
           return false
         case other =>
           errorResponse(out, "08P01", s"unsupported protocol $other")
@@ -602,15 +662,21 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
       writeMsg(out, 'S') { b => cstr(b, k); cstr(b, v) }
     }
     // BackendKeyData: the real backend pid (pg_stat_activity / KILL
-    // target); cancel keys are not implemented (0)
+    // target) + the cancel secret a CancelRequest must echo
     val pid = engine.registerWireSession(connUser.get,
       String.valueOf(sock.getRemoteSocketAddress), connDb.get,
       () => { try sock.close() catch { case _: IOException => } })
     connPid.set(Integer.valueOf(pid))
-    writeMsg(out, 'K') { b => b.writeInt(pid); b.writeInt(0) }
+    writeMsg(out, 'K') { b =>
+      b.writeInt(pid); b.writeInt(engine.wireSessionSecret(pid))
+    }
     readyForQuery(out)
     true
   }
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
 
   private def readyForQuery(out: DataOutputStream): Unit = {
     writeMsg(out, 'Z')(_.writeByte('I'))
@@ -698,7 +764,11 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
     } catch {
       case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
-        errorResponse(out, "XX000", msg.linesIterator.take(4).mkString(" | "))
+        if (engine.consumeCancelFlag(connPid.get))
+          errorResponse(out, "57014",
+            "canceling statement due to user request")
+        else
+          errorResponse(out, "XX000", msg.linesIterator.take(4).mkString(" | "))
         false
     }
 
@@ -788,6 +858,7 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0) {
                 .csv(spark.createDataset(lines))
             val n = engine.synchronized {
               engine.sessionUser = connUser.get
+              engine.startupUser = connStartupUser.get
               engine.copyInto(table, parsed)
             }
             writeMsg(out, 'C')(cstr(_, s"COPY $n"))

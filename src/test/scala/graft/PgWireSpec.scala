@@ -146,6 +146,75 @@ class PgWireSpec extends SparkSpecBase {
       out.writeByte('S'); out.writeInt(4); out.flush()
       drainUntilReady()
     }
+
+    /** Startup answering cleartext/MD5 password requests. Returns
+      * Right(startup messages) on AuthenticationOk, Left(SQLSTATE) on
+      * refusal. `sawMethod` records the server's auth request code.
+      */
+    var sawMethod: Int = -1
+    def startupPassword(password: String): Either[String, Seq[Msg]] = {
+      val params =
+        (s"user\u0000${user}\u0000database\u0000dev\u0000\u0000").getBytes(UTF_8)
+      out.writeInt(8 + params.length); out.writeInt(196608)
+      out.write(params); out.flush()
+      var m = readMsg()
+      while (m.tpe == 'R' &&
+          java.nio.ByteBuffer.wrap(m.body).getInt != 0) {
+        val code = java.nio.ByteBuffer.wrap(m.body).getInt
+        sawMethod = code
+        def md5hex(b: Array[Byte]) = java.security.MessageDigest
+          .getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+        val answer = code match {
+          case 3 => password
+          case 5 =>
+            val salt = m.body.slice(4, 8)
+            "md5" + md5hex(
+              md5hex((password + user).getBytes(UTF_8)).getBytes(UTF_8) ++ salt)
+          case other => fail(s"unexpected auth request $other")
+        }
+        val b = (answer + "\u0000").getBytes(UTF_8)
+        out.writeByte('p'); out.writeInt(4 + b.length); out.write(b); out.flush()
+        m = readMsg()
+      }
+      if (m.tpe == 'E') Left(errCode(m))
+      else {
+        val buf = scala.collection.mutable.ArrayBuffer[Msg](m)
+        while (buf.last.tpe != 'Z') buf += readMsg()
+        Right(buf.toSeq)
+      }
+    }
+  }
+
+  /** ErrorResponse body -> SQLSTATE (the 'C' field). */
+  private def errCode(m: Msg): String = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(m.body))
+    var code = ""
+    var t = in.readByte()
+    while (t != 0) {
+      val sb = new StringBuilder
+      var c = in.readByte()
+      while (c != 0) { sb.append(c.toChar); c = in.readByte() }
+      if (t == 'C') code = sb.toString
+      t = in.readByte()
+    }
+    code
+  }
+
+  /** BackendKeyData body -> (pid, secret). */
+  private def keyDataOf(msgs: Seq[Msg]): (Int, Int) = {
+    val m = msgs.find(_.tpe == 'K').getOrElse(fail("no BackendKeyData"))
+    val bb = java.nio.ByteBuffer.wrap(m.body)
+    (bb.getInt, bb.getInt)
+  }
+
+  /** Fire a raw CancelRequest (its own short-lived socket, per spec). */
+  private def sendCancel(port: Int, pid: Int, secret: Int): Unit = {
+    val sock = new Socket("127.0.0.1", port)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      out.writeInt(16); out.writeInt(80877102)
+      out.writeInt(pid); out.writeInt(secret); out.flush()
+    } finally sock.close()
   }
 
   /** RowDescription body → (name, typeOid, formatCode) per column. */
@@ -1014,6 +1083,86 @@ class PgWireSpec extends SparkSpecBase {
       assert(!shown(a, "application_name").contains("conn-a"))
       assert(shown(b, "application_name").contains("conn-b"))
       a.close(); b.close()
+    } finally srv.stop()
+  }
+
+  test("pgwire: password authentication — md5 and cleartext, 28P01 on mismatch") {
+    val e = new Engine(spark, tmpDir("pgwire-auth"))
+    e.execute("CREATE USER secured PASSWORD 'hunter2'")
+    e.execute("CREATE USER open_user")
+    e.execute("CREATE USER shutout NOLOGIN")
+
+    val md5Srv = new PgWireServer(e) // md5 is the default method
+    md5Srv.start()
+    try {
+      val ok = new Client(md5Srv.port, user = "secured")
+      val r = ok.startupPassword("hunter2")
+      assert(r.isRight, r)
+      assert(ok.sawMethod == 5, s"expected MD5 request, got ${ok.sawMethod}")
+      assert(ok.query("SELECT 7 AS x").exists(_.tpe == 'D'))
+      ok.close()
+
+      val bad = new Client(md5Srv.port, user = "secured")
+      assert(bad.startupPassword("wrong") == Left("28P01"))
+
+      // a role with no stored password connects on trust (no 'R' code 3/5)
+      val open = new Client(md5Srv.port, user = "open_user")
+      val ro = open.startupPassword("ignored")
+      assert(ro.isRight && open.sawMethod == -1, (ro, open.sawMethod))
+      open.close()
+
+      // NOLOGIN refused before any password exchange
+      val no = new Client(md5Srv.port, user = "shutout")
+      assert(no.startupPassword("whatever") == Left("28000"))
+    } finally md5Srv.stop()
+
+    val clearSrv = new PgWireServer(e, 0, authMethod = "cleartext")
+    clearSrv.start()
+    try {
+      val ok = new Client(clearSrv.port, user = "secured")
+      assert(ok.startupPassword("hunter2").isRight)
+      assert(ok.sawMethod == 3, s"expected cleartext request, got ${ok.sawMethod}")
+      assert(ok.query("SELECT 8 AS x").exists(_.tpe == 'D'))
+      ok.close()
+      val bad = new Client(clearSrv.port, user = "secured")
+      assert(bad.startupPassword("hunter3") == Left("28P01"))
+    } finally clearSrv.stop()
+  }
+
+  test("pgwire: CancelRequest aborts the active statement, connection survives") {
+    val e = new Engine(spark, tmpDir("pgwire-cancel"))
+    val srv = new PgWireServer(e)
+    srv.start()
+    try {
+      val a = new Client(srv.port)
+      val hello = a.startup()
+      val (pid, secret) = keyDataOf(hello)
+      assert(secret != 0, "BackendKeyData must carry a real cancel secret")
+
+      // a deliberately huge cartesian count (~1e10 pairs) — far longer
+      // than the cancel round-trip
+      val longSql =
+        "SELECT count(*) AS c FROM (SELECT explode(sequence(1, 100000)) a) x, " +
+          "(SELECT explode(sequence(1, 100000)) b) y"
+      @volatile var result: Seq[Msg] = Seq.empty
+      val t = new Thread(() => { result = a.query(longSql) })
+      t.start()
+      Thread.sleep(1500) // let planning finish and the job start
+
+      // wrong secret: silently ignored, query keeps running
+      sendCancel(srv.port, pid, secret + 1)
+      Thread.sleep(300)
+      assert(t.isAlive, "wrong cancel key must not abort the query")
+
+      sendCancel(srv.port, pid, secret)
+      t.join(60000)
+      assert(!t.isAlive, "query did not stop after CancelRequest")
+      val err = result.find(_.tpe == 'E').getOrElse(fail("expected an error"))
+      assert(errCode(err) == "57014", errCode(err))
+
+      // the connection survives a cancel (PG semantics)
+      assert(a.query("SELECT 1 AS x").exists(_.tpe == 'D'))
+      a.close()
     } finally srv.stop()
   }
 }

@@ -107,6 +107,85 @@ class UserPrivilegeSpec extends SparkSpecBase {
     e2.execute("SELECT 1").collect() // smoke: engines are independent
   }
 
+  test("SET ROLE cannot escalate past the startup identity") {
+    val e = new Engine(spark, tmpDir("users"))
+    e.execute("CREATE USER mallory")
+    e.execute("CREATE USER victim")
+
+    // simulate a pgwire connection authenticated as mallory (pgwire
+    // installs both vars per statement; startupUser never moves)
+    e.startupUser = "mallory"
+    e.sessionUser = "mallory"
+    // a non-superuser startup identity may assume only itself
+    val denied = intercept[Exception](e.execute("SET ROLE victim"))
+    assert(denied.getMessage.contains("permission denied"), denied.getMessage)
+    intercept[Exception](e.execute("SET ROLE graft"))
+    intercept[Exception](e.execute("SET SESSION AUTHORIZATION graft"))
+    e.execute("SET ROLE mallory") // self is fine
+    // RESET ROLE restores the startup identity, NOT the bootstrap superuser
+    e.execute("RESET ROLE")
+    assert(e.execute("SELECT current_user").head().getString(0) == "mallory")
+
+    // a superuser startup identity may assume anyone (psql admin flow)
+    e.startupUser = "graft"
+    e.sessionUser = "graft"
+    e.execute("SET ROLE victim")
+    assert(e.execute("SELECT current_user").head().getString(0) == "victim")
+    e.execute("RESET ROLE")
+  }
+
+  test("failed or IF NOT EXISTS CREATE cannot hijack ownership") {
+    val e = new Engine(spark, tmpDir("users"))
+    e.execute("CREATE USER alice")
+    e.execute("CREATE USER eve")
+    e.execute("GRANT CREATE ON SCHEMA public TO alice")
+    e.execute("GRANT CREATE ON SCHEMA public TO eve")
+
+    e.execute("SET ROLE alice")
+    e.execute("CREATE TABLE owned (k BIGINT PRIMARY KEY)")
+    e.execute("RESET ROLE")
+
+    e.execute("SET ROLE eve")
+    // duplicate CREATE fails — and must not reassign the owner entry
+    intercept[Exception](
+      e.execute("CREATE TABLE owned (k BIGINT PRIMARY KEY)"))
+    // IF NOT EXISTS no-op on an existing name must not either
+    e.execute("CREATE TABLE IF NOT EXISTS owned (k BIGINT PRIMARY KEY)")
+    // if eve had become owner, DROP would succeed; it must not
+    intercept[Exception](e.execute("DROP TABLE owned"))
+    e.execute("RESET ROLE")
+
+    // the real owner still can
+    e.execute("SET ROLE alice")
+    e.execute("DROP TABLE owned")
+    e.execute("RESET ROLE")
+  }
+
+  test("processlist hides other users' query text and credentials") {
+    val e = new Engine(spark, tmpDir("users"))
+    e.execute("CREATE USER watcher")
+    val pidA = e.registerWireSession("graft", "127.0.0.1:1", "dev", () => ())
+    val pidB = e.registerWireSession("watcher", "127.0.0.1:2", "dev", () => ())
+    e.wireSessionQuery(pidA, "CREATE USER hidden PASSWORD 'hunter2'")
+    e.wireSessionQuery(pidB, "SELECT 42")
+
+    // credentials never enter the registry at all
+    val self = e.execute("SHOW PROCESSLIST").collect()
+      .map(r => r.getInt(0) -> r.getString(5)).toMap
+    assert(self(pidA).contains("'***'") && !self(pidA).contains("hunter2"))
+    assert(self(pidB) == "SELECT 42") // superuser sees everyone
+
+    // a non-superuser sees only their own backend's text
+    e.startupUser = "watcher"; e.sessionUser = "watcher"
+    val other = e.execute(
+      "SELECT pid, query FROM pg_stat_activity ORDER BY pid").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(other(pidB) == "SELECT 42")
+    assert(other(pidA) == "<insufficient privilege>", other(pidA))
+    e.startupUser = "graft"; e.sessionUser = "graft"
+    e.unregisterWireSession(pidA); e.unregisterWireSession(pidB)
+  }
+
   test("users, acls and owners survive restart; current_user splices") {
     val wh = tmpDir("users")
     val e1 = new Engine(spark, wh)
