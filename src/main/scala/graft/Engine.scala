@@ -2266,7 +2266,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         old.join(result.select(e.pk.map(fcol): _*), e.pk, "left_anti")
           .withColumn(Changelog.OpCol, flit(Changelog.Delete))
           .withColumn(Changelog.SeqCol, flit(0L)))
-    mv.synchronized { mv.merge(delta, mv.latestChangelogBatchId + 1) }
+    mv.synchronized { mv.merge(delta, mv.nextEpoch) }
     statusDf("REFRESH MATERIALIZED VIEW", name)
   }
 
@@ -3710,7 +3710,19 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         val CreateChangelogMvStmt(name, subName, relName, selectSql) = statement
         createChangelogMv(name, subName, relName, selectSql)
       case None => SqlFrontend.parseCreateMv(statement) match {
-        case Some(CreateMvDef(name, pkOpt, query, emitOnClose)) =>
+        case Some(CreateMvDef(name, pkOpt, query, emitOnClose, ifNotExists)) =>
+          // PG semantics (42P07): a duplicate name errors, IF NOT EXISTS
+          // is a no-op. Silent redefinition would be worse than the
+          // usual reasons here: re-creating a CHAINED MV re-subscribes
+          // at the CURRENT upstream frontier, dropping any published-
+          // but-not-yet-consumed epochs on the floor (found by
+          // CrashRecoverySpec's reordered-publish probe).
+          if (allObjectNames.contains(name)) {
+            if (ifNotExists)
+              return statusDf("CREATE MATERIALIZED VIEW", name)
+            throw new IllegalArgumentException(
+              s"relation \"${displayName(name)}\" already exists")
+          }
           // a query over a just-created streaming MV would plan against
           // an empty zero-column binding — drain referenced MV jobs once
           // (the reference's create-MV barrier), then re-bind

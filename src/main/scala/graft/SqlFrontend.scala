@@ -498,22 +498,23 @@ object SqlFrontend {
     * per-batch updates.
     */
   final case class CreateMvDef(name: String, pk: Option[Seq[String]],
-      query: String, emitOnClose: Boolean = false)
+      query: String, emitOnClose: Boolean = false,
+      ifNotExists: Boolean = false)
 
   private val CreateMvRe =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s*(?:\(\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*\))?\s+AS\s+(.*)""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:\(\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*\))?\s+AS\s+(.*)""".r
 
   private val EmitRe = """(?is)(.*?)\s*EMIT\s+ON\s+WINDOW\s+CLOSE\s*;?\s*$""".r
 
   def parseCreateMv(stmt: String): Option[CreateMvDef] = stmt match {
-    case CreateMvRe(name, pkList, query0) =>
+    case CreateMvRe(ine, name, pkList, query0) =>
       val (query, eowc) = query0.trim.stripSuffix(";") match {
         case EmitRe(q) => (q, true)
         case q => (q, false)
       }
       Some(CreateMvDef(name,
         Option(pkList).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)),
-        query, eowc))
+        query, eowc, ifNotExists = ine != null))
     case _ => None
   }
 

@@ -25,7 +25,7 @@ object Dml {
     */
   private def mergeEpoch(mv: MaterializedView, delta: DataFrame): Unit =
     mv.synchronized {
-      mv.merge(delta, mv.latestChangelogBatchId + 1)
+      mv.merge(delta, mv.nextEpoch)
     }
 
   /** INSERT: append rows (upsert semantics on the MV's PK). */

@@ -331,24 +331,113 @@ final class MaterializedView(
     }
   }
 
+  // ---------------------------------------------------------------- WAL
+  // Journal of epochs whose storage rewrite may be in flight: an epoch
+  // merge writes its delta here FIRST, rewrites storage, then publishes
+  // by atomically renaming the journal into the changelog. recoverWal()
+  // re-drives anything orphaned between those steps after a crash.
+  private val walRoot = Paths.get(s"$targetDir.wal")
+  private def walEpochDir(id: Long) = walRoot.resolve(s"epoch-$id")
+
+  private def latestWalEpoch: Long =
+    if (!Files.exists(walRoot)) -1L
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(walRoot).iterator().asScala
+        .flatMap(p => p.getFileName.toString.stripPrefix("epoch-").toLongOption)
+        .foldLeft(-1L)(math.max)
+    }
+
+  /** Next free epoch across published AND journaled-but-unpublished
+    * epochs — every allocator (DML, temporal eviction, the micro-batch
+    * epoch map) draws from here so a crash-orphaned journal can never
+    * collide with a freshly allocated epoch.
+    */
+  def nextEpoch: Long = math.max(latestChangelogBatchId, latestWalEpoch) + 1
+
+  /** Publication = one atomic rename of the journal into the changelog.
+    * Losing the rename race to a concurrent retry means theirs carried
+    * the same delta — drop ours.
+    */
+  private def publishWal(batchId: Long): Unit = {
+    val wal = walEpochDir(batchId)
+    val batchDir = Paths.get(changelogDir, s"batch-$batchId")
+    Files.createDirectories(batchDir.getParent)
+    try Files.move(wal, batchDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => deleteRecursively(wal)
+    }
+  }
+
+  /** Complete epochs that crashed between journal and publication: for
+    * each surviving `<store>.wal/epoch-<id>`, re-apply the journaled
+    * delta to storage (idempotent — deltas are PK-keyed row IMAGES, not
+    * increments, so applyToSnapshot's last-write-wins absorbs a replay
+    * over a partially- or fully-rewritten store) and publish it, in
+    * epoch order. Journals whose epoch already published are duplicate
+    * losers of the rename race and are dropped, as are incomplete
+    * `.tmp-*` scratch dirs — a crash mid-journal loses the un-acked
+    * statement entirely (at-most-once before the journal commits,
+    * exactly-once after). Called on (re)attach via [[MvCatalog.define]];
+    * no-op unless a crash left orphans.
+    */
+  def recoverWal(): Unit = if (Files.exists(walRoot)) {
+    import scala.jdk.CollectionConverters._
+    val entries = Files.list(walRoot).iterator().asScala.toSeq
+    entries.filter(_.getFileName.toString.startsWith(".tmp-"))
+      .foreach(deleteRecursively)
+    entries
+      .flatMap(p =>
+        p.getFileName.toString.stripPrefix("epoch-").toLongOption.map((_, p)))
+      .sortBy(_._1)
+      .foreach { case (id, wal) =>
+        if (Files.exists(Paths.get(changelogDir, s"batch-$id")))
+          deleteRecursively(wal)
+        else {
+          val delta = spark.read.parquet(wal.toString)
+          applyDeltaToStorage(delta.withColumn(bucketCol, bucketOf(delta)))
+          publishWal(id)
+        }
+      }
+  }
+
   /** Merge one delta (latest row per PK wins over stored rows). Rows in
     * `delta` with a Changelog op column are applied with delete support;
     * plain DataFrames are treated as upserts.
     *
-    * The merged buckets are staged to a scratch dir first (Spark reads
-    * source files lazily during the write job — reading and dynamically
-    * overwriting the same path in one job is unsound), then swapped in
-    * with dynamic partition overwrite; buckets whose content became empty
-    * (all rows deleted) are removed explicitly since an empty partition
-    * never appears in the writer's output.
+    * Epoch merges (`batchId >= 0`) commit in three crash-ordered steps —
+    * a write-ahead shape that makes the statement's effects atomic
+    * across storage AND the changelog under kill -9:
     *
-    * `sidecar` entries (name → content) are written INTO the staged epoch
-    * dir before the atomic rename, so operator state that must move in
-    * lock-step with the delta (a dynamic-filter threshold, a frontier)
-    * commits in the SAME atomic unit — a crash can never publish the
-    * delta without its sidecar or vice versa. Names must be
-    * underscore-prefixed (hidden from parquet readers); only meaningful
-    * with an epoch (`batchId >= 0`).
+    *   1. JOURNAL — the delta (+ sidecar) is staged and atomically
+    *      renamed to `<store>.wal/epoch-<id>`. Nothing is visible to any
+    *      reader yet.
+    *   2. STORAGE — the touched buckets are rewritten
+    *      ([[applyDeltaToStorage]]). Idempotent per the journal replay
+    *      contract above, so a crash anywhere inside re-drives cleanly.
+    *   3. PUBLISH — the journal dir is renamed to `changelog/batch-<id>`,
+    *      the signal downstream subscribers act on. Publication stays
+    *      strictly AFTER the storage rewrite: a chained-aggregate
+    *      recompute reads THIS MV's storage when the epoch arrives, and
+    *      publish-first would let it observe pre-rewrite state and
+    *      resurrect stale groups. Storage newer than the consumed epoch
+    *      is safe (later epochs re-touch their own groups on delivery).
+    *
+    * [[recoverWal]] finishes any epoch that crashed between 1 and 3, so
+    * there is no reachable state where storage has a delta the changelog
+    * never will (or vice versa) — the exactly-once epoch contract
+    * (reference: docs/dev/src/design/checkpoint.md) under mid-epoch
+    * crashes, attacked point-by-point by CrashRecoverySpec. An
+    * already-published epoch short-circuits the whole merge, which is
+    * what makes foreachBatch retries and post-recovery stream replays
+    * no-ops.
+    *
+    * `sidecar` entries (name → content) ride inside the journal dir, so
+    * operator state that must move in lock-step with the delta (a
+    * dynamic-filter threshold, a frontier) commits in the SAME atomic
+    * rename — a crash can never publish the delta without its sidecar or
+    * vice versa. Names must be underscore-prefixed (hidden from parquet
+    * readers); only meaningful with an epoch (`batchId >= 0`).
     */
   def merge(delta: DataFrame, batchId: Long = -1L,
       sidecar: Map[String, String] = Map.empty): Unit = {
@@ -356,6 +445,10 @@ final class MaterializedView(
       "sidecar state requires an epoch (batchId >= 0)")
     require(sidecar.keys.forall(_.startsWith("_")),
       "sidecar names must be underscore-prefixed (hidden from readers)")
+    // committed end-to-end already (journal → storage → publish): a
+    // replayed micro-batch / retried DML has nothing left to do
+    if (batchId >= 0 && Files.exists(Paths.get(changelogDir, s"batch-$batchId")))
+      return
     val hasOps = delta.columns.contains(Changelog.OpCol)
     val norm0 =
       if (!hasOps) Changelog.ofInserts(delta)
@@ -382,83 +475,95 @@ final class MaterializedView(
         Files.createDirectories(schemaFile.getParent)
         Files.write(schemaFile, dataSchema.json.getBytes("UTF-8"))
       }
-      val affected = norm.select(bucketCol).distinct()
-        .collect().map(_.getInt(0)).toSeq
-      if (affected.nonEmpty) withWriteLock {
-        val existingOpt = readBuckets().map(_.where(col(bucketCol).isin(affected: _*)))
-        val dataCols = norm.columns.toSeq
-          .filterNot(Seq(Changelog.OpCol, Changelog.SeqCol, bucketCol).contains)
-        val snapshot = existingOpt
-          .map(_.select(dataCols.map(col) :+ col(bucketCol): _*))
-          .getOrElse(norm.where(lit(false)).select(dataCols.map(col) :+ col(bucketCol): _*))
-        val merged = Changelog.applyToSnapshot(
-          snapshot.drop(bucketCol),
-          norm.drop(bucketCol),
-          pk)
-        // Pin the merged rows BEFORE overwriting the storage their
-        // lineage reads (same localCheckpoint trick as the delta above;
-        // spills to executor disk, so memory profile matches the old
-        // staging-dir double write it replaces, minus a full parquet
-        // encode + listing + re-read per epoch).
-        val pinned = merged.withColumn(bucketCol, bucketOf(merged))
-          .localCheckpoint()
-        try {
-          val nonEmpty = pinned.select(bucketCol).distinct()
-            .collect().map(_.getInt(0)).toSet
-          // dynamic partition overwrite rewrites exactly the buckets
-          // present in the output; buckets whose last row was deleted
-          // produce nothing and are removed explicitly below
-          if (nonEmpty.nonEmpty)
-            pinned.repartition(col(bucketCol))
-              .write.mode("overwrite")
-              .partitionBy(bucketCol)
-              .parquet(targetDir)
-          (affected.toSet -- nonEmpty).foreach { b =>
-            deleteRecursively(Paths.get(targetDir, s"$bucketCol=$b"))
-          }
-        } finally pinned.queryExecution.logical match {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(false)
-          case _ =>
-        }
-      }
-      // Publish the delta on the changelog channel AFTER the storage
-      // rewrite: the publication is the signal downstream subscribers
-      // act on, and a chained-aggregate recompute reads THIS MV's
-      // storage when its epoch arrives — publish-first would let it
-      // observe pre-rewrite state and resurrect stale groups. Storage
-      // newer than the consumed epoch is safe (those later epochs
-      // re-touch their own groups on delivery). Publication is
-      // idempotent per epoch: the delta is staged then ATOMICALLY
-      // renamed to batch-<id>; a foreachBatch retry of an
-      // already-published epoch is a no-op (and its storage re-merge is
-      // PK-last-write-wins idempotent), so downstream subscribers can
-      // never double-count (the exactly-once epoch contract,
-      // reference: docs/dev/src/design/checkpoint.md).
       if (batchId >= 0) {
-        val batchDir = Paths.get(changelogDir, s"batch-$batchId")
-        if (!Files.exists(batchDir)) {
-          val stage = Paths.get(s"$targetDir.cl-stage-$batchId")
-          deleteRecursively(stage)
-          norm.drop(bucketCol).write.mode("overwrite").parquet(stage.toString)
+        // 1. JOURNAL: stage the delta + sidecar, atomic rename into the WAL
+        val wal = walEpochDir(batchId)
+        if (!Files.exists(wal)) {
+          graft.CrashPoints.hit("wal.journal")
+          val tmp = walRoot.resolve(s".tmp-$batchId")
+          deleteRecursively(tmp)
+          norm.drop(bucketCol).write.mode("overwrite").parquet(tmp.toString)
           sidecar.foreach { case (fname, content) =>
-            Files.write(stage.resolve(fname), content.getBytes)
+            Files.write(tmp.resolve(fname), content.getBytes)
           }
-          Files.createDirectories(batchDir.getParent)
-          try Files.move(stage, batchDir,
+          try Files.move(tmp, wal,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           catch { // lost a race with a concurrent retry: theirs is equivalent
             case _: java.nio.file.FileAlreadyExistsException =>
-              deleteRecursively(stage)
+              deleteRecursively(tmp)
           }
         }
-      } else // ad-hoc DML merge outside a streaming epoch: plain append
+        graft.CrashPoints.hit("wal.journaled")
+        // 2. STORAGE
+        applyDeltaToStorage(norm)
+        graft.CrashPoints.hit("publish.rename")
+        // 3. PUBLISH
+        publishWal(batchId)
+        graft.CrashPoints.hit("publish.done")
+      } else {
+        // ad-hoc merge outside a streaming epoch: storage rewrite, then a
+        // plain changelog append (cursor-invisible — no epoch to order by)
+        applyDeltaToStorage(norm)
         norm.drop(bucketCol).write.mode("append").parquet(changelogDir)
+      }
     } finally norm.queryExecution.logical match {
       // free the checkpointed delta promptly (Dataset.unpersist does not
       // reach a localCheckpoint's RDD; ContextCleaner would be late)
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ =>
+    }
+  }
+
+  /** The storage half of a merge: rewrite exactly the buckets the delta
+    * touches. `norm` must carry op/seq and the bucket column. The merged
+    * buckets overwrite in place (dynamic partition overwrite); buckets
+    * whose content became empty (all rows deleted) are removed
+    * explicitly since an empty partition never appears in the writer's
+    * output. Idempotent for a fixed delta: re-running over any prefix of
+    * its own effects converges to the same bucket contents
+    * (PK-last-write-wins over row images).
+    */
+  private def applyDeltaToStorage(norm: DataFrame): Unit = {
+    val affected = norm.select(bucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (affected.nonEmpty) withWriteLock {
+      val existingOpt = readBuckets().map(_.where(col(bucketCol).isin(affected: _*)))
+      val dataCols = norm.columns.toSeq
+        .filterNot(Seq(Changelog.OpCol, Changelog.SeqCol, bucketCol).contains)
+      val snapshot = existingOpt
+        .map(_.select(dataCols.map(col) :+ col(bucketCol): _*))
+        .getOrElse(norm.where(lit(false)).select(dataCols.map(col) :+ col(bucketCol): _*))
+      val merged = Changelog.applyToSnapshot(
+        snapshot.drop(bucketCol),
+        norm.drop(bucketCol),
+        pk)
+      // Pin the merged rows BEFORE overwriting the storage their
+      // lineage reads (same localCheckpoint trick as the delta above;
+      // spills to executor disk, so memory profile matches the old
+      // staging-dir double write it replaces, minus a full parquet
+      // encode + listing + re-read per epoch).
+      val pinned = merged.withColumn(bucketCol, bucketOf(merged))
+        .localCheckpoint()
+      try {
+        val nonEmpty = pinned.select(bucketCol).distinct()
+          .collect().map(_.getInt(0)).toSet
+        // dynamic partition overwrite rewrites exactly the buckets
+        // present in the output; buckets whose last row was deleted
+        // produce nothing and are removed explicitly below
+        if (nonEmpty.nonEmpty)
+          pinned.repartition(col(bucketCol))
+            .write.mode("overwrite")
+            .partitionBy(bucketCol)
+            .parquet(targetDir)
+        graft.CrashPoints.hit("storage.buckets")
+        (affected.toSet -- nonEmpty).foreach { b =>
+          deleteRecursively(Paths.get(targetDir, s"$bucketCol=$b"))
+        }
+      } finally pinned.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ =>
+      }
     }
   }
 
@@ -503,7 +608,7 @@ final class MaterializedView(
     synchronized {
       val entry = epochMapDir.resolve(s"mb-$microBatchId")
       if (!Files.exists(entry)) {
-        val e = latestChangelogBatchId + 1
+        val e = nextEpoch
         Files.createDirectories(epochMapDir)
         val tmp = epochMapDir.resolve(s"mb-$microBatchId.tmp")
         Files.write(tmp, e.toString.getBytes("UTF-8"))
@@ -514,6 +619,7 @@ final class MaterializedView(
             Files.deleteIfExists(tmp)
         }
       }
+      graft.CrashPoints.hit("epochmap.entry")
       val epoch = new String(Files.readAllBytes(entry), "UTF-8").trim.toLong
       merge(batch, epoch)
     }
@@ -547,6 +653,9 @@ final class MvCatalog(spark: SparkSession, baseDir: String) {
     val buckets = if (nBuckets > 0) nBuckets else defaultBuckets
     val mv = new MaterializedView(spark, name, pk, s"$baseDir/$name/data",
       buckets, bucketKeys)
+    // finish any epoch a crash stranded between journal and publication
+    // (no-op unless the store carries WAL orphans)
+    mv.recoverWal()
     views(name) = mv
     mv
   }
