@@ -2833,6 +2833,96 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         table(n).createOrReplaceTempView(n)
     }
 
+  // ------------------------------------------------- batch time travel
+  //
+  // Reference: `FOR SYSTEM_TIME AS OF` on batch scans
+  // (src/frontend/src/binder/relation/mod.rs:353-425 — binds an epoch,
+  // a timestamp, or a now()-relative expression). Here the historical
+  // image reconstructs from the epoch-complete changelog
+  // (MaterializedView.imageAt) and binds as a temp view standing in for
+  // the relation, so the surrounding query plans unchanged.
+
+  private val AsOfScanRe =
+    ("""(?i)\b([A-Za-z_]\w*)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+""" +
+      """(?:(\d+)|'([^']+)'|now\s*\(\s*\)\s*-\s*interval\s+'([^']+)'\s*([A-Za-z]*))""").r
+
+  private def intervalToMs(quoted: String, unitOut: String): Long = {
+    val (nStr, unit) = Option(unitOut).map(_.trim).filter(_.nonEmpty) match {
+      case Some(u) => (quoted.trim, u.toLowerCase)
+      case None => quoted.trim.split("\\s+") match {
+        case Array(n, u) => (n, u.toLowerCase)
+        case _ => throw new IllegalArgumentException(
+          s"FOR SYSTEM_TIME AS OF: cannot parse interval '$quoted'")
+      }
+    }
+    val unitMs = unit.stripSuffix("s") match {
+      case "second" => 1000L
+      case "minute" => 60000L
+      case "hour" => 3600000L
+      case "day" => 86400000L
+      case u => throw new IllegalArgumentException(
+        s"FOR SYSTEM_TIME AS OF: unsupported interval unit $u")
+    }
+    (nStr.toDouble * unitMs).toLong
+  }
+
+  /** Resolve a target wall-time onto the newest commit at or before it:
+    * the store's birth (root changelog files from a CTAS seed, pseudo-
+    * epoch -1) and every published epoch form the timeline.
+    */
+  private def epochAtTime(mv: graft.streaming.MaterializedView,
+      rel: String, targetMs: Long): Long = {
+    import scala.jdk.CollectionConverters._
+    val birth = {
+      val dir = java.nio.file.Paths.get(mv.changelogLocation)
+      if (!java.nio.file.Files.exists(dir)) Nil
+      else java.nio.file.Files.list(dir).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toSeq.sorted.headOption.map((-1L, _)).toSeq
+    }
+    (birth ++ mv.epochCommitTimes).filter(_._2 <= targetMs)
+      .map(_._1).sorted.lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"$rel FOR SYSTEM_TIME AS OF: no committed state at or before " +
+            new java.sql.Timestamp(targetMs)))
+  }
+
+  /** Replace each `rel FOR SYSTEM_TIME AS OF <epoch|'ts'|now()-interval>`
+    * with a bound historical view (aliased back to the relation name, so
+    * qualified column references keep resolving). Unknown relations
+    * error loudly — time travel over a non-engine relation has no
+    * changelog to reconstruct from.
+    */
+  private def rewriteTimeTravel(stmt: String): String =
+    if (!"(?i)FOR\\s+SYSTEM_TIME".r.findFirstIn(stmt).isDefined) stmt
+    else {
+      var out = stmt
+      AsOfScanRe.findAllMatchIn(stmt).toSeq.zipWithIndex.foreach {
+        case (m, k) =>
+          val rel = m.group(1)
+          val mv = mvs.get(rel).getOrElse(throw new IllegalArgumentException(
+            s"FOR SYSTEM_TIME AS OF: $rel is not an engine-managed table " +
+              "or materialized view"))
+          val epoch: Long =
+            if (m.group(2) != null) m.group(2).toLong
+            else if (m.group(3) != null) {
+              val s0 = m.group(3).trim
+              val s = if (s0.contains(":")) s0 else s0 + " 00:00:00"
+              val ms = java.time.LocalDateTime
+                .parse(s.replace(' ', 'T'))
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              epochAtTime(mv, rel, ms)
+            } else epochAtTime(mv, rel,
+              System.currentTimeMillis() - intervalToMs(m.group(4), m.group(5)))
+          val view = s"__asof_${rel}_$k"
+          mv.imageAt(epoch).createOrReplaceTempView(view)
+          out = out.replace(m.matched, s"$view AS $rel")
+      }
+      out
+    }
+
   // ------------------------------------------------------------ schemas
   //
   // Reference: handler/create_schema.rs + frontend catalog — objects
@@ -3605,7 +3695,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         return statusDf("KILL", pidS)
       case _ =>
     }
-    val statement = resolveSchemas(statement2)
+    val statement = rewriteTimeTravel(resolveSchemas(statement2))
     handleUserStatement(statement) match {
       case Some(df) => return df
       case None =>

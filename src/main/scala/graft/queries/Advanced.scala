@@ -288,6 +288,40 @@ object Advanced extends QueryPack {
         .orderBy("l_returnflag")
     },
 
+    // Batch time travel under the DuckDB gate (reference:
+    // FOR SYSTEM_TIME AS OF, binder/relation/mod.rs:353-425): a CTAS
+    // table takes INSERT (epoch 0), UPDATE (epoch 1), DELETE (epoch 2);
+    // the engine reads the image AS OF epoch 1 — INSERT and UPDATE
+    // applied, DELETE not yet — and DuckDB recomputes that prefix
+    // declaratively.
+    qDir("q_time_travel",
+      """WITH base AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |         CAST(n_regionkey AS BIGINT) AS r FROM nation
+        |  UNION ALL SELECT 200, 0 UNION ALL SELECT 201, 4
+        |)
+        |SELECT k, CASE WHEN k % 3 = 2 THEN r + 10 ELSE r END AS r
+        |FROM base ORDER BY k""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("q_time_travel").toString
+      val e = new graft.Engine(s, wh)
+      e.attachTables(dir)
+      val shufBefore = s.conf.get("spark.sql.shuffle.partitions")
+      e.execute("SET streaming_parallelism = 4")
+      try {
+        e.execute(
+          """CREATE TABLE tt_nat (PRIMARY KEY (k)) AS
+            |SELECT CAST(n_nationkey AS BIGINT) AS k,
+            |       CAST(n_regionkey AS BIGINT) AS r FROM nation""".stripMargin)
+        e.execute("INSERT INTO tt_nat VALUES (200, 0), (201, 4)")   // epoch 0
+        e.execute("UPDATE tt_nat SET r = r + 10 WHERE k % 3 = 2")   // epoch 1
+        e.execute("DELETE FROM tt_nat WHERE k % 5 = 1")             // epoch 2
+        e.execute("FLUSH")
+        e.execute("SELECT * FROM tt_nat FOR SYSTEM_TIME AS OF 1")
+          .select(col("k"), col("r"))
+          .orderBy("k")
+      } finally s.conf.set("spark.sql.shuffle.partitions", shufBefore)
+    },
+
     // SQL DML lifecycle + incrementally-chained MV, DuckDB-checked: a
     // table seeded from nation (CTAS) takes an INSERT, a group-moving
     // UPDATE (U-/U+ image pair) and a DELETE through the engine's DML

@@ -226,6 +226,83 @@ final class MaterializedView(
     }
   }
 
+  /** Publish wall-times of the committed epochs, ascending: (epoch,
+    * millis). The batch dir's mtime IS the commit instant (the atomic
+    * rename that made the epoch visible) — the timestamp axis of
+    * `FOR SYSTEM_TIME AS OF <timestamp>` binds (the reference maps a
+    * timestamp onto its physical-time-encoding epoch the same way,
+    * src/frontend/src/binder/relation/mod.rs:353-425).
+    */
+  def epochCommitTimes: Seq[(Long, Long)] = {
+    val dir = Paths.get(changelogDir)
+    if (!Files.exists(dir)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .flatMap { p =>
+          p.getFileName.toString.stripPrefix("batch-").toLongOption
+            .map((_, Files.getLastModifiedTime(p).toMillis))
+        }
+        .toSeq.sortBy(_._1)
+    }
+  }
+
+  /** The table image as of `epoch` (inclusive) — batch time travel
+    * (reference: `FOR SYSTEM_TIME AS OF`, binder/relation/mod.rs:353).
+    *
+    * Reconstruction is FORWARD from the changelog, which is complete
+    * from the store's birth: ad-hoc merges (a CTAS seed) append their
+    * row images at the changelog root (ordered before every epoch),
+    * and every DML / streaming / refresh epoch publishes `batch-N`.
+    * The image at E = last change per PK across {root} ∪ {batch-N :
+    * N ≤ E}, dropping keys whose last op is a delete — one shuffle on
+    * the PK, same plan shape as [[Changelog.applyToSnapshot]].
+    *
+    * History must still be on disk: an epoch dir ≤ E emptied by
+    * [[expireChangelog]] makes the reconstruction unsound, so it throws
+    * (the reference's "time travel too far back" error class).
+    */
+  def imageAt(epoch: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{desc, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val dir = Paths.get(changelogDir)
+    require(Files.exists(dir), s"$name: no changelog — nothing to travel to")
+    val entries = Files.list(dir).iterator().asScala.toSeq
+    val rootFiles = entries
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString)
+    val epochDirs = entries
+      .flatMap(p => p.getFileName.toString.stripPrefix("batch-").toLongOption
+        .map((_, p)))
+      .filter(_._1 <= epoch)
+    val expired = epochDirs.filter { case (_, p) =>
+      !Files.list(p).iterator().asScala.exists(f =>
+        f.getFileName.toString.endsWith(".parquet"))
+    }
+    require(expired.isEmpty,
+      s"$name FOR SYSTEM_TIME AS OF $epoch: history expired — epoch(s) " +
+        s"${expired.map(_._1).sorted.mkString(", ")} were compacted away")
+    val parts =
+      rootFiles.map(f => (-1L, f)) ++
+        epochDirs.map { case (id, p) => (id, p.toString) }
+    if (parts.isEmpty)
+      return read().where(lit(false))
+    val df = spark.read.parquet(parts.map(_._2): _*)
+      .withColumn("__e",
+        when(input_file_name().contains("batch-"),
+          regexp_extract(input_file_name(), "batch-(\\d+)", 1).cast("long"))
+          .otherwise(lit(-1L)))
+    val dataCols = df.columns.toSeq
+      .filterNot(Seq(Changelog.OpCol, Changelog.SeqCol, "__e").contains)
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(desc("__e"), desc(Changelog.SeqCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && Changelog.isAdd(col(Changelog.OpCol)))
+      .select(dataCols.map(col): _*)
+  }
+
   /** Retention: drop changelog epochs ≤ `upToBatchId`.
     *
     * Contract: only call with a batch id every subscriber's checkpoint
