@@ -480,11 +480,31 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * IncrementalAgg/IncrementalOver path.
     */
   /** Relation names a query's FROM clauses reference (parse-only). */
-  private def referencedRelations(query: String): Seq[String] =
-    spark.sessionState.sqlParser.parsePlan(query).collect {
-      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        r.multipartIdentifier.last
-    }.distinct
+  /** Every relation a query reads — including those inside SUBQUERY
+    * EXPRESSIONS (scalar, IN, EXISTS), which hang off expressions, not
+    * plan children, and so are invisible to a plain plan traversal. The
+    * chain planner keys its eligibility checks on this: a relation
+    * hiding in a scalar subquery is a second streaming upstream whose
+    * changes the chained replay would never see (the threshold moves,
+    * rows already materialized never re-qualify) — found by
+    * NexmarkChainSpec's q102 shape, which must FENCE, not chain.
+    */
+  private def referencedRelations(query: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    def walk(p: LogicalPlan): Seq[String] =
+      p.collect { case n =>
+        val here = n match {
+          case r: UnresolvedRelation => Seq(r.multipartIdentifier.last)
+          case _ => Nil
+        }
+        here ++ n.expressions.flatMap(_.collect {
+          case s: SubqueryExpression => walk(s.plan)
+        }.flatten)
+      }.flatten
+    walk(spark.sessionState.sqlParser.parsePlan(query)).distinct
+  }
 
   /** Per-row plans (Project/Filter over a relation) are the shapes whose
     * per-delta replay equals the delta of the result — the only shapes
@@ -682,20 +702,42 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * query re-targeted at the input DataFrame, with the changelog
     * op/seq columns carried through when present so deletes propagate.
     */
+  /** Retarget relation REFERENCES — and only those — on the PARSED
+    * statement: each `UnresolvedRelation` whose name is in `mapping`
+    * re-binds to its replacement, aliased back to the original name so
+    * qualified column references keep resolving. A column, alias, or
+    * string literal spelled like an upstream is untouched — the old
+    * `\b<name>\b` text replace captured those (the r5 audit's token-
+    * capture envelope). Subquery expressions are covered.
+    */
+  private def retargetRelations(query: String,
+      mapping: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    val norm = mapping.map { case (k, v) => (k.toLowerCase, v) }
+    val plan = spark.sessionState.sqlParser.parsePlan(query)
+      .transformUpWithSubqueries {
+        case r: UnresolvedRelation
+            if norm.contains(r.multipartIdentifier.last.toLowerCase) =>
+          SubqueryAlias(r.multipartIdentifier.last,
+            UnresolvedRelation(Seq(norm(r.multipartIdentifier.last.toLowerCase))))
+      }
+    org.apache.spark.sql.GraftPlans.ofRows(spark, plan)
+  }
+
   private def chainTransform(name: String, query: String, upName: String)
       (df: DataFrame): DataFrame = {
     val extras = Seq(graft.streaming.Changelog.OpCol,
       graft.streaming.Changelog.SeqCol).filter(df.columns.contains)
     val view = s"__chain_src_$name"
     df.createOrReplaceTempView(view)
-    val q1 = query.replaceAll(
-      "(?i)\\b" + java.util.regex.Pattern.quote(upName) + "\\b", view)
-    if (extras.isEmpty) spark.sql(q1)
+    def retarget(q: String) = retargetRelations(q, Map(upName -> view))
+    if (extras.isEmpty) retarget(query)
     else {
-      val out = spark.sql(prefixSelect(q1, extras))
+      val out = retarget(prefixSelect(query, extras))
       // `SELECT *` already passed the op/seq columns through — the
-      // explicit prefix then duplicates them; fall back to the plain text
-      if (out.columns.distinct.length != out.columns.length) spark.sql(q1)
+      // explicit prefix then duplicates them; fall back to the plain form
+      if (out.columns.distinct.length != out.columns.length) retarget(query)
       else out
     }
   }
@@ -856,11 +898,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       s"chained upstream MV $upName is not registered"))
     jobs.get(upName).foreach(_.processAllAvailable())
     val tmp = s"__${name}_over_base"
-    val rewritten = query.replaceAll(s"(?i)\\b$upName\\b",
-      java.util.regex.Matcher.quoteReplacement(tmp))
     val windowFn: DataFrame => DataFrame = df => {
       df.createOrReplaceTempView(tmp)
-      spark.sql(rewritten)
+      retargetRelations(query, Map(upName -> tmp))
     }
     val upSchema = up.read().schema
     require(upSchema.nonEmpty,
@@ -874,7 +914,13 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     require(partCols.nonEmpty,
       s"CREATE MATERIALIZED VIEW $name: streaming OVER requires PARTITION BY " +
         "(an unpartitioned global window cannot be maintained incrementally)")
-    val baseMv = mvs.define(s"${name}__base", pk, bucketKeys = partCols)
+    // The base copy holds UPSTREAM rows, so it must be keyed by the
+    // upstream's row identity — keying it by the downstream MV's pk
+    // (which a group top-1 narrows to the partition key) collapses the
+    // partition to one arbitrary row per key and the window recompute
+    // ranks a single survivor (found by NexmarkChainSpec m_q9/m_q18).
+    val upPk = chainableSourcePk(upName).getOrElse(up.primaryKey)
+    val baseMv = mvs.define(s"${name}__base", upPk, bucketKeys = partCols)
     val resultMv = mvs.define(name, pk, bucketKeys = partCols)
     val iow = new graft.streaming.IncrementalOver(
       baseMv, resultMv, partCols, windowFn, pk)
@@ -908,8 +954,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       (df: DataFrame): DataFrame = {
     val view = s"__chainagg_src_$name"
     df.createOrReplaceTempView(view)
-    spark.sql(query.replaceAll(
-      "(?i)\\b" + java.util.regex.Pattern.quote(upName) + "\\b", view))
+    retargetRelations(query, Map(upName -> view))
   }
 
   /** The keys-replay variant of [[chainAggFn]] for generate mode: same
@@ -1003,9 +1048,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val rv = s"__chainjoin_r_${name}_$n"
     leftDf.createOrReplaceTempView(lv)
     rightDf.createOrReplaceTempView(rv)
-    try spark.sql(query
-      .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(leftName) + "\\b", lv)
-      .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(rightName) + "\\b", rv))
+    try retargetRelations(query, Map(leftName -> lv, rightName -> rv))
     finally {
       spark.catalog.dropTempView(lv)
       spark.catalog.dropTempView(rv)
@@ -2691,11 +2734,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           "registered streaming source in FROM"))
     val stream = sources(srcName)
     val tmp = s"__${name}_over_base"
-    val rewritten = query.replaceAll(s"(?i)\\b$srcName\\b",
-      java.util.regex.Matcher.quoteReplacement(tmp))
     val windowFn: DataFrame => DataFrame = df => {
       df.createOrReplaceTempView(tmp)
-      spark.sql(rewritten)
+      retargetRelations(query, Map(srcName -> tmp))
     }
     // window partition columns from the analyzed plan (drives bucket
     // layout + touched-partition pruning)
@@ -2707,7 +2748,13 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     require(partCols.nonEmpty,
       s"CREATE MATERIALIZED VIEW $name: streaming OVER requires PARTITION BY " +
         "(an unpartitioned global window cannot be maintained incrementally)")
-    val baseMv = mvs.define(s"${name}__base", pk, bucketKeys = partCols)
+    // The base copy holds SOURCE rows; a bare CREATE SOURCE declares no
+    // PK, so full-row identity keys it — keying by the downstream MV's
+    // pk would collapse each partition to one arbitrary row whenever
+    // the declared pk is narrower than the source's row identity (the
+    // group-top-1 shape; see the chained variant below).
+    val baseMv = mvs.define(s"${name}__base",
+      stream.schema.fieldNames.toSeq, bucketKeys = partCols)
     val resultMv = mvs.define(name, pk, bucketKeys = partCols)
     val iow = new graft.streaming.IncrementalOver(
       baseMv, resultMv, partCols, windowFn, pk)

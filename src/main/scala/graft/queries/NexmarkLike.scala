@@ -65,6 +65,110 @@ object NexmarkLike extends QueryPack {
         .orderBy(col("ws"), col("rk"))
     },
 
+    // q15 shape: per-day stats — FILTERed tier counts + exact
+    // count(DISTINCT …) in one grouped aggregate. Plan: Spark's distinct
+    // rewrite expands to a two-phase aggregate (partial counts map-side);
+    // one shuffle on the day key.
+    // reference: ci/scripts/sql/nexmark/q15.sql
+    q("q_nex_day_stats",
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       CAST(count(*) AS BIGINT) AS total_bids,
+        |       CAST(count(*) FILTER (WHERE value < 500) AS BIGINT) AS rank1_bids,
+        |       CAST(count(*) FILTER (WHERE value >= 500) AS BIGINT) AS rank2_bids,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS total_bidders,
+        |       CAST(count(DISTINCT user_id) FILTER (WHERE value >= 500) AS BIGINT)
+        |         AS hi_bidders
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin) { s =>
+      s.table("events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("total_bids"),
+          count(when(col("value") < 500, 1)).as("rank1_bids"),
+          count(when(col("value") >= 500, 1)).as("rank2_bids"),
+          countDistinct(col("user_id")).as("total_bidders"),
+          countDistinct(when(col("value") >= 500, col("user_id")))
+            .as("hi_bidders"))
+        .orderBy("day")
+    },
+
+    // q18 shape: latest event per (bidder, auction-analog) — streaming
+    // dedup's batch twin. WindowGroupLimit keeps per-group top-1 from
+    // materializing full sorted partitions.
+    // reference: ci/scripts/sql/nexmark/q18.sql
+    q("q_nex_latest_event",
+      """SELECT user_id, event_type, value, ts FROM (
+        |  SELECT user_id, event_type, value, ts,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin) { s =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      s.table("events")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // q101 shape: every customer LEFT JOINed to their current highest
+    // event value — outer join whose right side is a grouped max. Plan:
+    // the aggregate shrinks events to one row per user BEFORE the join;
+    // AQE broadcasts the small side at this SF, shuffles at 100 TB.
+    // reference: ci/scripts/sql/nexmark/q101.sql
+    q("q_nex_highest_left",
+      """SELECT c_custkey, c_name, max_v
+        |FROM customer LEFT JOIN (
+        |  SELECT user_id, max(value) AS max_v FROM events GROUP BY user_id
+        |) b ON c_custkey = b.user_id
+        |ORDER BY c_custkey""".stripMargin) { s =>
+      val maxes = s.table("events").groupBy("user_id")
+        .agg(max("value").as("max_v"))
+      s.table("customer")
+        .join(maxes, col("c_custkey") === col("user_id"), "left")
+        .select(col("c_custkey"), col("c_name"), col("max_v"))
+        .orderBy("c_custkey")
+    },
+
+    // q102 shape: users with at-least-average activity — grouped count
+    // gated by a scalar subquery (one extra 1-row aggregate, broadcast
+    // into the filter).
+    // reference: ci/scripts/sql/nexmark/q102.sql
+    q("q_nex_active_users",
+      """SELECT user_id, n FROM (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id)
+        |WHERE n >= (SELECT count(*) / count(DISTINCT user_id) FROM events)
+        |ORDER BY user_id""".stripMargin) { s =>
+      val counts = s.table("events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      val avgRow = s.table("events")
+        .agg((count(lit(1)).cast(DoubleType) /
+          countDistinct(col("user_id"))).as("thr"))
+      counts.join(broadcast(avgRow))
+        .where(col("n") >= col("thr"))
+        .select(col("user_id"), col("n"))
+        .orderBy("user_id")
+    },
+
+    // q105 shape: most-active users joined to their customer row, top-N
+    // by count — agg → join → TakeOrdered (no full sort at scale).
+    // reference: ci/scripts/sql/nexmark/q105.sql
+    q("q_nex_top_active",
+      """SELECT c_custkey, c_name, n
+        |FROM customer JOIN (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id
+        |) b ON c_custkey = b.user_id
+        |ORDER BY n DESC, c_custkey LIMIT 100""".stripMargin) { s =>
+      val counts = s.table("events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      s.table("customer")
+        .join(counts, col("c_custkey") === col("user_id"))
+        .select(col("c_custkey"), col("c_name"), col("n"))
+        .orderBy(col("n").desc, col("c_custkey"))
+        .limit(100)
+    },
+
     // q6 shape: per-bidder stats over their 10 most recent events — a
     // ROWS frame over event time, then the latest row per bidder. The
     // division-free (sum, count) pair avoids decimal-division rounding
