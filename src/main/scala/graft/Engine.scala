@@ -133,9 +133,15 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     */
   private def systemObjects: Seq[SystemCatalog.Obj] = {
     def schemaOf(df: => DataFrame) = scala.util.Try(df.schema).toOption
+    // the catalog surface is scoped to the SESSION DATABASE: another
+    // database's objects are invisible (the reference's per-database
+    // catalog isolation), and a non-dev database's objects display
+    // under their user-facing schema names
     def obj(n: String, kind: String, schema: Option[org.apache.spark.sql.types.StructType]) = {
-      val (ns, bare) = splitNs(n)
-      SystemCatalog.Obj(n, kind, schema, ns, if (ns == "public") "" else bare)
+      val (nsi, bare) = splitNs(n)
+      val us = dbOfSchema(nsi)._2
+      SystemCatalog.Obj(n, kind, schema, us,
+        if (nsi == "public") "" else bare)
     }
     // internal suffixes hide AFTER the schema prefix is stripped — a
     // schema-qualified table whose bare name happens to be `base` must
@@ -155,8 +161,31 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val srcObjs = sources.keys.toSeq.sorted.map(n =>
       obj(n, "f", schemaOf(sources(n))))
     val idxObjs = indexes.keys.toSeq.sorted.map(n => obj(n, "i", None))
-    tableObjs ++ mvObjs ++ viewObjs ++ srcObjs ++ idxObjs
+    (tableObjs ++ mvObjs ++ viewObjs ++ srcObjs ++ idxObjs)
+      .filter(o => inSessionDb(o.name))
   }
+
+  /** The session database's schemas, user-facing names (for
+    * pg_namespace / SHOW SCHEMAS — other databases' schemas are
+    * invisible; the pseudo-public root is rendered by the base
+    * "public" row, not listed again).
+    */
+  /** Listing filter for SHOW surfaces: session-database objects only,
+    * rendered internal in dev (legacy surface) and user-facing in a
+    * named database (whose internal prefix is an implementation
+    * detail).
+    */
+  private def showListing(ns: Seq[String]): Seq[String] = {
+    val mine = ns.filter(inSessionDb)
+    if (sessionDatabase == "dev") mine.sorted
+    else mine.map(displayName).sorted
+  }
+
+  private def sessionSchemaNames: Seq[String] =
+    schemaNames.toSeq.flatMap { sn =>
+      val (db, us) = dbOfSchema(sn)
+      if (db == sessionDatabase && us != "public") Some(us) else None
+    }
 
   /** Populate the rw_catalog relations from the live engine state
     * (reference: rw_catalog/ system tables — its users' operational
@@ -192,7 +221,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         (n, "a", e.lang, "")
       }
     SystemCatalog.bindRw(spark, objs, pks, defs, deps, jobStatus,
-      sinkNames.toSeq, fns, schemaNames.toSeq,
+      sinkNames.toSeq.filter(inSessionDb), fns, sessionSchemaNames,
       users.toSeq.map { case (n, e) => (n, e.superuser, e.createdb, e.login) },
       secrets.keys.toSeq)
   }
@@ -1823,10 +1852,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private def alterOwner(kindS: String, name: String, user: String): DataFrame = {
     require(userExists(user), s"user \"$user\" does not exist")
     if (kindS.equalsIgnoreCase("SCHEMA")) {
-      require(schemaNames.contains(name), s"schema \"$name\" does not exist")
+      require(schemaNames.contains(dbSchema(name)),
+        s"schema \"$name\" does not exist")
       require(isSuperuser(sessionUser),
         s"permission denied to alter schema owner (as $sessionUser)")
-      catalog.save("schemas", name, DurableCatalog.SchemaEntry(user))
+      catalog.save("schemas", dbSchema(name), DurableCatalog.SchemaEntry(user))
     } else if (kindS.equalsIgnoreCase("DATABASE")) {
       require(isSuperuser(sessionUser), "permission denied")
     } else {
@@ -1850,8 +1880,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     require(isSuperuser(sessionUser) || ownerOf(name) == sessionUser,
       s"must be owner of ${displayName(name)} (as $sessionUser)")
     val bare = splitNs(name)._2
-    val to =
-      if (target.equalsIgnoreCase("public")) bare else target + "__" + bare
+    val ti = dbSchema(target)
+    val to = if (ti.equalsIgnoreCase("public")) bare else ti + "__" + bare
     if (to == name) return statusDf("ALTER", name) // already there
     renameObject(kindS, name, to, keepSchema = false)
     statusDf(s"ALTER ${kindS.toUpperCase.replaceAll("\\s+", " ")}",
@@ -2985,7 +3015,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private val schemaNames = scala.collection.mutable.SortedSet[String]()
 
   private[graft] def schemaExists(s: String): Boolean =
-    s.equalsIgnoreCase("public") || schemaNames.contains(s)
+    s.equalsIgnoreCase("public") || schemaNames.contains(dbSchema(s))
 
   /** Internal name → (schema, bare name) for display/introspection. */
   private[graft] def splitNs(n: String): (String, String) = {
@@ -2995,10 +3025,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     else ("public", n)
   }
 
-  /** Internal name → user-facing `schema.name` (bare when public). */
+  /** Internal name → user-facing `schema.name` (bare when public —
+    * including a database's pseudo-public, whose objects display bare
+    * inside their own database).
+    */
   private[graft] def displayName(n: String): String = {
     val (s, b) = splitNs(n)
-    if (s == "public") b else s + "." + b
+    val us = dbOfSchema(s)._2
+    if (us == "public") b else us + "." + b
   }
 
   /** Current user for `"$user"` in search_path (pgwire sets it from the
@@ -3013,6 +3047,43 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * auth and has no in-band escalation path at all.
     */
   private[graft] var startupUser: String = "graft"
+
+  /** The session's database (pgwire startup `database`; default `dev`,
+    * the reference's default database — common/src/catalog/mod.rs
+    * DEFAULT_DATABASE_NAME). The reference isolates catalogs per
+    * database; here databases COMPOSE ON THE SCHEMA MACHINERY: database
+    * `x`'s namespace is the pseudo-schema family `x_0db` (its public) /
+    * `x_0db_<schema>` (its named schemas), so one flat catalog holds
+    * every database with disjoint internal prefixes and
+    * [[resolveSchemas]] needs no second mechanism. `dev` keeps bare
+    * names — every pre-database artifact and programmatic API call is
+    * unchanged. `_0db` is reserved out of schema and database names at
+    * creation, so the prefixes cannot collide with user names.
+    */
+  private[graft] var sessionDatabase: String = "dev"
+
+  /** User-facing schema name → internal pseudo-schema for the session's
+    * database (identity in `dev`).
+    */
+  private def dbSchema(userSchema: String): String =
+    if (sessionDatabase == "dev") userSchema
+    else if (userSchema.equalsIgnoreCase("public")) sessionDatabase + "_0db"
+    else sessionDatabase + "_0db_" + userSchema
+
+  /** Internal pseudo-schema → (database, user-facing schema name). */
+  private[graft] def dbOfSchema(internal: String): (String, String) = {
+    val i = internal.indexOf("_0db")
+    if (i < 0) ("dev", internal)
+    else {
+      val rest = internal.substring(i + 4)
+      (internal.substring(0, i),
+        if (rest.isEmpty) "public" else rest.stripPrefix("_"))
+    }
+  }
+
+  /** Does internal object `n` belong to the session's database? */
+  private def inSessionDb(n: String): Boolean =
+    dbOfSchema(splitNs(n)._1)._1 == sessionDatabase
 
   /** search_path entries, `$user` substituted, in declared order. */
   private def searchPathEntries: Seq[String] =
@@ -3163,35 +3234,28 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     "information_schema", "rw_catalog", "pg_temp", "pg_toast")
 
   private def createSchema(name: String, ifNotExists: Boolean): DataFrame = {
-    if (schemaNames.contains(name) ||
+    val internal = dbSchema(name)
+    if (schemaNames.contains(internal) ||
         ReservedSchemas.contains(name.toLowerCase)) {
       if (ifNotExists) return statusDf("CREATE SCHEMA", name)
       throw new IllegalArgumentException(s"schema \"$name\" already exists")
     }
     require(!name.contains("__"),
       s"schema name $name may not contain '__' (reserved separator)")
-    catalog.save("schemas", name, DurableCatalog.SchemaEntry(sessionUser))
-    schemaNames += name
+    require(!name.toLowerCase.contains("_0db"),
+      s"schema name $name may not contain '_0db' (reserved database marker)")
+    catalog.save("schemas", internal, DurableCatalog.SchemaEntry(sessionUser))
+    schemaNames += internal
     statusDf("CREATE SCHEMA", name)
   }
 
-  private def dropSchema(name: String, ifExists: Boolean,
-      mode: String): DataFrame = {
-    if (!schemaNames.contains(name)) {
-      if (ifExists) return statusDf("DROP SCHEMA", name)
-      throw new IllegalArgumentException(s"schema \"$name\" does not exist")
-    }
-    def contained: Seq[String] =
-      allObjectNames.filter(_.startsWith(name + "__")).toSeq.sorted
-    if (contained.nonEmpty && (mode == null || mode.equalsIgnoreCase("RESTRICT")))
-      throw new IllegalArgumentException(
-        s"cannot drop schema $name because other objects depend on it (" +
-          contained.map(displayName).mkString(", ") + ") — add CASCADE")
-    // CASCADE: route every contained object through its ordinary DROP
-    // path (storage, jobs, catalog entries die with it). Chain fences
-    // can refuse an upstream drop while a downstream lives, so loop
-    // until a pass makes no progress, then surface what's left.
-    var left = contained
+  /** CASCADE a set of internal objects through their ordinary DROP
+    * paths (storage, jobs, catalog entries die with them). Chain fences
+    * can refuse an upstream drop while a downstream lives, so loop
+    * until a pass makes no progress, then surface what's left.
+    */
+  private def dropContained(label: String, contained0: Seq[String]): Unit = {
+    var left = contained0
     var progress = true
     while (left.nonEmpty && progress) {
       progress = false
@@ -3211,9 +3275,25 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       }
     }
     require(left.isEmpty,
-      s"DROP SCHEMA $name CASCADE could not drop: ${left.mkString(", ")}")
-    catalog.delete("schemas", name)
-    schemaNames -= name
+      s"$label could not drop: ${left.mkString(", ")}")
+  }
+
+  private def dropSchema(name: String, ifExists: Boolean,
+      mode: String): DataFrame = {
+    val internal = dbSchema(name)
+    if (!schemaNames.contains(internal)) {
+      if (ifExists) return statusDf("DROP SCHEMA", name)
+      throw new IllegalArgumentException(s"schema \"$name\" does not exist")
+    }
+    def contained: Seq[String] =
+      allObjectNames.filter(_.startsWith(internal + "__")).toSeq.sorted
+    if (contained.nonEmpty && (mode == null || mode.equalsIgnoreCase("RESTRICT")))
+      throw new IllegalArgumentException(
+        s"cannot drop schema $name because other objects depend on it (" +
+          contained.map(displayName).mkString(", ") + ") — add CASCADE")
+    dropContained(s"DROP SCHEMA $name CASCADE", contained)
+    catalog.delete("schemas", internal)
+    schemaNames -= internal
     statusDf("DROP SCHEMA", name)
   }
 
@@ -3407,13 +3487,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val keys: Seq[String] = target match {
       case AllInSchema(s) =>
         require(schemaExists(s), s"schema \"$s\" does not exist")
-        val pre = if (s.equalsIgnoreCase("public")) "" else s + "__"
+        val si = dbSchema(s)
+        val pre = if (si.equalsIgnoreCase("public")) "" else si + "__"
         allObjectNames.filter { n =>
           if (pre.isEmpty) splitNs(n)._1 == "public" else n.startsWith(pre)
         }.toSeq.sorted
       case SchemaT(s) =>
         require(schemaExists(s), s"schema \"$s\" does not exist")
-        Seq("s-" + s)
+        Seq("s-" + dbSchema(s))
       case DatabaseT(d) => Seq("db-" + d)
       case RelT(list) =>
         list.split(",").toSeq.map(_.trim).map { n =>
@@ -3476,7 +3557,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           else catalog.load[DurableCatalog.SchemaEntry]("schemas", ns)
             .map(_.owner).getOrElse("graft")
         require(schemaOwner == u || aclAllows(u, "s-" + ns, "CREATE") ||
-          aclAllows(u, "db-dev", "CREATE"),
+          aclAllows(u, "db-" + sessionDatabase, "CREATE"),
           s"permission denied for schema $ns (as $u)")
         // CREATE … AS SELECT also reads
         referenced.filterNot(_ == name).foreach { n =>
@@ -3530,32 +3611,49 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     */
   private def resolveSchemas(stmt: String): String = {
     // explicit `public.x` stays qualified until the search_path phases
-    // ran — stripping it first would let the path re-capture the name
+    // ran — stripping it first would let the path re-capture the name.
+    // In a non-dev database, "public" means the database's pseudo-public
+    // schema, so the explicit qualifier maps to that internal prefix.
     def stripPublic(s: String): String =
       if (!s.toLowerCase.contains("public.")) s
-      else Engine.mapOutsideLiterals(s)(
-        _.replaceAll("(?i)(?<![\\w.\"])public\\.([A-Za-z_]\\w*)", "$1"))
+      else {
+        val repl =
+          if (sessionDatabase == "dev") "$1"
+          else java.util.regex.Matcher.quoteReplacement(
+            dbSchema("public") + "__") + "$1"
+        Engine.mapOutsideLiterals(s)(
+          _.replaceAll("(?i)(?<![\\w.\"])public\\.([A-Za-z_]\\w*)", repl))
+      }
     if (schemaNames.isEmpty) return stripPublic(stmt)
     var out = stmt
     if (out.contains(".")) {
+      // qualified names resolve against the SESSION DATABASE's schemas
+      // only (match on the user-facing name, rewrite to the internal
+      // pseudo-schema) — another database's schemas are invisible
+      val qualifiable = schemaNames.toSeq.flatMap { sn =>
+        val (db, us) = dbOfSchema(sn)
+        if (db == sessionDatabase && us != "public") Some(us -> sn) else None
+      }
       out = Engine.mapOutsideLiterals(out) { seg0 =>
         var seg = seg0
-        schemaNames.toSeq.foreach { s =>
-          if (seg.toLowerCase.contains(s.toLowerCase + ".")) {
-            val repl = java.util.regex.Matcher.quoteReplacement(s + "__") + "$1"
+        qualifiable.foreach { case (us, sn) =>
+          if (seg.toLowerCase.contains(us.toLowerCase + ".")) {
+            val repl = java.util.regex.Matcher.quoteReplacement(sn + "__") + "$1"
             seg = seg.replaceAll(
-              "(?i)(?<![\\w.\"])" + s + "\\.([A-Za-z_]\\w*)", repl)
+              "(?i)(?<![\\w.\"])" + us + "\\.([A-Za-z_]\\w*)", repl)
           }
         }
         seg
       }
     }
     val path = searchPathEntries
-    val userPath = path.filter(schemaNames.contains)
+    val userPath = path.filter(e => schemaNames.contains(dbSchema(e)))
     if (userPath.isEmpty) return stripPublic(out)
     val known = allObjectNames
-    // creation target: first existing schema on the path (public = flat)
-    val createTarget = path.find(schemaExists).getOrElse("public")
+    // creation target: first existing schema on the path (dev public =
+    // flat; a non-dev database's public is its pseudo-schema prefix)
+    val createTarget =
+      dbSchema(path.find(schemaExists).getOrElse("public"))
     if (createTarget != "public") {
       val CreateName = ("(?is)^(\\s*CREATE\\s+(?:TABLE|MATERIALIZED\\s+VIEW|" +
         "VIEW|SOURCE|SINK|INDEX|SUBSCRIPTION)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?)" +
@@ -3568,24 +3666,81 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       }
     }
     // reads: for each bare name visible through the path, the FIRST
-    // path entry owning it wins (public participates in order)
+    // path entry owning it wins (public participates in order). When the
+    // statement's query surface PARSES, only names the parser saw in
+    // RELATION position are rewritten — a column or alias that happens
+    // to collide with a path-resolved table name stays untouched (the
+    // r5 audit's bare-token capture envelope; SchemaFuzzSpec seeds the
+    // collision). Unparseable statements keep the legacy global rewrite.
+    val relationScope = queryRelationScope(out)
     val bareCandidates = userPath.flatMap { s =>
-      known.filter(_.startsWith(s + "__")).map(_.stripPrefix(s + "__"))
+      val pre = dbSchema(s) + "__"
+      known.filter(_.startsWith(pre)).map(_.stripPrefix(pre))
     }.distinct
     bareCandidates.foreach { bare =>
       val winner = path.collectFirst {
-        case "public" if known.contains(bare) => bare
-        case s if schemaNames.contains(s) && known.contains(s + "__" + bare) =>
-          s + "__" + bare
+        case p if dbSchema(p) == "public" && known.contains(bare) => bare
+        case p if schemaNames.contains(dbSchema(p)) &&
+            known.contains(dbSchema(p) + "__" + bare) =>
+          dbSchema(p) + "__" + bare
       }
-      winner.filter(_ != bare).foreach { internal =>
-        val re = "(?i)(?<![\\w.\"])" + bare + "\\b(?!\\s*\\()"
-        out = Engine.mapOutsideLiterals(out)(
-          _.replaceAll(re,
-            java.util.regex.Matcher.quoteReplacement(internal)))
-      }
+      winner.filter(_ != bare)
+        .filter(_ => relationScope.forall(_.contains(bare.toLowerCase)))
+        .foreach { internal =>
+          val re = "(?i)(?<![\\w.\"])" + bare + "\\b(?!\\s*\\()"
+          out = Engine.mapOutsideLiterals(out)(
+            _.replaceAll(re,
+              java.util.regex.Matcher.quoteReplacement(internal)))
+        }
     }
     stripPublic(out)
+  }
+
+  /** The set of names used in RELATION position on the statement's
+    * parseable query surface (lowercased), or None when no parser
+    * applies: the whole statement for SELECT/DML forms, the `AS` tail
+    * for CREATE …​ AS. Subquery-expression relations included. Names on
+    * a DDL prefix (creation target, PK columns) are deliberately OUT of
+    * scope — the creation-target rule above handles the target, and
+    * nothing else on a prefix is a read relation.
+    */
+  private def queryRelationScope(stmt: String): Option[Set[String]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val CreateAs =
+      """(?is)^\s*CREATE\s+(?:TABLE|MATERIALIZED\s+VIEW|(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW|SINK)\s+.*?\bAS\b(.*)$""".r
+    // EXPLAIN parses to a leaf command holding its query as a FIELD, not
+    // a child — strip the prefix so the traversal sees the inner plan
+    val Explain = """(?is)^\s*EXPLAIN(?:\s+(?:ANALYZE|VERBOSE|FORMATTED|EXTENDED|CODEGEN|COST))*\s+(.*)$""".r
+    val surface: Option[String] = stmt match {
+      case Explain(q) => Some(q)
+      case s if s.matches(
+        "(?is)\\s*(SELECT|WITH|VALUES|TABLE|INSERT|UPDATE|DELETE|MERGE)\\b.*") =>
+        Some(s)
+      case CreateAs(q) => Some(q)
+      case _ => None
+    }
+    def walk(p: LogicalPlan): Seq[String] =
+      p.collect { case n =>
+        val here = n match {
+          case r: UnresolvedRelation => Seq(r.multipartIdentifier.last)
+          // the INSERT target hangs off a FIELD, not a child — a plain
+          // collect would miss it and the scope gate would wrongly
+          // block the target's rewrite
+          case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+            walk(i.table)
+          case _ => Nil
+        }
+        here ++ n.expressions.flatMap(_.collect {
+          case s: SubqueryExpression => walk(s.plan)
+        }.flatten)
+      }.flatten
+    surface.flatMap { q =>
+      scala.util.Try(
+        walk(spark.sessionState.sqlParser.parsePlan(q))
+          .map(_.toLowerCase).toSet).toOption
+    }
   }
 
   def execute(statement00: String): DataFrame = {
@@ -3632,7 +3787,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           systemFunctions,
           varDefaults.toSeq.map { case (n, (boot, desc)) =>
             (n, varValue(n), boot, desc) },
-          schemaNames.toSeq,
+          sessionSchemaNames,
           users.toSeq.map { case (n, e) =>
             (n, e.superuser, e.createdb, e.login) },
           {
@@ -3670,18 +3825,40 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           require(isSuperuser(sessionUser) ||
             users.get(sessionUser).exists(_.createdb),
             s"permission denied to create database (as $sessionUser)")
+          require(!name.contains("__") && !name.toLowerCase.contains("_0db"),
+            s"database name $name may not contain '__' or '_0db' " +
+              "(reserved markers)")
           databases += name
           catalog.save("databases", name, DurableCatalog.SchemaEntry(sessionUser))
+          // the database's namespace root: its pseudo-public schema
+          // (see [[sessionDatabase]] — databases compose on the schema
+          // machinery, so creating one registers its public prefix)
+          catalog.save("schemas", name + "_0db",
+            DurableCatalog.SchemaEntry(sessionUser))
+          schemaNames += name + "_0db"
         }
         return statusDf("CREATE DATABASE", name)
       case DropDatabaseStmt(ifEx, name) =>
         if (name == "dev") throw new IllegalArgumentException(
           "cannot drop the current database dev")
+        if (name == sessionDatabase) throw new IllegalArgumentException(
+          s"cannot drop the currently open database $name")
         if (!databases.contains(name)) {
           if (ifEx == null) throw new IllegalArgumentException(
             s"database \"$name\" does not exist")
         } else {
           require(isSuperuser(sessionUser), "permission denied")
+          // PG drops a database's storage wholesale: cascade every
+          // object in every one of its pseudo-schemas, then the schema
+          // entries themselves
+          val pseudo = schemaNames.toSeq.filter(dbOfSchema(_)._1 == name)
+          val contained = allObjectNames.filter(n =>
+            pseudo.exists(p => n.startsWith(p + "__"))).toSeq.sorted
+          dropContained(s"DROP DATABASE $name", contained)
+          pseudo.foreach { sn =>
+            catalog.delete("schemas", sn)
+            schemaNames -= sn
+          }
           databases -= name
           catalog.delete("databases", name)
         }
@@ -3981,12 +4158,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             statusDf("DROP SINK", name)
           case ShowMv() =>
             import spark.implicits._
-            mvs.list.filterNot(n => n.endsWith("__base") ||
-              n.contains("__casc") || n.endsWith("__sinkq")).toDF("name")
+            showListing(mvs.list.filterNot(n => n.endsWith("__base") ||
+              n.contains("__casc") || n.endsWith("__sinkq"))).toDF("name")
           case ShowCreate(kind, name) => showCreate(kind, name)
           case ShowSources() =>
             import spark.implicits._
-            sources.keys.toSeq.sorted.toDF("name")
+            showListing(sources.keys.toSeq).toDF("name")
           case CreateIndexStmt(name, tbl, colList) =>
             createIndex(name, tbl, colList.split(",").map(_.trim).toSeq)
           case DropIndexStmt(name) if indexes.contains(name) =>
@@ -3995,7 +4172,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             statusDf("DROP INDEX", name)
           case ShowIndexes() =>
             import spark.implicits._
-            indexes.toSeq.sortBy(_._1)
+            indexes.toSeq.filter(kv => inSessionDb(kv._1)).sortBy(_._1)
               .map { case (n, d) => (n, d.table, d.keys.mkString(",")) }
               .toDF("name", "on_table", "keys")
           case CreateView(name, query) =>
@@ -4060,7 +4237,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case AlterSwap(kindS, a, b) => alterSwap(kindS, a, b)
           case ShowSinks() =>
             import spark.implicits._
-            sinkNames.toSeq.toDF("name")
+            showListing(sinkNames.toSeq).toDF("name")
           case DropTable(name) if mvs.get(name).isDefined =>
             fenceChainedDependents(name, "DROP TABLE")
             mvs.drop(name)
@@ -4073,7 +4250,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             statusDf("DROP TABLE", name)
           case ShowTables() if tableSchemas.nonEmpty =>
             import spark.implicits._
-            tableSchemas.keys.toSeq.sorted.toDF("name")
+            showListing(tableSchemas.keys.toSeq).toDF("name")
           case Describe(name) if mvs.get(name).isDefined =>
             // reference: handler/describe.rs — column name/type rows plus
             // the trailing "primary key" / "distribution key" /
@@ -4303,7 +4480,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case ShowSchemas() =>
             import spark.implicits._
             (Seq("public", "pg_catalog", "information_schema", "rw_catalog")
-              ++ schemaNames.toSeq).toDF("name")
+              ++ sessionSchemaNames).toDF("name")
           case ShowParameters() => showAllVariables()
           case ShowVarStmt(raw)
               if !raw.contains(".") && !showStatementWords.contains(
@@ -4389,6 +4566,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     // on knowing the namespace set
     schemaNames ++= catalog.list[SchemaEntry]("schemas").map(_._1)
     databases ++= catalog.list[SchemaEntry]("databases").map(_._1)
+    // a database's pseudo-public schema rides in the "schemas" family;
+    // backfill for registries written before databases were namespaced
+    databases.foreach(d => schemaNames += d + "_0db")
     secrets ++= catalog.list[SecretEntry]("secrets").map { case (n, e) =>
       n -> new String(java.util.Base64.getDecoder.decode(e.valueB64), "UTF-8")
     }

@@ -68,6 +68,7 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0,
   private def runEngine(sql: String): DataFrame = engine.synchronized {
     engine.sessionUser = connUser.get
     engine.startupUser = connStartupUser.get
+    engine.sessionDatabase = connDb.get
     engine.installSessionVars(connVars.get)
     engine.wireSessionQuery(connPid.get, sql)
     try engine.execute(sql) finally {
@@ -859,6 +860,7 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0,
             val n = engine.synchronized {
               engine.sessionUser = connUser.get
               engine.startupUser = connStartupUser.get
+              engine.sessionDatabase = connDb.get
               engine.copyInto(table, parsed)
             }
             writeMsg(out, 'C')(cstr(_, s"COPY $n"))

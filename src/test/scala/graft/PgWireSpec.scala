@@ -13,7 +13,8 @@ class PgWireSpec extends SparkSpecBase {
 
   private case class Msg(tpe: Char, body: Array[Byte])
 
-  private final class Client(port: Int, user: String = "graft") {
+  private final class Client(port: Int, user: String = "graft",
+      db: String = "dev") {
     private val sock = new Socket("127.0.0.1", port)
     private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
@@ -21,7 +22,7 @@ class PgWireSpec extends SparkSpecBase {
     def startup(): Seq[Msg] = {
       out.writeInt(8); out.writeInt(80877103); out.flush() // SSLRequest
       assert(in.readByte() == 'N', "expected cleartext refusal")
-      val params = (s"user\u0000${user}\u0000database\u0000dev\u0000\u0000").getBytes(UTF_8)
+      val params = (s"user\u0000${user}\u0000database\u0000$db\u0000\u0000").getBytes(UTF_8)
       out.writeInt(8 + params.length); out.writeInt(196608)
       out.write(params); out.flush()
       drainUntilReady()
@@ -1034,6 +1035,53 @@ class PgWireSpec extends SparkSpecBase {
       assert(dbs.exists(m => m.tpe == 'D' &&
         new String(m.body, UTF_8).contains("extra")))
       bad.close(); a.close()
+    } finally srv.stop()
+  }
+
+  test("pgwire: per-database catalog isolation across two connections") {
+    val e = new Engine(spark, tmpDir("pgwire-dbiso"))
+    val srv = new PgWireServer(e)
+    srv.start()
+    try {
+      val dev = new Client(srv.port)
+      dev.startup()
+      dev.query("CREATE DATABASE appdb")
+      val app = new Client(srv.port, db = "appdb")
+      app.startup()
+
+      def rows(ms: Seq[Msg]): Seq[String] =
+        ms.filter(_.tpe == 'D').map(m => new String(m.body, UTF_8))
+
+      // the same table name on both connections — two distinct objects
+      dev.query("CREATE TABLE acct (k BIGINT PRIMARY KEY, v BIGINT)")
+      dev.query("INSERT INTO acct VALUES (1, 10)")
+      app.query("CREATE TABLE acct (k BIGINT PRIMARY KEY, v BIGINT)")
+      app.query("INSERT INTO acct VALUES (1, 77), (2, 78)")
+      assert(rows(dev.query("SELECT v FROM acct ORDER BY v"))
+        .mkString.contains("10"))
+      val appVals = rows(app.query("SELECT v FROM acct ORDER BY v")).mkString
+      assert(appVals.contains("77") && appVals.contains("78") &&
+        !appVals.contains("10"))
+
+      // appdb's schema surface is its own: a schema created there is
+      // invisible on the dev connection
+      app.query("CREATE SCHEMA s1")
+      app.query("CREATE TABLE s1.t (k BIGINT PRIMARY KEY)")
+      assert(rows(app.query(
+        "SELECT count(*) AS n FROM information_schema.tables " +
+          "WHERE table_schema = 's1'")).mkString.contains("1"))
+      assert(rows(dev.query(
+        "SELECT count(*) AS n FROM information_schema.tables " +
+          "WHERE table_schema = 's1'")).mkString.contains("0"))
+      val err = dev.query("SELECT * FROM s1.t")
+      assert(err.exists(_.tpe == 'E'), "dev must not see appdb's schema")
+
+      // pg_database lists both on either connection (\l)
+      Seq(dev, app).foreach { c =>
+        val dbs = rows(c.query("SELECT datname FROM pg_database")).mkString
+        assert(dbs.contains("dev") && dbs.contains("appdb"))
+      }
+      app.close(); dev.close()
     } finally srv.stop()
   }
 

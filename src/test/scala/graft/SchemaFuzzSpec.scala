@@ -126,4 +126,152 @@ class SchemaFuzzSpec extends SparkSpecBase {
         .foreach(n => e.execute(s"DROP TABLE $n"))
     }
   }
+
+  // --- the r5 audit's bare-token capture envelope, now closed: name
+  // resolution consults the PARSED statement, so only identifiers in
+  // RELATION position rewrite (Engine.queryRelationScope). These seeds
+  // are exactly the collisions the old global token replace corrupted.
+
+  test("a column sharing a path-resolved table's name is not captured") {
+    val e = new Engine(spark, tmpDir("schemacollide"))
+    e.execute("CREATE SCHEMA sc")
+    // the collision: schema sc owns table ORDERS; a public table has a
+    // COLUMN named orders
+    e.execute("CREATE TABLE sc.orders (k BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("INSERT INTO sc.orders VALUES (1, 100)")
+    e.execute("CREATE TABLE items (id BIGINT PRIMARY KEY, orders BIGINT)")
+    e.execute("INSERT INTO items VALUES (7, 3)")
+    e.execute("SET search_path TO sc, public")
+    // the regex path rewrote the COLUMN token into sc__orders and broke
+    // the query; the AST scope must leave it alone
+    assert(e.execute("SELECT orders FROM items")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // UPDATE's SET/WHERE column references must also stay untouched
+    e.execute("UPDATE items SET orders = orders + 1 WHERE orders = 3")
+    assert(e.execute("SELECT orders FROM items")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // while genuine READS of the bare name still path-resolve to sc.orders
+    assert(e.execute("SELECT v FROM orders")
+      .collect().map(_.getLong(0)).toSeq == Seq(100L))
+    // both roles across one statement: relation position rewrites,
+    // qualified column references don't
+    assert(e.execute(
+      "SELECT i.orders AS n, o.v FROM items i JOIN orders o ON o.k = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((4L, 100L)))
+    e.execute("DROP SCHEMA sc CASCADE")
+    e.execute("DROP TABLE items")
+  }
+
+  // --- the database dimension: the reference isolates catalogs per
+  // database; here two sessions on different databases must see fully
+  // disjoint catalogs (names, schemas, listings) over one engine.
+
+  test("databases isolate catalogs: same names coexist, listings disjoint") {
+    val wh = tmpDir("dbisolate")
+    val e = new Engine(spark, wh)
+    def in[T](db: String)(f: => T): T = {
+      val prev = e.sessionDatabase
+      e.sessionDatabase = db
+      try f finally e.sessionDatabase = prev
+    }
+    e.execute("CREATE DATABASE da")
+    e.execute("CREATE DATABASE db2")
+    // the same table name in dev, da and db2 — three distinct objects
+    e.execute("CREATE TABLE iso (k BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("INSERT INTO iso VALUES (1, 100)")
+    in("da") {
+      e.execute("CREATE TABLE iso (k BIGINT PRIMARY KEY, v BIGINT)")
+      e.execute("INSERT INTO iso VALUES (1, 200), (2, 201)")
+    }
+    in("db2") {
+      e.execute("CREATE TABLE iso (k BIGINT PRIMARY KEY, v BIGINT)")
+      e.execute("INSERT INTO iso VALUES (9, 300)")
+    }
+    def vals(db: String): Set[Long] = in(db) {
+      e.execute("SELECT v FROM iso").collect().map(_.getLong(0)).toSet
+    }
+    assert(vals("dev") == Set(100L))
+    assert(vals("da") == Set(200L, 201L))
+    assert(vals("db2") == Set(300L))
+    // DML stays scoped
+    in("da")(e.execute("UPDATE iso SET v = v + 1 WHERE k <= 2"))
+    assert(vals("da") == Set(201L, 202L) && vals("dev") == Set(100L))
+    // listings are disjoint; a named database lists user-facing names
+    def shown(db: String): Set[String] = in(db) {
+      e.execute("SHOW TABLES").collect().map(_.getString(0)).toSet
+    }
+    assert(shown("dev").contains("iso") && !shown("dev").exists(_.contains("0db")))
+    assert(shown("da") == Set("iso") && shown("db2") == Set("iso"))
+    // schemas are per-database: schema sc in da is invisible in db2
+    in("da") {
+      e.execute("CREATE SCHEMA sc")
+      e.execute("CREATE TABLE sc.t2 (k BIGINT PRIMARY KEY, v BIGINT)")
+      e.execute("INSERT INTO sc.t2 VALUES (5, 50)")
+      assert(e.execute("SELECT v FROM sc.t2").collect().head.getLong(0) == 50L)
+      e.execute("SET search_path TO sc, public")
+      assert(e.execute("SELECT v FROM t2").collect().head.getLong(0) == 50L)
+      e.execute("SET search_path TO DEFAULT")
+    }
+    in("db2") {
+      intercept[Exception](e.execute("SELECT v FROM sc.t2"))
+      intercept[Exception](e.execute("SELECT v FROM t2"))
+    }
+    // explicit public. qualifier binds to the session database's public
+    assert(in("da")(
+      e.execute("SELECT v FROM public.iso WHERE k = 2")
+        .collect().head.getLong(0)) == 202L)
+    // pg_database / SHOW DATABASES list all three
+    val dbs = e.execute("SHOW DATABASES").collect().map(_.getString(0)).toSet
+    assert(Set("dev", "da", "db2").subsetOf(dbs))
+    // chained MVs maintain inside a named database
+    in("da") {
+      e.execute("CREATE MATERIALIZED VIEW agg (PRIMARY KEY (k)) AS " +
+        "SELECT k, count(*) AS n FROM iso GROUP BY k")
+      e.execute("INSERT INTO iso VALUES (3, 7)")
+      e.execute("FLUSH")
+      assert(e.execute("SELECT k, n FROM agg").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 1L), (2L, 1L), (3L, 1L)))
+    }
+    intercept[Exception](in("dev")(e.execute("SELECT * FROM agg")))
+    // a database survives restart with its namespace intact
+    val e2 = new Engine(spark, wh)
+    e2.sessionDatabase = "da"
+    assert(e2.execute("SELECT v FROM iso").collect()
+      .map(_.getLong(0)).toSet == Set(201L, 202L, 7L))
+    assert(e2.execute("SELECT v FROM sc.t2").collect().head.getLong(0) == 50L)
+    // DROP DATABASE cascades objects and schemas away
+    e2.sessionDatabase = "dev"
+    e2.execute("DROP DATABASE db2")
+    assert(!e2.execute("SHOW DATABASES").collect()
+      .map(_.getString(0)).contains("db2"))
+    e2.sessionDatabase = "da"
+    assert(e2.execute("SELECT v FROM iso").collect().nonEmpty)
+  }
+
+  test("chained MV over an upstream whose column shares its name maintains") {
+    val e = new Engine(spark, tmpDir("chaincollide"))
+    // column named like its own table — legal SQL, and the shape whose
+    // defining-query rewrite the old \b-token replace corrupted
+    e.execute("CREATE TABLE cbase (id BIGINT PRIMARY KEY, cbase BIGINT)")
+    e.execute("CREATE MATERIALIZED VIEW mv_collide (PRIMARY KEY (id)) AS " +
+      "SELECT id, cbase FROM cbase WHERE cbase % 2 = 0")
+    e.execute("CREATE MATERIALIZED VIEW mv_collide_agg (PRIMARY KEY (cbase)) AS " +
+      "SELECT cbase, count(*) AS n FROM mv_collide GROUP BY cbase")
+    assert(e.streamingJob("mv_collide").nonEmpty &&
+      e.streamingJob("mv_collide_agg").nonEmpty)
+    e.execute("INSERT INTO cbase VALUES (1, 2), (2, 3), (3, 4), (4, 2)")
+    e.execute("FLUSH")
+    def rowsOf(n: String) = e.table(n).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rowsOf("mv_collide") == Set((1L, 2L), (3L, 4L), (4L, 2L)))
+    assert(rowsOf("mv_collide_agg") == Set((2L, 2L), (4L, 1L)))
+    // retraction through the collision-named chain
+    e.execute("UPDATE cbase SET cbase = cbase + 1 WHERE id = 1") // leaves filter
+    e.execute("DELETE FROM cbase WHERE id = 3")
+    e.execute("FLUSH")
+    assert(rowsOf("mv_collide") == Set((4L, 2L)))
+    assert(rowsOf("mv_collide_agg") == Set((2L, 1L)))
+  }
 }
