@@ -2921,7 +2921,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
   private val AsOfScanRe =
     ("""(?i)\b([A-Za-z_]\w*)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+""" +
-      """(?:(\d+)|'([^']+)'|now\s*\(\s*\)\s*-\s*interval\s+'([^']+)'\s*([A-Za-z]*))""").r
+      """(?:(\d+)|'([^']+)'|now\s*\(\s*\)\s*-\s*interval\s+'([^']+)'\s*((?!(?i:AS)\b)[A-Za-z]*))""" +
+      """(?:\s+AS\s+([A-Za-z_]\w*))?""").r
 
   private def intervalToMs(quoted: String, unitOut: String): Long = {
     val (nStr, unit) = Option(unitOut).map(_.trim).filter(_.nonEmpty) match {
@@ -2995,7 +2996,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               System.currentTimeMillis() - intervalToMs(m.group(4), m.group(5)))
           val view = s"__asof_${rel}_$k"
           mv.imageAt(epoch).createOrReplaceTempView(view)
-          out = out.replace(m.matched, s"$view AS $rel")
+          // an explicit alias wins; otherwise alias back to the relation
+          // name so qualified column references keep resolving
+          val as = Option(m.group(6)).getOrElse(rel)
+          out = out.replace(m.matched, s"$view AS $as")
       }
       out
     }

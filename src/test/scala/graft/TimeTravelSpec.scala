@@ -52,6 +52,14 @@ class TimeTravelSpec extends SparkSpecBase {
     assert(joined.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
       Set((2L, 25L, 20L)))
+    // an explicit alias after the AS OF clause binds the historical scan
+    val aliased = e.execute(
+      """SELECT cur.k, cur.v AS v_now, old.v AS v_then
+        |FROM tt cur JOIN tt FOR SYSTEM_TIME AS OF 0 AS old
+        |  ON cur.k = old.k""".stripMargin)
+    assert(aliased.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((2L, 25L, 20L)))
   }
 
   test("AS OF timestamp and now()-interval bind onto the commit timeline") {
@@ -67,17 +75,24 @@ class TimeTravelSpec extends SparkSpecBase {
     e.execute("FLUSH")
     assert(rows(e.execute(
       s"SELECT * FROM tts FOR SYSTEM_TIME AS OF '$between'")) == Set(1L -> 1L))
-    // now() - tiny interval lands after the last commit → current image
-    assert(rows(e.execute(
+    // now() - tiny interval lands near the last commit: evaluate ONCE
+    // (the target instant moves between evaluations) and accept either
+    // adjacent image
+    val nearNow = rows(e.execute(
       "SELECT * FROM tts FOR SYSTEM_TIME AS OF now() - interval '1' second"))
-      == Set(1L -> 1L, 2L -> 2L) ||
-      rows(e.execute(
-        "SELECT * FROM tts FOR SYSTEM_TIME AS OF now() - interval '1' second"))
-        == Set(1L -> 1L))
+    assert(nearNow == Set(1L -> 1L, 2L -> 2L) || nearNow == Set(1L -> 1L))
     // a timestamp before the table had any commit errors loudly
     val ex = intercept[IllegalArgumentException](
       e.execute("SELECT * FROM tts FOR SYSTEM_TIME AS OF '2000-01-01'"))
     assert(ex.getMessage.contains("no committed state"))
+    // an alias directly after an interval operand must not be eaten as
+    // the interval's unit word
+    assert(e.execute(
+      s"SELECT h.k FROM tts FOR SYSTEM_TIME AS OF '$between' AS h")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(e.execute(
+      "SELECT h.k FROM tts FOR SYSTEM_TIME AS OF now() - interval '1' second AS h")
+      .collect().map(_.getLong(0)).toSet.subsetOf(Set(1L, 2L)))
   }
 
   test("CTAS birth image is addressable; expired history errors loudly") {
