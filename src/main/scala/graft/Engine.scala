@@ -3923,7 +3923,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         return statusDf("KILL", pidS)
       case _ =>
     }
-    val statement = rewriteTimeTravel(resolveSchemas(statement2))
+    val statement =
+      rewriteTimeTravel(resolveSchemas(Engine.rewritePatternOps(statement2)))
     handleUserStatement(statement) match {
       case Some(df) => return df
       case None =>
@@ -4895,10 +4896,44 @@ object Engine {
   /** pg_proc signatures of the native Catalyst expressions — the
     * registry holds only names, the signatures live with the docs here.
     */
+  /** PG pattern surface Spark's parser lacks, split the way the
+    * reference binder splits them (binder/expr/binary_op.rs):
+    * `x [NOT] SIMILAR TO p [ESCAPE e]` → `x [NOT] RLIKE
+    * graft_similar_escape(p[, e])` (pattern/escape as literals — the
+    * overwhelmingly common form; a computed pattern can call
+    * graft_similar_escape directly), and the reference's
+    * `array_transform(arr, |x| expr)` lambda form → Spark's
+    * `transform(arr, x -> expr)`.
+    */
+  private val SimilarToRe =
+    ("""(?i)\b(NOT\s+)?SIMILAR\s+TO\s+('(?:[^']|'')*')""" +
+      """(?:\s+ESCAPE\s+('(?:[^']|'')*'))?""").r
+
+  private[graft] def rewritePatternOps(stmt: String): String = {
+    val low = stmt.toLowerCase
+    var out = stmt
+    if (low.contains("similar"))
+      out = SimilarToRe.replaceAllIn(out, m => {
+        val not = if (m.group(1) != null) "NOT " else ""
+        val esc = Option(m.group(3)).map(e => s", $e").getOrElse("")
+        java.util.regex.Matcher.quoteReplacement(
+          s"${not}RLIKE graft_similar_escape(${m.group(2)}$esc)")
+      })
+    if (low.contains("array_transform")) {
+      out = out.replaceAll("(?i)\\barray_transform\\s*\\(", "transform(")
+      // the |x| lambda head: only directly after an argument comma, so
+      // `||` concatenation can never be captured
+      out = out.replaceAll(",\\s*\\|\\s*([A-Za-z_]\\w*)\\s*\\|", ", $1 ->")
+    }
+    out
+  }
+
   private[graft] val NativeFunctionSigs: Map[String, (String, String)] = Map(
     "graft_dot" -> ("a double precision[], b double precision[]",
       "double precision"),
     "graft_gcd" -> ("a bigint, b bigint", "bigint"),
     "graft_lcm" -> ("a bigint, b bigint", "bigint"),
-    "graft_hmac" -> ("payload text, secret text, algo text", "text"))
+    "graft_hmac" -> ("payload text, secret text, algo text", "text"),
+    "graft_similar_escape" -> ("pattern text [, escape text]", "text"),
+    "trim_array" -> ("arr anyarray, n integer", "anyarray"))
 }

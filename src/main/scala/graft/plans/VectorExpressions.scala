@@ -112,7 +112,27 @@ object GraftExtensions {
       (children: Seq[Expression]) => Lcm(children(0), children(1))),
     (FunctionIdentifier("graft_hmac"),
       new ExpressionInfo(classOf[Hmac].getName, "graft_hmac"),
-      (children: Seq[Expression]) => Hmac(children(0), children(1), children(2))))
+      (children: Seq[Expression]) => Hmac(children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_similar_escape"),
+      new ExpressionInfo(classOf[SimilarToEscape].getName, "graft_similar_escape"),
+      (children: Seq[Expression]) => SimilarToEscape(children(0),
+        // PG default escape is backslash; explicit '' disables escaping
+        if (children.length > 1) children(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal("\\"))),
+    // trim_array(arr, n) — PG 14 / reference trim_array.rs: drop the
+    // last n elements. Pure composition of codegen'd builtins; n
+    // beyond the array length clamps to empty (PG raises; documented).
+    (FunctionIdentifier("trim_array"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.Slice].getName,
+        "trim_array"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions._
+        val size = Size(children(0), legacySizeOfNull = false)
+        Slice(children(0), Literal(1),
+          Greatest(Seq(Subtract(size, Cast(children(1), IntegerType)),
+            Literal(0))))
+      }))
 
   /** Register into an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit = {

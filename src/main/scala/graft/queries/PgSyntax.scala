@@ -48,6 +48,36 @@ object PgSyntax extends QueryPack {
           |  (n_regionkey IS DISTINCT FROM NULL) AS dist,
           |  (NULL IS NOT DISTINCT FROM NULL) AS ndist
           |FROM nation ORDER BY n_nationkey""".stripMargin)
+    },
+
+    // SIMILAR TO pattern surface (reference similar_to_escape.rs — the
+    // binder splits `x SIMILAR TO p` into `x ~ similar_to_escape(p)`;
+    // graft_similar_escape is the same PG conversion) plus trim_array
+    // (PG 14 / trim_array.rs) and array_transform (array_transform.rs;
+    // Spark spelling `transform`). The oracle side uses the CONVERTED
+    // regexes with DuckDB's regexp_full_match — DuckDB's own SIMILAR TO
+    // treats the pattern as a raw regex, not the SQL %/_ surface.
+    q("q_fn_pattern",
+      """SELECT n_nationkey,
+        |  regexp_full_match(n_name, '.*I(?:A|N).*') AS sim1,
+        |  NOT regexp_full_match(n_name, 'A.*') AS sim2,
+        |  regexp_full_match(n_name, 'UNITED ..*') AS sim3,
+        |  array_to_string(([n_nationkey, n_regionkey, 7])[1:2], ',') AS ta,
+        |  array_to_string(
+        |    list_transform([n_nationkey, n_regionkey], x -> x * 2 + 1),
+        |    ',') AS tx
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { s =>
+      s.sql(
+        """SELECT n_nationkey,
+          |  n_name RLIKE graft_similar_escape('%I(A|N)%') AS sim1,
+          |  n_name NOT RLIKE graft_similar_escape('A%') AS sim2,
+          |  n_name RLIKE graft_similar_escape('UNITED _%') AS sim3,
+          |  array_join(
+          |    trim_array(array(n_nationkey, n_regionkey, 7), 1), ',') AS ta,
+          |  array_join(
+          |    transform(array(n_nationkey, n_regionkey), x -> x * 2 + 1),
+          |    ',') AS tx
+          |FROM nation ORDER BY n_nationkey""".stripMargin)
     }
   )
 }

@@ -115,4 +115,48 @@ class NativeExprSpec extends SparkSpecBase {
         .selectExpr("graft_hmac(p, k, a)").collect()
     }
   }
+
+  test("graft_similar_escape: PG SIMILAR TO pattern → anchored regex") {
+    // non-literal inputs so constant folding can't bypass doGenCode
+    val df = Seq(("%abc%", "\\"), ("x_y", "\\"), ("a(b|c)+", "\\"),
+      ("t#%t", "#"), ("a.b$", "\\")).toDF("p", "e")
+    val got = df.select(
+      call_function("graft_similar_escape", col("p"), col("e")).as("r"))
+      .as[String].collect().toSeq
+    assert(got == Seq("^(?:.*abc.*)$", "^(?:x.y)$", "^(?:a(?:b|c)+)$",
+      "^(?:t\\%t)$", "^(?:a\\.b\\$)$"))
+    // 1-arg form defaults to backslash escaping
+    assert(spark.sql("SELECT graft_similar_escape('x_%')").head()
+      .getString(0) == "^(?:x..*)$")
+    // >1-char escape raises (PG's "invalid escape string")
+    intercept[Exception] {
+      Seq(("a", "##")).toDF("p", "e")
+        .selectExpr("graft_similar_escape(p, e)").collect()
+    }
+    // PG's escape-double-quote separators bound the substring capture
+    assert(spark.sql("SELECT graft_similar_escape('%#\"o_b#\"%', '#')")
+      .head().getString(0) == "^(?:.*){1,1}?(o.b){1,1}(?:.*)$")
+  }
+
+  test("SIMILAR TO / trim_array / array_transform SQL through the engine") {
+    val e = new Engine(spark, tmpDir("similarto"))
+    e.execute("CREATE TABLE st (k BIGINT PRIMARY KEY, s VARCHAR)")
+    e.execute("INSERT INTO st VALUES (1,'abc'), (2,'a%c'), (3,'xbz'), (4,'ABC')")
+    def ks(q: String) = e.execute(q).collect().map(_.getLong(0)).toSet
+    assert(ks("SELECT k FROM st WHERE s SIMILAR TO 'a%'") == Set(1L, 2L))
+    assert(ks("SELECT k FROM st WHERE s SIMILAR TO '(a|x)b(c|z)'") ==
+      Set(1L, 3L))
+    assert(ks("SELECT k FROM st WHERE s NOT SIMILAR TO 'a%'") == Set(3L, 4L))
+    assert(ks("SELECT k FROM st WHERE s SIMILAR TO 'a#%c' ESCAPE '#'") ==
+      Set(2L))
+    assert(ks("SELECT k FROM st WHERE s SIMILAR TO '_b_'") == Set(1L, 3L))
+    // reference array_transform lambda spelling |x| → Spark transform
+    assert(e.execute("SELECT array_transform(array(1, 2, 3), |x| x * 2) AS a")
+      .head().getSeq[Int](0) == Seq(2, 4, 6))
+    assert(e.execute("SELECT trim_array(array(1, 2, 3, 4), 2) AS a")
+      .head().getSeq[Int](0) == Seq(1, 2))
+    // || concat is untouched by the lambda rewrite
+    assert(e.execute("SELECT s || '!' AS c FROM st WHERE k = 1")
+      .head().getString(0) == "abc!")
+  }
 }
