@@ -1458,7 +1458,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * declared PK = union of all leaf PKs, no SELECT *.
     */
   private def createCascadedJoinMv(name: String, pk: Seq[String],
-      query: String): Option[DataFrame] = try {
+      query: String, dryRun: Boolean = false): Option[DataFrame] = try {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedRelation, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
     import org.apache.spark.sql.catalyst.plans.Inner
@@ -1524,6 +1524,16 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case ua: UnresolvedAttribute => unq(ua).sql
       case UnresolvedAlias(child, _) => unq(child).sql
       case other => unq(other).sql
+    }
+
+    if (dryRun) {
+      // classification passed — report the cascade shape without
+      // creating anything (EXPLAIN CREATE MATERIALIZED VIEW)
+      import spark.implicits._
+      return Some(Seq(
+        s"maintenance: ${n}-way delta-join cascade — left-deep binary " +
+          s"StreamDeltaJoin steps over ${rels.mkString(" ⋈ ")} " +
+          s"(${kinds.mkString(", ")})").toDF("plan"))
     }
 
     val created = scala.collection.mutable.ArrayBuffer[String]()
@@ -1980,6 +1990,70 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private val ShowTables = """(?is)\s*SHOW\s+TABLES\s*;?\s*""".r
   private val DropTable =
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  /** The maintenance strategy CREATE MATERIALIZED VIEW would pick for
+    * this definition, as one EXPLAIN line — the same classifier cascade
+    * the real dispatch runs (reference: handler/explain.rs prints the
+    * stream plan for explain-create-mv; here the load-bearing decision
+    * is WHICH incremental shape maintains the MV, or the loud
+    * batch-refresh fence). Nothing is created.
+    */
+  private def explainMvStrategy(d: SqlFrontend.CreateMvDef, query: String,
+      result: DataFrame): String = {
+    val pk = d.pk.getOrElse(Nil)
+    if (result.isStreaming) {
+      val hasOver = result.queryExecution.analyzed.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isDefined
+      if (hasOver)
+        "maintenance: source-fed incremental over-window (base copy + " +
+          "partition-granular recompute)"
+      else if (d.emitOnClose)
+        "maintenance: streaming append — EMIT ON WINDOW CLOSE " +
+          "(watermark-finalized rows only)"
+      else
+        "maintenance: continuous streaming upsert over source " +
+          "(micro-batch merge by PK)"
+    } else chainableUpstream(query, result) match {
+      case Some(up) =>
+        s"maintenance: incremental per-row chain over $up " +
+          s"(Δ(query) = query(Δ$up))"
+      case None => chainableAggUpstream(query, result, pk) match {
+      case Some((up, gcols)) =>
+        s"maintenance: incremental grouped aggregate over $up " +
+          s"(touched-group recompute, groups = ${gcols.mkString(", ")})"
+      case None => chainableJoinUpstream(query, result, pk) match {
+      case Some((l, r, kind)) =>
+        s"maintenance: $kind delta join of $l ⋈ $r " +
+          "(Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB)"
+      case None => chainableOverUpstream(query, result) match {
+      case Some(up) =>
+        s"maintenance: incremental over-window over $up " +
+          "(partition-granular recompute)"
+      case None => chainableUnionUpstream(query, result, pk) match {
+      case Some((l, r)) =>
+        s"maintenance: chained UNION ALL of $l and $r " +
+          "(linear — per-side delta replay)"
+      case None => chainableAggUnionUpstream(query, result, pk) match {
+      case Some((l, r, gcols)) =>
+        s"maintenance: incremental aggregate over union of $l, $r " +
+          s"(touched groups = ${gcols.mkString(", ")})"
+      case None =>
+        createCascadedJoinMv(d.name, pk, query, dryRun = true) match {
+          case Some(df) => df.collect().head.getString(0)
+          case None =>
+            val streamingUps = referencedRelations(query)
+              .filter(n => chainableSourcePk(n).isDefined)
+            if (streamingUps.nonEmpty)
+              "maintenance: BATCH REFRESH fence — streaming upstream(s) " +
+                s"${streamingUps.mkString(", ")} with no supported chain " +
+                "shape; REFRESH MATERIALIZED VIEW to update"
+            else
+              "maintenance: one-shot batch materialization " +
+                "(no streaming upstreams)"
+        }
+    } } } } } }
+  }
+
   private val Describe =
     """(?is)\s*(?:DESC(?:RIBE)?\s+(?:TABLE\s+)?|SHOW\s+COLUMNS\s+FROM\s+)(\w+)\s*;?\s*""".r
   private val ExplainAnalyze =
@@ -4163,8 +4237,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             statusDf("DROP SINK", name)
           case ShowMv() =>
             import spark.implicits._
+            // tables are PK-merged MV stores internally, but SHOW
+            // MATERIALIZED VIEWS lists only real MVs (reference
+            // handler/show.rs filters by relation kind)
             showListing(mvs.list.filterNot(n => n.endsWith("__base") ||
-              n.contains("__casc") || n.endsWith("__sinkq"))).toDF("name")
+              n.contains("__casc") || n.endsWith("__sinkq") ||
+              tableSchemas.contains(n))).toDF("name")
           case ShowCreate(kind, name) => showCreate(kind, name)
           case ShowSources() =>
             import spark.implicits._
@@ -4311,17 +4389,25 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             render(finalPlan(df.queryExecution.executedPlan), 0).toDF("plan")
           case Explain(rest) =>
             // reference: handler/explain.rs — EXPLAIN CREATE MATERIALIZED
-            // VIEW plans the inner SELECT; plain EXPLAIN plans the query.
-            // One plan line per row, like the reference's output.
+            // VIEW reports the MAINTENANCE STRATEGY the chain planner
+            // would pick (the reference prints its stream plan) and then
+            // the inner SELECT's batch plan; plain EXPLAIN plans the
+            // query. One plan line per row, like the reference's output.
             import spark.implicits._
-            val planned = SqlFrontend.parseCreateMv(rest) match {
-              case Some(d: CreateMvDef) => spark.sql(d.query)
-              case None => spark.sql(rest)
+            val (strategy, planned) = SqlFrontend.parseCreateMv(rest) match {
+              case Some(d: CreateMvDef) =>
+                val q = Engine.TemporalJoinClause.replaceAllIn(d.query, "")
+                referencedRelations(q)
+                  .foreach(n => jobs.get(n).foreach(_.processAllAvailable()))
+                bindMvTables(q)
+                val df = spark.sql(Engine.rewritePgSelect(q))
+                (Seq(explainMvStrategy(d, q, df)), df)
+              case None => (Nil, spark.sql(rest))
             }
-            planned.queryExecution
+            (strategy ++ planned.queryExecution
               .explainString(org.apache.spark.sql.execution.ExplainMode
                 .fromString("formatted"))
-              .split("\n").toSeq.toDF("plan")
+              .split("\n").toSeq).toDF("plan")
           // schema evolution on CREATE TABLE tables (reference:
           // handler/alter_table_column.rs): declared schema updates +
           // eager store rewrite so merges stay schema-uniform

@@ -51,6 +51,19 @@ class DmlChainFuzzSpec extends SparkSpecBase {
     // (mvName, upstreamNames, definingSql)
     val defs = scala.collection.mutable.ArrayBuffer[(String, Seq[String], String)]()
 
+    // oracle-3 state: the model image recorded at every published epoch
+    // of each table — time travel must reproduce these exactly
+    val snaps = scala.collection.mutable.Map[Long, Seq[(Long, Row3)]]()
+    val snaps2 = scala.collection.mutable.Map[Long, Seq[(Long, Row2)]]()
+    private def snapT(): Unit =
+      e.mvs.get(t).flatMap(_.epochCommitTimes.lastOption).foreach {
+        case (ep, _) => snaps(ep) = model.toSeq.sortBy(_._1)
+      }
+    private def snapT2(): Unit =
+      e.mvs.get(t2).flatMap(_.epochCommitTimes.lastOption).foreach {
+        case (ep, _) => snaps2(ep) = model2.toSeq.sortBy(_._1)
+      }
+
     private def freshId(): Long = { nextId += 1; nextId }
     private def randRow(): Row3 = Row3(r.nextInt(3).toLong, r.nextInt(20).toLong,
       Seq.fill(1 + r.nextInt(3))(Words(r.nextInt(Words.length))).mkString(" "))
@@ -138,7 +151,8 @@ class DmlChainFuzzSpec extends SparkSpecBase {
     }
 
     /** One random DML statement against table 2, mirrored into model2. */
-    private def burst2(): Unit = r.nextInt(5) match {
+    private def burst2(): Unit = { burst2Inner(); snapT2() }
+    private def burst2Inner(): Unit = r.nextInt(5) match {
       case 0 | 1 =>
         val rows = Seq.fill(1 + r.nextInt(2)) {
           (freshId(), Row2(r.nextInt(3).toLong, r.nextInt(20).toLong))
@@ -168,7 +182,11 @@ class DmlChainFuzzSpec extends SparkSpecBase {
       * the model with independently re-implemented semantics.
       */
     def burst(): Unit = {
-      for (_ <- 0 until 1 + r.nextInt(3)) r.nextInt(7) match {
+      for (_ <- 0 until 1 + r.nextInt(3)) { burstOne(); snapT() }
+      if (twoTable) for (_ <- 0 until 1 + r.nextInt(2)) burst2()
+    }
+
+    private def burstOne(): Unit = r.nextInt(7) match {
         case 0 | 1 => // multi-row INSERT (sometimes duplicate-PK under IGNORE)
           val used = scala.collection.mutable.Set[Long]()
           val rows = Seq.fill(1 + r.nextInt(3)) {
@@ -215,8 +233,6 @@ class DmlChainFuzzSpec extends SparkSpecBase {
           val id = freshId(); val row = randRow()
           model(id) = row
           e.execute(s"INSERT INTO $t VALUES ($id, ${row.g}, ${row.v}, '${row.text}')")
-      }
-      if (twoTable) for (_ <- 0 until 1 + r.nextInt(2)) burst2()
     }
 
     private def sortedRows(df: DataFrame): Seq[String] = {
@@ -245,6 +261,27 @@ class DmlChainFuzzSpec extends SparkSpecBase {
         val got2 = e.table(t2).as[(Long, Long, Long)].collect().toSeq.sorted
         val want2 = model2.toSeq.map { case (oid, Row2(k2, w)) => (oid, k2, w) }.sorted
         assert(got2 == want2, s"seed $seed $tag: table 2 diverged from DML model")
+      }
+      // oracle 3: time travel — a sample of recorded epochs must
+      // reproduce the model image that was live when each was published
+      // (attacks imageAt + changelog completeness under every DML shape,
+      // incl. PK-changing updates and ON CONFLICT no-ops)
+      r.shuffle(snaps.keys.toSeq).take(2).foreach { ep =>
+        val got = e.execute(
+          s"SELECT id, g, v, text FROM $t FOR SYSTEM_TIME AS OF $ep")
+          .as[(Long, Long, Long, String)].collect().toSeq.sorted
+        val want = snaps(ep).map { case (id, Row3(g, v, tx)) => (id, g, v, tx) }
+        assert(got == want,
+          s"seed $seed $tag: AS OF $ep diverged from the recorded image\n" +
+            s"got:  $got\nwant: $want")
+      }
+      if (twoTable) r.shuffle(snaps2.keys.toSeq).take(1).foreach { ep =>
+        val got = e.execute(
+          s"SELECT oid, k2, w FROM $t2 FOR SYSTEM_TIME AS OF $ep")
+          .as[(Long, Long, Long)].collect().toSeq.sorted
+        val want = snaps2(ep).map { case (oid, Row2(k2, w)) => (oid, k2, w) }
+        assert(got == want,
+          s"seed $seed $tag: $t2 AS OF $ep diverged from the recorded image")
       }
       // oracle 2: each chained MV vs batch recompute over its upstreams
       defs.foreach { case (name, ups, sql) =>
