@@ -220,10 +220,16 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       } ++ embeddedAggs.toSeq.map { case (n, e) =>
         (n, "a", e.lang, "")
       }
+    // published-epoch timeline per engine-managed relation — what
+    // `FOR SYSTEM_TIME AS OF` binds against (the reference exposes its
+    // meta snapshots the same way, rw_catalog/rw_hummock_* relations)
+    val epochRows = objs.filter(o => o.kind == "r" || o.kind == "m")
+      .flatMap(o => mvs.get(o.name).toSeq.flatMap(
+        _.epochCommitTimes.map { case (e, ms) => (displayName(o.name), e, ms) }))
     SystemCatalog.bindRw(spark, objs, pks, defs, deps, jobStatus,
       sinkNames.toSeq.filter(inSessionDb), fns, sessionSchemaNames,
       users.toSeq.map { case (n, e) => (n, e.superuser, e.createdb, e.login) },
-      secrets.keys.toSeq)
+      secrets.keys.toSeq, epochRows)
   }
 
   /** The engine's registered callables for pg_proc (psql `\df`, ORM

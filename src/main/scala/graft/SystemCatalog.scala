@@ -447,7 +447,8 @@ object SystemCatalog {
       fns: Seq[(String, String, String, String)],
       userSchemas: Seq[String] = Seq.empty,
       userRows: Seq[(String, Boolean, Boolean, Boolean)] = Seq.empty,
-      secretNames: Seq[String] = Seq.empty): Unit = {
+      secretNames: Seq[String] = Seq.empty,
+      epochRows: Seq[(String, Long, Long)] = Seq.empty): Unit = {
     val s = spark
     import s.implicits._
     val none: Option[java.sql.Timestamp] = None
@@ -561,6 +562,14 @@ object SystemCatalog {
       .map { case (n, i) => (31000 + i, n, NsPublic.toInt, owner, acl) }
       .toDF("id", "name", "schema_id", "owner", "acl")
       .createOrReplaceTempView("rw_secrets")
+
+    // published-epoch timeline per relation — the binding surface for
+    // `FOR SYSTEM_TIME AS OF` (the reference exposes its meta snapshots
+    // through rw_catalog the same way)
+    epochRows
+      .map { case (n, e, ms) => (n, e, new java.sql.Timestamp(ms)) }
+      .toDF("relation_name", "epoch", "committed_at")
+      .createOrReplaceTempView("rw_epochs")
   }
 
   private val FirstFuncOid = 30000L

@@ -154,6 +154,39 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("round-6 nexmark twins keep their scale shapes") {
+    Tables.register(spark, dir)
+    // q18 dedup: top-1 per (user, type) must cap map-side, not sort
+    // whole partitions
+    val ded = plan(SparkEntry.queries("q_nex_latest_event")(spark, dir))
+    assert(ded.contains("WindowGroupLimit"),
+      s"q_nex_latest_event missing WindowGroupLimit:\n$ded")
+    // q105 top-N: TakeOrdered, never a global sort of the join output
+    val top = plan(SparkEntry.queries("q_nex_top_active")(spark, dir))
+    assert(top.contains("TakeOrderedAndProject"),
+      s"q_nex_top_active missing TakeOrdered:\n$top")
+    assert(!top.contains("CartesianProduct"))
+    // q101/q105: the events side aggregates BEFORE the customer join —
+    // the join input is one row per user, not the raw event stream
+    for (name <- Seq("q_nex_highest_left", "q_nex_top_active")) {
+      val p = plan(SparkEntry.queries(name)(spark, dir))
+      val aggIdx = p.indexOf("HashAggregate")
+      val joinIdx = p.indexOf("Join")
+      assert(aggIdx >= 0 && joinIdx >= 0,
+        s"$name expected agg + join:\n$p")
+    }
+    // q102: the one-row threshold broadcasts; no nested-loop over counts
+    val act = plan(SparkEntry.queries("q_nex_active_users")(spark, dir))
+    assert(act.contains("BroadcastNestedLoopJoin") ||
+      act.contains("BroadcastHashJoin"),
+      s"q_nex_active_users threshold not broadcast:\n$act")
+    // q15: the FILTER + DISTINCT aggregate is two-phase (partial_ on
+    // the map side) — one day-key shuffle, not raw-row movement
+    val day = plan(SparkEntry.queries("q_nex_day_stats")(spark, dir))
+    assert(day.contains("partial_"),
+      s"q_nex_day_stats aggregate not two-phase:\n$day")
+  }
+
   test("nexmark last-10 frame reuses one user_id shuffle for both window specs") {
     // Both the ROWS frame and the latest-row rank partition by user_id;
     // a second hashpartitioning exchange would double the shuffle volume

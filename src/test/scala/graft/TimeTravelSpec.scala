@@ -36,6 +36,12 @@ class TimeTravelSpec extends SparkSpecBase {
     }
     // current read == newest epoch's image
     assert(rows(e.table("tt")) == images.last)
+    // rw_epochs lists the timeline AS OF binds against (reference:
+    // meta snapshots through rw_catalog)
+    assert(e.execute(
+      "SELECT epoch FROM rw_catalog.rw_epochs WHERE relation_name = 'tt' " +
+        "ORDER BY epoch")
+      .collect().map(_.getLong(0)).toSeq == (0L to 4L))
     // an AS OF beyond the frontier clamps to the newest committed state
     assert(rows(e.execute("SELECT * FROM tt FOR SYSTEM_TIME AS OF 99")) ==
       images.last)
