@@ -2633,7 +2633,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private val ShowSubscriptions =
     """(?is)\s*SHOW\s+SUBSCRIPTIONS\s*;?\s*""".r
   private val DeclareCursor =
-    """(?is)\s*DECLARE\s+(\w+)\s+SUBSCRIPTION\s+CURSOR\s+FOR\s+(\w+)\s*(FULL)?\s*;?\s*""".r
+    ("""(?is)\s*DECLARE\s+(\w+)\s+SUBSCRIPTION\s+CURSOR\s+FOR\s+(\w+)""" +
+      """\s*(FULL|SINCE\s+begin\s*\(\s*\)|SINCE\s+now\s*\(\s*\)|SINCE\s+\d+)?""" +
+      """\s*;?\s*""").r
   /** Batch query cursor (reference: handler/declare_cursor.rs
     * `handle_declare_query_cursor`) — the Postgres pagination contract
     * psql's FETCH_COUNT and pgjdbc's setFetchSize ride on.
@@ -4518,14 +4520,26 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case ShowSubscriptions() =>
             import spark.implicits._
             subscriptions.keys.toSeq.sorted.toDF("name")
-          case DeclareCursor(cur, sub, full) =>
+          case DeclareCursor(cur, sub, mode0) =>
             val mvName = subscriptions.getOrElse(sub,
               throw new IllegalArgumentException(s"unknown subscription $sub"))
-            // FULL: replay the entire retained log (history from MV
-            // birth); default: only changes after declaration
+            // starting frontier (reference e2e_test/subscription/main.py
+            // drives all four forms): FULL / SINCE begin() replay the
+            // entire retained log; default / SINCE now() deliver only
+            // changes after declaration; SINCE <unix_ms> starts at the
+            // first epoch committed at or after that wall time
+            val mv = mvs.get(mvName).get
+            val mode = Option(mode0).map(
+              _.trim.toLowerCase.replaceAll("\\s+", "")).getOrElse("")
             val pos =
-              if (full != null) -1L
-              else mvs.get(mvName).get.latestChangelogBatchId
+              if (mode == "full" || mode.startsWith("sincebegin")) -1L
+              else if (mode.isEmpty || mode.startsWith("sincenow"))
+                mv.latestChangelogBatchId
+              else {
+                val ms = mode.stripPrefix("since").takeWhile(_.isDigit).toLong
+                mv.epochCommitTimes.filter(_._2 < ms)
+                  .map(_._1).sorted.lastOption.getOrElse(-1L)
+              }
             cursors(cur) = (sub, pos)
             catalog.save("cursors", cur, DurableCatalog.CursorEntry(sub, pos))
             statusDf("DECLARE CURSOR", cur)

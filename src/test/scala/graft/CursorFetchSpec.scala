@@ -43,4 +43,34 @@ class CursorFetchSpec extends SparkSpecBase {
     val rest = e2.execute("FETCH ALL FROM cc").select("k").as[Long].collect().toSeq
     assert(rest == Seq(6L))
   }
+
+  test("DECLARE ... SINCE begin()/now()/<unix_ms> sets the start frontier") {
+    // reference: e2e_test/subscription/main.py test_cursor_since_*
+    val e = new Engine(spark, tmpDir("cursince"))
+    e.execute("CREATE TABLE st2 (k BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("CREATE SUBSCRIPTION ssub FROM st2")
+    e.execute("INSERT INTO st2 VALUES (4, 4)")
+    Thread.sleep(1100)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(1100)
+    e.execute("INSERT INTO st2 VALUES (5, 5)")
+
+    def drain(cur: String): Seq[Long] = {
+      val df = e.execute(s"FETCH ALL FROM $cur")
+      if (df.columns.isEmpty) Seq.empty
+      else df.select("k").as[Long].collect().toSeq.sorted
+    }
+    // begin(): the whole retained log
+    e.execute("DECLARE cb SUBSCRIPTION CURSOR FOR ssub SINCE begin()")
+    assert(drain("cb") == Seq(4L, 5L))
+    // now(): only what comes after the declaration
+    e.execute("DECLARE cn SUBSCRIPTION CURSOR FOR ssub SINCE now()")
+    assert(drain("cn").isEmpty)
+    // unix-ms between the two epochs: only the second
+    e.execute(s"DECLARE ct SUBSCRIPTION CURSOR FOR ssub SINCE $betweenMs")
+    assert(drain("ct") == Seq(5L))
+    // all three track new changes from their frontier on
+    e.execute("INSERT INTO st2 VALUES (6, 6)")
+    Seq("cb", "cn", "ct").foreach(c => assert(drain(c) == Seq(6L), c))
+  }
 }
