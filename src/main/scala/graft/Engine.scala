@@ -2630,6 +2630,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     """(?is)\s*CREATE\s+SUBSCRIPTION\s+(\w+)\s+FROM\s+(\w+)\s*(?:WITH\s*\(.*?\))?\s*;?\s*""".r
   private val DropSubscription =
     """(?is)\s*DROP\s+SUBSCRIPTION\s+(\w+)\s*;?\s*""".r
+  private val ShowCursorsStmt =
+    """(?is)\s*SHOW\s+(SUBSCRIPTION\s+)?CURSORS\s*;?\s*""".r
   private val ShowSubscriptions =
     """(?is)\s*SHOW\s+SUBSCRIPTIONS\s*;?\s*""".r
   private val DeclareCursor =
@@ -4520,6 +4522,22 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case ShowSubscriptions() =>
             import spark.implicits._
             subscriptions.keys.toSeq.sorted.toDF("name")
+          case ShowCursorsStmt(subWord) =>
+            // reference handler/show.rs ShowObject::Cursor /
+            // ::SubscriptionCursor — session/user identity plus, for
+            // subscription cursors, the subscription and frontier state
+            import spark.implicits._
+            if (subWord != null)
+              cursors.toSeq.sortBy(_._1).map { case (cur, (sub, pos)) =>
+                (sessionUser, sessionDatabase, cur, sub,
+                  s"frontier=$pos" +
+                    cursorSkip.get(cur).map(s => s" skip=$s").getOrElse(""))
+              }.toDF("user", "database", "cursor_name",
+                "subscription_name", "state")
+            else
+              queryCursors.keys.toSeq.sorted
+                .map(c => (sessionUser, sessionDatabase, c))
+                .toDF("user", "database", "cursor_name")
           case DeclareCursor(cur, sub, mode0) =>
             val mvName = subscriptions.getOrElse(sub,
               throw new IllegalArgumentException(s"unknown subscription $sub"))

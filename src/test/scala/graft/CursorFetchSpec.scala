@@ -72,5 +72,17 @@ class CursorFetchSpec extends SparkSpecBase {
     // all three track new changes from their frontier on
     e.execute("INSERT INTO st2 VALUES (6, 6)")
     Seq("cb", "cn", "ct").foreach(c => assert(drain(c) == Seq(6L), c))
+
+    // SHOW SUBSCRIPTION CURSORS lists them with subscription + frontier;
+    // SHOW CURSORS lists batch query cursors (reference show.rs
+    // ShowObject::Cursor / ::SubscriptionCursor)
+    val shown = e.execute("SHOW SUBSCRIPTION CURSORS").collect()
+      .map(r => (r.getString(2), r.getString(3))).toSet
+    assert(shown == Set(("cb", "ssub"), ("cn", "ssub"), ("ct", "ssub")))
+    e.execute("DECLARE qq CURSOR FOR SELECT k FROM st2 ORDER BY k")
+    assert(e.execute("SHOW CURSORS").collect()
+      .map(_.getString(2)).toSeq == Seq("qq"))
+    e.execute("CLOSE qq")
+    assert(e.execute("SHOW CURSORS").collect().isEmpty)
   }
 }
