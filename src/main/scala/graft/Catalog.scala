@@ -186,4 +186,7 @@ object DurableCatalog {
     * surfaced by any introspection relation.
     */
   final case class SecretEntry(valueB64: String, owner: String)
+
+  /** ALTER SYSTEM SET — an instance-wide session-variable default. */
+  final case class SysVarEntry(value: String)
 }

@@ -2439,6 +2439,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     """(?is)\s*SET\s+(?:SESSION\s+|LOCAL\s+)?TIME\s+ZONE\s+(.+?)\s*;?\s*""".r
   private val SetTransactionStmt =
     """(?is)\s*SET\s+(?:SESSION\s+CHARACTERISTICS\s+AS\s+)?TRANSACTION\s+.*""".r
+  private val AlterSystemSet =
+    """(?is)\s*ALTER\s+SYSTEM\s+SET\s+([A-Za-z_][\w.]*)\s*(?:=|\s+TO\s+)\s*(.+?)\s*;?\s*""".r
+  private val AlterSystemReset =
+    """(?is)\s*ALTER\s+SYSTEM\s+RESET\s+(ALL|[A-Za-z_][\w.]*)\s*;?\s*""".r
   private val SetVarStmt =
     """(?is)\s*SET\s+(?:SESSION\s+|LOCAL\s+)?([A-Za-z_][\w.]*)\s*(?:=|\s+TO\s+)\s*(.+?)\s*;?\s*""".r
   private val ResetVarStmt =
@@ -2490,8 +2494,18 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
 
   private val sessionVars = scala.collection.mutable.Map[String, String]()
 
+  /** Instance-wide defaults set by `ALTER SYSTEM SET` (reference
+    * handler/alter_system.rs; PG's postgresql.auto.conf layer): they sit
+    * between a session's own SETs and the boot defaults, durable across
+    * restarts.
+    */
+  private val systemDefaults = scala.collection.mutable.Map[String, String]()
+
+  private def defaultOf(name: String): String =
+    systemDefaults.getOrElse(name, varDefaults(name)._1)
+
   private def varValue(name: String): String =
-    sessionVars.getOrElse(name, varDefaults(name)._1)
+    sessionVars.getOrElse(name, defaultOf(name))
 
   /** Normalize SHOW's spaced aliases to the canonical variable name. */
   private def canonicalVar(raw: String): String =
@@ -2554,7 +2568,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         sessionVars(name) = norm
       case None =>
         sessionVars.remove(name)
-        applyVarBehavior(name, varDefaults(name)._1)
+        applyVarBehavior(name, defaultOf(name))
     }
     statusDf("SET", name)
   }
@@ -2589,7 +2603,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     if (live == vars) return
     (live.keySet -- vars.keySet).foreach { n =>
       sessionVars.remove(n)
-      applyVarBehavior(n, varDefaults(n)._1)
+      applyVarBehavior(n, defaultOf(n))
     }
     vars.foreach { case (n, v) =>
       if (!live.get(n).contains(v)) {
@@ -3301,6 +3315,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       """(?:\s+WITH\s*\([^)]*\))?\s+AS\s+'([^']*)'\s*;?\s*""").r
   private val DropSecretStmt =
     """(?is)\s*DROP\s+SECRET\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*""".r
+  private val AlterSecretStmt =
+    ("""(?is)\s*ALTER\s+SECRET\s+(\w+)""" +
+      """(?:\s+WITH\s*\([^)]*\))?\s+AS\s+'([^']*)'\s*;?\s*""").r
   private val ShowSecrets = """(?is)\s*SHOW\s+SECRETS\s*;?\s*""".r
 
   /** Substitute `${secret:name}` placeholders with live secret values
@@ -3965,6 +3982,19 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               value.getBytes("UTF-8")), sessionUser))
         }
         return statusDf("CREATE SECRET", name)
+      case AlterSecretStmt(name, value) =>
+        // reference handler/alter_secret.rs ChangeCredential: rotate the
+        // payload in place — connectors resolve at USE time, so every
+        // later ${secret:name} substitution sees the new value
+        require(secrets.contains(name), s"secret \"$name\" does not exist")
+        require(isSuperuser(sessionUser) ||
+          users.get(sessionUser).exists(_.createdb),
+          s"permission denied to alter secret (as $sessionUser)")
+        secrets(name) = value
+        catalog.save("secrets", name, DurableCatalog.SecretEntry(
+          java.util.Base64.getEncoder.encodeToString(
+            value.getBytes("UTF-8")), sessionUser))
+        return statusDf("ALTER SECRET", name)
       case DropSecretStmt(ifEx, name) =>
         if (!secrets.contains(name)) {
           if (ifEx == null) throw new IllegalArgumentException(
@@ -4026,7 +4056,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         // forms have nothing engine-side to release and just ack
         if (kind.equalsIgnoreCase("ALL")) {
           sessionVars.keys.toSeq
-            .foreach(n => applyVarBehavior(n, varDefaults(n)._1))
+            .foreach(n => applyVarBehavior(n, defaultOf(n)))
           sessionVars.clear()
         }
         return statusDf("DISCARD", "")
@@ -4586,6 +4616,41 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             // so one pass settles a whole a→b→c chain
             drainAllJobs()
             statusDf("FLUSH", "")
+          case AlterSystemSet(rawName, rawValue) =>
+            // reference handler/alter_system.rs / PG's auto.conf layer:
+            // a durable instance-wide default under any session SETs
+            val name = canonicalVar(rawName)
+            require(isSuperuser(sessionUser),
+              s"permission denied: ALTER SYSTEM requires superuser " +
+                s"(as $sessionUser)")
+            require(varDefaults.contains(name),
+              s"unrecognized configuration parameter \"$name\"")
+            require(!readOnlyVars.contains(name),
+              s"parameter \"$name\" cannot be changed")
+            parseVarValue(rawValue) match {
+              case Some(v) =>
+                systemDefaults(name) = v
+                catalog.save("sysvars", name, DurableCatalog.SysVarEntry(v))
+              case None => // SET x TO DEFAULT == RESET
+                systemDefaults.remove(name)
+                catalog.delete("sysvars", name)
+            }
+            if (!sessionVars.contains(name))
+              applyVarBehavior(name, defaultOf(name))
+            statusDf("ALTER SYSTEM", name)
+          case AlterSystemReset(rawName) =>
+            require(isSuperuser(sessionUser),
+              s"permission denied: ALTER SYSTEM requires superuser " +
+                s"(as $sessionUser)")
+            val which =
+              if (canonicalVar(rawName) == "all") systemDefaults.keys.toSeq
+              else Seq(canonicalVar(rawName))
+            which.foreach { n =>
+              systemDefaults.remove(n)
+              catalog.delete("sysvars", n)
+              if (!sessionVars.contains(n)) applyVarBehavior(n, defaultOf(n))
+            }
+            statusDf("ALTER SYSTEM", rawName.toLowerCase)
           case SetTimeZoneStmt(tz) => setVariable("timezone", tz)
           case SetTransactionStmt() =>
             // single-snapshot reads make every isolation request a no-op
@@ -4597,7 +4662,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             setVariable(name, value)
           case ResetVarStmt(name) if canonicalVar(name) == "all" =>
             sessionVars.keys.toSeq
-              .foreach(n => applyVarBehavior(n, varDefaults(n)._1))
+              .foreach(n => applyVarBehavior(n, defaultOf(n)))
             sessionVars.clear()
             statusDf("RESET", "all")
           case ResetVarStmt(name) =>
@@ -4701,6 +4766,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     secrets ++= catalog.list[SecretEntry]("secrets").map { case (n, e) =>
       n -> new String(java.util.Base64.getDecoder.decode(e.valueB64), "UTF-8")
     }
+    // ALTER SYSTEM defaults: restore, then push live knobs (timezone,
+    // shuffle width, implicit flush) through their behavior hooks
+    systemDefaults ++= catalog.list[SysVarEntry]("sysvars")
+      .map { case (n, e) => n -> e.value }
+    systemDefaults.keys.foreach(n => applyVarBehavior(n, defaultOf(n)))
     users ++= catalog.list[UserEntry]("users")
     objectOwners ++= catalog.list[OwnerEntry]("owners")
       .map { case (k, e) => k -> e.user }

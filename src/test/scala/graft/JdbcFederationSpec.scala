@@ -114,6 +114,16 @@ class JdbcFederationSpec extends SparkSpecBase {
       .collect().map(_.getString(0))
     assert(got.toSeq == Seq("hello"))
 
+    // ALTER SECRET rotates the payload in place (alter_secret.rs
+    // ChangeCredential): use-time resolution sees the new value
+    e.execute("CREATE SECRET rot AS 'wrong-url'")
+    e.execute(s"ALTER SECRET rot WITH (backend = 'meta') AS '$url'")
+    assert(e.execute(
+      "SELECT v FROM jdbc_query('${secret:rot}', 'SELECT v FROM remote_t')")
+      .collect().map(_.getString(0)).toSeq == Seq("hello"))
+    intercept[Exception](e.execute("ALTER SECRET nosuch AS 'x'"))
+    e.execute("DROP SECRET rot")
+
     // survives restart (obfuscated at rest); unknown refs fail loudly
     val e2 = new Engine(spark.newSession(), wh)
     assert(e2.execute("SHOW SECRETS").count() == 1)

@@ -172,4 +172,40 @@ class SessionVarSpec extends SparkSpecBase {
     e.execute("DISCARD PLANS")
     assert(e.execute("SHOW application_name").head().getString(0) == "y")
   }
+
+  test("ALTER SYSTEM SET: durable instance default under session SETs") {
+    // reference handler/alter_system.rs / PG's postgresql.auto.conf layer
+    val wh = tmpDir("altersystem")
+    val e = new Engine(spark, wh)
+    def shown(en: Engine) =
+      en.execute("SHOW extra_float_digits").head().getString(0)
+    assert(shown(e) == "1")
+    e.execute("ALTER SYSTEM SET extra_float_digits = 3")
+    assert(shown(e) == "3")
+    // a session SET overrides; RESET falls back to the SYSTEM default,
+    // not the boot default
+    e.execute("SET extra_float_digits = 5")
+    assert(shown(e) == "5")
+    e.execute("RESET extra_float_digits")
+    assert(shown(e) == "3")
+    // pg_settings reads the layered value
+    assert(e.execute("SELECT setting FROM pg_settings " +
+      "WHERE name = 'extra_float_digits'").head().getString(0) == "3")
+    // durable across restart
+    val e2 = new Engine(spark, wh)
+    assert(shown(e2) == "3")
+    // superuser-only
+    e2.execute("CREATE USER sysbob")
+    e2.sessionUser = "sysbob"
+    val ex = intercept[Exception](
+      e2.execute("ALTER SYSTEM SET extra_float_digits = 7"))
+    assert(ex.getMessage.contains("superuser"))
+    e2.sessionUser = "graft"
+    // ALTER SYSTEM RESET returns to the boot default
+    e2.execute("ALTER SYSTEM RESET extra_float_digits")
+    assert(shown(e2) == "1")
+    // unknown / read-only parameters are refused
+    intercept[Exception](e2.execute("ALTER SYSTEM SET nope = 1"))
+    intercept[Exception](e2.execute("ALTER SYSTEM SET server_version = 9"))
+  }
 }
