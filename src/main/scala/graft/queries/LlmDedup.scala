@@ -230,6 +230,55 @@ object LlmDedup extends QueryPack {
       IterativeFixpoint.connectedComponents(edges)
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
+    },
+
+    // C4-style span-level dedup (the corpus has no sentence structure,
+    // so the "three-sentence span" becomes a non-overlapping 8-word
+    // span): every span seen before anywhere in the corpus — ordered by
+    // (doc_id, pos) — is removed; only the globally-first occurrence
+    // survives. One explode + one window partitioned by the span
+    // fingerprint (md5, so 100 TB of text shuffles 32-byte keys, not
+    // span bodies) + one per-doc aggregate. The planted near-dup docs
+    // (id+10000, suffix-only edit) lose every full span to their
+    // originals; the originals keep everything.
+    q("q_dedup_spans",
+      s"""WITH corpus AS ($nearCorpusSql),
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'),
+         |                t -> length(t) > 0) AS w
+         |  FROM corpus),
+         |spans AS (
+         |  SELECT doc_id, j AS pos,
+         |    array_to_string(list_slice(w, j * 8 + 1, j * 8 + 8), ' ') AS span
+         |  FROM toks,
+         |    UNNEST(range(0, greatest(CAST(ceil(len(w) / 8.0) AS BIGINT), 1)))
+         |      AS u(j)),
+         |ranked AS (
+         |  SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY md5(span)
+         |                       ORDER BY doc_id, pos) AS rn
+         |  FROM spans)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS spans_total,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS spans_removed
+         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin) { s =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions
+      val toks = TextFunctions.tokens(col("text"))
+      val nSpans = greatest(ceil(size(toks) / 8.0).cast("bigint"), lit(1L))
+      val spans = nearCorpus(s)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0L), nSpans - 1),
+            j => concat_ws(" ", slice(toks, (j * 8 + 1).cast("int"), lit(8)))))
+            .as(Seq("pos", "span")))
+      val w = Window.partitionBy(md5(col("span"))).orderBy("doc_id", "pos")
+      spans.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("spans_total"),
+          sum(when(col("rn") > 1, 1).otherwise(0)).cast("bigint")
+            .as("spans_removed"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -166,6 +166,64 @@ object LlmPipeline extends QueryPack {
           sum(when(col("draw") < col("keep_mille"), 1).otherwise(0))
             .cast("bigint").as("kept"))
         .orderBy("lang")
+    },
+
+    // Sequence packing, GPT-pretraining style: concatenate each source's
+    // token stream in doc_id order and cut it into fixed 256-token
+    // context windows. A doc whose tokens straddle a cut contributes to
+    // both chunks. The running offset is a window partitioned by the
+    // pack-stream key (`source`) — at 100 TB the stream key is the shard
+    // (source × file-split), so the cumulative sum never needs a global
+    // order, only a per-shard one; chunk assembly is then one explode of
+    // each doc onto its [first,last] chunk range plus one grouped
+    // aggregate.
+    q("q_pack_chunks",
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |                    s -> length(s) > 0)) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, tok,
+        |    sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |e AS (
+        |  SELECT source, doc_id, tok, cum, cum - tok AS soff, j AS chunk_id
+        |  FROM c,
+        |    UNNEST(range(CAST(floor((cum - tok) / 256.0) AS BIGINT),
+        |                 CAST(floor((cum - 1) / 256.0) AS BIGINT) + 1)) AS u(j))
+        |SELECT source, chunk_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN CAST(floor(soff / 256.0) AS BIGINT) = chunk_id
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_started,
+        |  CAST(sum(least(cum, (chunk_id + 1) * 256)
+        |           - greatest(soff, chunk_id * 256)) AS BIGINT) AS n_tokens
+        |FROM e GROUP BY source, chunk_id
+        |ORDER BY source, chunk_id""".stripMargin) { s =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions
+      val cap = 256L
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = s.table("documents")
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("tok"))
+        .withColumn("cum", sum("tok").over(w))
+        .withColumn("soff", col("cum") - col("tok"))
+      c.where(col("tok") > 0)
+        .select(col("source"), col("soff"), col("cum"),
+          explode(sequence(
+            floor(col("soff") / cap).cast("bigint"),
+            floor((col("cum") - 1) / cap).cast("bigint"))).as("chunk_id"))
+        .groupBy("source", "chunk_id")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(when(floor(col("soff") / cap).cast("bigint") === col("chunk_id"),
+            1).otherwise(0)).cast("bigint").as("n_docs_started"),
+          sum(least(col("cum"), (col("chunk_id") + 1) * cap)
+            - greatest(col("soff"), col("chunk_id") * cap))
+            .cast("bigint").as("n_tokens"))
+        .orderBy("source", "chunk_id")
     }
   )
 }

@@ -269,6 +269,53 @@ object LlmText extends QueryPack {
         .agg(count(lit(1)).cast("long").as("n_bigrams"),
           (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score"))
         .orderBy("doc_id")
+    },
+
+    // TF-IDF top terms per document — the classic relevance/keyword
+    // extraction step. Term frequencies are one grouped count off the
+    // token explode; document frequencies REUSE that aggregate (df =
+    // count over tf, no second corpus pass); the corpus size is a 1-row
+    // broadcast. Final top-3-per-doc is a WindowGroupLimit, not a global
+    // sort. The rank key is the unrounded score (ties broken by term) —
+    // rounding happens only at the output edge.
+    q("q_text_tfidf",
+      """WITH tf AS (
+        |  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM documents,
+        |    UNNEST(list_filter(string_split_regex(text, '\s+'),
+        |                       s -> length(s) > 0)) AS u(t)
+        |  GROUP BY doc_id, t),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |       GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+        |  FROM tf JOIN df ON df.term = tf.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, df,
+        |  round(score, 6) AS tfidf
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { s =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = s.table("documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("bigint").as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).cast("bigint").as("df"))
+      val n = s.table("documents").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * log(col("n").cast("double") / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+          round(col("score"), 6).as("tfidf"))
+        .orderBy("doc_id", "rn")
     }
   )
 }

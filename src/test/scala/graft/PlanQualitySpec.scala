@@ -238,6 +238,24 @@ class PlanQualitySpec extends SparkSpecBase {
     val mix = plan(SparkEntry.queries("q_sample_mixture")(spark, dir))
     assert(mix.contains("HashAggregate") && !mix.contains("CartesianProduct"),
       s"expected partial-agg audit count in mixture sample:\n$mix")
+    // span dedup: explode → ONE window keyed by the span fingerprint →
+    // per-doc aggregate; no cartesian, no nested-loop
+    val spans = plan(SparkEntry.queries("q_dedup_spans")(spark, dir))
+    assert(spans.contains("Window") && !spans.contains("CartesianProduct") &&
+      !spans.contains("BroadcastNestedLoopJoin"),
+      s"expected fingerprint-keyed window in span dedup:\n$spans")
+    // sequence packing: the running offset is a window partitioned by
+    // the pack-stream key — a per-shard sort, never a global one
+    val pack = plan(SparkEntry.queries("q_pack_chunks")(spark, dir))
+    assert(pack.contains("Window") && !pack.contains("CartesianProduct"),
+      s"expected per-source windowed cumsum in packing:\n$pack")
+    // tf-idf: df reuses the tf aggregate; corpus size is a 1-row
+    // broadcast (the only nested-loop allowed); top-3 per doc is a
+    // WindowGroupLimit, not a global sort
+    val tfidf = plan(SparkEntry.queries("q_text_tfidf")(spark, dir))
+    assert(tfidf.contains("WindowGroupLimit") &&
+      !tfidf.contains("CartesianProduct"),
+      s"expected group-limited tf-idf ranking:\n$tfidf")
   }
 
   test("scalar-function packs stay shuffle-free per-row scans") {
