@@ -47,4 +47,57 @@ object PgFunctions {
 
   /** PG bool rendering: 't' / 'f'. */
   def boolOut(b: Column): Column = when(b, "t").when(!b, "f")
+
+  /** PG quote_literal: single-quote the value, doubling embedded quotes
+    * (reference binds PG's quote_literal through the same rule).
+    */
+  def quoteLiteral(s: Column): Column =
+    concat(lit("'"), regexp_replace(s, "'", "''"), lit("'"))
+
+  /** PG quote_ident: pass a safe lower-case identifier through
+    * unchanged, double-quote anything else (embedded quotes doubled).
+    * Safe = `[a-z_][a-z0-9_]*` — PG additionally quotes reserved
+    * keywords; this shim is the lexical rule only.
+    */
+  def quoteIdent(s: Column): Column =
+    when(s.rlike("^[a-z_][a-z0-9_]*$"), s)
+      .otherwise(concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")))
+
+  /** PG format(fmt, args…) for a PLAN-TIME literal format string —
+    * supports %s (plain), %I (quote_ident), %L (quote_literal; NULL →
+    * the unquoted keyword NULL) and %% (reference:
+    * src/expr/impl/src/scalar/format.rs parses the same specifiers).
+    * The mask is compiled to one concat at plan time, so the whole call
+    * stays inside whole-stage codegen.
+    */
+  def formatPg(fmt: String, args: Column*): Column = {
+    val parts = scala.collection.mutable.ArrayBuffer[Column]()
+    val sb = new StringBuilder
+    var argIdx = 0
+    var i = 0
+    def flush(): Unit = if (sb.nonEmpty) { parts += lit(sb.toString); sb.clear() }
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case '%' => sb.append('%')
+          case spec =>
+            flush()
+            val a = args(argIdx); argIdx += 1
+            parts += (spec match {
+              case 's' => a.cast("string")
+              case 'I' => quoteIdent(a.cast("string"))
+              case 'L' => coalesce(quoteLiteral(a.cast("string")), lit("NULL"))
+              case other =>
+                throw new IllegalArgumentException(
+                  s"format: unsupported specifier %$other")
+            })
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    flush()
+    // %s on a NULL arg renders the empty string in PG, not SQL-NULL
+    concat(parts.toSeq.map(p => coalesce(p, lit(""))): _*)
+  }
 }

@@ -132,7 +132,84 @@ object GraftExtensions {
         Slice(children(0), Literal(1),
           Greatest(Seq(Subtract(size, Cast(children(1), IntegerType)),
             Literal(0))))
-      }))
+      }),
+    // PG quoting family (reference: src/expr/impl/src/scalar/format.rs
+    // binds the same %s/%I/%L specifiers; quote_* are the PG lexical
+    // rules). All pure compositions of codegen'd builtins.
+    (FunctionIdentifier("quote_literal"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.Concat].getName,
+        "quote_literal"),
+      (children: Seq[Expression]) => quoteLiteralExpr(children(0))),
+    (FunctionIdentifier("quote_ident"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.Concat].getName,
+        "quote_ident"),
+      (children: Seq[Expression]) => quoteIdentExpr(children(0))),
+    (FunctionIdentifier("format"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.Concat].getName,
+        "format"),
+      (children: Seq[Expression]) => formatExpr(children)))
+
+  import org.apache.spark.sql.catalyst.expressions._
+
+  private def quoteLiteralExpr(e: Expression): Expression = {
+    val s = Cast(e, StringType)
+    Concat(Seq(Literal("'"),
+      RegExpReplace(s, Literal("'"), Literal("''")), Literal("'")))
+  }
+
+  private def quoteIdentExpr(e: Expression): Expression = {
+    val s = Cast(e, StringType)
+    val quoted = Concat(Seq(Literal("\""),
+      RegExpReplace(s, Literal("\""), Literal("\"\"")), Literal("\"")))
+    CaseWhen(Seq((RLike(s, Literal("^[a-z_][a-z0-9_]*$")), s)), Some(quoted))
+  }
+
+  /** PG format(fmt, args…): fmt must fold to a literal string — the
+    * mask is compiled to ONE Concat at plan time so the whole call
+    * stays inside whole-stage codegen (PG's runtime-dynamic fmt is a
+    * documented divergence).
+    */
+  private def formatExpr(children: Seq[Expression]): Expression = {
+    val fmt = children.head match {
+      case Literal(v, StringType) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"format: the format string must be a literal, got $other")
+    }
+    val args = children.tail
+    val parts = scala.collection.mutable.ArrayBuffer[Expression]()
+    val sb = new StringBuilder
+    var argIdx = 0
+    var i = 0
+    def flush(): Unit =
+      if (sb.nonEmpty) { parts += Literal(sb.toString); sb.clear() }
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case '%' => sb.append('%')
+          case spec =>
+            flush()
+            if (argIdx >= args.length) throw new IllegalArgumentException(
+              s"format: too few arguments for format string")
+            val a = Cast(args(argIdx), StringType); argIdx += 1
+            parts += (spec match {
+              // %s on NULL renders empty, %L renders the NULL keyword
+              case 's' => Coalesce(Seq(a, Literal("")))
+              case 'I' => Coalesce(Seq(quoteIdentExpr(a), Literal("")))
+              case 'L' => Coalesce(Seq(quoteLiteralExpr(a), Literal("NULL")))
+              case other => throw new IllegalArgumentException(
+                s"format: unsupported specifier %$other")
+            })
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    flush()
+    Concat(parts.toSeq)
+  }
 
   /** Register into an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit = {

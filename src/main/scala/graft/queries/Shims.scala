@@ -83,6 +83,38 @@ object Shims extends QueryPack {
             JsonFunctions.jsonbConcat(p, lit("""{"z": "9"}""")), "z").as("concat_z"),
           array_join(JsonFunctions.jsonbObjectKeys(p), ",").as("keys"))
         .orderBy("event_id")
+    },
+
+    // PG quoting + format(): quote_ident / quote_literal lexical rules
+    // and the %s/%I/%L/%% format specifiers compiled to one concat at
+    // plan time (reference: src/expr/impl/src/scalar/format.rs). The
+    // oracle spells out the identical quoting formulas in SQL.
+    q("q_fn_quote",
+      """SELECT n_nationkey,
+        |  CASE WHEN regexp_matches(lower(n_name), '^[a-z_][a-z0-9_]*$')
+        |       THEN lower(n_name)
+        |       ELSE '"' || replace(lower(n_name), '"', '""') || '"' END
+        |    AS qi_lower,
+        |  '"' || n_name || '"' AS qi_upper,
+        |  '"' || lower(n_name) || ' x"' AS qi_space,
+        |  '''' || replace(n_name || '''s', '''', '''''') || '''' AS ql,
+        |  'NULL' AS ql_null,
+        |  'hello ' || n_name || ', col "' || lower(n_name) || ' c" = ''' ||
+        |    n_name || ''' (100%)' AS fmt
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { s =>
+      import graft.functions.PgFunctions._
+      s.table("nation")
+        .select(col("n_nationkey"),
+          quoteIdent(lower(col("n_name"))).as("qi_lower"),
+          quoteIdent(col("n_name")).as("qi_upper"),
+          quoteIdent(concat(lower(col("n_name")), lit(" x"))).as("qi_space"),
+          quoteLiteral(concat(col("n_name"), lit("'s"))).as("ql"),
+          formatPg("%L", lit(null).cast("string")).as("ql_null"),
+          formatPg("hello %s, col %I = %L (100%%)",
+            col("n_name"),
+            concat(lower(col("n_name")), lit(" c")),
+            col("n_name")).as("fmt"))
+        .orderBy("n_nationkey")
     }
   )
 }

@@ -159,4 +159,24 @@ class NativeExprSpec extends SparkSpecBase {
     assert(e.execute("SELECT s || '!' AS c FROM st WHERE k = 1")
       .head().getString(0) == "abc!")
   }
+
+  test("quote_ident / quote_literal / format: PG semantics in SQL") {
+    def s1(q: String): String = spark.sql(q).head().getString(0)
+    assert(s1("SELECT quote_ident('simple_name')") == "simple_name")
+    assert(s1("SELECT quote_ident('Mixed Case')") == "\"Mixed Case\"")
+    assert(s1("SELECT quote_ident('has\"quote')") == "\"has\"\"quote\"")
+    assert(s1("SELECT quote_literal('plain')") == "'plain'")
+    assert(s1("SELECT quote_literal(\"it's\")") == "'it''s'")
+    assert(s1("SELECT quote_literal(42)") == "'42'")
+    assert(s1("SELECT format('%s-%s', 'a', 7)") == "a-7")
+    assert(s1("SELECT format('sel %I from t where c = %L', 'My Col', 'v''x')")
+      == "sel \"My Col\" from t where c = 'v''x'")
+    assert(s1("SELECT format('100%% of %s', 'x')") == "100% of x")
+    assert(s1("SELECT format('%L', CAST(NULL AS STRING))") == "NULL")
+    assert(s1("SELECT format('[%s]', CAST(NULL AS STRING))") == "[]")
+    // through the engine surface too (pgwire users hit this registry)
+    val e = new Engine(spark, tmpDir("pgquote"))
+    assert(e.execute("SELECT format('%I = %L', 'Weird Id', 'val') AS f")
+      .head().getString(0) == "\"Weird Id\" = 'val'")
+  }
 }
