@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions.col
   *
   * Batch twins with DuckDB oracles for the SQL-expressible shapes live
   * in queries/NexmarkLike.scala; the five source-fed window shapes are
-  * NexmarkMvSpec. Together: 20+ distinct Nexmark shapes.
+  * NexmarkMvSpec. Together: 25+ distinct Nexmark shapes.
   */
 class NexmarkChainSpec extends SparkSpecBase {
 
@@ -182,6 +182,67 @@ class NexmarkChainSpec extends SparkSpecBase {
        |       split_part(url, '/', 5) AS dir2
        |FROM $B""".stripMargin)
 
+  // q8: monitor new users — two windowed DISTINCT aggregates joined on
+  // (key, window): bidders active in a day joined to sellers who
+  // started an auction the same day.
+  mv("m_q8_pw", "(bid_id)",
+    s"SELECT bid_id, bidder, date_trunc('day', dt) AS ws FROM $B")
+  mv("m_q8_p", "(bidder, ws)",
+    "SELECT bidder, ws FROM m_q8_pw GROUP BY bidder, ws")
+  mv("m_q8_aw", "(id)",
+    s"SELECT id, seller, date_trunc('day', dt) AS wsx FROM $A")
+  mv("m_q8_a", "(seller, wsx)",
+    "SELECT seller, wsx FROM m_q8_aw GROUP BY seller, wsx")
+  mv("m_q8", "(bidder, ws, seller, wsx)",
+    """SELECT m_q8_p.bidder, m_q8_p.ws, m_q8_a.seller, m_q8_a.wsx
+      |FROM m_q8_p JOIN m_q8_a
+      |  ON m_q8_p.bidder = m_q8_a.seller AND m_q8_p.ws = m_q8_a.wsx""".stripMargin)
+
+  // q14: calc fields — currency conversion, CASE over extract(hour)
+  // (day-part classification), and a post-calc filter, all per-row.
+  mv("m_q14", "(bid_id)",
+    s"""SELECT bid_id, auction, bidder, price * 0.908 AS dollar_price,
+       |  CASE WHEN extract(hour FROM dt) >= 8 AND extract(hour FROM dt) <= 18
+       |         THEN 'dayTime'
+       |       WHEN extract(hour FROM dt) <= 6 OR extract(hour FROM dt) >= 20
+       |         THEN 'nightTime'
+       |       ELSE 'otherTime' END AS bid_time_type, dt
+       |FROM $B WHERE price * 0.908 > 50""".stripMargin)
+
+  // q16: per-(channel, day) stats — the widest FILTER + multi-DISTINCT
+  // aggregate in the workload, plus a max over a projected minute.
+  mv("m_q16_w", "(bid_id)",
+    s"""SELECT bid_id, channel, auction, bidder, price,
+       |  date_format(dt, 'yyyy-MM-dd') AS day,
+       |  date_format(dt, 'HH:mm') AS minute FROM $B""".stripMargin)
+  mv("m_q16", "(channel, day)",
+    """SELECT channel, day, max(minute) AS max_minute,
+      |  count(*) AS total_bids,
+      |  count(*) FILTER (WHERE price < 100) AS rank1_bids,
+      |  count(*) FILTER (WHERE price >= 100) AS rank2_bids,
+      |  count(DISTINCT bidder) AS total_bidders,
+      |  count(DISTINCT bidder) FILTER (WHERE price < 100) AS rank1_bidders,
+      |  count(DISTINCT auction) AS total_auctions
+      |FROM m_q16_w GROUP BY channel, day""".stripMargin)
+
+  // q19: per-auction top bids — group top-N with N > 1 (multiplicity in
+  // the retraction path that top-1 shapes never exercise).
+  mv("m_q19", "(auction, bid_id)",
+    s"""SELECT auction, bid_id, bidder, price FROM (
+       |  SELECT auction, bid_id, bidder, price,
+       |         row_number() OVER (PARTITION BY auction
+       |                            ORDER BY price DESC, bid_id) AS rn
+       |  FROM $B) WHERE rn <= 3""".stripMargin)
+
+  // q20: bids expanded with their auction's metadata, filtered by
+  // category on the BUILD side (filter-flipping UPDATEs on nxa move
+  // whole auctions in and out of the view).
+  mv("m_q20", "(bid_id, id)",
+    s"""SELECT $B.bid_id, $B.auction, $B.bidder, $B.price, $B.channel, $B.dt,
+       |  $A.id, $A.item_name, $A.seller, $A.category, $A.expires
+       |FROM $B JOIN $A ON $B.auction = $A.id
+       |WHERE $A.category = 2""".stripMargin)
+
   // ----------------------------------------------------- data + epochs
   private val channels = Vector("apple", "google", "baidu", "facebook", "mail")
   private var nextBid = 0
@@ -313,4 +374,14 @@ class NexmarkChainSpec extends SparkSpecBase {
     verifyShape("m_q21"))
   test("q22 shape: split_part projection chain")(
     verifyShape("m_q22"))
+  test("q8 shape: windowed distinct aggregates joined on (key, window)")(
+    verifyShape("m_q8_pw", "m_q8_p", "m_q8_aw", "m_q8_a", "m_q8"))
+  test("q14 shape: calc fields with CASE over extract(hour)")(
+    verifyShape("m_q14"))
+  test("q16 shape: channel-day stats with FILTERed DISTINCT aggregates")(
+    verifyShape("m_q16_w", "m_q16"))
+  test("q19 shape: per-auction top-3 bids (group top-N, N > 1)")(
+    verifyShape("m_q19"))
+  test("q20 shape: bid-auction enrichment filtered on the build side")(
+    verifyShape("m_q20"))
 }
