@@ -229,7 +229,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     SystemCatalog.bindRw(spark, objs, pks, defs, deps, jobStatus,
       sinkNames.toSeq.filter(inSessionDb), fns, sessionSchemaNames,
       users.toSeq.map { case (n, e) => (n, e.superuser, e.createdb, e.login) },
-      secrets.keys.toSeq, epochRows)
+      secrets.keys.toSeq, epochRows,
+      comments = catalog.list[DurableCatalog.CommentEntry]("comments")
+        .map { case (k, e) => k.replace('-', '.') -> e.text }.toMap,
+      subs = subscriptions.toSeq,
+      jobParallelism = mvs.list
+        .flatMap(n => mvs.get(n).map(n -> _.nBuckets)).toMap)
   }
 
   /** The engine's registered callables for pg_proc (psql `\df`, ORM

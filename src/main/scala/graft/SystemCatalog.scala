@@ -68,10 +68,12 @@ object SystemCatalog {
     // rw_catalog internals tied to the reference's physical runtime
     // (actors/fragments/hummock LSM/meta cluster) — concepts this
     // engine delegates to Spark; "none defined" is the truthful answer
-    "rw_actor\\w*|rw_fragment\\w*|rw_hummock_\\w+|rw_connections|" +
+    "rw_actor\\w*|rw_fragment_id_to_ddl|rw_fragment_parallelism|" +
+    "rw_hummock_\\w+|rw_connections|" +
     "rw_event_logs|rw_ddl_progress|rw_meta_snapshot|" +
-    "rw_rate_limit|rw_internal_table\\w*|rw_iceberg_\\w+|rw_worker\\w*|" +
-    "rw_parallel_units|rw_system_tables|rw_types)\\b").r
+    "rw_rate_limit|rw_internal_table\\w*|rw_iceberg_\\w+|" +
+    "rw_worker_actor_count|" +
+    "rw_parallel_units|rw_system_tables)\\b").r
 
   def probesUnmodeled(stmt: String): Boolean =
     Unmodeled.findFirstIn(stmt).isDefined
@@ -448,7 +450,10 @@ object SystemCatalog {
       userSchemas: Seq[String] = Seq.empty,
       userRows: Seq[(String, Boolean, Boolean, Boolean)] = Seq.empty,
       secretNames: Seq[String] = Seq.empty,
-      epochRows: Seq[(String, Long, Long)] = Seq.empty): Unit = {
+      epochRows: Seq[(String, Long, Long)] = Seq.empty,
+      comments: Map[String, String] = Map.empty,
+      subs: Seq[(String, String)] = Seq.empty,
+      jobParallelism: Map[String, Int] = Map.empty): Unit = {
     val s = spark
     import s.implicits._
     val none: Option[java.sql.Timestamp] = None
@@ -570,6 +575,76 @@ object SystemCatalog {
       .map { case (n, e, ms) => (n, e, new java.sql.Timestamp(ms)) }
       .toDF("relation_name", "epoch", "committed_at")
       .createOrReplaceTempView("rw_epochs")
+
+    // COMMENT ON text, rw-side (reference rw_description.rs): classoid
+    // names the owning rw catalog relation; objsubid NULL = the object,
+    // n = its n-th column
+    val classOidOf = Map("r" -> 13110, "m" -> 13111, "v" -> 13112,
+      "f" -> 13113, "i" -> 13114)
+    comments.toSeq.sorted.flatMap { case (key, text) =>
+      val (obj, colName) = key.split("\\.", 2) match {
+        case Array(o, c) => (o, Some(c))
+        case Array(o) => (o, None)
+      }
+      for {
+        oid <- oidByName.get(obj)
+        o <- objs.find(_.name == obj)
+        sub <- colName match {
+          case None => Some(Option.empty[Int])
+          case Some(c) => o.schema.flatMap(s =>
+            s.fieldNames.zipWithIndex.collectFirst {
+              case (n, i) if n == c => Some(i + 1)
+            })
+        }
+      } yield (oid, classOidOf.getOrElse(o.kind, 13110), sub, text)
+    }.toDF("objoid", "classoid", "objsubid", "description")
+      .createOrReplaceTempView("rw_description")
+
+    subs.sortBy(_._1).zipWithIndex.map { case ((n, from), i) =>
+      (32000 + i, n, NsPublic.toInt, owner,
+        s"CREATE SUBSCRIPTION $n FROM $from", acl, none, none,
+        Option.empty[String], Option.empty[String])
+    }.toDF("id", "name", "schema_id", "owner", "definition", "acl",
+        "initialized_at", "created_at", "initialized_at_cluster_version",
+        "created_at_cluster_version")
+      .createOrReplaceTempView("rw_subscriptions")
+
+    // parallelism here IS the MV store's bucket count (ALTER … SET
+    // PARALLELISM re-buckets); ADAPTIVE when the job never pinned one
+    val jobSeq = jobs.toSeq.sorted
+    jobSeq.map { case (n, _) =>
+      (oidByName.getOrElse(n, 0), n, "materialized view",
+        jobParallelism.get(n).map(p => s"FIXED($p)").getOrElse("ADAPTIVE"),
+        32)
+    }.toDF("id", "name", "relation_type", "parallelism", "max_parallelism")
+      .createOrReplaceTempView("rw_streaming_parallelism")
+
+    // one fragment per streaming job — this engine's chain hop is the
+    // fragment analog; upstreams are the chained-from jobs
+    val jobOids = jobSeq.flatMap(j => oidByName.get(j._1).map(j._1 -> _)).toMap
+    jobSeq.map { case (n, _) =>
+      val oid = jobOids.getOrElse(n, 0)
+      val ups = deps.collect { case (o, r) if o == n && jobOids.contains(r) =>
+        jobOids(r) }
+      (oid, oid, "HASH", Seq(oid), ups, Seq("MVIEW"),
+        jobParallelism.getOrElse(n, 32), 32)
+    }.toDF("fragment_id", "table_id", "distribution_type",
+        "state_table_ids", "upstream_fragment_ids", "flags",
+        "parallelism", "max_parallelism")
+      .createOrReplaceTempView("rw_fragments")
+
+    // single-process runtime: one compute worker (local[N])
+    Seq((0, Option("localhost"), Option("0"), "COMPUTE", "RUNNING",
+        Option(java.lang.Runtime.getRuntime.availableProcessors()),
+        Option(true), Option(true), Option(false)))
+      .toDF("id", "host", "port", "type", "state", "parallelism",
+        "is_streaming", "is_serving", "is_unschedulable")
+      .createOrReplaceTempView("rw_worker_nodes")
+
+    pgTypes.map { case (oid, name, _, _) =>
+      (oid.toInt, name, name + "in", 0, 0)
+    }.toDF("id", "name", "input_oid", "typelem", "typarray")
+      .createOrReplaceTempView("rw_types")
   }
 
   private val FirstFuncOid = 30000L

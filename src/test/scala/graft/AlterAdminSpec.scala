@@ -125,4 +125,55 @@ class AlterAdminSpec extends SparkSpecBase {
     e2.execute("INSERT INTO ap_t VALUES (501, 1503)")
     assert(e2.execute("SELECT count(*) c FROM ap_t").head().getLong(0) == 202)
   }
+
+  test("rw_catalog runtime relations: description, subscriptions, " +
+      "parallelism, fragments, workers, types") {
+    val e = new Engine(spark, tmpDir("rwcat"))
+    e.execute("SET streaming_parallelism = 4")
+    e.execute("CREATE TABLE rc_t (k BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("INSERT INTO rc_t VALUES (1, 10), (2, 20)")
+    e.execute("CREATE MATERIALIZED VIEW rc_mv (PRIMARY KEY (k)) AS " +
+      "SELECT k, v * 2 AS v2 FROM rc_t")
+    e.execute("COMMENT ON TABLE rc_t IS 'base table'")
+    e.execute("COMMENT ON COLUMN rc_t.v IS 'the value'")
+    e.execute("CREATE SUBSCRIPTION rc_sub FROM rc_mv WITH (retention = '1D')")
+
+    // rw_description: object row (objsubid NULL) + column row (position)
+    val desc = e.execute(
+      "SELECT objsubid, description FROM rw_catalog.rw_description " +
+        "ORDER BY description").collect()
+    assert(desc.map(r => (if (r.isNullAt(0)) -1 else r.getInt(0),
+      r.getString(1))).toSeq == Seq((-1, "base table"), (2, "the value")))
+
+    // rw_subscriptions lists the open subscription with its definition
+    val sub = e.execute(
+      "SELECT name, definition FROM rw_catalog.rw_subscriptions").collect()
+    assert(sub.length == 1 && sub.head.getString(0) == "rc_sub" &&
+      sub.head.getString(1).contains("FROM rc_mv"))
+
+    // rw_streaming_parallelism reports the store's bucket count
+    val par = e.execute(
+      "SELECT name, parallelism FROM rw_catalog.rw_streaming_parallelism " +
+        "WHERE name = 'rc_mv'").collect()
+    assert(par.length == 1 && par.head.getString(1) == "FIXED(4)")
+
+    // rw_fragments: one fragment per streaming job, HASH-distributed
+    val frag = e.execute(
+      "SELECT distribution_type, parallelism FROM rw_catalog.rw_fragments " +
+        "WHERE table_id IN (SELECT id FROM rw_catalog.rw_materialized_views " +
+        "WHERE name = 'rc_mv')").collect()
+    assert(frag.length == 1 && frag.head.getString(0) == "HASH" &&
+      frag.head.getInt(1) == 4)
+
+    // rw_worker_nodes: the single local compute worker
+    val w = e.execute("SELECT type, state FROM rw_catalog.rw_worker_nodes")
+      .collect()
+    assert(w.length == 1 && w.head.getString(0) == "COMPUTE" &&
+      w.head.getString(1) == "RUNNING")
+
+    // rw_types: the supported type table answers (int8 is present)
+    assert(e.execute(
+      "SELECT count(*) c FROM rw_catalog.rw_types WHERE name = 'int8'")
+      .head().getLong(0) == 1L)
+  }
 }
