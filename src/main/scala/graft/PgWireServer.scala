@@ -613,6 +613,18 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0,
           // UserAuthenticator): a role with a stored password must prove
           // it; a role without one connects on trust
           engine.userPassword(connUser.get) match {
+            case Some(stored) if authMethod == "scram-sha-256" =>
+              // SCRAM-SHA-256 (RFC 5802/7677, PG's default since v10 —
+              // the reference speaks only cleartext/md5; this goes one
+              // step further so a stock libpq with default settings
+              // connects). Server-side keys derive from the stored
+              // password at auth time.
+              if (!scramExchange(in, out, stored)) {
+                errorResponse(out, "28P01",
+                  s"password authentication failed for user \"${connUser.get}\"")
+                out.flush()
+                return false
+              }
             case Some(stored) =>
               val expected =
                 if (authMethod == "cleartext") {
@@ -678,6 +690,108 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0,
   private def md5hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(b)
       .map("%02x".format(_)).mkString
+
+  // ------------------------------------------------ SCRAM-SHA-256
+
+  private def hmac256(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
+    val m = javax.crypto.Mac.getInstance("HmacSHA256")
+    m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    m.doFinal(msg)
+  }
+
+  private def sha256(b: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+
+  /** RFC 5802 Hi() = PBKDF2-HMAC-SHA256. */
+  private def saltedPassword(password: String, salt: Array[Byte],
+      iters: Int): Array[Byte] = {
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      password.toCharArray, salt, iters, 256)
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded
+  }
+
+  /** One full SCRAM-SHA-256 exchange (RFC 7677 over the PG SASL
+    * messages: AuthenticationSASL → SASLInitialResponse →
+    * AuthenticationSASLContinue → SASLResponse →
+    * AuthenticationSASLFinal). Returns false on any mismatch; the
+    * caller emits 28P01.
+    */
+  private def scramExchange(in: DataInputStream, out: DataOutputStream,
+      password: String): Boolean = {
+    val b64e = java.util.Base64.getEncoder
+    val b64d = java.util.Base64.getDecoder
+    // AuthenticationSASL: advertised mechanism list, NUL-terminated
+    writeMsg(out, 'R') { b =>
+      b.writeInt(10); cstr(b, "SCRAM-SHA-256"); b.writeByte(0)
+    }
+    out.flush()
+    // SASLInitialResponse: mechanism cstring + int32 + client-first
+    val t1 = in.readByte()
+    val l1 = in.readInt()
+    val body1 = new Array[Byte](math.max(l1 - 4, 0))
+    in.readFully(body1)
+    if (t1 != 'p') return false
+    val mechEnd = body1.indexOf(0.toByte)
+    if (mechEnd < 0 ||
+        new String(body1, 0, mechEnd, UTF_8) != "SCRAM-SHA-256") return false
+    val clientFirst = new String(body1, mechEnd + 5,
+      body1.length - mechEnd - 5, UTF_8)
+    // gs2 header "n,," (or "y,,"): client-first-bare follows
+    val bareIdx = clientFirst.indexOf(",,")
+    if (bareIdx < 0) return false
+    val clientFirstBare = clientFirst.substring(bareIdx + 2)
+    val clientNonce = clientFirstBare.split(",").collectFirst {
+      case a if a.startsWith("r=") => a.drop(2)
+    }.getOrElse(return false)
+
+    val rnd = new java.security.SecureRandom()
+    val serverNonceBytes = new Array[Byte](18); rnd.nextBytes(serverNonceBytes)
+    val nonce = clientNonce + b64e.encodeToString(serverNonceBytes)
+    val salt = new Array[Byte](16); rnd.nextBytes(salt)
+    val iters = 4096
+    val serverFirst =
+      s"r=$nonce,s=${b64e.encodeToString(salt)},i=$iters"
+    writeMsg(out, 'R') { b =>
+      b.writeInt(11); b.write(serverFirst.getBytes(UTF_8))
+    }
+    out.flush()
+    // SASLResponse: client-final-message
+    val t2 = in.readByte()
+    val l2 = in.readInt()
+    val body2 = new Array[Byte](math.max(l2 - 4, 0))
+    in.readFully(body2)
+    if (t2 != 'p') return false
+    val clientFinal = new String(body2, UTF_8)
+    val attrs = clientFinal.split(",").toSeq
+    val finalNonce = attrs.collectFirst {
+      case a if a.startsWith("r=") => a.drop(2) }.getOrElse("")
+    val proofB64 = attrs.collectFirst {
+      case a if a.startsWith("p=") => a.drop(2) }.getOrElse(return false)
+    if (finalNonce != nonce) return false
+    val withoutProof = clientFinal.substring(0, clientFinal.indexOf(",p="))
+    val authMessage =
+      s"$clientFirstBare,$serverFirst,$withoutProof".getBytes(UTF_8)
+
+    val salted = saltedPassword(password, salt, iters)
+    val clientKey = hmac256(salted, "Client Key".getBytes(UTF_8))
+    val storedKey = sha256(clientKey)
+    val clientSig = hmac256(storedKey, authMessage)
+    val proof = try b64d.decode(proofB64) catch { case _: Exception => return false }
+    if (proof.length != clientSig.length) return false
+    // recovered ClientKey = proof XOR signature; must hash to StoredKey
+    val recovered = proof.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+    if (!java.security.MessageDigest.isEqual(sha256(recovered), storedKey))
+      return false
+    val serverKey = hmac256(salted, "Server Key".getBytes(UTF_8))
+    val serverSig = hmac256(serverKey, authMessage)
+    writeMsg(out, 'R') { b =>
+      b.writeInt(12)
+      b.write(s"v=${b64e.encodeToString(serverSig)}".getBytes(UTF_8))
+    }
+    out.flush()
+    true
+  }
 
   private def readyForQuery(out: DataOutputStream): Unit = {
     writeMsg(out, 'Z')(_.writeByte('I'))
