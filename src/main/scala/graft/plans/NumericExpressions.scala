@@ -71,3 +71,46 @@ object NumericExpressions {
     if (a == 0 || b == 0) 0L
     else math.abs(Math.multiplyExact(a / gcd(a, b), b))
 }
+
+/** PG pg_typeof(expr) → the PG spelling of the argument's resolved
+  * type (reference surfaces it through the expr framework; psql and
+  * ORMs probe it). Foldable: constant folding collapses it to a
+  * Literal before execution, so the CodegenFallback never runs hot.
+  */
+case class PgTypeof(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def foldable: Boolean = true
+  override def nullable: Boolean = false
+
+  private def pgName(dt: DataType): String = dt match {
+    case LongType => "bigint"
+    case IntegerType => "integer"
+    case ShortType => "smallint"
+    case ByteType => "smallint"
+    case StringType => "text"
+    case BooleanType => "boolean"
+    case DoubleType => "double precision"
+    case FloatType => "real"
+    case _: DecimalType => "numeric"
+    case DateType => "date"
+    case TimestampNTZType => "timestamp without time zone"
+    case TimestampType => "timestamp with time zone"
+    case BinaryType => "bytea"
+    case _: org.apache.spark.sql.types.DayTimeIntervalType => "interval"
+    case _: org.apache.spark.sql.types.YearMonthIntervalType => "interval"
+    case ArrayType(e, _) => pgName(e) + "[]"
+    case _: MapType | _: StructType => "record"
+    case other => other.simpleString
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(pgName(child.dataType))
+
+  override protected def withNewChildInternal(newChild: Expression): PgTypeof =
+    copy(child = newChild)
+
+  override def prettyName: String = "pg_typeof"
+}

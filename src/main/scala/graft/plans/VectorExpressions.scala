@@ -150,7 +150,10 @@ object GraftExtensions {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.Concat].getName,
         "format"),
-      (children: Seq[Expression]) => formatExpr(children)))
+      (children: Seq[Expression]) => formatExpr(children)),
+    (FunctionIdentifier("pg_typeof"),
+      new ExpressionInfo(classOf[PgTypeof].getName, "pg_typeof"),
+      (children: Seq[Expression]) => PgTypeof(children(0))))
 
   import org.apache.spark.sql.catalyst.expressions._
 

@@ -90,6 +90,34 @@ object NexmarkLike extends QueryPack {
         .orderBy("day")
     },
 
+    // q16 shape: per-(channel, day) stats — the workload's widest
+    // aggregate: FILTER counts, plain and FILTERed DISTINCT counts, and
+    // a max over a projected minute, all in ONE grouped aggregate (the
+    // streaming twin is NexmarkChainSpec m_q16).
+    // reference: ci/scripts/sql/nexmark/q16.sql
+    q("q_nex_channel_stats",
+      """SELECT event_type AS channel, strftime(ts, '%Y-%m-%d') AS day,
+        |       max(strftime(ts, '%H:%M')) AS max_minute,
+        |       CAST(count(*) AS BIGINT) AS total_bids,
+        |       CAST(count(*) FILTER (WHERE value < 500) AS BIGINT) AS rank1_bids,
+        |       CAST(count(*) FILTER (WHERE value >= 500) AS BIGINT) AS rank2_bids,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS total_bidders,
+        |       CAST(count(DISTINCT user_id) FILTER (WHERE value < 500) AS BIGINT)
+        |         AS rank1_bidders
+        |FROM events GROUP BY 1, 2 ORDER BY channel, day""".stripMargin) { s =>
+      s.table("events")
+        .groupBy(col("event_type").as("channel"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(max(date_format(col("ts"), "HH:mm")).as("max_minute"),
+          count(lit(1)).as("total_bids"),
+          count(when(col("value") < 500, 1)).as("rank1_bids"),
+          count(when(col("value") >= 500, 1)).as("rank2_bids"),
+          countDistinct(col("user_id")).as("total_bidders"),
+          countDistinct(when(col("value") < 500, col("user_id")))
+            .as("rank1_bidders"))
+        .orderBy("channel", "day")
+    },
+
     // q18 shape: latest event per (bidder, auction-analog) — streaming
     // dedup's batch twin. WindowGroupLimit keeps per-group top-1 from
     // materializing full sorted partitions.

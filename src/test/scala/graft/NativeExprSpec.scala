@@ -179,4 +179,20 @@ class NativeExprSpec extends SparkSpecBase {
     assert(e.execute("SELECT format('%I = %L', 'Weird Id', 'val') AS f")
       .head().getString(0) == "\"Weird Id\" = 'val'")
   }
+
+  test("pg_typeof reports the PG spelling of the resolved type") {
+    def s1(q: String): String = spark.sql(q).head().getString(0)
+    assert(s1("SELECT pg_typeof(1L)") == "bigint")
+    assert(s1("SELECT pg_typeof(1)") == "integer")
+    assert(s1("SELECT pg_typeof('x')") == "text")
+    assert(s1("SELECT pg_typeof(1.5D)") == "double precision")
+    assert(s1("SELECT pg_typeof(CAST(1 AS DECIMAL(10,2)))") == "numeric")
+    assert(s1("SELECT pg_typeof(DATE '2024-01-01')") == "date")
+    assert(s1("SELECT pg_typeof(true)") == "boolean")
+    assert(s1("SELECT pg_typeof(array(1L, 2L))") == "bigint[]")
+    // foldable: constant folding collapses it before execution
+    val plan = spark.sql("SELECT pg_typeof(1L) AS t")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("bigint"), s"expected folded literal:\n$plan")
+  }
 }
