@@ -153,7 +153,32 @@ object GraftExtensions {
       (children: Seq[Expression]) => formatExpr(children)),
     (FunctionIdentifier("pg_typeof"),
       new ExpressionInfo(classOf[PgTypeof].getName, "pg_typeof"),
-      (children: Seq[Expression]) => PgTypeof(children(0))))
+      (children: Seq[Expression]) => PgTypeof(children(0))),
+    // PG to_char over the SQL surface (reference: scalar/to_char.rs).
+    // Datetime arguments translate the PG mask (YYYY/MM/DD/HH24/MI/SS…)
+    // to a Spark pattern at plan time and rewrite to date_format;
+    // everything else delegates to Spark's numeric ToCharacter, so the
+    // builtin number-formatting surface is untouched. (Function
+    // builders run with RESOLVED children — UnresolvedFunction waits
+    // for childrenResolved — so the dataType dispatch is safe here.)
+    (FunctionIdentifier("to_char"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.DateFormatClass]
+          .getName, "to_char"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions._
+        children(0).dataType match {
+          case DateType | TimestampType | TimestampNTZType =>
+            val mask = children(1) match {
+              case Literal(v, StringType) if v != null => v.toString
+              case other => throw new IllegalArgumentException(
+                s"to_char: the datetime format mask must be a literal, got $other")
+            }
+            DateFormatClass(children(0),
+              Literal(graft.functions.PgFunctions.translateMask(mask)))
+          case _ => ToCharacter(children(0), children(1))
+        }
+      }))
 
   import org.apache.spark.sql.catalyst.expressions._
 

@@ -534,60 +534,65 @@ final class MaterializedView(
       else if (!delta.columns.contains(Changelog.SeqCol))
         delta.withColumn(Changelog.SeqCol, monotonically_increasing_id())
       else delta
-    // localCheckpoint, NOT cache(): the delta's lineage often reads THIS
-    // MV's storage (DML update/delete deltas, a chained aggregate's
-    // retraction rows), and the storage overwrite below invalidates any
-    // cache over that path (refreshByPath) — a later scan would then
-    // re-execute the plan against rewritten files: stale listing crash
-    // or, worse, a silently different delta. Checkpointing pins the
-    // delta's actual rows, lineage-free, before anything is rewritten.
-    val norm = norm0.withColumn(bucketCol, bucketOf(norm0)).localCheckpoint()
-    try {
-      // remember the row schema (underscore name — invisible to parquet
-      // readers) so an emptied store still reads with its columns
-      if (!Files.exists(schemaFile)) {
-        val dataSchema = org.apache.spark.sql.types.StructType(
-          norm.schema.fields.filterNot(f =>
-            Seq(Changelog.OpCol, Changelog.SeqCol, bucketCol).contains(f.name)))
-        Files.createDirectories(schemaFile.getParent)
-        Files.write(schemaFile, dataSchema.json.getBytes("UTF-8"))
-      }
-      if (batchId >= 0) {
-        // 1. JOURNAL: stage the delta + sidecar, atomic rename into the WAL
-        val wal = walEpochDir(batchId)
-        if (!Files.exists(wal)) {
-          graft.CrashPoints.hit("wal.journal")
-          val tmp = walRoot.resolve(s".tmp-$batchId")
-          deleteRecursively(tmp)
-          norm.drop(bucketCol).write.mode("overwrite").parquet(tmp.toString)
-          sidecar.foreach { case (fname, content) =>
-            Files.write(tmp.resolve(fname), content.getBytes)
-          }
-          try Files.move(tmp, wal,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch { // lost a race with a concurrent retry: theirs is equivalent
-            case _: java.nio.file.FileAlreadyExistsException =>
-              deleteRecursively(tmp)
-          }
+    // remember the row schema (underscore name — invisible to parquet
+    // readers) so an emptied store still reads with its columns
+    if (!Files.exists(schemaFile)) {
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        norm0.schema.fields.filterNot(f =>
+          Seq(Changelog.OpCol, Changelog.SeqCol, bucketCol).contains(f.name)))
+      Files.createDirectories(schemaFile.getParent)
+      Files.write(schemaFile, dataSchema.json.getBytes("UTF-8"))
+    }
+    if (batchId >= 0) {
+      // 1. JOURNAL: stage the delta + sidecar, atomic rename into the
+      // WAL. The journal doubles as the PINNED copy of the delta: the
+      // delta's lineage often reads THIS MV's storage (DML update/
+      // delete deltas, a chained aggregate's retraction rows) which the
+      // rewrite below invalidates, so the rest of the merge reads the
+      // journaled parquet back — one materializing write instead of a
+      // localCheckpoint job PLUS the journal write.
+      val wal = walEpochDir(batchId)
+      if (!Files.exists(wal)) {
+        graft.CrashPoints.hit("wal.journal")
+        val tmp = walRoot.resolve(s".tmp-$batchId")
+        deleteRecursively(tmp)
+        norm0.write.mode("overwrite").parquet(tmp.toString)
+        sidecar.foreach { case (fname, content) =>
+          Files.write(tmp.resolve(fname), content.getBytes)
         }
-        graft.CrashPoints.hit("wal.journaled")
-        // 2. STORAGE
-        applyDeltaToStorage(norm)
-        graft.CrashPoints.hit("publish.rename")
-        // 3. PUBLISH
-        publishWal(batchId)
-        graft.CrashPoints.hit("publish.done")
-      } else {
-        // ad-hoc merge outside a streaming epoch: storage rewrite, then a
-        // plain changelog append (cursor-invisible — no epoch to order by)
-        applyDeltaToStorage(norm)
-        norm.drop(bucketCol).write.mode("append").parquet(changelogDir)
+        try Files.move(tmp, wal,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // lost a race with a concurrent retry: theirs is equivalent
+          case _: java.nio.file.FileAlreadyExistsException =>
+            deleteRecursively(tmp)
+        }
       }
-    } finally norm.queryExecution.logical match {
-      // free the checkpointed delta promptly (Dataset.unpersist does not
-      // reach a localCheckpoint's RDD; ContextCleaner would be late)
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ =>
+      graft.CrashPoints.hit("wal.journaled")
+      val journaled = spark.read.parquet(wal.toString)
+      val norm = journaled.withColumn(bucketCol, bucketOf(journaled))
+      // 2. STORAGE (insert-only deltas cannot empty a bucket — skip
+      // the post-merge empty-bucket probe)
+      applyDeltaToStorage(norm, deleteFree = !hasOps)
+      graft.CrashPoints.hit("publish.rename")
+      // 3. PUBLISH
+      publishWal(batchId)
+      graft.CrashPoints.hit("publish.done")
+    } else {
+      // ad-hoc merge outside a streaming epoch: no journal, so pin the
+      // delta with a localCheckpoint before the storage its lineage may
+      // read is rewritten; then a plain changelog append
+      // (cursor-invisible — no epoch to order by)
+      val norm = norm0.withColumn(bucketCol, bucketOf(norm0)).localCheckpoint()
+      try {
+        applyDeltaToStorage(norm, deleteFree = !hasOps)
+        norm.drop(bucketCol).write.mode("append").parquet(changelogDir)
+      } finally norm.queryExecution.logical match {
+        // free the checkpointed delta promptly (Dataset.unpersist does
+        // not reach a localCheckpoint's RDD; ContextCleaner would be late)
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ =>
+      }
     }
   }
 
@@ -600,7 +605,8 @@ final class MaterializedView(
     * its own effects converges to the same bucket contents
     * (PK-last-write-wins over row images).
     */
-  private def applyDeltaToStorage(norm: DataFrame): Unit = {
+  private def applyDeltaToStorage(norm: DataFrame,
+      deleteFree: Boolean = false): Unit = {
     val affected = norm.select(bucketCol).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (affected.nonEmpty) withWriteLock {
@@ -622,8 +628,13 @@ final class MaterializedView(
       val pinned = merged.withColumn(bucketCol, bucketOf(merged))
         .localCheckpoint()
       try {
-        val nonEmpty = pinned.select(bucketCol).distinct()
-          .collect().map(_.getInt(0)).toSet
+        // an insert-only delta cannot empty a bucket: every affected
+        // bucket keeps at least the inserted rows, so the post-merge
+        // probe (one Spark job) is skipped
+        val nonEmpty =
+          if (deleteFree) affected.toSet
+          else pinned.select(bucketCol).distinct()
+            .collect().map(_.getInt(0)).toSet
         // dynamic partition overwrite rewrites exactly the buckets
         // present in the output; buckets whose last row was deleted
         // produce nothing and are removed explicitly below

@@ -195,4 +195,21 @@ class NativeExprSpec extends SparkSpecBase {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("bigint"), s"expected folded literal:\n$plan")
   }
+
+  test("to_char: PG datetime masks over SQL; numeric surface untouched") {
+    def s1(q: String): String = spark.sql(q).head().getString(0)
+    assert(s1("SELECT to_char(TIMESTAMP '2024-03-07 14:05:09', " +
+      "'YYYY-MM-DD HH24:MI:SS')") == "2024-03-07 14:05:09")
+    assert(s1("SELECT to_char(DATE '2024-03-07', 'DD/MM/YYYY')")
+      == "07/03/2024")
+    assert(s1("SELECT to_char(TIMESTAMP '2024-03-07 14:05:09', 'HH12:MI AM')")
+      .matches("02:05 (PM|pm)"))
+    // numeric to_char still routes to Spark's number formatter
+    assert(s1("SELECT to_char(1234.56, '9999.99')").trim == "1234.56")
+    // and through the engine (pgwire users)
+    val e = new Engine(spark, tmpDir("pgtochar"))
+    assert(e.execute(
+      "SELECT to_char(TIMESTAMP '2024-01-02 03:04:05', 'YYYY/MM/DD') AS t")
+      .head().getString(0) == "2024/01/02")
+  }
 }
