@@ -84,10 +84,21 @@ class DifferentialFuzzSpec extends SparkSpecBase {
       s"$c >= TIMESTAMP '199${2 + r.nextInt(6)}-0${1 + r.nextInt(9)}-01 00:00:00'"
   }
 
+  /** Conjunction or PARENTHESIZED disjunction. The parens are load-
+    * bearing where callers conjoin this with a correlation predicate
+    * (`corr = key AND <pred>`): an unparenthesized OR lets the
+    * correlation escape its conjunct, a shape Catalyst's decorrelation
+    * cannot rewrite — Spark itself dies with None.get inside
+    * RewritePredicateSubquery.rewriteDomainJoinsIfPresent (found by
+    * this fuzzer's seed stream; correlated-EXISTS-under-disjunction is
+    * a pinned engine limitation inherited from Spark, matching the
+    * reference's own unsupported-subquery envelope).
+    */
   private def wherePred(r: Random, cols: Seq[(String, Char)]): String = {
     val n = 1 + r.nextInt(2)
     val ps = Seq.fill(n) { val (c, k) = pick(r, cols); predicate(r, c, k) }
-    ps.mkString(if (r.nextBoolean()) " AND " else " OR ")
+    if (r.nextBoolean() || ps.length == 1) ps.mkString(" AND ")
+    else ps.mkString("(", " OR ", ")")
   }
 
   private def genScan(r: Random): String = {
@@ -164,7 +175,8 @@ class DifferentialFuzzSpec extends SparkSpecBase {
     val (t, cols) = pick(r, tables)
     val pkCol = uniqueKey(t)
     val (p, _) = pick(r, cols.filter(c => c._2 == 'S' || c._2 == 'I'))
-    val fn = pick(r, Seq("row_number()", "rank()", "dense_rank()"))
+    val fn = pick(r, Seq("row_number()", "rank()", "dense_rank()",
+      s"ntile(${2 + r.nextInt(4)})"))
     val (d, dk) = pick(r, cols)
     val runSum = if (dk == 'D')
       s", CAST(sum(CAST($d AS DECIMAL(18,2))) OVER (PARTITION BY $p " +
@@ -178,7 +190,8 @@ class DifferentialFuzzSpec extends SparkSpecBase {
   /** Two branches with IDENTICAL select lists, different predicates. */
   private def genSetOp(r: Random): String = {
     val (t, cols) = pick(r, tables)
-    val op = pick(r, Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT"))
+    val op = pick(r, Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT",
+      "INTERSECT ALL", "EXCEPT ALL"))
     val sel = (0 until 1 + r.nextInt(3)).map { i =>
       val (c, k) = pick(r, cols); s"${selExpr(r, c, k)} AS c$i"
     }.mkString(", ")
@@ -389,7 +402,44 @@ class DifferentialFuzzSpec extends SparkSpecBase {
       s"WHERE $ord % $m = ${r.nextInt(2)} ORDER BY $key, $ord $dir"
   }
 
-  private def gen(r: Random): String = r.nextInt(26) match {
+  /** FILTER-clause aggregates — both engines implement the standard
+    * form; sums cast to BIGINT (DuckDB sums ints to HUGEINT).
+    */
+  private def genFilterAgg(r: Random): String = {
+    val (t, cols) = pick(r, tables)
+    val (g, _) = pick(r, cols.filter(c => c._2 == 'S' || c._2 == 'I'))
+    val (i, _) = pick(r, cols.filter(_._2 == 'I'))
+    s"SELECT $g, count(*) AS cnt, " +
+      s"count(*) FILTER (WHERE ${predicate(r, i, 'I')}) AS f0, " +
+      s"CAST(sum($i) FILTER (WHERE ${predicate(r, i, 'I')}) AS BIGINT) AS f1, " +
+      s"count(DISTINCT $i) FILTER (WHERE ${predicate(r, i, 'I')}) AS f2 " +
+      s"FROM $t WHERE ${wherePred(r, cols)} GROUP BY $g"
+  }
+
+  /** Correlated scalar subquery in the SELECT list (count — always
+    * exactly one deterministic value per outer row).
+    */
+  private def genCorrScalar(r: Random): String = {
+    val (lt, rt, lk, rk) = pick(r, joins)
+    val lcols = tables.toMap.apply(lt)
+    val rcols = tables.toMap.apply(rt)
+    s"SELECT ${uniqueKey(lt).split(",").head.trim} AS c0, " +
+      s"(SELECT count(*) FROM $rt WHERE $rt.$rk = $lt.$lk AND " +
+      s"${wherePred(r, rcols.map { case (c, k) => (s"$rt.$c", k) })}) AS c1 " +
+      s"FROM $lt WHERE ${wherePred(r, lcols.map { case (c, k) => (s"$lt.$c", k) })}"
+  }
+
+  /** One CTE consumed twice — plan-reuse paths on both engines. */
+  private def genCte(r: Random): String = {
+    val (t, cols) = pick(r, tables)
+    val (g, _) = pick(r, cols.filter(_._2 == 'I'))
+    s"WITH q AS (SELECT $g AS g, count(*) AS cnt FROM $t " +
+      s"WHERE ${wherePred(r, cols)} GROUP BY 1) " +
+      s"SELECT a.g AS c0, a.cnt AS c1, b.cnt AS c2 FROM q a " +
+      s"JOIN q b ON a.g = b.g WHERE a.cnt > ${r.nextInt(3)}"
+  }
+
+  private def gen(r: Random): String = r.nextInt(29) match {
     case 0 | 1 | 2 => genScan(r)
     case 3 | 4 => genJoin(r)
     case 5 | 6 => genAgg(r)
@@ -410,7 +460,10 @@ class DifferentialFuzzSpec extends SparkSpecBase {
     case 21 => genDateTrunc(r)
     case 22 => genCaseAgg(r)
     case 23 | 24 => genAsofJoin(r)
-    case _ => genDistinctOn(r)
+    case 25 => genDistinctOn(r)
+    case 26 => genFilterAgg(r)
+    case 27 => genCorrScalar(r)
+    case _ => genCte(r)
   }
 
   /** Canonical row rendering — must match tools/fuzz_oracle.py. */
