@@ -15,11 +15,20 @@ object LlmSimilarity extends QueryPack {
   /** DuckDB dot product: index-driven, promoted to double, sequential sum
     * (bit-matches VectorFunctions.dot's left fold).
     */
-  private def dotSql(a: String, b: String) =
-    s"""list_sum(list_transform(range(1, 65),
+  private def dotSqlN(a: String, b: String, n: Int) =
+    s"""list_sum(list_transform(range(1, ${n + 1}),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
 
+  private def dotSql(a: String, b: String) = dotSqlN(a, b, 64)
+
   private def normSql(a: String) = s"sqrt(${dotSql(a, a)})"
+
+  private def cosSqlN(a: String, b: String, n: Int) = {
+    def nrm(v: String) = s"sqrt(${dotSqlN(v, v, n)})"
+    s"""(CASE WHEN ${nrm(a)} * ${nrm(b)} > 0.0
+       |  THEN ${dotSqlN(a, b, n)} / (${nrm(a)} * ${nrm(b)})
+       |  ELSE 0.0 END)""".stripMargin
+  }
 
   private def cosSql(a: String, b: String) =
     s"""(CASE WHEN ${normSql(a)} * ${normSql(b)} > 0.0
@@ -159,6 +168,43 @@ object LlmSimilarity extends QueryPack {
       SimilaritySearch.nearDupPairs(s.table("embeddings"), "vec_id", "embedding",
         threshold = 0.3, nBits = 4)
         .orderBy("id_a", "id_b")
+    },
+
+    // Matryoshka truncation: rank candidates by the 16-dim prefix
+    // cosine (the cheap first pass a tiered retrieval system runs) and
+    // carry the full 64-dim cosine alongside — the re-rank signal. The
+    // rank key is the ROUNDED prefix cosine on both sides, tie-broken
+    // by id; prefix vectors never materialize (slice stays in the
+    // projection, so the broadcast ships only the 5 query rows).
+    q("q_embed_matryoshka",
+      s"""SELECT qid, id, rank, cos16, cos64 FROM (
+         |  SELECT q.vec_id AS qid, e.vec_id AS id,
+         |    round(${cosSqlN("q.embedding", "e.embedding", 16)}, 6) AS cos16,
+         |    round(${cosSqlN("q.embedding", "e.embedding", 64)}, 6) AS cos64,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosSqlN("q.embedding", "e.embedding", 16)}, 6) DESC,
+         |               e.vec_id) AS BIGINT) AS rank
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |  WHERE e.vec_id <> q.vec_id
+         |) WHERE rank <= 3 ORDER BY qid, rank""".stripMargin) { s =>
+      import org.apache.spark.sql.expressions.Window
+      val e = s.table("embeddings")
+      val qs = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c16 = VectorFunctions.cosine(
+        slice(col("qvec"), 1, 16), slice(col("embedding"), 1, 16))
+      val c64 = VectorFunctions.cosine(col("qvec"), col("embedding"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos16").desc, col("id"))
+      e.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("id"),
+          round(c16, 6).as("cos16"), round(c64, 6).as("cos64"))
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("id"), col("rank"), col("cos16"), col("cos64"))
+        .orderBy("qid", "rank")
     }
   )
 }
