@@ -5124,6 +5124,17 @@ object Engine {
       // `||` concatenation can never be captured
       out = out.replaceAll(",\\s*\\|\\s*([A-Za-z_]\\w*)\\s*\\|", ", $1 ->")
     }
+    // rw_int256 cast spellings (reference: '123'::rw_int256, CAST(x AS
+    // rw_int256)) → the int256() in-cast. Envelope: the CAST operand
+    // must be paren-free and the :: operand a simple column/literal —
+    // the same literal-operand envelope as SIMILAR TO above; computed
+    // operands call int256() directly.
+    if (low.contains("rw_int256")) {
+      out = out.replaceAll(
+        "(?i)\\bCAST\\s*\\(([^()]+?)\\s+AS\\s+rw_int256\\s*\\)", "int256($1)")
+      out = out.replaceAll(
+        "(?i)([\\w.]+|'(?:[^']|'')*')\\s*::\\s*rw_int256", "int256($1)")
+    }
     out
   }
 
@@ -5134,5 +5145,17 @@ object Engine {
     "graft_lcm" -> ("a bigint, b bigint", "bigint"),
     "graft_hmac" -> ("payload text, secret text, algo text", "text"),
     "graft_similar_escape" -> ("pattern text [, escape text]", "text"),
-    "trim_array" -> ("arr anyarray, n integer", "anyarray"))
+    "trim_array" -> ("arr anyarray, n integer", "anyarray"),
+    "int256" -> ("v text | bigint", "rw_int256"),
+    "hex_to_int256" -> ("hex text", "rw_int256"),
+    "int256_add" -> ("a rw_int256, b rw_int256", "rw_int256"),
+    "int256_sub" -> ("a rw_int256, b rw_int256", "rw_int256"),
+    "int256_mul" -> ("a rw_int256, b rw_int256", "rw_int256"),
+    "int256_div" -> ("a rw_int256, b rw_int256", "rw_int256"),
+    "int256_mod" -> ("a rw_int256, b rw_int256", "rw_int256"),
+    "int256_neg" -> ("a rw_int256", "rw_int256"),
+    "int256_abs" -> ("a rw_int256", "rw_int256"),
+    "int256_sum" -> ("a rw_int256", "rw_int256"),
+    "int256_text" -> ("a rw_int256", "text"),
+    "int256_float8" -> ("a rw_int256", "double precision"))
 }

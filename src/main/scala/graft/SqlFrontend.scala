@@ -192,6 +192,9 @@ object SqlFrontend {
       case "INTERVAL" => DayTimeIntervalType()
       // reference serial = engine-generated row id (BIGINT)
       case "SERIAL" => LongType
+      // rw_int256 travels as its 32-byte order-preserving encoding
+      // (plans/Int256Expressions.scala)
+      case "RW_INT256" | "INT256" => BinaryType
       case d if d.startsWith("DECIMAL") || d.startsWith("NUMERIC") =>
         val ps = "\\d+".r.findAllIn(d).toSeq
         if (ps.size == 2) DecimalType(ps(0).toInt, ps(1).toInt)

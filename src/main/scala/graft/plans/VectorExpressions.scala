@@ -154,6 +154,53 @@ object GraftExtensions {
     (FunctionIdentifier("pg_typeof"),
       new ExpressionInfo(classOf[PgTypeof].getName, "pg_typeof"),
       (children: Seq[Expression]) => PgTypeof(children(0))),
+    // rw_int256 lane (reference scalar/int256.rs + common/types/
+    // num256.rs): int256(x) is the varchar/integral → rw_int256 cast,
+    // hex_to_int256 the 0x-prefixed form; arithmetic is explicit
+    // (int256_add/sub/mul/div/mod/neg/abs); comparisons, ORDER BY,
+    // GROUP BY, min and max need NO functions — the order-preserving
+    // 32-byte encoding makes Spark's native binary ops numerically
+    // correct. int256_sum is the declarative aggregate; int256_text /
+    // int256_float8 are the out-casts.
+    (FunctionIdentifier("int256"),
+      new ExpressionInfo(classOf[Int256Unary].getName, "int256"),
+      (children: Seq[Expression]) => children(0).dataType match {
+        case StringType => Int256Unary(children(0), "fromdec")
+        case _ => Int256Unary(children(0), "fromlong")
+      }),
+    (FunctionIdentifier("hex_to_int256"),
+      new ExpressionInfo(classOf[Int256Unary].getName, "hex_to_int256"),
+      (children: Seq[Expression]) => Int256Unary(children(0), "fromhex")),
+    (FunctionIdentifier("int256_text"),
+      new ExpressionInfo(classOf[Int256Unary].getName, "int256_text"),
+      (children: Seq[Expression]) => Int256Unary(children(0), "text")),
+    (FunctionIdentifier("int256_float8"),
+      new ExpressionInfo(classOf[Int256Unary].getName, "int256_float8"),
+      (children: Seq[Expression]) => Int256Unary(children(0), "float8")),
+    (FunctionIdentifier("int256_neg"),
+      new ExpressionInfo(classOf[Int256Unary].getName, "int256_neg"),
+      (children: Seq[Expression]) => Int256Unary(children(0), "neg")),
+    (FunctionIdentifier("int256_abs"),
+      new ExpressionInfo(classOf[Int256Unary].getName, "int256_abs"),
+      (children: Seq[Expression]) => Int256Unary(children(0), "abs")),
+    (FunctionIdentifier("int256_add"),
+      new ExpressionInfo(classOf[Int256Arith].getName, "int256_add"),
+      (children: Seq[Expression]) => Int256Arith(children(0), children(1), "add")),
+    (FunctionIdentifier("int256_sub"),
+      new ExpressionInfo(classOf[Int256Arith].getName, "int256_sub"),
+      (children: Seq[Expression]) => Int256Arith(children(0), children(1), "sub")),
+    (FunctionIdentifier("int256_mul"),
+      new ExpressionInfo(classOf[Int256Arith].getName, "int256_mul"),
+      (children: Seq[Expression]) => Int256Arith(children(0), children(1), "mul")),
+    (FunctionIdentifier("int256_div"),
+      new ExpressionInfo(classOf[Int256Arith].getName, "int256_div"),
+      (children: Seq[Expression]) => Int256Arith(children(0), children(1), "div")),
+    (FunctionIdentifier("int256_mod"),
+      new ExpressionInfo(classOf[Int256Arith].getName, "int256_mod"),
+      (children: Seq[Expression]) => Int256Arith(children(0), children(1), "mod")),
+    (FunctionIdentifier("int256_sum"),
+      new ExpressionInfo(classOf[Int256Sum].getName, "int256_sum"),
+      (children: Seq[Expression]) => Int256Sum(children(0))),
     // PG to_char over the SQL surface (reference: scalar/to_char.rs).
     // Datetime arguments translate the PG mask (YYYY/MM/DD/HH24/MI/SS…)
     // to a Spark pattern at plan time and rewrite to date_format;

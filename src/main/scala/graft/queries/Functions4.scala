@@ -118,6 +118,72 @@ object Functions4 extends QueryPack {
           call_function("graft_hmac", col("payload"), col("secret"),
             col("algo")).as("mac"))
         .orderBy("id")
+    },
+
+    // rw_int256 scalar lane (reference: src/expr/impl/src/scalar/
+    // int256.rs, src/common/src/types/num256.rs): in-cast from bigint
+    // and from hex, add/mul/div/mod/neg arithmetic beyond the int64
+    // range, and the float8/text out-casts. The oracle computes the
+    // same values in DuckDB HUGEINT (the vectors stay inside 128 bits
+    // so DuckDB can check them; true 256-bit vectors are pinned in
+    // Int256Spec where no SQL oracle can follow). All arithmetic is
+    // codegen'd static calls (plans/Int256Expressions.scala).
+    q("q_int256",
+      """SELECT n_nationkey,
+        |  CAST(CAST(n_nationkey AS HUGEINT) * 1000000007
+        |       * 9223372036854775807 + n_regionkey AS VARCHAR) AS wide,
+        |  CAST(CAST(n_nationkey AS HUGEINT) * 77777777777 // 7
+        |       AS VARCHAR) AS tdiv,
+        |  CAST((n_nationkey - 12) % 5 AS VARCHAR) AS tmod,
+        |  CAST(-n_nationkey AS VARCHAR) AS tneg,
+        |  CAST(n_nationkey + 10 AS VARCHAR) AS thex,
+        |  CAST(n_nationkey AS DOUBLE) AS tf8
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { s =>
+      graft.plans.GraftExtensions.register(s)
+      s.sql(
+        """SELECT n_nationkey,
+          |  int256_text(int256_add(
+          |    int256_mul(int256(CAST(n_nationkey AS BIGINT) * 1000000007),
+          |               int256(9223372036854775807)),
+          |    int256(n_regionkey))) AS wide,
+          |  int256_text(int256_div(
+          |    int256_mul(int256(n_nationkey), int256(77777777777)),
+          |    int256(7))) AS tdiv,
+          |  int256_text(int256_mod(int256(n_nationkey - 12), int256(5))) AS tmod,
+          |  int256_text(int256_neg(int256(n_nationkey))) AS tneg,
+          |  int256_text(hex_to_int256(concat('0x', hex(n_nationkey + 10)))) AS thex,
+          |  int256_float8(int256(n_nationkey)) AS tf8
+          |FROM nation ORDER BY n_nationkey""".stripMargin)
+    },
+
+    // rw_int256 aggregation: int256_sum (DeclarativeAggregate — partial
+    // agg map-side combines, merge is int256_add) plus native min/max
+    // over the encoding. The min/max vectors mix signs, so an encoding
+    // without the sign flip (raw two's complement under unsigned
+    // lexicographic byte order) would sort negatives ABOVE positives
+    // and fail the hash check — the oracle pins numeric order.
+    q("q_int256_agg",
+      """SELECT n_regionkey,
+        |  CAST(SUM(CAST(n_nationkey AS HUGEINT) * 1000000007
+        |           * 9223372036854775807) AS VARCHAR) AS s,
+        |  CAST(MIN(CAST(n_nationkey - 12 AS HUGEINT)
+        |           * 9223372036854775807) AS VARCHAR) AS mn,
+        |  CAST(MAX(CAST(n_nationkey - 12 AS HUGEINT)
+        |           * 9223372036854775807) AS VARCHAR) AS mx,
+        |  CAST(COUNT(n_nationkey) AS BIGINT) AS c
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { s =>
+      graft.plans.GraftExtensions.register(s)
+      s.sql(
+        """SELECT n_regionkey,
+          |  int256_text(int256_sum(
+          |    int256_mul(int256(CAST(n_nationkey AS BIGINT) * 1000000007),
+          |               int256(9223372036854775807)))) AS s,
+          |  int256_text(min(int256_mul(int256(n_nationkey - 12),
+          |                             int256(9223372036854775807)))) AS mn,
+          |  int256_text(max(int256_mul(int256(n_nationkey - 12),
+          |                             int256(9223372036854775807)))) AS mx,
+          |  CAST(count(int256(n_nationkey)) AS BIGINT) AS c
+          |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }
   )
 }
