@@ -2945,6 +2945,13 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     """(?i)\bTUMBLE\s*\(\s*(\w+)\s*,\s*(\w+)\s*,\s*INTERVAL\s+'([^']+)'\s*(?:,\s*INTERVAL\s+'([^']+)'\s*)?\)""".r
   private val HopTvf = // HOP(rel, col, slide, size) — reference arg order
     """(?i)\bHOP\s*\(\s*(\w+)\s*,\s*(\w+)\s*,\s*INTERVAL\s+'([^']+)'\s*,\s*INTERVAL\s+'([^']+)'\s*\)""".r
+  // jsonb_to_record[set](expr) AS alias(col type, …) — the arg tolerates
+  // one paren-nesting level and quoted strings; the column list tolerates
+  // parenthesized type args (DECIMAL(10,2))
+  private val JsonbRecordTvf =
+    ("""(?i)(,\s*)?\bjsonb_to_record(set)?\s*\(""" +
+      """((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*)\)\s+""" +
+      """(?:AS\s+)?([A-Za-z_]\w*)\s*\(((?:[^()]|\([^()]*\))*)\)""").r
   private var tvfCounter = 0
 
   private def windowedRelation(rel: String, col: String,
@@ -2977,6 +2984,34 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       spark.read.format(m.group(1).toLowerCase).load(m.group(2))
         .createOrReplaceTempView(v)
       v
+    })
+    // jsonb_to_record / jsonb_to_recordset (reference: src/expr/impl/
+    // src/scalar/jsonb_record.rs) — the PG `AS alias(col type, …)`
+    // column-definition form binds to Spark's inline(from_json(…)):
+    // comma-joined after a relation → LATERAL VIEW (arg may reference
+    // the outer row); sole FROM item → an aliased subquery (literal
+    // arg). jsonb_populate_record needs named composite TYPES, which
+    // this engine does not model (documented divergence).
+    out = JsonbRecordTvf.replaceAllIn(out, m => {
+      val lateral = m.group(1) != null
+      val isSet = m.group(2) != null
+      val arg = m.group(3).trim
+      val alias = m.group(4)
+      val cols = SqlFrontend.splitTopLevel(m.group(5), ',')
+        .map(_.trim).filter(_.nonEmpty).map { c =>
+          val sp = c.indexOf(' ')
+          require(sp > 0, s"jsonb_to_record: malformed column def '$c'")
+          org.apache.spark.sql.types.StructField(c.substring(0, sp).trim,
+            SqlFrontend.sqlType(c.substring(sp + 1)))
+        }
+      val struct = org.apache.spark.sql.types.StructType(cols)
+      val gen =
+        if (isSet)
+          s"inline(from_json($arg, '${org.apache.spark.sql.types.ArrayType(struct).catalogString}'))"
+        else s"inline(array(from_json($arg, '${struct.catalogString}')))"
+      java.util.regex.Matcher.quoteReplacement(
+        if (lateral) s" LATERAL VIEW $gen $alias AS ${cols.map(_.name).mkString(", ")}"
+        else s"(SELECT $gen) $alias")
     })
     val eowc = "(?i)EMIT\\s+ON\\s+WINDOW\\s+CLOSE".r.findFirstIn(out).isDefined
     var lastW: Option[String] = None

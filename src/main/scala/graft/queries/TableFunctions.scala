@@ -172,6 +172,49 @@ object TableFunctions extends QueryPack {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(20)
+    },
+
+    // jsonb_to_recordset in FROM position with the PG column-definition
+    // list (reference: src/expr/impl/src/scalar/jsonb_record.rs;
+    // PG jsonb_to_recordset) — comma-joined after a relation, so the
+    // engine lowers it to LATERAL VIEW inline(from_json(…)) and the
+    // JSON argument references the outer row. Element keys are built so
+    // k is unique per doc (0..6 vs 100..110) for a total order.
+    qDir("q_jsonb_recordset",
+      """SELECT d.doc_id,
+        |  CAST(json_extract_string(d.j, '$[' || CAST(i AS VARCHAR) || '].k') AS INT) AS k,
+        |  json_extract_string(d.j, '$[' || CAST(i AS VARCHAR) || '].lang') AS lang
+        |FROM (SELECT doc_id,
+        |        '[{"k":' || CAST(doc_id % 7 AS VARCHAR) || ',"lang":"' || lang ||
+        |        '"},{"k":' || CAST(doc_id % 11 + 100 AS VARCHAR) || '}]' AS j
+        |      FROM documents WHERE doc_id % 53 = 0) d,
+        |     unnest([0, 1]) AS t(i)
+        |ORDER BY d.doc_id, k""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("q_jsonb_rs").toString
+      val e = new graft.Engine(s, wh)
+      e.attachTables(dir)
+      e.execute(
+        """SELECT d.doc_id, r.k, r.lang
+          |FROM (SELECT doc_id,
+          |        concat('[{"k":', CAST(doc_id % 7 AS STRING),
+          |               ',"lang":"', lang, '"},{"k":',
+          |               CAST(doc_id % 11 + 100 AS STRING), '}]') AS j
+          |      FROM documents WHERE doc_id % 53 = 0) d,
+          |     jsonb_to_recordset(d.j) AS r(k int, lang text)
+          |ORDER BY d.doc_id, r.k""".stripMargin)
+    },
+
+    // jsonb_to_record (single record) as the sole FROM item — the
+    // engine lowers the literal-argument form to an aliased subquery.
+    qDir("q_jsonb_record",
+      """SELECT 42 AS a, 'hello' AS b, 2.5 AS c""") { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("q_jsonb_r1").toString
+      val e = new graft.Engine(s, wh)
+      e.attachTables(dir)
+      e.execute(
+        """SELECT r.a, r.b, r.c
+          |FROM jsonb_to_record('{"a": 42, "b": "hello", "c": 2.5}')
+          |  AS r(a int, b text, c double)""".stripMargin)
     }
   )
 }
