@@ -2952,6 +2952,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     ("""(?i)(,\s*)?\bjsonb_to_record(set)?\s*\(""" +
       """((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*)\)\s+""" +
       """(?:AS\s+)?([A-Za-z_]\w*)\s*\(((?:[^()]|\([^()]*\))*)\)""").r
+  // _pg_expandarray(arr) [AS alias[(x, n)]] — value + 1-based index
+  private val PgExpandArrayTvf =
+    ("""(?i)(,\s*)?\b_pg_expandarray\s*\(""" +
+      """((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*)\)""" +
+      """(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|ORDER\b|LIMIT\b|ON\b|JOIN\b|UNION\b|EXCEPT\b|INTERSECT\b|EMIT\b|LEFT\b|RIGHT\b|INNER\b|CROSS\b)([A-Za-z_]\w*)""" +
+      """(?:\s*\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\))?)?""").r
+  private val PgGetKeywordsTvf =
+    """(?i)\bpg_get_keywords\s*\(\s*\)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?""".r
   private var tvfCounter = 0
 
   private def windowedRelation(rel: String, col: String,
@@ -3012,6 +3020,36 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       java.util.regex.Matcher.quoteReplacement(
         if (lateral) s" LATERAL VIEW $gen $alias AS ${cols.map(_.name).mkString(", ")}"
         else s"(SELECT $gen) $alias")
+    })
+    // _pg_expandarray (reference table_function/pg_expandarray.rs — PG's
+    // information_schema helper): one row per element, 1-based index.
+    // Lowered to inline(transform(arr, (x, i) -> struct)) — the indexed
+    // lambda keeps empty/null arrays at zero rows.
+    out = PgExpandArrayTvf.replaceAllIn(out, m => {
+      val lateral = m.group(1) != null
+      val arg = m.group(2).trim
+      val alias = Option(m.group(3)).getOrElse {
+        tvfCounter += 1; s"__pgexp_$tvfCounter" }
+      val cx = Option(m.group(4)).getOrElse("x")
+      val cn = Option(m.group(5)).getOrElse("n")
+      val gen = s"inline(transform($arg, (__x, __i) -> " +
+        s"named_struct('$cx', __x, '$cn', __i + 1)))"
+      java.util.regex.Matcher.quoteReplacement(
+        if (lateral) s" LATERAL VIEW $gen $alias AS $cx, $cn"
+        else s"(SELECT $gen) $alias")
+    })
+    // pg_get_keywords() (reference table_function/pg_get_keywords.rs —
+    // derives from ITS parser's keyword list): derive from Spark's own
+    // sql_keywords() TVF the same way. Uncorrelated, so the subquery
+    // form works both sole-FROM and comma-joined.
+    out = PgGetKeywordsTvf.replaceAllIn(out, m => {
+      val alias = Option(m.group(1)).getOrElse {
+        tvfCounter += 1; s"__pgkw_$tvfCounter" }
+      java.util.regex.Matcher.quoteReplacement(
+        "(SELECT lower(keyword) AS word, " +
+          "CASE WHEN reserved THEN 'R' ELSE 'U' END AS catcode, " +
+          "CASE WHEN reserved THEN 'reserved' ELSE 'unreserved' END AS catdesc " +
+          s"FROM sql_keywords()) $alias")
     })
     val eowc = "(?i)EMIT\\s+ON\\s+WINDOW\\s+CLOSE".r.findFirstIn(out).isDefined
     var lastW: Option[String] = None

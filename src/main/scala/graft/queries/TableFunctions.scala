@@ -204,6 +204,44 @@ object TableFunctions extends QueryPack {
           |ORDER BY d.doc_id, r.k""".stripMargin)
     },
 
+    // _pg_expandarray (reference table_function/pg_expandarray.rs): one
+    // row per array element with a 1-based index, lateral against the
+    // outer row. The oracle recomputes via generate_subscripts.
+    qDir("q_pg_expandarray",
+      """SELECT p.p_partkey,
+        |  list_extract(string_split(p.p_name, ' '), i) AS x,
+        |  CAST(i AS INT) AS n
+        |FROM part p, unnest(generate_series(1,
+        |       len(string_split(p.p_name, ' ')))) AS t(i)
+        |WHERE p.p_partkey % 97 = 0
+        |ORDER BY p.p_partkey, n""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("q_pgexp").toString
+      val e = new graft.Engine(s, wh)
+      e.attachTables(dir)
+      e.execute(
+        """SELECT p.p_partkey, r.x, r.n
+          |FROM part p, _pg_expandarray(split(p.p_name, ' ')) AS r(x, n)
+          |WHERE p.p_partkey % 97 = 0
+          |ORDER BY p.p_partkey, r.n""".stripMargin)
+    },
+
+    // pg_get_keywords (reference table_function/pg_get_keywords.rs —
+    // the reference derives the rows from ITS parser's keyword table;
+    // graft derives from Spark's sql_keywords() the same way). The
+    // oracle pins membership of stable keywords; catcode breadth is
+    // spec-driven (the reserved flag tracks the session's ANSI mode).
+    qDir("q_pg_get_keywords",
+      """SELECT word FROM (VALUES ('add'), ('from'), ('select'), ('where'))
+        |  AS t(word) ORDER BY word""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files.createTempDirectory("q_pgkw").toString
+      val e = new graft.Engine(s, wh)
+      e.attachTables(dir)
+      e.execute(
+        """SELECT word FROM pg_get_keywords() AS k
+          |WHERE word IN ('add', 'from', 'select', 'where')
+          |ORDER BY word""".stripMargin)
+    },
+
     // jsonb_to_record (single record) as the sole FROM item — the
     // engine lowers the literal-argument form to an aliased subquery.
     qDir("q_jsonb_record",
