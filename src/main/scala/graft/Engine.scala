@@ -5197,6 +5197,10 @@ object Engine {
       // `||` concatenation can never be captured
       out = out.replaceAll(",\\s*\\|\\s*([A-Za-z_]\\w*)\\s*\\|", ", $1 ->")
     }
+    // make_timestamptz (reference: scalar/make_time.rs) = Spark's
+    // make_timestamp (session-tz TimestampType, optional tz argument)
+    if (low.contains("make_timestamptz"))
+      out = out.replaceAll("(?i)\\bmake_timestamptz\\s*\\(", "make_timestamp(")
     // rw_int256 cast spellings (reference: '123'::rw_int256, CAST(x AS
     // rw_int256)) → the int256() in-cast. Envelope: the CAST operand
     // must be paren-free and the :: operand a simple column/literal —
@@ -5230,5 +5234,31 @@ object Engine {
     "int256_abs" -> ("a rw_int256", "rw_int256"),
     "int256_sum" -> ("a rw_int256", "rw_int256"),
     "int256_text" -> ("a rw_int256", "text"),
-    "int256_float8" -> ("a rw_int256", "double precision"))
+    "int256_float8" -> ("a rw_int256", "double precision"),
+    "sind" -> ("x double precision", "double precision"),
+    "cosd" -> ("x double precision", "double precision"),
+    "tand" -> ("x double precision", "double precision"),
+    "cotd" -> ("x double precision", "double precision"),
+    "asind" -> ("x double precision", "double precision"),
+    "acosd" -> ("x double precision", "double precision"),
+    "cot" -> ("x double precision", "double precision"),
+    "coth" -> ("x double precision", "double precision"),
+    "quote_nullable" -> ("v anyelement", "text"),
+    "jsonb_typeof" -> ("j jsonb", "text"),
+    "jsonb_array_length" -> ("j jsonb", "integer"),
+    "jsonb_extract_path" -> ("j jsonb, VARIADIC path text[]", "jsonb"),
+    "jsonb_extract_path_text" -> ("j jsonb, VARIADIC path text[]", "text"),
+    "jsonb_exists" -> ("j jsonb, key text", "boolean"),
+    "jsonb_exists_any" -> ("j jsonb, keys text[]", "boolean"),
+    "jsonb_exists_all" -> ("j jsonb, keys text[]", "boolean"),
+    "sha224" -> ("b bytea", "text"),
+    "sha384" -> ("b bytea", "text"),
+    "convert_from" -> ("b bytea, encoding text", "text"),
+    "convert_to" -> ("s text, encoding text", "bytea"),
+    "map_length" -> ("m anymap", "integer"),
+    "map_cat" -> ("a anymap, b anymap", "anymap"),
+    "map_contains" -> ("m anymap, k anyelement", "boolean"),
+    "map_access" -> ("m anymap, k anyelement", "anyelement"),
+    "map_insert" -> ("m anymap, k anyelement, v anyelement", "anymap"),
+    "map_delete" -> ("m anymap, k anyelement", "anymap"))
 }

@@ -97,6 +97,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions._
+
   val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
@@ -201,6 +203,46 @@ object GraftExtensions {
     (FunctionIdentifier("int256_sum"),
       new ExpressionInfo(classOf[Int256Sum].getName, "int256_sum"),
       (children: Seq[Expression]) => Int256Sum(children(0))),
+    // PG/reference spellings Spark lacks, all pure compositions of
+    // codegen'd builtins (reference: scalar/trigonometric.rs registers
+    // the degree variants; scalar/jsonb_info.rs the jsonb probes;
+    // scalar/encdec.rs convert_from/convert_to; scalar/sha.rs the
+    // sha224/sha384 digests; string.rs quote_nullable).
+    fn1("sind", c => sinExpr(radians(c))),
+    fn1("cosd", c => cosExpr(radians(c))),
+    fn1("tand", c => tanExpr(radians(c))),
+    fn1("cotd", c => divExpr(cosExpr(radians(c)), sinExpr(radians(c)))),
+    fn1("asind", c => degrees(asinExpr(c))),
+    fn1("acosd", c => degrees(acosExpr(c))),
+    fn1("cot", c => divExpr(cosExpr(c), sinExpr(c))),
+    fn1("coth", c => divExpr(coshExpr(c), sinhExpr(c))),
+    fn1("quote_nullable", c =>
+      Coalesce(Seq(quoteLiteralExpr(c), Literal("NULL")))),
+    fn1("jsonb_typeof", c => jsonbTypeofExpr(c)),
+    fn1("jsonb_array_length", c => LengthOfJsonArray(c)),
+    fnN("jsonb_extract_path", cs => jsonbExtractPathExpr(cs)),
+    fnN("jsonb_extract_path_text", cs => jsonbExtractPathExpr(cs)),
+    fn2("jsonb_exists", (x, k) => ArrayContains(JsonObjectKeys(x), k)),
+    fn2("jsonb_exists_any", (x, ks) =>
+      ArraysOverlap(JsonObjectKeys(x), ks)),
+    fn2("jsonb_exists_all", (x, ks) =>
+      EqualTo(Size(ArrayExcept(ks, JsonObjectKeys(x))), Literal(0))),
+    fn1("sha224", c => Sha2(c, Literal(224))),
+    fn1("sha384", c => Sha2(c, Literal(384))),
+    fn2("convert_from", (b, enc) => StringDecode(b, enc)),
+    fn2("convert_to", (s, enc) => Encode(s, enc)),
+    // reference MAP function spellings over Spark's MapType builtins
+    fn1("map_length", c => Size(c)),
+    fn2("map_cat", (a, b) => MapConcat(Seq(a, b))),
+    fn2("map_contains", (m, k) => ArrayContains(MapKeys(m), k)),
+    fn2("map_access", (m, k) => ElementAt(m, k)),
+    fnN("map_insert", cs =>
+      MapConcat(Seq(cs(0), CreateMap(Seq(cs(1), cs(2)))))),
+    fn2("map_delete", (m, k) => {
+      val kv = UnresolvedNamedLambdaVariable(Seq("__mk"))
+      val vv = UnresolvedNamedLambdaVariable(Seq("__mv"))
+      MapFilter(m, LambdaFunction(Not(EqualTo(kv, k)), Seq(kv, vv)))
+    }),
     // PG to_char over the SQL surface (reference: scalar/to_char.rs).
     // Datetime arguments translate the PG mask (YYYY/MM/DD/HH24/MI/SS…)
     // to a Spark pattern at plan time and rewrite to date_format;
@@ -228,6 +270,58 @@ object GraftExtensions {
       }))
 
   import org.apache.spark.sql.catalyst.expressions._
+
+  // terse registration helpers for pure-composition functions
+  private def fn1(name: String, b: Expression => Expression):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(classOf[Concat].getName, name),
+      (cs: Seq[Expression]) => b(cs(0)))
+  private def fn2(name: String, b: (Expression, Expression) => Expression):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(classOf[Concat].getName, name),
+      (cs: Seq[Expression]) => b(cs(0), cs(1)))
+  private def fnN(name: String, b: Seq[Expression] => Expression):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(classOf[Concat].getName, name),
+      (cs: Seq[Expression]) => b(cs))
+
+  private def radians(c: Expression): Expression = ToRadians(c)
+  private def degrees(c: Expression): Expression = ToDegrees(c)
+  private def sinExpr(c: Expression): Expression = Sin(c)
+  private def cosExpr(c: Expression): Expression = Cos(c)
+  private def tanExpr(c: Expression): Expression = Tan(c)
+  private def asinExpr(c: Expression): Expression = Asin(c)
+  private def acosExpr(c: Expression): Expression = Acos(c)
+  private def sinhExpr(c: Expression): Expression = Sinh(c)
+  private def coshExpr(c: Expression): Expression = Cosh(c)
+  private def divExpr(a: Expression, b: Expression): Expression = Divide(a, b)
+
+  /** PG jsonb_typeof over the text rendering: the first significant
+    * character discriminates well-formed JSON values (object/array/
+    * string/boolean/null, else number). NULL input stays NULL.
+    */
+  private def jsonbTypeofExpr(c: Expression): Expression = {
+    val t = StringTrim(Cast(c, StringType))
+    CaseWhen(Seq(
+      (IsNull(t), Literal.create(null, StringType)),
+      (StartsWith(t, Literal("{")), Literal("object")),
+      (StartsWith(t, Literal("[")), Literal("array")),
+      (StartsWith(t, Literal("\"")), Literal("string")),
+      (Or(EqualTo(t, Literal("true")), EqualTo(t, Literal("false"))),
+        Literal("boolean")),
+      (EqualTo(t, Literal("null")), Literal("null"))),
+      Some(Literal("number")))
+  }
+
+  /** PG jsonb_extract_path[_text](json, k1, k2, …) → get_json_object
+    * with a composed $.k1.k2 path (keys containing '.' need PG's
+    * bracket syntax — documented envelope).
+    */
+  private def jsonbExtractPathExpr(cs: Seq[Expression]): Expression = {
+    val path = Concat(Literal("$") +:
+      cs.tail.flatMap(k => Seq(Literal("."), Cast(k, StringType))))
+    GetJsonObject(cs.head, path)
+  }
 
   private def quoteLiteralExpr(e: Expression): Expression = {
     val s = Cast(e, StringType)

@@ -120,6 +120,60 @@ object Functions4 extends QueryPack {
         .orderBy("id")
     },
 
+    // PG-spelling scalar pack (reference: scalar/trigonometric.rs
+    // degree variants, jsonb_info.rs probes, string.rs quote_nullable) —
+    // all registered as pure compositions of codegen'd builtins
+    // (plans/VectorExpressions.scala). The oracle recomputes: degree
+    // trig via radians(), jsonb probes via DuckDB's json functions
+    // (json_type's vocabulary mapped to PG's).
+    q("q_fn_pg_misc",
+      """SELECT n_nationkey,
+        |  round(sin(radians(n_nationkey * 7.0)), 6) AS sd,
+        |  round(cos(radians(n_nationkey * 7.0)), 6) AS cd,
+        |  round(tan(radians(n_nationkey * 7.0 + 1.0)), 6) AS td,
+        |  round(degrees(asin((n_nationkey % 21 - 10) / 10.0)), 6) AS asd,
+        |  round(degrees(acos((n_nationkey % 21 - 10) / 10.0)), 6) AS acd,
+        |  round(cos(n_nationkey + 1.5) / sin(n_nationkey + 1.5), 6) AS ct,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN 'NULL'
+        |       ELSE '''' || n_name || '''' END AS qn,
+        |  CASE json_type(CAST(CASE n_nationkey % 5
+        |         WHEN 0 THEN '{"a":1}' WHEN 1 THEN '[1,2]'
+        |         WHEN 2 THEN '"x"' WHEN 3 THEN 'true'
+        |         ELSE '12.5' END AS JSON))
+        |    WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array'
+        |    WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+        |    WHEN 'NULL' THEN 'null' ELSE 'number' END AS jt,
+        |  CAST(json_array_length('[1,2,3,' || CAST(n_nationkey AS VARCHAR)
+        |       || ']') AS INT) AS jal,
+        |  json_extract_string('{"a":{"b":' || CAST(n_nationkey AS VARCHAR)
+        |       || '}}', '$.a.b') AS jep,
+        |  list_contains(json_keys('{"x":1,"y":2}'),
+        |       CASE WHEN n_nationkey % 2 = 0 THEN 'x' ELSE 'z' END) AS je
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { s =>
+      graft.plans.GraftExtensions.register(s)
+      s.sql(
+        """SELECT n_nationkey,
+          |  round(sind(n_nationkey * 7.0), 6) AS sd,
+          |  round(cosd(n_nationkey * 7.0), 6) AS cd,
+          |  round(tand(n_nationkey * 7.0 + 1.0), 6) AS td,
+          |  round(asind((n_nationkey % 21 - 10) / 10.0), 6) AS asd,
+          |  round(acosd((n_nationkey % 21 - 10) / 10.0), 6) AS acd,
+          |  round(cot(n_nationkey + 1.5), 6) AS ct,
+          |  quote_nullable(CASE WHEN n_nationkey % 5 = 0 THEN NULL
+          |                      ELSE n_name END) AS qn,
+          |  jsonb_typeof(CASE n_nationkey % 5
+          |    WHEN 0 THEN '{"a":1}' WHEN 1 THEN '[1,2]'
+          |    WHEN 2 THEN '"x"' WHEN 3 THEN 'true'
+          |    ELSE '12.5' END) AS jt,
+          |  jsonb_array_length(concat('[1,2,3,', CAST(n_nationkey AS STRING),
+          |    ']')) AS jal,
+          |  jsonb_extract_path_text(concat('{"a":{"b":',
+          |    CAST(n_nationkey AS STRING), '}}'), 'a', 'b') AS jep,
+          |  jsonb_exists('{"x":1,"y":2}',
+          |    CASE WHEN n_nationkey % 2 = 0 THEN 'x' ELSE 'z' END) AS je
+          |FROM nation ORDER BY n_nationkey""".stripMargin)
+    },
+
     // rw_int256 scalar lane (reference: src/expr/impl/src/scalar/
     // int256.rs, src/common/src/types/num256.rs): in-cast from bigint
     // and from hex, add/mul/div/mod/neg arithmetic beyond the int64

@@ -212,4 +212,71 @@ class NativeExprSpec extends SparkSpecBase {
       "SELECT to_char(TIMESTAMP '2024-01-02 03:04:05', 'YYYY/MM/DD') AS t")
       .head().getString(0) == "2024/01/02")
   }
+
+  test("sha224/sha384 pin the public NIST 'abc' vectors") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT sha224(CAST('abc' AS BINARY)) AS a, " +
+        "sha384(CAST('abc' AS BINARY)) AS b").head()
+    assert(r.getString(0) ==
+      "23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7")
+    assert(r.getString(1) ==
+      "cb00753f45a35e8bb5a03d699ac65007272c32ab0eded1631a8b605a43ff5bed" +
+        "8086072ba1e7cc2358baeca134c825a7")
+  }
+
+  test("convert_from/convert_to round-trip encodings") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT convert_from(convert_to('grüße', 'UTF-8'), 'UTF-8') AS s," +
+        " convert_from(convert_to('plain', 'US-ASCII'), 'US-ASCII') AS p").head()
+    assert(r.getString(0) == "grüße")
+    assert(r.getString(1) == "plain")
+  }
+
+  test("map function spellings over MapType builtins") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT map_length(m) AS len,
+        |  map_access(m, 'a') AS a,
+        |  map_contains(m, 'b') AS hasb,
+        |  map_contains(m, 'z') AS hasz,
+        |  map_access(map_cat(m, map('c', 3)), 'c') AS c,
+        |  map_access(map_insert(m, 'd', 4), 'd') AS d,
+        |  map_length(map_delete(m, 'a')) AS dl
+        |FROM (SELECT map('a', 1, 'b', 2) AS m)""".stripMargin).head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1)
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getInt(4) == 3 && r.getInt(5) == 4 && r.getInt(6) == 1)
+  }
+
+  test("jsonb_exists_any/all and coth/cotd") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT jsonb_exists_any('{"x":1,"y":2}', array('y', 'z')) AS any1,
+        |  jsonb_exists_any('{"x":1}', array('q')) AS any0,
+        |  jsonb_exists_all('{"x":1,"y":2}', array('x', 'y')) AS all1,
+        |  jsonb_exists_all('{"x":1,"y":2}', array('x', 'q')) AS all0,
+        |  coth(1.0d) AS ch, cotd(45.0d) AS cd""".stripMargin).head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(math.abs(r.getDouble(4) - 1.0 / math.tanh(1.0)) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 1.0) < 1e-12)
+  }
+
+  test("make_timestamptz rewrites to make_timestamp through the engine") {
+    val e = new Engine(spark, tmpDir("mkts"))
+    val r = e.execute(
+      "SELECT make_timestamptz(2024, 3, 15, 10, 30, 0.5) AS t").head()
+    assert(r.getTimestamp(0).toInstant.toString.startsWith("2024-03-15T10:30:00.5"))
+  }
+
+  test("pg_get_keywords breadth and catcode vocabulary via the engine") {
+    val e = new Engine(spark, tmpDir("pgkw"))
+    val rows = e.execute(
+      "SELECT catcode, count(*) AS n FROM pg_get_keywords() GROUP BY catcode")
+      .collect()
+    assert(rows.map(_.getString(0)).forall(Set("U", "R")))
+    assert(rows.map(_.getLong(1)).sum > 300)
+  }
 }
