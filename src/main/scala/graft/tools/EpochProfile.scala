@@ -10,14 +10,26 @@ object EpochProfile {
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val jobMs = new java.util.concurrent.atomic.AtomicLong
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val detail = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); starts.put(j.jobId, System.nanoTime())
+        jobs.incrementAndGet()
+        val cs = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+        val sq = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .map(d => if (d.contains("runId")) "[stream]" else d.take(40))
+        val desc = (cs.getOrElse("?") + " " + sq.getOrElse("")).trim
+        starts.put(j.jobId, (System.nanoTime(), desc))
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
-        Option(starts.remove(j.jobId)).foreach(t0 =>
-          jobMs.addAndGet((System.nanoTime() - t0) / 1000000))
+        Option(starts.remove(j.jobId)).foreach { case (t0, desc) =>
+          val ms = (System.nanoTime() - t0) / 1000000
+          jobMs.addAndGet(ms)
+          detail.add(f"$ms%5d ms  ${desc.take(110)}")
+        }
       }
     })
     val e = new graft.Engine(spark, "/tmp/epochprof_wh_" + System.nanoTime())
@@ -37,7 +49,12 @@ object EpochProfile {
       println(f"epoch $i: insert ${(t1-t0)/1e9}%.3f flush ${(t2-t1)/1e9}%.3f " +
         f"sparkJobs ${jobs.get()-j0} jobMs ${jobMs.get()-m0}")
     }
-    (1 to 6).foreach(epoch)
+    (1 to 5).foreach(epoch)
+    detail.clear()
+    epoch(6)
+    Thread.sleep(300)
+    println("--- epoch 6 jobs ---")
+    detail.forEach(println(_))
     spark.stop()
   }
 }
