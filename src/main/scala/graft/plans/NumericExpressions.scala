@@ -72,6 +72,46 @@ object NumericExpressions {
     else math.abs(Math.multiplyExact(a / gcd(a, b), b))
 }
 
+/** PG pg_sleep(seconds) (reference: scalar/delay.rs registers the same
+  * pair for testing long-running queries). Sleeps inside the executor
+  * task, so KILL / wire CancelRequest interrupt it like any running
+  * job. Nondeterministic + CodegenFallback keeps the optimizer from
+  * folding or reordering it. Returns NULL (PG returns an empty void
+  * row; NULL text is the closest surface here).
+  */
+case class PgSleep(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.Nondeterministic
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def initializeInternal(partitionIndex: Int): Unit = ()
+
+  override protected def evalInternal(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v != null) {
+      val secs = v match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case l: Long => l.toDouble
+        case i: Int => i.toDouble
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case other => other.toString.toDouble
+      }
+      try Thread.sleep(math.max(0L, (secs * 1000).toLong))
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt() }
+    }
+    null
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PgSleep =
+    copy(child = newChild)
+  override def prettyName: String = "pg_sleep"
+}
+
 /** PG pg_typeof(expr) → the PG spelling of the argument's resolved
   * type (reference surfaces it through the expr framework; psql and
   * ORMs probe it). Foldable: constant folding collapses it to a

@@ -203,6 +203,14 @@ object GraftExtensions {
     (FunctionIdentifier("int256_sum"),
       new ExpressionInfo(classOf[Int256Sum].getName, "int256_sum"),
       (children: Seq[Expression]) => Int256Sum(children(0))),
+    // avg(int256) → float8 exactly as the reference rewrites it
+    // (aggregate/general.rs `avg(int256) -> float8, rewritten`):
+    // sum/count in float8. Builders must pre-wrap nested aggregates —
+    // the analyzer only auto-wraps a top-level AggregateFunction.
+    fn1("int256_avg", c => Divide(
+      Int256Unary(Int256Sum(c).toAggregateExpression(), "float8"),
+      Cast(org.apache.spark.sql.catalyst.expressions.aggregate.Count(c)
+        .toAggregateExpression(), DoubleType))),
     // PG/reference spellings Spark lacks, all pure compositions of
     // codegen'd builtins (reference: scalar/trigonometric.rs registers
     // the degree variants; scalar/jsonb_info.rs the jsonb probes;
@@ -243,6 +251,7 @@ object GraftExtensions {
       val vv = UnresolvedNamedLambdaVariable(Seq("__mv"))
       MapFilter(m, LambdaFunction(Not(EqualTo(kv, k)), Seq(kv, vv)))
     }),
+    fn1("pg_sleep", c => PgSleep(c)),
     // PG to_char over the SQL surface (reference: scalar/to_char.rs).
     // Datetime arguments translate the PG mask (YYYY/MM/DD/HH24/MI/SS…)
     // to a Spark pattern at plan time and rewrite to date_format;

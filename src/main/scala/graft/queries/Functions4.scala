@@ -224,7 +224,8 @@ object Functions4 extends QueryPack {
         |           * 9223372036854775807) AS VARCHAR) AS mn,
         |  CAST(MAX(CAST(n_nationkey - 12 AS HUGEINT)
         |           * 9223372036854775807) AS VARCHAR) AS mx,
-        |  CAST(COUNT(n_nationkey) AS BIGINT) AS c
+        |  CAST(COUNT(n_nationkey) AS BIGINT) AS c,
+        |  round(AVG(n_nationkey), 6) AS a
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { s =>
       graft.plans.GraftExtensions.register(s)
       s.sql(
@@ -236,7 +237,8 @@ object Functions4 extends QueryPack {
           |                             int256(9223372036854775807)))) AS mn,
           |  int256_text(max(int256_mul(int256(n_nationkey - 12),
           |                             int256(9223372036854775807)))) AS mx,
-          |  CAST(count(int256(n_nationkey)) AS BIGINT) AS c
+          |  CAST(count(int256(n_nationkey)) AS BIGINT) AS c,
+          |  round(int256_avg(int256(n_nationkey)), 6) AS a
           |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }
   )

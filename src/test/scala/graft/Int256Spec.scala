@@ -116,6 +116,12 @@ class Int256Spec extends SparkSpecBase {
       "SELECT int256_sum(int256(CAST(NULL AS STRING))) AS s FROM big_vals")
       .collect()(0)
     assert(nul.isNullAt(0))
+    // avg rewrites to float8 sum/count (reference general.rs `rewritten`)
+    val av = spark.sql(
+      "SELECT int256_avg(int256(v)) AS a FROM big_vals WHERE g = 'b'")
+      .collect()(0)
+    assert(math.abs(av.getDouble(0) - (n140.doubleValue / 3.0)) <
+      math.abs(n140.doubleValue) * 1e-12)
   }
 
   test("rw_int256 cast spellings rewrite through the engine") {

@@ -271,6 +271,14 @@ class NativeExprSpec extends SparkSpecBase {
     assert(r.getTimestamp(0).toInstant.toString.startsWith("2024-03-15T10:30:00.5"))
   }
 
+  test("pg_sleep sleeps in the task and returns NULL") {
+    graft.plans.GraftExtensions.register(spark)
+    val t0 = System.nanoTime()
+    val r = spark.sql("SELECT pg_sleep(0.3) AS v").head()
+    assert((System.nanoTime() - t0) / 1e9 >= 0.3)
+    assert(r.isNullAt(0))
+  }
+
   test("pg_get_keywords breadth and catcode vocabulary via the engine") {
     val e = new Engine(spark, tmpDir("pgkw"))
     val rows = e.execute(
