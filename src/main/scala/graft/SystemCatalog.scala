@@ -190,7 +190,10 @@ object SystemCatalog {
     (1186L, "interval", "T", "interval"),
     (1700L, "numeric", "N", "numeric"),
     (2950L, "uuid", "U", "uuid"),
-    (3802L, "jsonb", "U", "jsonb"))
+    (3802L, "jsonb", "U", "jsonb"),
+    // the reference's own OID for its 256-bit integer
+    // (common/types/postgres_type.rs: Int256 => 1301)
+    (1301L, "rw_int256", "N", "rw_int256"))
 
   private val typNameOf: Map[Long, String] =
     pgTypes.map(t => t._1 -> t._2).toMap

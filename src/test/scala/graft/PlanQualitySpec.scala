@@ -278,4 +278,39 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!ext.contains("hashpartitioning"),
       s"external UDF apply must not hash-shuffle:\n$ext")
   }
+
+  test("int256 arithmetic fuses into whole-stage codegen; agg two-phases") {
+    Tables.register(spark, dir)
+    graft.plans.GraftExtensions.register(spark)
+    // per-row lane: the static-call expressions must sit INSIDE a
+    // WholeStageCodegen project over the scan — no fallback evals
+    val row = spark.sql(
+      """SELECT int256_text(int256_mul(int256(CAST(n_nationkey AS BIGINT)),
+        |  int256(9223372036854775807))) AS v FROM nation""".stripMargin)
+    row.collect()
+    val rp = row.queryExecution.executedPlan.toString
+    assert(rp.contains("*(1) Project"), s"int256 row lane not fused:\n$rp")
+    // aggregate lane: int256_sum is declarative — partial aggregation
+    // (map-side combine) must appear on both sides of the exchange, so
+    // the shuffle carries one 32-byte value per group per partition
+    val agg = spark.sql(
+      """SELECT n_regionkey, int256_text(int256_sum(int256(n_nationkey))) AS s
+        |FROM nation GROUP BY n_regionkey""".stripMargin)
+    agg.collect()
+    val ap = agg.queryExecution.executedPlan.toString
+    assert(ap.contains("SortAggregate") &&
+      "SortAggregate".r.findAllIn(ap).size >= 2,
+      s"int256_sum must two-phase through partial SortAggregate:\n$ap")
+  }
+
+  test("q_fn_pg_misc composition pack is one shuffle-free fused scan") {
+    Tables.register(spark, dir)
+    val df = SparkEntry.queries("q_fn_pg_misc")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"),
+      s"pure compositions must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython"),
+      s"pure compositions must not leave the JVM:\n$p")
+  }
 }
