@@ -124,6 +124,31 @@ class Int256Spec extends SparkSpecBase {
       math.abs(n140.doubleValue) * 1e-12)
   }
 
+  test("int256_sum maintains incrementally through a chained MV under DML") {
+    val wh = tmpDir("int256mv")
+    val e = new Engine(spark, wh)
+    val p200 = BigInteger.ONE.shiftLeft(200)
+    e.execute("SET streaming_parallelism = 2")
+    e.execute("CREATE TABLE i2_t (k BIGINT PRIMARY KEY, g VARCHAR, v VARCHAR)")
+    e.execute(
+      "CREATE MATERIALIZED VIEW i2_mv (PRIMARY KEY (g)) AS " +
+        "SELECT g, int256_text(int256_sum(int256(v))) AS s " +
+        "FROM i2_t GROUP BY g")
+    e.execute(s"INSERT INTO i2_t VALUES (1, 'a', '$p200'), " +
+      "(2, 'a', '5'), (3, 'b', '-7')")
+    e.execute("FLUSH")
+    def img(): Map[String, String] =
+      e.execute("SELECT g, s FROM i2_mv").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(img() == Map(
+      "a" -> p200.add(BigInteger.valueOf(5)).toString, "b" -> "-7"))
+    // group-moving UPDATE + group-emptying DELETE retract correctly
+    e.execute("UPDATE i2_t SET v = '6' WHERE k = 2")
+    e.execute("DELETE FROM i2_t WHERE k = 3")
+    e.execute("FLUSH")
+    assert(img() == Map("a" -> p200.add(BigInteger.valueOf(6)).toString))
+  }
+
   test("rw_int256 cast spellings rewrite through the engine") {
     val wh = tmpDir("int256sql")
     val e = new Engine(spark, wh)
