@@ -5235,6 +5235,7 @@ object Engine {
     "int256_sum" -> ("a rw_int256", "rw_int256"),
     "int256_avg" -> ("a rw_int256", "double precision"),
     "pg_sleep" -> ("seconds double precision", "void"),
+    "jsonb_object_agg" -> ("k text, v anyelement", "jsonb"),
     "int256_text" -> ("a rw_int256", "text"),
     "int256_float8" -> ("a rw_int256", "double precision"),
     "sind" -> ("x double precision", "double precision"),

@@ -252,6 +252,17 @@ object GraftExtensions {
       MapFilter(m, LambdaFunction(Not(EqualTo(kv, k)), Seq(kv, vv)))
     }),
     fn1("pg_sleep", c => PgSleep(c)),
+    // jsonb_object_agg(k, v) (reference aggregate/jsonb_agg.rs): the
+    // entry list sorts by key before the map builds — jsonb stores
+    // object keys sorted, so the rendering is deterministic under any
+    // aggregation order. Duplicate keys error (Spark's map dedup
+    // policy) where PG keeps the last — documented envelope.
+    fn2("jsonb_object_agg", (k, v) =>
+      StructsToJson(Map.empty[String, String],
+        MapFromEntries(new ArraySort(
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .CollectList(CreateStruct(Seq(Cast(k, StringType), v)))
+            .toAggregateExpression())))),
     // PG to_char over the SQL surface (reference: scalar/to_char.rs).
     // Datetime arguments translate the PG mask (YYYY/MM/DD/HH24/MI/SS…)
     // to a Spark pattern at plan time and rewrite to date_format;

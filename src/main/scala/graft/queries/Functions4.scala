@@ -174,6 +174,41 @@ object Functions4 extends QueryPack {
           |FROM nation ORDER BY n_nationkey""".stripMargin)
     },
 
+    // jsonb_object_agg (reference aggregate/jsonb_agg.rs): grouped
+    // key→value JSON objects, keys sorted (jsonb object semantics). The
+    // oracle builds the same text via string_agg ORDER BY — aggregate-
+    // order-proof on both sides.
+    q("q_jsonb_object_agg",
+      """SELECT n_regionkey,
+        |  '{' || string_agg('"' || n_name || '":' ||
+        |         CAST(n_nationkey AS VARCHAR), ',' ORDER BY n_name) || '}' AS j
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { s =>
+      graft.plans.GraftExtensions.register(s)
+      s.sql(
+        """SELECT n_regionkey, jsonb_object_agg(n_name, n_nationkey) AS j
+          |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    },
+
+    // PG statistical-aggregate spellings (reference aggregate/general.rs
+    // stddev_pop/stddev_samp/var_pop/var_samp) — Spark builtins under
+    // the same names; quantities aggregate as small integers so the
+    // 6-decimal rounding absorbs partial-order float drift.
+    q("q_stat_agg3",
+      """SELECT l_returnflag,
+        |  round(stddev_pop(l_quantity), 6) AS sp,
+        |  round(stddev_samp(l_quantity), 6) AS ss,
+        |  round(var_pop(l_quantity), 6) AS vp,
+        |  round(var_samp(l_quantity), 6) AS vs
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { s =>
+      s.sql(
+        """SELECT l_returnflag,
+          |  round(stddev_pop(l_quantity), 6) AS sp,
+          |  round(stddev_samp(l_quantity), 6) AS ss,
+          |  round(var_pop(l_quantity), 6) AS vp,
+          |  round(var_samp(l_quantity), 6) AS vs
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
     // rw_int256 scalar lane (reference: src/expr/impl/src/scalar/
     // int256.rs, src/common/src/types/num256.rs): in-cast from bigint
     // and from hex, add/mul/div/mod/neg arithmetic beyond the int64
