@@ -2090,8 +2090,19 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     """(?is)\s*CREATE\s+VIEW\s+(\w+)\s+AS\s+(.*?)\s*;?\s*""".r
   private val DropView =
     """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  // optional reference clauses (handler/create_index.rs): INCLUDE
+  // limits the covered columns (this engine's index stores the full
+  // row — a covering superset, so INCLUDE is validated and accepted);
+  // DISTRIBUTED BY picks the distribution key (here always the index
+  // key — a DISTRIBUTED BY that is a prefix of the key is the only
+  // form the reference allows anyway). Sort directions (ASC/DESC/
+  // NULLS …) on key columns parse and are dropped: bucket pruning is
+  // hash-based and in-bucket sorting is an access-path detail.
   private val CreateIndexStmt =
-    """(?is)\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*([\w\s,]+?)\s*\)\s*;?\s*""".r
+    ("""(?is)\s*CREATE\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)""" +
+      """\s*\(\s*([\w\s,]+?)\s*\)""" +
+      """(?:\s+INCLUDE\s*\(\s*([\w\s,]+?)\s*\))?""" +
+      """(?:\s+DISTRIBUTED\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*""").r
   private val DropIndexStmt =
     """(?is)\s*DROP\s+INDEX\s+(\w+)\s*;?\s*""".r
   private val ShowIndexes = """(?is)\s*SHOW\s+INDEXES\s*;?\s*""".r
@@ -4365,8 +4376,25 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           case ShowSources() =>
             import spark.implicits._
             showListing(sources.keys.toSeq).toDF("name")
-          case CreateIndexStmt(name, tbl, colList) =>
-            createIndex(name, tbl, colList.split(",").map(_.trim).toSeq)
+          case CreateIndexStmt(name, tbl, colList, include, distBy) =>
+            val keys = colList.split(",").map(_.trim)
+              .map(_.split("\\s+")(0)).toSeq // strip ASC/DESC/NULLS …
+            Seq(Option(include), Option(distBy)).flatten.foreach { cl =>
+              val cols = cl.split(",").map(_.trim.split("\\s+")(0))
+              val have = table(tbl).columns.toSet
+              val bad = cols.filterNot(have)
+              require(bad.isEmpty,
+                s"CREATE INDEX $name: unknown columns ${bad.mkString(",")}")
+            }
+            Option(distBy).foreach { d =>
+              val dk = d.split(",").map(_.trim).toSeq
+              require(keys.startsWith(dk),
+                s"CREATE INDEX $name: DISTRIBUTED BY must be a prefix " +
+                  s"of the index key (got $dk vs $keys)")
+            }
+            if ("(?i)IF\\s+NOT\\s+EXISTS".r.findFirstIn(statement).isDefined &&
+                indexes.contains(name)) statusDf("CREATE INDEX", name)
+            else createIndex(name, tbl, keys)
           case DropIndexStmt(name) if indexes.contains(name) =>
             indexes.remove(name)
             catalog.delete("indexes", name)

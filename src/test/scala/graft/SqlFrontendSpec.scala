@@ -737,6 +737,27 @@ class SqlFrontendSpec extends SparkSpecBase {
 
     e.execute("DROP INDEX cust_by_nation")
     assert(e.execute("SHOW INDEXES").isEmpty)
+
+    // reference clauses (handler/create_index.rs): INCLUDE validates
+    // and accepts (full-row covering superset), DISTRIBUTED BY must be
+    // a key prefix, sort directions on keys parse and drop, and
+    // IF NOT EXISTS is idempotent
+    e.execute("CREATE INDEX idx_full ON customer (c_nationkey ASC, c_custkey)" +
+      " INCLUDE (c_name, c_acctbal) DISTRIBUTED BY (c_nationkey)")
+    assert(e.indexLookup("idx_full", 7, 5L).count() <= 1)
+    e.execute("CREATE INDEX IF NOT EXISTS idx_full ON customer (c_nationkey)")
+    // unchanged: still the two-key index
+    assert(e.execute("SHOW INDEXES").as[(String, String, String)]
+      .collect().toSeq.exists(_._3.contains("c_custkey")))
+    intercept[Exception] {
+      e.execute("CREATE INDEX idx_bad ON customer (c_custkey)" +
+        " DISTRIBUTED BY (c_nationkey)")
+    }
+    intercept[Exception] {
+      e.execute("CREATE INDEX idx_bad2 ON customer (c_custkey)" +
+        " INCLUDE (no_such_col)")
+    }
+    e.execute("DROP INDEX idx_full")
   }
 
   test("SHOW JOBS lists streaming maintenance jobs with live status") {
