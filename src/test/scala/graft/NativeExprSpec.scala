@@ -271,6 +271,24 @@ class NativeExprSpec extends SparkSpecBase {
     assert(r.getTimestamp(0).toInstant.toString.startsWith("2024-03-15T10:30:00.5"))
   }
 
+  test("jsonb_object_agg maintains through a chained MV under DML") {
+    val e = new Engine(spark, tmpDir("joagg"))
+    e.execute("SET streaming_parallelism = 2")
+    e.execute("CREATE TABLE jo_t (k BIGINT PRIMARY KEY, g VARCHAR, v BIGINT)")
+    e.execute("CREATE MATERIALIZED VIEW jo_mv (PRIMARY KEY (g)) AS " +
+      "SELECT g, jsonb_object_agg(concat('k', k), v) AS j FROM jo_t GROUP BY g")
+    e.execute("INSERT INTO jo_t VALUES (1, 'a', 10), (2, 'a', 20), (3, 'b', 30)")
+    e.execute("FLUSH")
+    def img(): Map[String, String] =
+      e.execute("SELECT g, j FROM jo_mv").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(img() == Map("a" -> """{"k1":10,"k2":20}""", "b" -> """{"k3":30}"""))
+    e.execute("DELETE FROM jo_t WHERE k = 2")
+    e.execute("UPDATE jo_t SET v = 31 WHERE k = 3")
+    e.execute("FLUSH")
+    assert(img() == Map("a" -> """{"k1":10}""", "b" -> """{"k3":31}"""))
+  }
+
   test("pg_sleep sleeps in the task and returns NULL") {
     graft.plans.GraftExtensions.register(spark)
     val t0 = System.nanoTime()
