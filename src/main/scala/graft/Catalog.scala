@@ -187,6 +187,12 @@ object DurableCatalog {
     */
   final case class SecretEntry(valueB64: String, owner: String)
 
+  /** CREATE CONNECTION: a named connector property set (reference
+    * handler/create_connection.rs) — sources/sinks reference it with
+    * `connection = name` and the properties splice in at bind time.
+    */
+  final case class ConnectionEntry(props: Map[String, String], owner: String)
+
   /** ALTER SYSTEM SET — an instance-wide session-variable default. */
   final case class SysVarEntry(value: String)
 }

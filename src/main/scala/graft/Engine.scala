@@ -234,7 +234,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         .map { case (k, e) => k.replace('-', '.') -> e.text }.toMap,
       subs = subscriptions.toSeq,
       jobParallelism = mvs.list
-        .flatMap(n => mvs.get(n).map(n -> _.nBuckets)).toMap)
+        .flatMap(n => mvs.get(n).map(n -> _.nBuckets)).toMap,
+      connectionRows = connections.toSeq.map { case (n, p) =>
+        (n, p.getOrElse("type", "generic")) })
   }
 
   /** The engine's registered callables for pg_proc (psql `\df`, ORM
@@ -1373,10 +1375,39 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * join, union-all, union-agg) re-tail their upstream changelogs from
     * the durable frontiers. No-op when no checkpoint exists.
     */
+  /** Drop torn metadata-log temp files from a streaming checkpoint
+    * before resuming it. HDFSMetadataLog writes `.<batch>.<uuid>.tmp`
+    * then renames; a kill -9 that lands between the write and the
+    * rename (found by the crash-point fuzz — the halt tears whichever
+    * OTHER stream is mid-offsets-write) leaves a checkpoint whose only
+    * offsets entry is the temp file. On restart Spark sees no committed
+    * batch (a fresh run) but a non-empty directory and refuses with
+    * STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY. A never-renamed temp
+    * was never visible to any reader, so deleting it (and its CRC
+    * sibling) is exactly what the log's own next rename-over would do.
+    */
+  private def sanitizeCheckpoint(ckpt: String): Unit = {
+    val root = java.nio.file.Paths.get(ckpt)
+    if (!java.nio.file.Files.exists(root)) return
+    val it = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      it.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".") && (n.endsWith(".tmp") || n.endsWith(".tmp.crc"))
+        }
+        .toSeq
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+    } finally it.close()
+  }
+
   private def resumeMvMaintenance(name: String, mv: MaterializedView,
       e: DurableCatalog.MvEntry, q: String): Unit = {
     val ckpt = mvs.checkpointDir(name)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt))) return
+    sanitizeCheckpoint(ckpt)
     e.chainedFrom match {
       case Some(upName) =>
         // MV-on-MV chain: re-tail the upstream changelog from
@@ -1695,6 +1726,29 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       frontier)
     statusDf("CREATE MATERIALIZED VIEW (changelog chain)", name)
   }
+
+  /** Re-plan a source from an edited DDL: fresh reader, re-registered
+    * view, durable entry updated (ALTER SOURCE's shared tail).
+    */
+  private def replanSource(name: String, newDdl: String,
+      status: String): DataFrame = {
+    val d = SqlFrontend.parseCreateSource(newDdl).getOrElse(
+      throw new IllegalStateException(
+        s"ALTER SOURCE $name: stored DDL no longer parses"))
+    val stream = SqlFrontend.planSource(spark, d)
+    sources(name) = stream
+    stream.createOrReplaceTempView(name)
+    catalog.save("sources", name, DurableCatalog.SourceEntry(newDdl))
+    statusDf(status, name)
+  }
+
+  private val AlterSourceAddCol =
+    """(?is)\s*ALTER\s+SOURCE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()\[\]<>0-9, ]+?)\s*;?\s*""".r
+
+  private val AlterRateLimitStmt =
+    ("""(?is)\s*ALTER\s+(SOURCE|TABLE|MATERIALIZED\s+VIEW)\s+(\w+)\s+SET\s+""" +
+      """(SOURCE_RATE_LIMIT|STREAMING_RATE_LIMIT|BACKFILL_RATE_LIMIT)""" +
+      """\s+TO\s+(\d+|DEFAULT)\s*;?\s*""").r
 
   private val AlterRename =
     """(?is)\s*ALTER\s+(TABLE|MATERIALIZED\s+VIEW)\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*;?\s*""".r
@@ -2806,6 +2860,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     import graft.streaming.Changelog
     val mv = mvs.get(d.from).getOrElse(throw new IllegalArgumentException(
       s"CREATE SINK ${d.name}: unknown materialized view ${d.from}"))
+    // restart/recovery may find a torn metadata-log temp from a crash
+    sanitizeCheckpoint(s"$warehouseDir/sinks/${d.name}/checkpoint")
     // external-database sink (reference: src/connector/src/sink/jdbc.rs
     // — upsert / append-only delivery into an existing remote table)
     if (d.options.get("connector").contains("jdbc")) {
@@ -3390,6 +3446,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private[graft] def databaseExists(d: String): Boolean =
     d == "dev" || databases.contains(d)
 
+  // reference handler/use_db.rs: re-home the session to another
+  // database mid-connection (the wire layer captures the switch back
+  // into its per-connection state)
+  private val UseDbStmt = """(?is)\s*USE\s+(\w+)\s*;?\s*""".r
+
   // ------------------------------------------------------------ secrets
   //
   // Reference: handler/create_secret.rs + secret catalog. Values store
@@ -3418,6 +3479,54 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       java.util.regex.Matcher.quoteReplacement(
         secrets.getOrElse(m.group(1), throw new IllegalArgumentException(
           s"secret \"${m.group(1)}\" does not exist"))))
+
+  // ------------------------------------------------------- connections
+  //
+  // Reference: handler/create_connection.rs — a named connector
+  // property set; CREATE SOURCE/SINK reference it with
+  // `connection = name` and the stored properties splice into the WITH
+  // clause at bind time (`type` validates against the statement's
+  // connector). Splice-at-bind means a later DROP CONNECTION does not
+  // cascade to already-created sources — documented divergence from
+  // the reference's dependency tracking.
+
+  private val connections =
+    scala.collection.mutable.Map[String, Map[String, String]]()
+
+  private val CreateConnectionStmt =
+    ("""(?is)\s*CREATE\s+CONNECTION\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)""" +
+      """\s+WITH\s*\(([^)]*)\)\s*;?\s*""").r
+  private val DropConnectionStmt =
+    """(?is)\s*DROP\s+CONNECTION\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*""".r
+  private val ShowConnections = """(?is)\s*SHOW\s+CONNECTIONS\s*;?\s*""".r
+
+  private val ConnectionRef =
+    """(?i)\bconnection\s*=\s*'?([A-Za-z_]\w*)'?""".r
+
+  /** Splice `connection = name` into the stored property set. Always
+    * emits `connection_name = '<name>'` first (the reference records
+    * the reference the same way), then the connection's properties
+    * minus `type`.
+    */
+  private def resolveConnectionRefs(stmt: String): String =
+    if (!stmt.toLowerCase.contains("connection")) stmt
+    else ConnectionRef.replaceAllIn(stmt, m => {
+      val n = m.group(1)
+      val props = connections.getOrElse(n,
+        throw new IllegalArgumentException(
+          s"connection \"$n\" does not exist"))
+      val connectorRe = """(?i)\bconnector\s*=\s*'(\w+)'""".r
+      for (t <- props.get("type");
+           c <- connectorRe.findFirstMatchIn(stmt))
+        require(t.equalsIgnoreCase(c.group(1)),
+          s"connection \"$n\" is type $t but the statement's " +
+            s"connector is ${c.group(1)}")
+      val spliced = (s"connection_name = '$n'" +:
+        props.toSeq.filterNot(_._1 == "type").sortBy(_._1)
+          .map { case (k, v) => s"$k = '${v.replace("'", "''")}'" })
+        .mkString(", ")
+      java.util.regex.Matcher.quoteReplacement(spliced)
+    })
 
   private val CreateSchemaStmt =
     """(?is)\s*CREATE\s+SCHEMA\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s*;?\s*""".r
@@ -4011,6 +4120,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         return createSchema(name, ifNot != null)
       case DropSchemaStmt(ifEx, name, mode) =>
         return dropSchema(name, ifEx != null, mode)
+      case UseDbStmt(name) =>
+        if (!databaseExists(name)) throw new IllegalArgumentException(
+          s"database \"$name\" does not exist")
+        sessionDatabase = name
+        // the session's search_path re-anchors to the new database's
+        // namespace (its entries resolve through dbSchema per statement,
+        // so the stored path text stays valid as-is)
+        return statusDf("USE", name)
       case CreateDatabaseStmt(ifNot, name) =>
         if (databaseExists(name)) {
           if (ifNot == null) throw new IllegalArgumentException(
@@ -4100,6 +4217,45 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         import spark.implicits._
         return secrets.keys.toSeq.sorted.map(n => (n, "meta"))
           .toDF("name", "backend")
+      case CreateConnectionStmt(ifNot, name, optList) =>
+        require(isSuperuser(sessionUser) ||
+          users.get(sessionUser).exists(_.createdb),
+          s"permission denied to create connection (as $sessionUser)")
+        if (connections.contains(name)) {
+          if (ifNot == null) throw new IllegalArgumentException(
+            s"connection \"$name\" already exists")
+        } else {
+          val props = SqlFrontend.splitTopLevel(optList, ',').flatMap { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) => Some(k.trim.toLowerCase ->
+                v.trim.stripPrefix("'").stripSuffix("'"))
+              case _ => None
+            }
+          }.toMap
+          require(props.nonEmpty,
+            s"CREATE CONNECTION $name: WITH (…) must set properties")
+          connections(name) = props
+          catalog.save("connections", name,
+            DurableCatalog.ConnectionEntry(props, sessionUser))
+        }
+        return statusDf("CREATE CONNECTION", name)
+      case DropConnectionStmt(ifEx, name) =>
+        if (!connections.contains(name)) {
+          if (ifEx == null) throw new IllegalArgumentException(
+            s"connection \"$name\" does not exist")
+        } else {
+          connections.remove(name)
+          catalog.delete("connections", name)
+        }
+        return statusDf("DROP CONNECTION", name)
+      case ShowConnections() =>
+        import spark.implicits._
+        // property VALUES stay out of the listing (they may carry
+        // ${secret:…} refs or endpoints) — name, type, key names only
+        return connections.toSeq.sortBy(_._1).map { case (n, p) =>
+          (n, p.getOrElse("type", "generic"),
+            p.keys.toSeq.sorted.mkString(","))
+        }.toDF("name", "type", "properties")
       case ShowProcessList() =>
         import spark.implicits._
         val now = System.currentTimeMillis()
@@ -4217,17 +4373,23 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             Some(generated).filter(_.nonEmpty), onConflict))
         statusDf("CREATE TABLE", name)
       case None =>
-    SqlFrontend.parseCreateSource(statement) match {
+    // connection objects splice into source/sink WITH clauses here
+    val statementC =
+      if ("(?is)^\\s*CREATE\\s+(SOURCE|SINK|TABLE)\\b".r
+          .findFirstIn(statement).isDefined)
+        resolveConnectionRefs(statement)
+      else statement
+    SqlFrontend.parseCreateSource(statementC) match {
       case Some(d: SourceDef) =>
         val stream = SqlFrontend.planSource(spark, d)
         sources(d.name) = stream
         stream.createOrReplaceTempView(d.name)
-        catalog.save("sources", d.name, DurableCatalog.SourceEntry(statement))
+        catalog.save("sources", d.name, DurableCatalog.SourceEntry(statementC))
         statusDf("CREATE SOURCE", d.name)
-      case None => SqlFrontend.parseCreateSink(statement) match {
+      case None => SqlFrontend.parseCreateSink(statementC) match {
       case Some(d: SqlFrontend.SinkDef) => startSink(d)
-      case None if SqlFrontend.parseCreateSinkAs(statement).isDefined =>
-        startSinkFromQuery(SqlFrontend.parseCreateSinkAs(statement).get)
+      case None if SqlFrontend.parseCreateSinkAs(statementC).isDefined =>
+        startSinkFromQuery(SqlFrontend.parseCreateSinkAs(statementC).get)
       case None if CreateChangelogMvStmt.pattern.matcher(statement).matches() =>
         val CreateChangelogMvStmt(name, subName, relName, selectSql) = statement
         createChangelogMv(name, subName, relName, selectSql)
@@ -4460,6 +4622,68 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             statusDf("RECOVER", "")
           case AlterParallelism(kindS, name, n) =>
             alterParallelism(kindS, name, n)
+          case AlterRateLimitStmt(kindS, name, limitKind, value) =>
+            // reference alter_streaming_rate_limit.rs. SOURCE is real:
+            // the option re-plans the reader with a per-micro-batch
+            // admission cap (files/trigger — see planSource); running
+            // downstream jobs pick it up on their next (re)start, the
+            // same way the reference applies it at the next barrier.
+            // TABLE/MV forms fence loudly: DML here is batch-atomic and
+            // backfill is one consistent batch — there is no admission
+            // stream to meter.
+            if (!kindS.equalsIgnoreCase("SOURCE"))
+              throw new IllegalArgumentException(
+                s"ALTER ${kindS.toUpperCase} SET $limitKind is not " +
+                  "applicable: table DML and MV backfill run batch-atomic " +
+                  "in this engine; only ALTER SOURCE meters admission")
+            val entry = catalog.load[DurableCatalog.SourceEntry](
+              "sources", name).getOrElse(throw new IllegalArgumentException(
+                s"ALTER SOURCE: no such source $name"))
+            val stripped = entry.ddl.replaceAll(
+              "(?i)source_rate_limit\\s*=\\s*'?\\d+'?\\s*,?\\s*", "")
+            val newDdl =
+              if (value.equalsIgnoreCase("DEFAULT")) stripped
+              else stripped.replaceFirst("(?i)WITH\\s*\\(",
+                s"WITH (source_rate_limit = '$value', ")
+            replanSource(name, newDdl, s"ALTER SOURCE SET $limitKind")
+          case AlterSourceAddCol(name, cname, ctype)
+              if sources.contains(name) =>
+            // reference alter_source_column.rs: schema evolution on a
+            // declared-column source — the stored DDL's column block
+            // gains the field and the reader re-plans. Inferred-schema
+            // sources (no declared block) fence loudly: their shape IS
+            // the files', there is nothing to evolve engine-side.
+            SqlFrontend.sqlType(ctype) // validate the type spelling
+            val entry = catalog.load[DurableCatalog.SourceEntry](
+              "sources", name).getOrElse(throw new IllegalArgumentException(
+                s"ALTER SOURCE: no such source $name"))
+            val ddl = entry.ddl
+            val headEnd = "(?is)^\\s*CREATE\\s+SOURCE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?\\w+"
+              .r.findFirstMatchIn(ddl).map(_.end).getOrElse(
+                throw new IllegalStateException(s"unparseable DDL for $name"))
+            val openAt = ddl.indexWhere(!_.isWhitespace, headEnd)
+            require(openAt >= 0 && ddl.charAt(openAt) == '(',
+              s"ALTER SOURCE $name ADD COLUMN: the source has no declared " +
+                "column list (schema is inferred from its files) — " +
+                "re-create it with explicit columns to evolve the schema")
+            // find the matching close (types like DECIMAL(10,2) nest)
+            var depth = 0; var i = openAt; var closeAt = -1
+            while (closeAt < 0 && i < ddl.length) {
+              ddl.charAt(i) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1; if (depth == 0) closeAt = i
+                case _ =>
+              }
+              i += 1
+            }
+            require(closeAt > openAt, s"unbalanced column list in $name DDL")
+            val block = ddl.substring(openAt + 1, closeAt)
+            require(!("(?i)(?<![\\w])" + cname + "\\s").r
+              .findFirstIn(block).isDefined,
+              s"ALTER SOURCE $name: column $cname already exists")
+            val newDdl = ddl.substring(0, closeAt) +
+              s", $cname $ctype" + ddl.substring(closeAt)
+            replanSource(name, newDdl, "ALTER SOURCE ADD COLUMN")
           case AlterOwner(kindS, name, user) => alterOwner(kindS, name, user)
           case AlterSetSchema(kindS, name, target) =>
             alterSetSchema(kindS, name, target)
@@ -4872,6 +5096,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     secrets ++= catalog.list[SecretEntry]("secrets").map { case (n, e) =>
       n -> new String(java.util.Base64.getDecoder.decode(e.valueB64), "UTF-8")
     }
+    connections ++= catalog.list[ConnectionEntry]("connections")
+      .map { case (n, e) => n -> e.props }
     // ALTER SYSTEM defaults: restore, then push live knobs (timezone,
     // shuffle width, implicit flush) through their behavior hooks
     systemDefaults ++= catalog.list[SysVarEntry]("sysvars")

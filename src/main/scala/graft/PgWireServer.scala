@@ -73,6 +73,8 @@ final class PgWireServer(engine: Engine, requestedPort: Int = 0,
     engine.wireSessionQuery(connPid.get, sql)
     try engine.execute(sql) finally {
       connUser.set(engine.sessionUser)
+      // USE <db> (reference handler/use_db.rs) re-homes the CONNECTION
+      connDb.set(engine.sessionDatabase)
       connVars.set(engine.snapshotSessionVars())
       engine.wireSessionQuery(connPid.get, "")
     }

@@ -388,7 +388,19 @@ object SqlFrontend {
               "kafka source requires properties.bootstrap.server = '…'")),
           d.path,
           d.options.getOrElse("scan.startup.mode", "earliest"))
-      case _ => d.encodeClause match {
+      case _ =>
+        // SOURCE_RATE_LIMIT (reference alter_streaming_rate_limit.rs /
+        // source WITH option): per-micro-batch admission cap. Spark's
+        // file sources meter by FILES per trigger — the honest analog
+        // of the reference's rows/s barrier config (documented unit
+        // divergence); each micro-batch admits at most this many files.
+        val rateLimit = d.options.get("source_rate_limit")
+          .map(v => math.max(1, v.toInt))
+        def reader = {
+          val r = spark.readStream
+          rateLimit.fold(r)(n => r.option("maxFilesPerTrigger", n))
+        }
+        d.encodeClause match {
         case Some((fmt, enc)) =>
           // payload files (one payload per line) decoded by the declared
           // schema through the codec matrix — the reference's
@@ -397,7 +409,7 @@ object SqlFrontend {
           val rowSchema = d.declaredSchema.getOrElse(
             throw new IllegalArgumentException(
               "FORMAT … ENCODE … requires a declared column list"))
-          val raw = spark.readStream.text(d.path)
+          val raw = reader.text(d.path)
           (fmt, enc) match {
             case ("PLAIN", "JSON") => Formats.decodeJson(raw, "value", rowSchema)
             case ("PLAIN", "CSV") => Formats.decodeCsv(raw, "value", rowSchema)
@@ -412,7 +424,7 @@ object SqlFrontend {
             s"CREATE SOURCE format '${d.format}' not supported (parquet only; " +
               "json/csv payloads decode via graft.sources.Formats)")
           val schema = d.declaredSchema.getOrElse(spark.read.parquet(d.path).schema)
-          spark.readStream.schema(schema).parquet(d.path)
+          reader.schema(schema).parquet(d.path)
       }
     }
     (d.watermarkCol, d.watermarkDelay) match {

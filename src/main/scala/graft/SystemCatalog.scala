@@ -69,7 +69,7 @@ object SystemCatalog {
     // (actors/fragments/hummock LSM/meta cluster) — concepts this
     // engine delegates to Spark; "none defined" is the truthful answer
     "rw_actor\\w*|rw_fragment_id_to_ddl|rw_fragment_parallelism|" +
-    "rw_hummock_\\w+|rw_connections|" +
+    "rw_hummock_\\w+|" +
     "rw_event_logs|rw_ddl_progress|rw_meta_snapshot|" +
     "rw_rate_limit|rw_internal_table\\w*|rw_iceberg_\\w+|" +
     "rw_worker_actor_count|" +
@@ -456,7 +456,8 @@ object SystemCatalog {
       epochRows: Seq[(String, Long, Long)] = Seq.empty,
       comments: Map[String, String] = Map.empty,
       subs: Seq[(String, String)] = Seq.empty,
-      jobParallelism: Map[String, Int] = Map.empty): Unit = {
+      jobParallelism: Map[String, Int] = Map.empty,
+      connectionRows: Seq[(String, String)] = Seq.empty): Unit = {
     val s = spark
     import s.implicits._
     val none: Option[java.sql.Timestamp] = None
@@ -570,6 +571,14 @@ object SystemCatalog {
       .map { case (n, i) => (31000 + i, n, NsPublic.toInt, owner, acl) }
       .toDF("id", "name", "schema_id", "owner", "acl")
       .createOrReplaceTempView("rw_secrets")
+
+    // connection objects (reference rw_catalog/rw_connections.rs):
+    // name + type; property values stay out of the catalog surface
+    connectionRows.sortBy(_._1).zipWithIndex
+      .map { case ((n, t), i) =>
+        (31500 + i, n, NsPublic.toInt, owner, t, "", acl) }
+      .toDF("id", "name", "schema_id", "owner", "type", "provider", "acl")
+      .createOrReplaceTempView("rw_connections")
 
     // published-epoch timeline per relation — the binding surface for
     // `FOR SYSTEM_TIME AS OF` (the reference exposes its meta snapshots

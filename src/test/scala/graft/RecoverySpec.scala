@@ -42,6 +42,42 @@ class RecoverySpec extends SparkSpecBase {
     assert(out == Seq(("a", 2L, 4.0), ("b", 2L, 7.0), ("c", 1L, 7.0)))
   }
 
+  test("recovery sanitizes a torn offsets temp file (crash-fuzz find)") {
+    // A kill -9 can land between a metadata-log temp write and its
+    // rename, leaving offsets/ holding ONLY `.0.<uuid>.tmp` — Spark 4
+    // then refuses the restart (STATE_STORE_CHECKPOINT_LOCATION_NOT_
+    // EMPTY: no committed batch ⇒ "new" query, but the dir is not
+    // empty). Fabricate that exact state and prove recovery resumes.
+    import java.nio.file.{Files, Paths}
+    val wh = tmpDir("tornckpt")
+    val e1 = new Engine(spark.newSession(), wh)
+    e1.execute("SET streaming_parallelism = 2")
+    e1.execute("CREATE TABLE tc_t (k BIGINT PRIMARY KEY, v BIGINT)")
+    e1.execute("CREATE MATERIALIZED VIEW tc_mv (PRIMARY KEY (k)) AS " +
+      "SELECT k, v * 2 AS v2 FROM tc_t")
+    e1.execute("INSERT INTO tc_t VALUES (1, 10), (2, 20)")
+    e1.execute("FLUSH")
+    e1.streamingJob("tc_mv").foreach(_.stop())
+    // tear the checkpoint the way the halt does: no committed batch
+    // files, just a dangling temp + its CRC
+    val off = Paths.get(wh, "tc_mv", "checkpoint", "offsets")
+    Files.list(off).forEach(p => Files.delete(p))
+    val com = Paths.get(wh, "tc_mv", "checkpoint", "commits")
+    if (Files.exists(com)) Files.list(com).forEach(p => Files.delete(p))
+    Files.write(off.resolve(".0.deadbeef-1234.tmp"), "v1".getBytes)
+    Files.write(off.resolve("..0.deadbeef-1234.tmp.crc"), Array[Byte](1))
+
+    val e2 = new Engine(spark.newSession(), wh)
+    // the resumed maintenance job must start (sanitized checkpoint) and
+    // keep maintaining exactly-once
+    e2.execute("INSERT INTO tc_t VALUES (3, 30)")
+    e2.execute("FLUSH")
+    assert(e2.execute("SELECT k, v2 FROM tc_mv ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 20L), (2L, 40L), (3L, 60L)))
+    e2.streamingJob("tc_mv").foreach(_.stop())
+  }
+
   test("nexmark-style pipeline: windowed hot-items MV with per-window top-k") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("nexmark")

@@ -167,6 +167,26 @@ class SchemaFuzzSpec extends SparkSpecBase {
   // database; here two sessions on different databases must see fully
   // disjoint catalogs (names, schemas, listings) over one engine.
 
+  test("USE re-homes the session to another database (use_db.rs)") {
+    val e = new Engine(spark, tmpDir("usedb"))
+    e.execute("CREATE DATABASE appdb")
+    e.execute("CREATE TABLE u_dev (k BIGINT PRIMARY KEY)")
+    e.execute("INSERT INTO u_dev VALUES (1)")
+    e.execute("USE appdb")
+    assert(e.sessionDatabase == "appdb")
+    e.execute("CREATE TABLE u_app (k BIGINT PRIMARY KEY)")
+    e.execute("INSERT INTO u_app VALUES (7)")
+    assert(e.execute("SELECT k FROM u_app").head().getLong(0) == 7L)
+    // dev is the flat root namespace: its bare names stay reachable
+    // from a named database (documented envelope — the reverse is
+    // prefix-hidden)
+    assert(e.execute("SELECT k FROM u_dev").head().getLong(0) == 1L)
+    e.execute("USE dev")
+    assert(e.execute("SELECT k FROM u_dev").head().getLong(0) == 1L)
+    intercept[Exception] { e.execute("SELECT * FROM u_app") }
+    intercept[Exception] { e.execute("USE no_such_db") }
+  }
+
   test("databases isolate catalogs: same names coexist, listings disjoint") {
     val wh = tmpDir("dbisolate")
     val e = new Engine(spark, wh)

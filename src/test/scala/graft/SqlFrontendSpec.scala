@@ -38,6 +38,120 @@ class SqlFrontendSpec extends SparkSpecBase {
     assert(e.streamingJob("ev_mv").isEmpty || !job.isActive)
   }
 
+  test("CREATE CONNECTION objects splice into sources and survive restart") {
+    val wh = tmpDir("connobj")
+    val e = new Engine(spark, wh)
+    val srcDir = tmpDir("connobj-src")
+    Seq((1L, 5.0), (2L, 7.0)).toDF("id", "v")
+      .write.mode("append").parquet(srcDir)
+
+    e.execute(s"CREATE CONNECTION filestore WITH " +
+      s"(type = 'file', path = '$srcDir', format = 'parquet')")
+    // duplicate create errors; IF NOT EXISTS is idempotent
+    intercept[Exception] {
+      e.execute("CREATE CONNECTION filestore WITH (type = 'file')")
+    }
+    e.execute("CREATE CONNECTION IF NOT EXISTS filestore WITH (type = 'x')")
+    // listing shows name/type/key names, never property values
+    val listed = e.execute("SHOW CONNECTIONS").collect()
+    assert(listed.map(_.getString(0)).toSeq == Seq("filestore"))
+    assert(listed.head.getString(1) == "file")
+    assert(!listed.head.getString(2).contains(srcDir))
+
+    // the source's WITH clause pulls path/format from the connection;
+    // type validates against the connector
+    e.execute("CREATE SOURCE conn_src WITH " +
+      "(connector = 'file', connection = filestore)")
+    val mv = e.execute(
+      """CREATE MATERIALIZED VIEW conn_mv (PRIMARY KEY (id)) AS
+        |SELECT id, v * 2 AS v2 FROM conn_src""".stripMargin)
+    assert(mv.head().getString(0).contains("streaming"))
+    e.streamingJob("conn_mv").get.processAllAvailable()
+    assert(e.table("conn_mv").orderBy("id").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, 10.0), (2L, 14.0)))
+    intercept[Exception] {
+      e.execute("CREATE SOURCE bad_src WITH " +
+        "(connector = 'kafka', connection = filestore)")
+    }
+    // rw_catalog surfaces the object
+    assert(e.execute(
+      "SELECT name, type FROM rw_catalog.rw_connections").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("filestore", "file")))
+
+    // a fresh engine over the same warehouse recovers the object
+    e.streamingJob("conn_mv").foreach(_.stop())
+    val e2 = new Engine(spark.newSession(), wh)
+    assert(e2.execute("SHOW CONNECTIONS").collect()
+      .map(_.getString(0)).toSeq == Seq("filestore"))
+    e2.execute("DROP CONNECTION filestore")
+    intercept[Exception] { e2.execute("DROP CONNECTION filestore") }
+    e2.execute("DROP CONNECTION IF EXISTS filestore")
+    assert(e2.execute("SHOW CONNECTIONS").isEmpty)
+  }
+
+  test("ALTER SOURCE SET SOURCE_RATE_LIMIT meters admission per micro-batch") {
+    val e = new Engine(spark, tmpDir("ratelim"))
+    val srcDir = tmpDir("ratelim-src")
+    // three one-file appends — the metering unit is files/trigger
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, i * 1.0)).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    e.execute(s"CREATE SOURCE rl_src WITH (path = '$srcDir', format = 'parquet')")
+    e.execute("ALTER SOURCE rl_src SET SOURCE_RATE_LIMIT TO 1")
+    e.execute(
+      """CREATE MATERIALIZED VIEW rl_mv (PRIMARY KEY (id)) AS
+        |SELECT id, v FROM rl_src""".stripMargin)
+    val job = e.streamingJob("rl_mv").get
+    job.processAllAvailable()
+    // all rows arrive, but across >=3 micro-batches (1 file/trigger)
+    assert(e.table("rl_mv").count() == 3)
+    assert(job.recentProgress.count(_.numInputRows > 0) >= 3,
+      s"expected >=3 metered batches, got " +
+        s"${job.recentProgress.map(_.numInputRows).mkString(",")}")
+    // the limit survives in the re-issuable DDL and DEFAULT removes it
+    assert(e.execute("SHOW CREATE SOURCE rl_src").head().getString(1)
+      .toLowerCase.contains("source_rate_limit"))
+    e.execute("ALTER SOURCE rl_src SET SOURCE_RATE_LIMIT TO DEFAULT")
+    assert(!e.execute("SHOW CREATE SOURCE rl_src").head().getString(1)
+      .toLowerCase.contains("source_rate_limit"))
+    // table/MV forms fence loudly — batch-atomic DML has no admission
+    intercept[Exception] {
+      e.execute("ALTER TABLE rl_x SET STREAMING_RATE_LIMIT TO 5")
+    }
+    job.stop()
+  }
+
+  test("ALTER SOURCE ADD COLUMN evolves a declared-column source") {
+    val e = new Engine(spark, tmpDir("srcevolve"))
+    val srcDir = tmpDir("srcevolve-src")
+    Seq((1L, 2.0)).toDF("a", "b").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    e.execute(s"CREATE SOURCE ev_src (a BIGINT, b DOUBLE) " +
+      s"WITH (path = '$srcDir', format = 'parquet')")
+    e.execute("ALTER SOURCE ev_src ADD COLUMN c VARCHAR")
+    assert(e.execute("SHOW CREATE SOURCE ev_src").head().getString(1)
+      .contains("c VARCHAR"))
+    // a fresh MV over the evolved source sees the new (absent → null)
+    // column without touching the files
+    e.execute(
+      """CREATE MATERIALIZED VIEW ev_mv2 (PRIMARY KEY (a)) AS
+        |SELECT a, b, c FROM ev_src""".stripMargin)
+    e.streamingJob("ev_mv2").get.processAllAvailable()
+    val r = e.table("ev_mv2").head()
+    assert(r.getLong(0) == 1L && r.getDouble(1) == 2.0 && r.isNullAt(2))
+    intercept[Exception] {
+      e.execute("ALTER SOURCE ev_src ADD COLUMN c VARCHAR") // duplicate
+    }
+    // inferred-schema sources have nothing to evolve engine-side
+    e.execute(s"CREATE SOURCE inf_src WITH (path = '$srcDir', format = 'parquet')")
+    intercept[Exception] {
+      e.execute("ALTER SOURCE inf_src ADD COLUMN x INT")
+    }
+    e.streamingJob("ev_mv2").foreach(_.stop())
+  }
+
   test("CREATE SOURCE parses WATERMARK FOR ... AS ... - INTERVAL DDL") {
     val e = new Engine(spark, tmpDir("sqlwm"))
     val srcDir = tmpDir("sqlwm-src")
