@@ -318,6 +318,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   private val DropMv =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*""".r
   private val Flush = """(?is)\s*FLUSH\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM(?:\s+(?:FULL|ANALYZE|\(\s*\w+\s*\)))*(?:\s+(\w+))?\s*;?\s*""".r
   private val InsertValues =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\))?\s+(VALUES\s+.*|SELECT\s+.*)""".r
   private val DeleteFrom =
@@ -2530,6 +2532,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     scala.collection.immutable.ListMap(
       "application_name" -> ("", "Sets the application name to be reported in statistics and logs."),
       "batch_parallelism" -> ("0", "Sets the parallelism for batch queries (0 = adaptive)."),
+      "changelog_retention_epochs" -> ("0", "Trailing changelog epochs retained past the compaction frontier (time travel below it errors)."),
+      "changelog_snapshot_interval" -> ("0", "Compact each store's changelog into a snapshot checkpoint every N published epochs at FLUSH (0 = only on explicit VACUUM)."),
       "client_encoding" -> ("UTF8", "Sets the client's character set encoding."),
       "client_min_messages" -> ("notice", "Sets the message levels that are sent to the client."),
       "datestyle" -> ("ISO, MDY", "Sets the display format for date and time values."),
@@ -2702,6 +2706,64 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         j.processAllAvailable()
         if (temporalFilters.contains(n)) evictTemporal(n)
       }
+
+  // --- changelog compaction (reference: Hummock checkpoint + compaction
+  // + vacuum, docs/dev/src/design/state-store-overview.md,
+  // src/storage/compactor/, src/meta/src/hummock/): periodic snapshot
+  // checkpoints bound each store's changelog to O(table + retained
+  // epochs) instead of O(lifetime history), and AS-OF reads to
+  // O(epochs-since-snapshot). The reference compacts continuously in the
+  // background; here the deterministic quiescent point right after a
+  // full drain (FLUSH / VACUUM) plays that role, which is also what
+  // makes expiry safe for chained subscribers (see retentionFrontier).
+
+  /** The newest epoch of `internalName`'s store that may be compacted
+    * away: min(latest − changelog_retention_epochs, oldest unconsumed
+    * subscription-cursor position). A cursor's position is the epoch it
+    * has consumed THROUGH (a partially-fetched epoch pins the position
+    * just below itself), so expiring at or below the minimum never drops
+    * an unconsumed epoch. Chained-MV subscribers are file-stream
+    * checkpoints that never re-request files they have logged; callers
+    * compact only at quiescence (after a full drain), where every
+    * published file is logged. A subscription with no declared cursor
+    * pins nothing — like the reference, where subscription retention is
+    * its own time-based budget, a consumer that has not started reading
+    * is not a reason to hold history forever; a later FULL cursor
+    * replays the RETAINED log.
+    */
+  private def retentionFrontier(internalName: String): Long = {
+    val mv = mvs.get(internalName).getOrElse(return -1L)
+    val latest = mv.latestChangelogBatchId
+    if (latest < 0) return -1L
+    val retain = math.max(
+      varValue("changelog_retention_epochs").toLongOption.getOrElse(0L), 0L)
+    val subNames =
+      subscriptions.collect { case (s, m) if m == internalName => s }.toSet
+    val cursorMin = cursors.values
+      .collect { case (s, pos) if subNames(s) => pos }
+      .minOption.getOrElse(Long.MaxValue)
+    math.min(latest - retain, cursorMin)
+  }
+
+  /** FLUSH-time automatic compaction, enabled by
+    * `changelog_snapshot_interval` > 0: any store whose changelog grew
+    * at least that many epochs past its newest snapshot is checkpointed
+    * at its retention frontier and its history below expired. Called
+    * only right after [[drainAllJobs]] (the quiescence contract above).
+    */
+  private def autoCompactStores(): Unit = {
+    val interval =
+      varValue("changelog_snapshot_interval").toLongOption.getOrElse(0L)
+    if (interval <= 0) return
+    mvs.list.foreach { n =>
+      mvs.get(n).foreach { mv =>
+        val frontier = retentionFrontier(n)
+        if (frontier > mv.latestSnapshotEpoch &&
+            mv.latestChangelogBatchId - mv.latestSnapshotEpoch >= interval)
+          mv.compactTo(frontier)
+      }
+    }
+  }
 
   // --- subscriptions / cursors (reference: CREATE SUBSCRIPTION +
   // DECLARE … SUBSCRIPTION CURSOR + FETCH, handler/create_subscription.rs
@@ -3188,21 +3250,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   }
 
   /** Resolve a target wall-time onto the newest commit at or before it:
-    * the store's birth (root changelog files from a CTAS seed, pseudo-
-    * epoch -1) and every published epoch form the timeline.
+    * the store's birth (persisted `_birth_ms` sidecar, pseudo-epoch -1)
+    * and every published epoch (persisted `_commit_ms` markers) form
+    * the timeline — both survive a warehouse copy/restore, unlike the
+    * file mtimes they fall back to for pre-sidecar stores.
     */
   private def epochAtTime(mv: graft.streaming.MaterializedView,
       rel: String, targetMs: Long): Long = {
-    import scala.jdk.CollectionConverters._
-    val birth = {
-      val dir = java.nio.file.Paths.get(mv.changelogLocation)
-      if (!java.nio.file.Files.exists(dir)) Nil
-      else java.nio.file.Files.list(dir).iterator().asScala
-        .filter(p => java.nio.file.Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
-        .toSeq.sorted.headOption.map((-1L, _)).toSeq
-    }
+    val birth = mv.birthMs.map((-1L, _)).toSeq
     (birth ++ mv.epochCommitTimes).filter(_._2 <= targetMs)
       .map(_._1).sorted.lastOption.getOrElse(
         throw new IllegalArgumentException(
@@ -3215,13 +3270,25 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * qualified column references keep resolving). Unknown relations
     * error loudly — time travel over a non-engine relation has no
     * changelog to reconstruct from.
+    *
+    * Literal-safe: a match STARTING inside a single-quoted string
+    * literal is data, not syntax, and is left verbatim (the clause's own
+    * timestamp literal sits mid-match, so literals can't just be masked
+    * away before matching); replacements splice by offset, never by
+    * matched-text search, so equal text inside a literal elsewhere can't
+    * be clobbered.
     */
   private def rewriteTimeTravel(stmt: String): String =
     if (!"(?i)FOR\\s+SYSTEM_TIME".r.findFirstIn(stmt).isDefined) stmt
     else {
-      var out = stmt
-      AsOfScanRe.findAllMatchIn(stmt).toSeq.zipWithIndex.foreach {
-        case (m, k) =>
+      val matches = AsOfScanRe.findAllMatchIn(stmt).toSeq
+        .filterNot(m => Engine.insideLiteral(stmt, m.start))
+      if (matches.isEmpty) return stmt
+      val out = new StringBuilder
+      var pos = 0
+      matches.zipWithIndex.foreach { case (m, k) =>
+        if (m.start < pos) () // overlapping artifact — keep earlier splice
+        else {
           val rel = m.group(1)
           val mv = mvs.get(rel).getOrElse(throw new IllegalArgumentException(
             s"FOR SYSTEM_TIME AS OF: $rel is not an engine-managed table " +
@@ -3242,9 +3309,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           // an explicit alias wins; otherwise alias back to the relation
           // name so qualified column references keep resolving
           val as = Option(m.group(6)).getOrElse(rel)
-          out = out.replace(m.matched, s"$view AS $as")
+          out.append(stmt.substring(pos, m.start)).append(s"$view AS $as")
+          pos = m.end
+        }
       }
-      out
+      out.append(stmt.substring(pos))
+      out.toString
     }
 
   // ------------------------------------------------------------ schemas
@@ -4945,7 +5015,29 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             // Chained MVs drain AFTER their upstream — depth order —
             // so one pass settles a whole a→b→c chain
             drainAllJobs()
+            autoCompactStores()
             statusDf("FLUSH", "")
+          case Vacuum(name) =>
+            // PG's VACUUM verb driving the reference's checkpoint +
+            // vacuum cycle: drain to quiescence, snapshot at the
+            // retention frontier, expire history below it. Bare VACUUM
+            // sweeps every store.
+            drainAllJobs()
+            val targets = Option(name) match {
+              case Some(n) =>
+                require(mvs.get(n).isDefined,
+                  s"VACUUM: $n is not an engine-managed table or " +
+                    "materialized view")
+                Seq(n)
+              case None => mvs.list
+            }
+            targets.foreach { n =>
+              mvs.get(n).foreach { mv =>
+                val frontier = retentionFrontier(n)
+                if (frontier > mv.latestSnapshotEpoch) mv.compactTo(frontier)
+              }
+            }
+            statusDf("VACUUM", Option(name).getOrElse(""))
           case AlterSystemSet(rawName, rawValue) =>
             // reference handler/alter_system.rs / PG's auto.conf layer:
             // a durable instance-wide default under any session SETs
@@ -5265,6 +5357,23 @@ object Engine {
     }
     out.append(f(cur.toString))
     out.toString
+  }
+
+  /** Whether position `pos` of `s` sits inside a single-quoted string
+    * literal (quote-doubling aware) — guards syntax rewrites whose own
+    * grammar CONTAINS literals, where [[mapOutsideLiterals]]'s masking
+    * would break the match itself.
+    */
+  private[graft] def insideLiteral(s: String, pos: Int): Boolean = {
+    var i = 0; var inStr = false
+    while (i < pos && i < s.length) {
+      if (s.charAt(i) == '\'') {
+        if (inStr && i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+        else inStr = !inStr
+      }
+      i += 1
+    }
+    inStr
   }
 
   // ---- PG/reference SQL forms Spark's parser lacks, rewritten

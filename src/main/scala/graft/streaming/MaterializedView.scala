@@ -227,11 +227,16 @@ final class MaterializedView(
   }
 
   /** Publish wall-times of the committed epochs, ascending: (epoch,
-    * millis). The batch dir's mtime IS the commit instant (the atomic
-    * rename that made the epoch visible) — the timestamp axis of
-    * `FOR SYSTEM_TIME AS OF <timestamp>` binds (the reference maps a
-    * timestamp onto its physical-time-encoding epoch the same way,
-    * src/frontend/src/binder/relation/mod.rs:353-425).
+    * millis). Each publication drops a `_commit_ms` marker into its
+    * batch dir right after the atomic rename (underscore-prefixed, so
+    * parquet readers and file-stream sources never see it) — the
+    * timestamp axis of `FOR SYSTEM_TIME AS OF <timestamp>` binds against
+    * it and SURVIVES a warehouse copy/restore, which refreshes file
+    * mtimes (the reference maps a timestamp onto its
+    * physical-time-encoding epoch the same way,
+    * src/frontend/src/binder/relation/mod.rs:353-425). Epochs published
+    * before the marker existed (or whose publish crashed between rename
+    * and marker) fall back to the dir mtime — the rename instant.
     */
   def epochCommitTimes: Seq[(Long, Long)] = {
     val dir = Paths.get(changelogDir)
@@ -241,42 +246,84 @@ final class MaterializedView(
       Files.list(dir).iterator().asScala
         .flatMap { p =>
           p.getFileName.toString.stripPrefix("batch-").toLongOption
-            .map((_, Files.getLastModifiedTime(p).toMillis))
+            .map((_, commitMsOf(p)))
         }
         .toSeq.sortBy(_._1)
+    }
+  }
+
+  private def commitMsOf(batchDir: java.nio.file.Path): Long = {
+    val marker = batchDir.resolve("_commit_ms")
+    (if (Files.exists(marker))
+       scala.util.Try(
+         new String(Files.readAllBytes(marker), "UTF-8").trim.toLong).toOption
+     else None)
+      .getOrElse(Files.getLastModifiedTime(batchDir).toMillis)
+  }
+
+  /** Wall-time of the store's birth (CTAS seed / CREATE TABLE commit) —
+    * pseudo-epoch -1 on the time-travel timeline. Persisted in the
+    * `_birth_ms` sidecar at first schema declaration, so it survives a
+    * warehouse copy/restore; pre-sidecar stores fall back to the oldest
+    * changelog root file's mtime (the CTAS seed write).
+    */
+  def birthMs: Option[Long] = {
+    val persisted =
+      if (!Files.exists(birthFile)) None
+      else scala.util.Try(
+        new String(Files.readAllBytes(birthFile), "UTF-8").trim.toLong).toOption
+    persisted.orElse {
+      val dir = Paths.get(changelogDir)
+      if (!Files.exists(dir)) None
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(dir).iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => Files.getLastModifiedTime(p).toMillis)
+          .toSeq.sorted.headOption
+      }
     }
   }
 
   /** The table image as of `epoch` (inclusive) — batch time travel
     * (reference: `FOR SYSTEM_TIME AS OF`, binder/relation/mod.rs:353).
     *
-    * Reconstruction is FORWARD from the changelog, which is complete
+    * Reconstruction is FORWARD from the nearest snapshot checkpoint at
+    * or below E ([[writeSnapshot]] — the reference's Hummock checkpoint,
+    * docs/dev/src/design/state-store-overview.md), replaying only the
+    * changelog suffix (S, E]: O(table + epochs-since-snapshot) files,
+    * never O(full history). With no snapshot the changelog is complete
     * from the store's birth: ad-hoc merges (a CTAS seed) append their
     * row images at the changelog root (ordered before every epoch),
     * and every DML / streaming / refresh epoch publishes `batch-N`.
-    * The image at E = last change per PK across {root} ∪ {batch-N :
-    * N ≤ E}, dropping keys whose last op is a delete — one shuffle on
-    * the PK, same plan shape as [[Changelog.applyToSnapshot]].
+    * The image at E = last change per PK across {base} ∪ {batch-N :
+    * S < N ≤ E}, dropping keys whose last op is a delete — one shuffle
+    * on the PK, same plan shape as [[Changelog.applyToSnapshot]].
     *
-    * History must still be on disk: an epoch dir ≤ E emptied by
-    * [[expireChangelog]] makes the reconstruction unsound, so it throws
-    * (the reference's "time travel too far back" error class).
+    * The replayed suffix must still be on disk: an epoch dir in range
+    * emptied by [[expireChangelog]] makes the reconstruction unsound,
+    * so it throws (the reference's "time travel too far back" error
+    * class). Epochs at or below a snapshot don't constrain reads ABOVE
+    * the snapshot — that is exactly what compaction exploits.
     */
   def imageAt(epoch: Long): DataFrame = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.functions.{desc, row_number}
     import org.apache.spark.sql.expressions.Window
     val dir = Paths.get(changelogDir)
-    require(Files.exists(dir), s"$name: no changelog — nothing to travel to")
-    val entries = Files.list(dir).iterator().asScala.toSeq
-    val rootFiles = entries
-      .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString)
+    val snap = snapshotEpochs.filter(_ <= epoch)
+      .sorted.lastOption
+    require(Files.exists(dir) || snap.isDefined,
+      s"$name: no changelog — nothing to travel to")
+    val entries =
+      if (!Files.exists(dir)) Nil
+      else Files.list(dir).iterator().asScala.toSeq
+    val floor = snap.getOrElse(-1L) // replay strictly above the snapshot
     val epochDirs = entries
       .flatMap(p => p.getFileName.toString.stripPrefix("batch-").toLongOption
         .map((_, p)))
-      .filter(_._1 <= epoch)
+      .filter { case (id, _) => id > floor && id <= epoch }
     val expired = epochDirs.filter { case (_, p) =>
       !Files.list(p).iterator().asScala.exists(f =>
         f.getFileName.toString.endsWith(".parquet"))
@@ -284,16 +331,34 @@ final class MaterializedView(
     require(expired.isEmpty,
       s"$name FOR SYSTEM_TIME AS OF $epoch: history expired — epoch(s) " +
         s"${expired.map(_._1).sorted.mkString(", ")} were compacted away")
-    val parts =
-      rootFiles.map(f => (-1L, f)) ++
-        epochDirs.map { case (id, p) => (id, p.toString) }
-    if (parts.isEmpty)
-      return read().where(lit(false))
-    val df = spark.read.parquet(parts.map(_._2): _*)
-      .withColumn("__e",
-        when(input_file_name().contains("batch-"),
-          regexp_extract(input_file_name(), "batch-(\\d+)", 1).cast("long"))
-          .otherwise(lit(-1L)))
+    val base: Option[DataFrame] = snap match {
+      case Some(s) =>
+        // snapshot rows ARE the image at s: insert ops below any suffix
+        // epoch's sequence numbers
+        Some(spark.read.parquet(snapshotDir(s).toString)
+          .withColumn(Changelog.OpCol, lit(Changelog.Insert))
+          .withColumn(Changelog.SeqCol, lit(Long.MinValue))
+          .withColumn("__e", lit(s)))
+      case None =>
+        val rootFiles = entries
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(_.toString)
+        if (rootFiles.isEmpty) None
+        else Some(spark.read.parquet(rootFiles: _*)
+          .withColumn("__e", lit(-1L)))
+    }
+    val suffix: Option[DataFrame] =
+      if (epochDirs.isEmpty) None
+      else Some(spark.read.parquet(epochDirs.map(_._2.toString): _*)
+        .withColumn("__e",
+          regexp_extract(input_file_name(), "batch-(\\d+)", 1).cast("long")))
+    val df = (base, suffix) match {
+      case (Some(b), Some(s)) => b.unionByName(s, allowMissingColumns = true)
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) => return read().where(lit(false))
+    }
     val dataCols = df.columns.toSeq
       .filterNot(Seq(Changelog.OpCol, Changelog.SeqCol, "__e").contains)
     val w = Window.partitionBy(pk.map(col): _*)
@@ -301,6 +366,88 @@ final class MaterializedView(
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1 && Changelog.isAdd(col(Changelog.OpCol)))
       .select(dataCols.map(col): _*)
+  }
+
+  // ------------------------------------------------ snapshot checkpoints
+  // Periodic compacted image of the store (reference: Hummock checkpoint
+  // + compaction + vacuum — docs/dev/src/design/state-store-overview.md,
+  // src/storage/compactor/, src/meta/src/hummock/). A `snapshot-N` dir
+  // under `<store>.snapshots` holds the FULL image at epoch N; imageAt
+  // replays only the changelog suffix above it, and [[compactTo]] may
+  // then expire everything at or below N — bounding changelog storage to
+  // O(table + retained epochs) instead of O(lifetime history).
+
+  private val snapshotsRoot = Paths.get(s"$targetDir.snapshots")
+  private def snapshotDir(epoch: Long) = snapshotsRoot.resolve(s"snapshot-$epoch")
+
+  /** Epochs with a committed snapshot, ascending. */
+  def snapshotEpochs: Seq[Long] =
+    if (!Files.exists(snapshotsRoot)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(snapshotsRoot).iterator().asScala
+        .flatMap(p =>
+          p.getFileName.toString.stripPrefix("snapshot-").toLongOption)
+        .toSeq.sorted
+    }
+
+  def latestSnapshotEpoch: Long = snapshotEpochs.foldLeft(-1L)(math.max)
+
+  /** Materialize the image at `epoch` as a snapshot checkpoint:
+    * stage → atomic rename, same crash discipline as every other commit
+    * here (a torn `.tmp-` dir is swept by [[recoverWal]]; the snapshot
+    * is derived data, so losing an uncommitted one costs nothing).
+    * Incremental by construction — [[imageAt]] itself reads the nearest
+    * OLDER snapshot plus the suffix, so snapshot k+1 never replays
+    * history snapshot k already folded in.
+    */
+  def writeSnapshot(epoch: Long): Unit = {
+    require(epoch >= 0, s"$name: snapshot epoch must be a committed epoch")
+    if (Files.exists(snapshotDir(epoch))) return
+    val image = imageAt(epoch) // plan BEFORE the tmp dir exists
+    Files.createDirectories(snapshotsRoot)
+    graft.CrashPoints.hit("snapshot.write")
+    val tmp = snapshotsRoot.resolve(s".tmp-$epoch")
+    deleteRecursively(tmp)
+    image.write.mode("overwrite").parquet(tmp.toString)
+    graft.CrashPoints.hit("snapshot.rename")
+    try Files.move(tmp, snapshotDir(epoch),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { // lost a race with a concurrent compactor: theirs is equivalent
+      case _: java.nio.file.FileAlreadyExistsException => deleteRecursively(tmp)
+    }
+  }
+
+  /** Checkpoint-then-compact: snapshot the image at `frontier`, then
+    * expire every epoch at or below it, the changelog root (the CTAS
+    * seed image — superseded by the snapshot), and older snapshots
+    * (their replay suffixes are gone, so they can serve no read).
+    *
+    * Caller contract — the retention frontier: `frontier` must be an
+    * epoch every subscriber has consumed PAST (cursor positions, chained
+    * MVs at quiescence — see [[expireChangelog]]). Time travel to
+    * epochs below `frontier` throws "history expired" afterwards; at or
+    * above it stays exact. Crash-safe at every step: each is
+    * individually idempotent and a re-run converges (snapshot rename is
+    * atomic; expiry and root cleanup only delete data a committed
+    * snapshot supersedes).
+    */
+  def compactTo(frontier: Long): Unit = {
+    if (frontier < 0 || frontier > latestChangelogBatchId) return
+    writeSnapshot(frontier)
+    expireChangelog(frontier)
+    // the birth image is folded into the snapshot; drop the root files
+    val dir = Paths.get(changelogDir)
+    if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.foreach(Files.delete)
+    }
+    snapshotEpochs.filter(_ < frontier)
+      .foreach(e => deleteRecursively(snapshotDir(e)))
+    graft.CrashPoints.hit("snapshot.compacted")
   }
 
   /** Retention: drop changelog epochs ≤ `upToBatchId`.
@@ -314,14 +461,18 @@ final class MaterializedView(
     * log (reference: docs/dev/src/design/checkpoint.md).
     *
     * Only the DATA FILES inside an expired epoch dir are deleted; the
-    * `batch-N` directory itself stays. A live subscriber re-lists the
-    * whole log every micro-batch, and on a local filesystem a directory
-    * vanishing between its parent listing and its own enumeration is a
-    * hard IOException (not the FileNotFound that
-    * `spark.sql.files.ignoreMissingFiles` absorbs) — it would kill the
-    * subscription. Empty epoch dirs are a few inodes each, and keeping
-    * them means [[latestChangelogBatchId]] never regresses after a full
-    * expiry, so late backfill subscribers still see the true frontier.
+    * `batch-N` directory itself stays, as do its underscore-prefixed
+    * markers (`_commit_ms`, operator sidecars) — invisible to parquet
+    * readers, and keeping them preserves the commit-time axis and any
+    * epoch-pinned operator state past compaction. A live subscriber
+    * re-lists the whole log every micro-batch, and on a local
+    * filesystem a directory vanishing between its parent listing and
+    * its own enumeration is a hard IOException (not the FileNotFound
+    * that `spark.sql.files.ignoreMissingFiles` absorbs) — it would kill
+    * the subscription. Empty epoch dirs are a few inodes each, and
+    * keeping them means [[latestChangelogBatchId]] never regresses
+    * after a full expiry, so late backfill subscribers still see the
+    * true frontier.
     */
   def expireChangelog(upToBatchId: Long): Unit = {
     val dir = Paths.get(changelogDir)
@@ -335,6 +486,7 @@ final class MaterializedView(
         }
         .toSeq.foreach { epochDir =>
           Files.list(epochDir).iterator().asScala.toSeq
+            .filterNot(_.getFileName.toString.startsWith("_"))
             .foreach(deleteRecursively)
         }
     }
@@ -360,17 +512,31 @@ final class MaterializedView(
   }
 
   private def schemaFile = Paths.get(targetDir, "_schema.json")
+  private def birthFile = Paths.get(targetDir, "_birth_ms")
+
+  /** Record the store's birth instant once, alongside the schema
+    * sidecar — the persisted pseudo-epoch -1 commit time [[birthMs]]
+    * reads (file mtimes shift on a warehouse copy; this doesn't).
+    */
+  private def recordBirth(): Unit =
+    if (!Files.exists(birthFile)) {
+      Files.createDirectories(birthFile.getParent)
+      Files.write(birthFile,
+        System.currentTimeMillis().toString.getBytes("UTF-8"))
+    }
 
   /** Declare the row schema before any merge has run — a chained
     * subscriber's backfill snapshot of a never-written TABLE must read
     * with its DDL columns, not a zero-column frame. First merge keeps
     * the declared schema (write-once).
     */
-  def declareSchema(schema: org.apache.spark.sql.types.StructType): Unit =
+  def declareSchema(schema: org.apache.spark.sql.types.StructType): Unit = {
     if (!Files.exists(schemaFile)) {
       Files.createDirectories(schemaFile.getParent)
       Files.write(schemaFile, schema.json.getBytes("UTF-8"))
     }
+    recordBirth()
+  }
 
   private def storedSchema: Option[org.apache.spark.sql.types.StructType] =
     if (!Files.exists(schemaFile)) None
@@ -440,8 +606,14 @@ final class MaterializedView(
     val wal = walEpochDir(batchId)
     val batchDir = Paths.get(changelogDir, s"batch-$batchId")
     Files.createDirectories(batchDir.getParent)
-    try Files.move(wal, batchDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
+    try {
+      Files.move(wal, batchDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // commit-time marker for the timestamp axis (see epochCommitTimes);
+      // written after the rename — a crash in between falls back to the
+      // dir mtime, which at that point IS the rename instant
+      Files.write(batchDir.resolve("_commit_ms"),
+        System.currentTimeMillis().toString.getBytes("UTF-8"))
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException => deleteRecursively(wal)
     }
   }
@@ -458,7 +630,19 @@ final class MaterializedView(
     * exactly-once after). Called on (re)attach via [[MvCatalog.define]];
     * no-op unless a crash left orphans.
     */
-  def recoverWal(): Unit = if (Files.exists(walRoot)) {
+  def recoverWal(): Unit = {
+    // a snapshot write torn before its atomic rename is pure garbage —
+    // the committed history it derives from is intact
+    if (Files.exists(snapshotsRoot)) {
+      import scala.jdk.CollectionConverters._
+      Files.list(snapshotsRoot).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith(".tmp-"))
+        .foreach(deleteRecursively)
+    }
+    if (Files.exists(walRoot)) recoverWalEpochs()
+  }
+
+  private def recoverWalEpochs(): Unit = {
     import scala.jdk.CollectionConverters._
     val entries = Files.list(walRoot).iterator().asScala.toSeq
     entries.filter(_.getFileName.toString.startsWith(".tmp-"))
@@ -543,6 +727,7 @@ final class MaterializedView(
       Files.createDirectories(schemaFile.getParent)
       Files.write(schemaFile, dataSchema.json.getBytes("UTF-8"))
     }
+    recordBirth()
     if (batchId >= 0) {
       // 1. JOURNAL: stage the delta + sidecar, atomic rename into the
       // WAL. The journal doubles as the PINNED copy of the delta: the

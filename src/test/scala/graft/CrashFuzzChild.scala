@@ -237,6 +237,11 @@ object CrashFuzzChild {
     // Engine construction = the recovery path under test: durable catalog
     // re-wire, WAL orphan replay, streaming checkpoint resume
     val e = new Engine(spark, warehouse)
+    // every FLUSH below also runs a compaction cycle (snapshot checkpoint
+    // + retention expiry) — the snapshot.* crash points land inside it,
+    // and the oracles prove compaction never perturbs current state
+    e.execute("SET changelog_snapshot_interval = 2")
+    e.execute("SET changelog_retention_epochs = 1")
     val scens = seeds.map(new Scenario(_, e, outDir))
     scens.foreach(_.setup())
     if (mode == "evil-publish") scens.head.evilPublish() // halts the JVM

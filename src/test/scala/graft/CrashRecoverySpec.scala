@@ -33,7 +33,12 @@ class CrashRecoverySpec extends SparkSpecBase {
     "storage.buckets", // buckets rewritten, empty-bucket sweep pending
     "publish.rename",  // storage done, changelog rename pending
     "publish.done",    // fully committed, ack never delivered
-    "epochmap.entry")  // micro-batch→epoch mapping durable, merge pending
+    "epochmap.entry",  // micro-batch→epoch mapping durable, merge pending
+    // FLUSH-time compaction (the child runs with snapshot_interval=2,
+    // retention=1, so these fire on real checkpoint cycles):
+    "snapshot.write",    // compaction chosen, snapshot tmp not yet written
+    "snapshot.rename",   // snapshot staged, atomic rename pending
+    "snapshot.compacted")// snapshot + expiry complete
 
   private val totalSeeds =
     sys.env.getOrElse("SPARK_GRAFT_CRASHFUZZ_N", "51").toInt

@@ -122,4 +122,24 @@ class TimeTravelSpec extends SparkSpecBase {
       e.execute("SELECT * FROM nosuch FOR SYSTEM_TIME AS OF 1"))
     assert(ex2.getMessage.contains("not an engine-managed"))
   }
+
+  test("AS OF pattern inside a string literal is data, not syntax") {
+    val e = new Engine(spark, tmpDir("timetravellit"))
+    e.execute("CREATE TABLE ttl (k BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("INSERT INTO ttl VALUES (1, 1)") // epoch 0
+    e.execute("FLUSH")
+    // the clause text living inside a literal must pass through verbatim
+    // — it is neither rewritten nor resolved against the catalog
+    val lit = e.execute(
+      "SELECT 'x FOR SYSTEM_TIME AS OF 3' AS s FROM ttl")
+    assert(lit.collect().map(_.getString(0)).toSeq ==
+      Seq("x FOR SYSTEM_TIME AS OF 3"))
+    // and a literal mention of the REAL clause text elsewhere in the
+    // statement must not be clobbered by the rewrite of the real one
+    val mixed = e.execute(
+      "SELECT k, 'ttl FOR SYSTEM_TIME AS OF 0' AS note " +
+        "FROM ttl FOR SYSTEM_TIME AS OF 0")
+    assert(mixed.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "ttl FOR SYSTEM_TIME AS OF 0")))
+  }
 }
