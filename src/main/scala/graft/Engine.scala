@@ -4039,34 +4039,109 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       }
     }
     // reads: for each bare name visible through the path, the FIRST
-    // path entry owning it wins (public participates in order). When the
-    // statement's query surface PARSES, only names the parser saw in
-    // RELATION position are rewritten — a column or alias that happens
-    // to collide with a path-resolved table name stays untouched (the
-    // r5 audit's bare-token capture envelope; SchemaFuzzSpec seeds the
-    // collision). Unparseable statements keep the legacy global rewrite.
-    val relationScope = queryRelationScope(out)
+    // path entry owning it wins (public participates in order).
     val bareCandidates = userPath.flatMap { s =>
       val pre = dbSchema(s) + "__"
       known.filter(_.startsWith(pre)).map(_.stripPrefix(pre))
     }.distinct
-    bareCandidates.foreach { bare =>
-      val winner = path.collectFirst {
-        case p if dbSchema(p) == "public" && known.contains(bare) => bare
-        case p if schemaNames.contains(dbSchema(p)) &&
-            known.contains(dbSchema(p) + "__" + bare) =>
-          dbSchema(p) + "__" + bare
-      }
-      winner.filter(_ != bare)
-        .filter(_ => relationScope.forall(_.contains(bare.toLowerCase)))
-        .foreach { internal =>
-          val re = "(?i)(?<![\\w.\"])" + bare + "\\b(?!\\s*\\()"
-          out = Engine.mapOutsideLiterals(out)(
-            _.replaceAll(re,
-              java.util.regex.Matcher.quoteReplacement(internal)))
+    def winnerOf(bare: String): Option[String] = path.collectFirst {
+      case p if dbSchema(p) == "public" && known.contains(bare) => bare
+      case p if schemaNames.contains(dbSchema(p)) &&
+          known.contains(dbSchema(p) + "__" + bare) =>
+        dbSchema(p) + "__" + bare
+    }.filter(_ != bare)
+    // When the statement's query surface PARSES, rewrite ONLY at the
+    // exact character spans the parser reports for relation identifiers
+    // (Origin.startIndex/stopIndex) — a column or alias spelled like a
+    // path-resolved table name is untouchable even when the SAME token
+    // is also a relation elsewhere in the statement (`SELECT t AS c
+    // FROM t`), and CTE names shadow catalog objects like in PG.
+    // Unparseable statements (graft DDL/DML dialect) keep the legacy
+    // token rewrite, gated on the parser-derived relation scope where
+    // one applies.
+    bareRelationSpans(out) match {
+      case Some(spans) =>
+        val repls = spans.flatMap { case (s, e, ident) =>
+          bareCandidates.find(_.equalsIgnoreCase(ident))
+            .flatMap(winnerOf)
+            .map(internal => (s, e, internal))
+        }.sortBy(-_._1)
+        if (repls.nonEmpty) {
+          val sb = new java.lang.StringBuilder(out)
+          repls.foreach { case (s, e, internal) =>
+            sb.replace(s, e + 1, internal)
+          }
+          out = sb.toString
+        }
+      case None =>
+        val relationScope = queryRelationScope(out)
+        bareCandidates.foreach { bare =>
+          winnerOf(bare)
+            .filter(_ => relationScope.forall(_.contains(bare.toLowerCase)))
+            .foreach { internal =>
+              val re = "(?i)(?<![\\w.\"])" + bare + "\\b(?!\\s*\\()"
+              out = Engine.mapOutsideLiterals(out)(
+                _.replaceAll(re,
+                  java.util.regex.Matcher.quoteReplacement(internal)))
+            }
         }
     }
     stripPublic(out)
+  }
+
+  /** Character spans (start, stop inclusive, identifier) of every
+    * SINGLE-part name in RELATION position on the statement's parseable
+    * query surface — the parser's own Origin offsets, adjusted for any
+    * EXPLAIN / `CREATE … AS` prefix. CTE-defined names are excluded
+    * (they shadow catalog objects, PG semantics). None when no parser
+    * applies — the caller falls back to the token rewrite.
+    */
+  private def bareRelationSpans(stmt: String): Option[Seq[(Int, Int, String)]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+    val CreateAs =
+      """(?is)^(\s*CREATE\s+(?:TABLE|MATERIALIZED\s+VIEW|(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW|SINK)\s+.*?\bAS\b)(.*)$""".r
+    val Explain =
+      """(?is)^(\s*EXPLAIN(?:\s+(?:ANALYZE|VERBOSE|FORMATTED|EXTENDED|CODEGEN|COST))*\s+)(.*)$""".r
+    val surface: Option[(Int, String)] = stmt match {
+      case Explain(head, q) => Some((head.length, q))
+      case s if s.matches(
+        "(?is)\\s*(SELECT|WITH|VALUES|TABLE|INSERT|UPDATE|DELETE|MERGE)\\b.*") =>
+        Some((0, s))
+      case CreateAs(head, q) => Some((head.length, q))
+      case _ => None
+    }
+    surface.flatMap { case (base, q) =>
+      scala.util.Try {
+        val plan = spark.sessionState.sqlParser.parsePlan(q)
+        val cteNames = plan.collect {
+          case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+        }.flatten.toSet
+        val spans = scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
+        def walk(p: LogicalPlan): Unit = p.foreach { n =>
+          n match {
+            case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
+              for {
+                s <- r.origin.startIndex
+                e <- r.origin.stopIndex
+                ident = r.multipartIdentifier.head
+                if !cteNames.contains(ident.toLowerCase)
+              } spans += ((base + s, base + e, ident))
+            // the INSERT target hangs off a FIELD, not a child
+            case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+              walk(i.table)
+            case _ =>
+          }
+          n.expressions.foreach(_.foreach {
+            case sq: SubqueryExpression => walk(sq.plan)
+            case _ =>
+          })
+        }
+        walk(plan)
+        spans.distinct.toSeq
+      }.toOption
+    }
   }
 
   /** The set of names used in RELATION position on the statement's

@@ -163,6 +163,33 @@ class SchemaFuzzSpec extends SparkSpecBase {
     e.execute("DROP TABLE items")
   }
 
+  test("one token as BOTH relation and column rewrites only at relation spans") {
+    val e = new Engine(spark, tmpDir("schemaboth"))
+    e.execute("CREATE SCHEMA sb")
+    // the degenerate collision: table t whose COLUMN is also named t
+    e.execute("CREATE TABLE sb.t (t BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("INSERT INTO sb.t VALUES (5, 50)")
+    e.execute("SET search_path TO sb, public")
+    // the old token rewrite turned EVERY t into sb__t and corrupted the
+    // column reference; the span rewrite touches only the FROM position
+    assert(e.execute("SELECT t AS c FROM t")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    assert(e.execute("SELECT t FROM t WHERE t = 5")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // an explicit alias spelled differently still resolves the column
+    assert(e.execute("SELECT x.t FROM t AS x")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // DML: UPDATE's target rewrites, its SET/WHERE column refs don't
+    e.execute("UPDATE t SET t = t + 1 WHERE t = 5")
+    assert(e.execute("SELECT t FROM t")
+      .collect().map(_.getLong(0)).toSeq == Seq(6L))
+    // a CTE named like the path-resolved table SHADOWS it (PG scoping):
+    // the CTE body's alias, not sb.t's rows, must come back
+    assert(e.execute("WITH t AS (SELECT 1 AS one) SELECT one FROM t")
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+    e.execute("DROP SCHEMA sb CASCADE")
+  }
+
   // --- the database dimension: the reference isolates catalogs per
   // database; here two sessions on different databases must see fully
   // disjoint catalogs (names, schemas, listings) over one engine.
