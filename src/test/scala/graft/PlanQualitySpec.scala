@@ -154,6 +154,20 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("matryoshka and tf-idf rank<=k triggers map-side WindowGroupLimit") {
+    // q_embed_matryoshka's rank<=3 row_number over 5 query-partitions and
+    // q_text_tfidf's top-3 terms per doc both rely on
+    // InferWindowGroupLimit to cap groups BEFORE the shuffle; nothing
+    // pinned that until now — a regression would silently sort full
+    // partitions at 100 TB.
+    Tables.register(spark, dir)
+    for (name <- Seq("q_embed_matryoshka", "q_text_tfidf")) {
+      val p = plan(SparkEntry.queries(name)(spark, dir))
+      assert(p.contains("WindowGroupLimit"),
+        s"$name missing WindowGroupLimit:\n$p")
+    }
+  }
+
   test("round-6 nexmark twins keep their scale shapes") {
     Tables.register(spark, dir)
     // q18 dedup: top-1 per (user, type) must cap map-side, not sort
