@@ -721,8 +721,19 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case _ => return None
     }
     val cs = j.condition.map(conjuncts).getOrElse(Nil)
+    // an equi conjunct is any deterministic equality whose two sides
+    // each read exactly one input — precisely what Catalyst's
+    // ExtractEquiJoinKeys hashes on, so expression keys (the Nexmark
+    // q13 `mod(auction, N) = key` lookup) shuffle-hash like plain
+    // attribute keys (the reference's delta join dispatches on
+    // expression keys the same way, delta_join rule)
+    val (lOut, rOut) = (j.left.outputSet, j.right.outputSet)
+    def oneSided(a: Expression, b: Expression): Boolean =
+      (a.references.subsetOf(lOut) && b.references.subsetOf(rOut)) ||
+        (a.references.subsetOf(rOut) && b.references.subsetOf(lOut))
     val (equi, theta) = cs.partition {
-      case EqualTo(_: AttributeReference, _: AttributeReference) => true
+      case EqualTo(a, b) => a.deterministic && b.deterministic &&
+        a.references.nonEmpty && b.references.nonEmpty && oneSided(a, b)
       case _ => false
     }
     if (equi.isEmpty || !theta.forall(_.deterministic)) return None
@@ -919,7 +930,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case _: LeafNode => true
       case _ => false
     }
-    if (!hasWindow || !restPerRow) None
+    // a multi-window query (fused group-top-1 + framed aggregate, the
+    // Nexmark q6 statement) is maintainable only when the specs share a
+    // common attribute partition key — see commonOverPartitionCols
+    if (!hasWindow || !restPerRow ||
+        Engine.commonOverPartitionCols(planned.queryExecution.analyzed).isEmpty)
+      None
     else referencedRelations(query) match {
       case Seq(up) =>
         Some(up).filter(n => chainableSourcePk(n).isDefined)
@@ -952,12 +968,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         "yet (never written) — FLUSH it first")
     val emptyBase = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], upSchema)
-    val partCols = windowFn(emptyBase).queryExecution.analyzed
-      .collect { case w: logical.Window => w.partitionSpec }
-      .flatten.collect { case a: AttributeReference => a.name }.distinct
-    require(partCols.nonEmpty,
-      s"CREATE MATERIALIZED VIEW $name: streaming OVER requires PARTITION BY " +
-        "(an unpartitioned global window cannot be maintained incrementally)")
+    val partCols = Engine.commonOverPartitionCols(
+      windowFn(emptyBase).queryExecution.analyzed).getOrElse(
+      throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW $name: streaming OVER requires a common " +
+          "attribute PARTITION BY across every window (an unpartitioned or " +
+          "expression-partitioned window cannot be maintained incrementally)"))
     // The base copy holds UPSTREAM rows, so it must be keyed by the
     // upstream's row identity — keying it by the downstream MV's pk
     // (which a group top-1 narrows to the partition key) collapses the
@@ -3004,12 +3020,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     // layout + touched-partition pruning)
     val emptyBase = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
-    val partCols = windowFn(emptyBase).queryExecution.analyzed
-      .collect { case w: logical.Window => w.partitionSpec }
-      .flatten.collect { case a: AttributeReference => a.name }.distinct
-    require(partCols.nonEmpty,
-      s"CREATE MATERIALIZED VIEW $name: streaming OVER requires PARTITION BY " +
-        "(an unpartitioned global window cannot be maintained incrementally)")
+    val partCols = Engine.commonOverPartitionCols(
+      windowFn(emptyBase).queryExecution.analyzed).getOrElse(
+      throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW $name: streaming OVER requires a common " +
+          "attribute PARTITION BY across every window (an unpartitioned or " +
+          "expression-partitioned window cannot be maintained incrementally)"))
     // The base copy holds SOURCE rows; a bare CREATE SOURCE declares no
     // PK, so full-row identity keys it — keying by the downstream MV's
     // pk would collapse each partition to one arbitrary row whenever
@@ -4198,9 +4214,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val statement1a = {
       val t = rewriteTvfs(statement0)
       // PG-only SELECT forms (ASOF JOIN, DISTINCT ON) rewrite on the
-      // query surface; DDL/DML statements pass through untouched
+      // query surface; DDL/DML statements pass through untouched.
+      // `FOR SYSTEM_TIME AS OF PROCTIME()` erases: a batch read of a
+      // temporal join IS the current-snapshot join (the reference binds
+      // proctime to now() in batch the same way, binder/relation/join.rs)
       if (t.matches("(?is)\\s*(SELECT|WITH|VALUES)\\b.*"))
-        Engine.rewritePgSelect(t)
+        Engine.rewritePgSelect(Engine.TemporalJoinClause.replaceAllIn(t, ""))
       else t
     }
     // PG's current_setting('name') (psql \dconfig, ORM probes) splices
@@ -4593,27 +4612,32 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             // a streaming-maintained MV and the transform is per-row,
             // chain continuously through the upstream's changelog —
             // `CREATE MV b AS SELECT … FROM a` then advances with `a`,
-            // no manual refresh
-            chainableUpstream(query, result) match {
-              case Some(upName) => createChainedMv(name, pk, query, upName)
-              case None => chainableAggUpstream(query, result, pk) match {
+            // no manual refresh.
+            // The temporal-join clause erases HERE too (chain planners
+            // re-parse the text): in a chain, the dim side is re-read
+            // per epoch AND its own changes re-join — per-epoch-current
+            // semantics, the chain-consistent rendering of PROCTIME()
+            val queryC = Engine.TemporalJoinClause.replaceAllIn(query, "")
+            chainableUpstream(queryC, result) match {
+              case Some(upName) => createChainedMv(name, pk, queryC, upName)
+              case None => chainableAggUpstream(queryC, result, pk) match {
               case Some((upName, groupCols)) =>
-                createChainedAggMv(name, pk, query, upName, groupCols)
-              case None => chainableJoinUpstream(query, result, pk) match {
+                createChainedAggMv(name, pk, queryC, upName, groupCols)
+              case None => chainableJoinUpstream(queryC, result, pk) match {
               case Some((leftName, rightName, joinKind)) =>
-                createChainedJoinMv(name, pk, query, leftName, rightName,
+                createChainedJoinMv(name, pk, queryC, leftName, rightName,
                   joinKind)
-              case None => chainableOverUpstream(query, result) match {
+              case None => chainableOverUpstream(queryC, result) match {
               case Some(upName) =>
-                createChainedOverMv(name, pk, query, upName)
-              case None => chainableUnionUpstream(query, result, pk) match {
+                createChainedOverMv(name, pk, queryC, upName)
+              case None => chainableUnionUpstream(queryC, result, pk) match {
               case Some((leftName, rightName)) =>
-                createChainedUnionMv(name, pk, query, leftName, rightName)
-              case None => chainableAggUnionUpstream(query, result, pk) match {
+                createChainedUnionMv(name, pk, queryC, leftName, rightName)
+              case None => chainableAggUnionUpstream(queryC, result, pk) match {
               case Some((leftName, rightName, groupCols)) =>
-                createChainedAggUnionMv(name, pk, query, leftName, rightName,
+                createChainedAggUnionMv(name, pk, queryC, leftName, rightName,
                   groupCols)
-              case None => createCascadedJoinMv(name, pk, query) match {
+              case None => createCascadedJoinMv(name, pk, queryC) match {
               case Some(df) => df
               case None =>
                 // explicit fence (reference delta-join boundary): a query
@@ -5432,6 +5456,41 @@ object Engine {
     }
     out.append(f(cur.toString))
     out.toString
+  }
+
+  /** Recompute key for an incrementally-maintained OVER plan: the
+    * INTERSECTION of every Window node's partition attributes. Sound
+    * because each window's partitioning then REFINES the key — selecting
+    * whole key-groups always captures complete partitions of every
+    * window, so a touched-group recompute misses nothing (the round-7
+    * fuzz caught the old union-of-attrs key under-recomputing the fused
+    * two-window Nexmark q6 statement: a change in one (id, seller)
+    * group must re-emit downstream frame rows of the WHOLE seller).
+    * None when any spec is empty or carries a non-attribute expression
+    * (grouping by e(x) is coarser than by x, so no attribute key can
+    * cover its partitions), or when the intersection is empty — the
+    * caller fences.
+    */
+  private[graft] def commonOverPartitionCols(
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val specs = analyzed.collect { case w: Window => w.partitionSpec }
+    val keySets = specs.map { spec =>
+      val attrs = spec.map {
+        case a: AttributeReference => Some(a.name)
+        case _ => None
+      }
+      if (attrs.nonEmpty && attrs.forall(_.isDefined)) Some(attrs.flatten)
+      else None
+    }
+    if (keySets.isEmpty || keySets.exists(_.isEmpty)) None
+    else {
+      val common = keySets.flatten
+        .reduce((a, b) => a.filter(b.toSet))
+      Some(common.distinct).filter(_.nonEmpty)
+    }
   }
 
   /** Whether position `pos` of `s` sits inside a single-quoted string
