@@ -100,7 +100,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   /** Read a table or registered MV; a fresh (never-inserted) CREATE
     * TABLE table reads as empty WITH its declared schema.
     */
-  def table(name: String): DataFrame = {
+  def table(name: String, keepRowId: Boolean = false): DataFrame = {
     val df0 = mvs.get(name).map { mv =>
       val df = mv.read()
       if (df.schema.nonEmpty) df
@@ -119,7 +119,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         df0.where(if (incl) cc >= cv else cc > cv)
       case _ => df0
     }
-    if (hiddenRowIdTables.contains(name)) df1.drop(Engine.RowIdCol) else df1
+    if (hiddenRowIdTables.contains(name) && !keepRowId)
+      df1.drop(Engine.RowIdCol)
+    else df1
   }
 
   /** Streaming sources registered by `CREATE SOURCE`. */
@@ -151,8 +153,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       bare.endsWith("__base") || bare.contains("__casc") ||
         bare.endsWith("__sinkq")
     }
+    // the hidden `_row_id` PK stays out of the catalog column listing
+    // (reference: ColumnCatalog::row_id_column is_hidden)
     val tableObjs = tableSchemas.keys.toSeq.sorted.map(n =>
-      obj(n, "r", Some(tableSchemas(n))))
+      obj(n, "r", Some(
+        if (hiddenRowIdTables.contains(n))
+          org.apache.spark.sql.types.StructType(
+            tableSchemas(n).filterNot(_.name == Engine.RowIdCol))
+        else tableSchemas(n))))
     val mvObjs = mvs.list
       .filterNot(n => tableSchemas.contains(n) || hiddenInternal(n))
       .map(n => obj(n, "m", schemaOf(table(n))))
@@ -3086,10 +3094,18 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   // streaming MVs aggregate over, so a windowed aggregate over a
   // streaming MV chains through the generate-mode agg path (the group
   // key `window_start` is born inside the window assignment).
+  // Both interval spellings bind: `INTERVAL '10 minutes'` and the PG
+  // unit-outside form the reference's own suites use
+  // (`INTERVAL '10' SECOND`, ci/scripts/sql/nexmark/q12.sql)
+  private val IvalRe = """INTERVAL\s+'([^']+)'(?:\s+(\w+))?"""
   private val TumbleTvf =
-    """(?i)\bTUMBLE\s*\(\s*(\w+)\s*,\s*(\w+)\s*,\s*INTERVAL\s+'([^']+)'\s*(?:,\s*INTERVAL\s+'([^']+)'\s*)?\)""".r
+    s"""(?i)\\bTUMBLE\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*,\\s*$IvalRe\\s*(?:,\\s*$IvalRe\\s*)?\\)""".r
   private val HopTvf = // HOP(rel, col, slide, size) — reference arg order
-    """(?i)\bHOP\s*\(\s*(\w+)\s*,\s*(\w+)\s*,\s*INTERVAL\s+'([^']+)'\s*,\s*INTERVAL\s+'([^']+)'\s*\)""".r
+    s"""(?i)\\bHOP\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*,\\s*$IvalRe\\s*,\\s*$IvalRe\\s*\\)""".r
+
+  /** Join an interval's quoted body with its optional outside unit. */
+  private def ival(value: String, unit: String): String =
+    Option(unit).fold(value)(u => s"$value $u")
   // jsonb_to_record[set](expr) AS alias(col type, …) — the arg tolerates
   // one paren-nesting level and quoted strings; the column list tolerates
   // parenthesized type args (DECIMAL(10,2))
@@ -3199,16 +3215,18 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val eowc = "(?i)EMIT\\s+ON\\s+WINDOW\\s+CLOSE".r.findFirstIn(out).isDefined
     var lastW: Option[String] = None
     out = TumbleTvf.replaceAllIn(out, m => {
+      val size = ival(m.group(3), m.group(4))
       val r = windowedRelation(m.group(1), m.group(2),
         // optional 4th arg = window offset → window(col, size, size, off)
-        Option(m.group(4)).fold(Seq(m.group(3)))(off =>
-          Seq(m.group(3), m.group(3), off)), keepStruct = eowc)
+        Option(m.group(5)).fold(Seq(size))(off =>
+          Seq(size, size, ival(off, m.group(6)))), keepStruct = eowc)
       lastW = Some(s"__gtw_$tvfCounter")
       java.util.regex.Matcher.quoteReplacement(r)
     })
     out = HopTvf.replaceAllIn(out, m => {
       val r = windowedRelation(m.group(1), m.group(2),
-        Seq(m.group(4), m.group(3)), keepStruct = eowc)
+        Seq(ival(m.group(5), m.group(6)), ival(m.group(3), m.group(4))),
+        keepStruct = eowc)
       lastW = Some(s"__gtw_$tvfCounter")
       java.util.regex.Matcher.quoteReplacement(r)
     })
@@ -3225,11 +3243,22 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * created once would pin a stale file listing. Registration is
     * metadata-only (no materialization).
     */
-  private def bindMvTables(stmt: String): Unit =
+  private def bindMvTables(stmt: String): Unit = {
+    // `_row_id` is hidden from star expansion but explicitly addressable
+    // (reference: ColumnCatalog::row_id_column is_hidden — q13-by-row-id
+    // joins on mod(_row_id, n)): a statement that names it binds views
+    // WITH the column, every other statement gets the starred shape
+    val wantsRowId = stmt.contains(Engine.RowIdCol)
     mvs.list.foreach { n =>
-      if (java.util.regex.Pattern.compile(s"(?i)\\b$n\\b").matcher(stmt).find())
-        table(n).createOrReplaceTempView(n)
+      if (java.util.regex.Pattern.compile(s"(?i)\\b$n\\b").matcher(stmt).find()) {
+        val df =
+          if (wantsRowId && hiddenRowIdTables.contains(n))
+            table(n, keepRowId = true)
+          else table(n)
+        df.createOrReplaceTempView(n)
+      }
     }
+  }
 
   // ------------------------------------------------- batch time travel
   //
@@ -4518,21 +4547,31 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           throw new IllegalArgumentException(
             s"relation \"${displayName(name)}\" already exists")
         }
-        require(pk.nonEmpty,
-          s"CREATE TABLE $name requires a PRIMARY KEY (merging on a " +
-            "guessed key would silently drop rows)")
         require(pk.forall(schema.fieldNames.contains),
           s"CREATE TABLE $name: PRIMARY KEY names undeclared columns")
         require(!pk.exists(generated.contains),
           s"CREATE TABLE $name: a generated column cannot be the PRIMARY KEY")
-        val tmv = mvs.define(name, pk)
-        tmv.declareSchema(schema)
-        tableSchemas(name) = schema
+        // No declared PK → append-only table keyed by a generated hidden
+        // `_row_id` (reference: handler/create_table.rs:476-517
+        // bind_pk_and_row_id_on_relation adds the row_id column when
+        // pk_column_ids is empty) — hidden from star expansion, filled
+        // by the INSERT path, addressable in queries (`mod(_row_id, n)`
+        // lookup keys, nexmark q13-by-row-id).
+        val (schemaK, pkK) =
+          if (pk.nonEmpty) (schema, pk)
+          else {
+            hiddenRowIdTables += name
+            (schema.add(Engine.RowIdCol,
+              org.apache.spark.sql.types.LongType), Seq(Engine.RowIdCol))
+          }
+        val tmv = mvs.define(name, pkK)
+        tmv.declareSchema(schemaK)
+        tableSchemas(name) = schemaK
         if (defaults.nonEmpty) tableDefaults(name) = defaults
         if (generated.nonEmpty) tableGenerated(name) = generated
         onConflict.foreach(tableOnConflict(name) = _)
         catalog.save("tables", name,
-          DurableCatalog.TableEntry(schema.json, pk, defaults,
+          DurableCatalog.TableEntry(schemaK.json, pkK, defaults,
             Some(tmv.nBuckets),
             Some(generated).filter(_.nonEmpty), onConflict))
         statusDf("CREATE TABLE", name)
@@ -5709,8 +5748,36 @@ object Engine {
       out = out.replaceAll(
         "(?i)([\\w.]+|'(?:[^']|'')*')\\s*::\\s*rw_int256", "int256($1)")
     }
+    // The reference's ordered-set spelling of approx_percentile
+    // (src/expr/impl/src/aggregate/approx_percentile.rs: direct args
+    // percentile + relative_error) → Spark's positional
+    // approx_percentile(col, percentage, accuracy). relative_error is
+    // value-space, Spark's accuracy bounds rank error at n/accuracy —
+    // accuracy = 100/err keeps rank noise two orders below the asked
+    // error band at any group size. DESC order flips the percentile.
+    if (low.contains("approx_percentile") && low.contains("within")) {
+      out = ApproxPercentileWithinGroupRe.replaceAllIn(out, m => {
+        val frac0 = m.group(1).toDouble
+        val err = Option(m.group(2)).map(_.toDouble).getOrElse(0.01)
+        val desc = m.group(4) != null && m.group(4).equalsIgnoreCase("DESC")
+        val frac = if (desc) 1.0 - frac0 else frac0
+        val accuracy = math.min(1e7, math.max(100.0, 100.0 / err)).toLong
+        java.util.regex.Matcher.quoteReplacement(
+          s"approx_percentile(${m.group(3).trim}, $frac, $accuracy)")
+      })
+    }
     out
   }
+
+  /** `approx_percentile(frac[, err]) WITHIN GROUP (ORDER BY expr [dir])`
+    * — literal direct args (the reference requires them too:
+    * binder/expr/function/aggregate.rs "invalid direct args"), the sort
+    * expression tolerant of one paren-nesting level.
+    */
+  private val ApproxPercentileWithinGroupRe =
+    ("""(?i)\bapprox_percentile\s*\(\s*([0-9.]+)\s*(?:,\s*([0-9.]+)\s*)?\)""" +
+      """\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+""" +
+      """((?:[^()]|\([^()]*\))+?)\s*(?:\b(ASC|DESC)\s*)?\)""").r
 
   private[graft] val NativeFunctionSigs: Map[String, (String, String)] = Map(
     "graft_dot" -> ("a double precision[], b double precision[]",

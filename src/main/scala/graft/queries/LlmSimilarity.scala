@@ -170,6 +170,34 @@ object LlmSimilarity extends QueryPack {
         .orderBy("id_a", "id_b")
     },
 
+    // SemDeDup (Abbas et al., arXiv:2303.09540): SEMANTIC dedup over
+    // embeddings — inside each LSH cell, an item with a smaller-id
+    // neighbor above the cosine threshold is dropped; survivors are the
+    // kept corpus. Keep-lowest-id is the paper's one-per-group pick made
+    // deterministic; the LSH cell stands in for the paper's k-means
+    // cluster (plan-time hyperplanes, zero training passes — at 100 TB
+    // the identical shape runs over ivfTopK's trained cells instead).
+    // One bucketed self-join (never all-pairs) + one anti-join.
+    q("q_dedup_semantic",
+      s"""SELECT vec_id, CAST(label AS INT) AS label FROM embeddings
+         |WHERE vec_id NOT IN (
+         |  SELECT id_b FROM (
+         |    SELECT b.vec_id AS id_b,
+         |      round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+         |    FROM (SELECT *, ${bucketSql("embedding")} AS bucket FROM embeddings) a
+         |    JOIN (SELECT *, ${bucketSql("embedding")} AS bucket FROM embeddings) b
+         |      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  ) WHERE cos >= 0.5)
+         |ORDER BY vec_id""".stripMargin) { s =>
+      val e = s.table("embeddings")
+      val dropped = SimilaritySearch.nearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.5, nBits = 4)
+        .select(col("id_b").as("vec_id")).distinct()
+      e.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label").cast("int").as("label"))
+        .orderBy("vec_id")
+    },
+
     // Matryoshka truncation: rank candidates by the 16-dim prefix
     // cosine (the cheap first pass a tiered retrieval system runs) and
     // carry the full 64-dim cosine alongside — the re-rank signal. The

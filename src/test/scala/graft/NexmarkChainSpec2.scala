@@ -23,6 +23,7 @@ class NexmarkChainSpec2 extends SparkSpecBase {
   private val A = "nx2a"
   private val B = "nx2b"
   private val S = "nx2side"
+  private val C = "nx2c"
 
   private def mv(name: String, pk: String, sql: String,
       chained: Boolean = true): Unit = defs += ((name, pk, sql, chained))
@@ -141,6 +142,53 @@ class NexmarkChainSpec2 extends SparkSpecBase {
        |FROM $B GROUP BY bidder, session_window(dt, '1 hour')""".stripMargin,
     chained = false)
 
+  // q12: per-bidder bid counts over the TUMBLE TVF — the window TVF
+  // inside a chained MV (group keys born inside the window assignment →
+  // the generate-mode keysOf replay). The reference tumbles on
+  // PROCTIME; the chain's event-time rendering keeps the shape
+  // batch-verifiable (proctime can never be recomputed).
+  mv("m2_q12", "(bidder, window_start, window_end)",
+    s"""SELECT bidder, count(*) AS bid_count, window_start, window_end
+       |FROM TUMBLE($B, dt, INTERVAL '10' MINUTE)
+       |GROUP BY bidder, window_start, window_end""".stripMargin)
+
+  // q5-many-windows: the HOP TVF at a high window/slide ratio (1 h /
+  // 5 min = 12 windows per row — the reference's RANGE/SLIDE = 60 shape
+  // scaled to test time): per-row window explosion feeding a touched-
+  // group recompute.
+  mv("m2_q5mw", "(auction, window_start)",
+    s"""SELECT auction, count(*) AS num, window_start
+       |FROM HOP($B, dt, INTERVAL '5' MINUTE, INTERVAL '1' HOUR)
+       |GROUP BY auction, window_start""".stripMargin)
+
+  // q107: GLOBAL approx percentiles in the reference's ordered-set
+  // spelling — a group-less sketch aggregate is not delta-computable
+  // and has no group keys to prune a recompute to → the loud fence.
+  mv("m2_q107", "(p50)",
+    s"""SELECT approx_percentile(0.5, 0.01) WITHIN GROUP (ORDER BY price) AS p50,
+       |  approx_percentile(0.9, 0.01) WITHIN GROUP (ORDER BY price) AS p90,
+       |  approx_percentile(0.99, 0.01) WITHIN GROUP (ORDER BY price) AS p99
+       |FROM $B""".stripMargin,
+    chained = false)
+
+  // q108: the same sketch PER AUCTION — grouped, so the touched-group
+  // recompute chains it (group sizes sit far under the sketch's
+  // compression threshold, so the recompute is exact and the
+  // batch-recompute diff is deterministic).
+  mv("m2_q108", "(auction)",
+    s"""SELECT auction,
+       |  approx_percentile(0.5, 0.01) WITHIN GROUP (ORDER BY price) AS p50,
+       |  approx_percentile(0.9, 0.01) WITHIN GROUP (ORDER BY price) AS p90
+       |FROM $B GROUP BY auction""".stripMargin)
+
+  // q13-by-row-id: the PROCTIME lookup join keyed on the generated
+  // hidden `_row_id` of a PK-less (append-only) table — the reference's
+  // q13-by-row-id.sql joins on mod(B._row_id, side_rows).
+  mv("m2_q13rid", "(_row_id, key)",
+    s"""SELECT $C._row_id, $C.auction, $C.price, $S.key, $S.value
+       |FROM $C JOIN $S FOR SYSTEM_TIME AS OF PROCTIME()
+       |  ON mod($C._row_id, 8) = $S.key""".stripMargin)
+
   // ----------------------------------------------------- data + epochs
   private var nextBid = 0
 
@@ -167,6 +215,14 @@ class NexmarkChainSpec2 extends SparkSpecBase {
     e.execute(s"CREATE TABLE $S (key BIGINT PRIMARY KEY, value STRING)")
     e.execute(s"INSERT INTO $S VALUES " +
       (0 until 8).map(k => s"($k, 'side_$k')").mkString(", "))
+    // PK-less table → generated hidden _row_id PK (reference:
+    // bind_pk_and_row_id_on_relation, handler/create_table.rs:476)
+    e.execute(s"CREATE TABLE $C (auction BIGINT, bidder BIGINT, " +
+      "price BIGINT, dt TIMESTAMP)")
+    e.execute(s"INSERT INTO $C VALUES " + (1 to 25).map(i =>
+      s"(${1 + i % 14}, ${1 + i % 8}, ${30 + (i * 13) % 170}, " +
+        f"TIMESTAMP '2024-03-${1 + i % 3}%02d ${i % 24}%02d:00:00')")
+      .mkString(", "))
     val auctions = (1 to 12).map { id =>
       val day = 1 + id % 3
       val expDay = day + 1 + id % 2
@@ -188,11 +244,18 @@ class NexmarkChainSpec2 extends SparkSpecBase {
         s"$name: expected ${if (chained) "a streaming chain" else "the batch-refresh fence"}")
     }
     insertBids(e, r, 30)
+    e.execute(s"INSERT INTO $C VALUES " + (26 to 40).map(i =>
+      s"(${1 + i % 14}, ${1 + i % 8}, ${30 + (i * 13) % 170}, " +
+        f"TIMESTAMP '2024-03-${1 + i % 3}%02d ${i % 24}%02d:00:00')")
+      .mkString(", "))
     e.execute("FLUSH")
     verifyAll(e, "after growth epoch")
     e.execute(s"UPDATE $B SET price = price - 60 WHERE price >= 150")
     e.execute(s"DELETE FROM $B WHERE bid_id % 7 = 0")
     e.execute(s"UPDATE $A SET category = (category + 1) % 3 WHERE id % 4 = 1")
+    // DML against the PK-less table: the hidden _row_id keys the merge
+    e.execute(s"UPDATE $C SET price = price + 11 WHERE auction % 5 = 2")
+    e.execute(s"DELETE FROM $C WHERE bidder = 3")
     e.execute("FLUSH")
     verifyAll(e, "after retraction epoch")
     insertBids(e, r, 20)
@@ -247,4 +310,14 @@ class NexmarkChainSpec2 extends SparkSpecBase {
     verifyShape("m2_q13nl"))
   test("session-window shape: gap merge takes the loud fence")(
     verifyShape("m2_qsess"))
+  test("q12 shape: TUMBLE TVF inside a chained aggregate")(
+    verifyShape("m2_q12"))
+  test("q5-many-windows shape: HOP TVF at 12 windows per row")(
+    verifyShape("m2_q5mw"))
+  test("q107 shape: global approx_percentile — fence + refresh")(
+    verifyShape("m2_q107"))
+  test("q108 shape: grouped approx_percentile chains")(
+    verifyShape("m2_q108"))
+  test("q13-by-row-id shape: lookup join on the hidden _row_id")(
+    verifyShape("m2_q13rid"))
 }

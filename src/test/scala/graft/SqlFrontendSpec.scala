@@ -552,10 +552,14 @@ class SqlFrontendSpec extends SparkSpecBase {
     assert(e.execute("SHOW TABLES").as[String].collect().toSeq == Seq("users"))
     intercept[Exception] { e.execute("SELECT * FROM kv").collect() }
 
-    // missing PK is rejected, not guessed
-    intercept[IllegalArgumentException] {
-      e.execute("CREATE TABLE nope (id BIGINT, v DOUBLE)")
-    }
+    // missing PK is not guessed from the declared columns: the table
+    // keys on a generated hidden _row_id instead (reference:
+    // bind_pk_and_row_id_on_relation, handler/create_table.rs:476) —
+    // duplicates of every declared column stay distinct rows
+    e.execute("CREATE TABLE nokey (id BIGINT, v DOUBLE)")
+    e.execute("INSERT INTO nokey VALUES (1, 0.5), (1, 0.5)")
+    assert(e.execute("SELECT count(*) AS n FROM nokey").head().getLong(0) == 2L)
+    assert(e.execute("SELECT * FROM nokey").columns.toSeq == Seq("id", "v"))
   }
 
   test("temporal join SQL: FOR SYSTEM_TIME AS OF PROCTIME() in a streaming MV") {

@@ -31,6 +31,36 @@ class TableFeaturesSpec extends SparkSpecBase {
     assert(ddl.contains("AS a + b"))
   }
 
+  test("PK-less CREATE TABLE: hidden _row_id keys DML, stays out of *") {
+    val wh = tmpDir("rowid")
+    val e = new Engine(spark, wh)
+    // no PRIMARY KEY → generated hidden _row_id (reference:
+    // bind_pk_and_row_id_on_relation, handler/create_table.rs:476-517)
+    e.execute("CREATE TABLE rt (v BIGINT, s STRING)")
+    e.execute("INSERT INTO rt VALUES (1, 'a'), (2, 'b'), (2, 'b')")
+    // duplicates survive (append-only semantics: each row has its own id)
+    assert(e.execute("SELECT count(*) AS n FROM rt").head().getLong(0) == 3L)
+    // star expansion hides the id; explicit reference resolves it
+    assert(e.execute("SELECT * FROM rt").columns.toSeq == Seq("v", "s"))
+    assert(e.execute("SELECT _row_id, v FROM rt").count() == 3L)
+    assert(e.execute("SELECT DISTINCT _row_id FROM rt").count() == 3L)
+    // UPDATE / DELETE merge on the hidden key
+    e.execute("UPDATE rt SET v = v + 10 WHERE s = 'b'")
+    assert(e.execute("SELECT sum(v) AS s FROM rt").head().getLong(0) == 25L)
+    e.execute("DELETE FROM rt WHERE v = 12")
+    assert(e.execute("SELECT count(*) AS n FROM rt").head().getLong(0) == 1L)
+    // catalog surface hides the column; restart keeps the hidden-id mode
+    val cols = e.execute(
+      "SELECT column_name FROM information_schema.columns " +
+        "WHERE table_name = 'rt'").collect().map(_.getString(0)).toSet
+    assert(!cols.contains("_row_id") && cols == Set("v", "s"))
+    val e2 = new Engine(spark, wh)
+    e2.execute("INSERT INTO rt VALUES (7, 'z')")
+    assert(e2.execute("SELECT * FROM rt").columns.toSeq == Seq("v", "s"))
+    assert(e2.execute("SELECT count(DISTINCT _row_id) AS n FROM rt")
+      .head().getLong(0) == 2L)
+  }
+
   test("ON CONFLICT IGNORE keeps the stored row") {
     val e = new Engine(spark, tmpDir("conf-ign"))
     e.execute("CREATE TABLE it (k BIGINT PRIMARY KEY, v VARCHAR) " +
