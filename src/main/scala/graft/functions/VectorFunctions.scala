@@ -80,6 +80,14 @@ object VectorFunctions {
 
   /** LSH bucket id from `nBits` hyperplane sign bits. */
   def lshBucket(v: Column, nBits: Int, dims: Int = 64): Column =
-    (0 until nBits).map(b => hyperplaneSign(v, b, dims) * (1 << b))
+    lshBucketSeeded(v, nBits, 0, dims)
+
+  /** [[lshBucket]] with the hyperplanes drawn from seed block
+    * `seedBase` — banded LSH gives band k the block k·64 so every
+    * band's planes are independent (band 0 IS the unseeded bucketing).
+    */
+  def lshBucketSeeded(v: Column, nBits: Int, seedBase: Int,
+      dims: Int = 64): Column =
+    (0 until nBits).map(b => hyperplaneSign(v, seedBase + b, dims) * (1 << b))
       .reduce(_ + _).cast(IntegerType)
 }

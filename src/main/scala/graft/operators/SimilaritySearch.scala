@@ -147,6 +147,50 @@ object SimilaritySearch {
   /** All pairs with cosine ≥ threshold (embedding near-dup detection),
     * LSH-bucketed to avoid the O(n²) cross join.
     */
+  /** Bit width sized so buckets hold ~`target` rows: the within-bucket
+    * self-join is quadratic IN THE BUCKET, so a fixed width that is
+    * invisible at 10³ rows is the whole runtime at 10⁷ — the constant
+    * must grow with the corpus (the same way SemDeDup scales its
+    * cluster count with corpus size).
+    */
+  def autoBits(n: Long, target: Long = 64L): Int =
+    math.max(4, math.round(
+      math.log(math.max(1L, n).toDouble / target) / math.log(2.0)).toInt)
+
+  /** Threshold near-dup pairs via BANDED adaptive LSH — the scale form
+    * of [[nearDupPairs]]: the bit width grows with the corpus (bucket
+    * size stays ~targetBucket, candidate pairs stay
+    * O(bands·targetBucket·n) — linear in n), and `bands` independent
+    * hyperplane sets buy back the recall each extra bit costs
+    * (candidate recall for pair agreement p = 1−θ/π is 1−(1−p^bits)^bands).
+    * Band k's planes are seed block k·64, so band 0 at 4 bits IS the
+    * pinned [[nearDupPairs]] bucketing. The cosine is computed per band
+    * copy (3-column shuffle) and pairs dedup AFTER — cheaper than
+    * carrying vectors through a pair-key dedup.
+    */
+  def bandedNearDupPairs(
+      data: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bands: Int = 2, targetBucket: Long = 64L, dims: Int = 64): DataFrame = {
+    val bits = autoBits(data.count(), targetBucket)
+    val base = data.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .withColumn("__n",
+        VectorFunctions.fastL2Norm(data.sparkSession, col("__vec")))
+    (0 until bands).map { k =>
+      val bucketed = base.withColumn("__bucket",
+        VectorFunctions.lshBucketSeeded(col("__vec"), bits, k * 64, dims))
+      val a = bucketed.select(col("__bucket"), col("__id").as("id_a"),
+        col("__vec").as("va"), col("__n").as("na"))
+      val b = bucketed.select(col("__bucket"), col("__id").as("id_b"),
+        col("__vec").as("vb"), col("__n").as("nb"))
+      a.join(b, Seq("__bucket"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("cos",
+          cosWithNorms(data.sparkSession, "va", "vb", "na", "nb"))
+        .where(col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    }.reduce(_ unionAll _).dropDuplicates("id_a", "id_b")
+  }
+
   def nearDupPairs(
       data: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 4, dims: Int = 64): DataFrame = {

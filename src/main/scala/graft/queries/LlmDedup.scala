@@ -10,23 +10,23 @@ import graft.operators.{Dedup, IterativeFixpoint}
   * .Dedup with full-formula DuckDB oracles.
   *
   * The raw corpus has no duplicates, so each query builds a deterministic
-  * corpus with planted dups: exact copies (id+20000) and near-dups with a
-  * ' zz9' suffix (id+10000). The plant is identical SQL on both sides.
+  * corpus with planted dups: exact copies (id+200000000) and near-dups with a
+  * ' zz9' suffix (id+100000000). The plant is identical SQL on both sides.
   */
 object LlmDedup extends QueryPack {
 
-  /** Spark-side corpus with planted near-dups (id+10000, ' zz9' suffix). */
+  /** Spark-side corpus with planted near-dups (id+100000000, ' zz9' suffix). */
   private def nearCorpus(s: SparkSession): DataFrame = {
     val d = s.table("documents").select("doc_id", "text")
     d.union(d.where(col("doc_id") < 30)
-      .select((col("doc_id") + 10000).as("doc_id"),
+      .select((col("doc_id") + 100000000).as("doc_id"),
         concat(col("text"), lit(" zz9")).as("text")))
   }
 
   private val nearCorpusSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL
-      |SELECT doc_id + 10000 AS doc_id, text || ' zz9' AS text
+      |SELECT doc_id + 100000000 AS doc_id, text || ' zz9' AS text
       |FROM documents WHERE doc_id < 30""".stripMargin
 
   /** DuckDB 60-bit md5 hash (HashFunctions.md5Long). */
@@ -45,13 +45,13 @@ object LlmDedup extends QueryPack {
       |  ELSE [] END)""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
-    // Exact dedup: planted exact copies (id+20000 for id<40) found by
+    // Exact dedup: planted exact copies (id+200000000 for id<40) found by
     // content fingerprint grouping.
     q("q_dedup_exact",
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 20000, text FROM documents WHERE doc_id < 40
+        |  SELECT doc_id + 200000000, text FROM documents WHERE doc_id < 40
         |)
         |SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |  CAST(COUNT(*) AS BIGINT) AS n,
@@ -60,7 +60,7 @@ object LlmDedup extends QueryPack {
         |ORDER BY fp""".stripMargin) { s =>
       val d = s.table("documents").select("doc_id", "text")
       val corpus = d.union(d.where(col("doc_id") < 40)
-        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 200000000).as("doc_id"), col("text")))
       Dedup.exactDupGroups(corpus, "doc_id", "text")
         .withColumn("ids", array_join(col("ids").cast("array<string>"), ","))
         .orderBy("fp")
@@ -105,7 +105,7 @@ object LlmDedup extends QueryPack {
          |  SELECT doc_id, unnest(list_distinct($grams3Sql)) AS g FROM corpus
          |),
          |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
-         |cands AS (SELECT doc_id AS id_a, doc_id + 10000 AS id_b
+         |cands AS (SELECT doc_id AS id_a, doc_id + 100000000 AS id_b
          |          FROM documents WHERE doc_id < 30),
          |inter AS (
          |  SELECT c.id_a, c.id_b, COUNT(*) AS i
@@ -122,7 +122,7 @@ object LlmDedup extends QueryPack {
          |ORDER BY id_a, id_b""".stripMargin) { s =>
       import s.implicits._
       val cands = s.table("documents").where(col("doc_id") < 30)
-        .select(col("doc_id").as("id_a"), (col("doc_id") + 10000).as("id_b"))
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000000).as("id_b"))
       Dedup.jaccardPairs(nearCorpus(s), "doc_id", "text", cands, shingleLen = 3)
         .orderBy("id_a", "id_b")
     },
@@ -135,7 +135,7 @@ object LlmDedup extends QueryPack {
          |  SELECT doc_id,
          |    unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'),
          |      t -> length(t) > 0))) AS t
-         |  FROM corpus WHERE doc_id < 30 OR doc_id >= 10000
+         |  FROM corpus WHERE doc_id < 30 OR doc_id >= 100000000
          |),
          |bits AS (
          |  SELECT doc_id, b, CAST(pow(2, b) AS BIGINT) AS p,
@@ -151,14 +151,14 @@ object LlmDedup extends QueryPack {
          |)
          |SELECT a.doc_id, CAST(a.simhash AS BIGINT) AS simhash,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10000
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000000
          |ORDER BY a.doc_id""".stripMargin) { s =>
       val sub = nearCorpus(s)
-        .where(col("doc_id") < 30 || col("doc_id") >= 10000)
+        .where(col("doc_id") < 30 || col("doc_id") >= 100000000)
       val sh = Dedup.simhash(sub, "doc_id", "text", bits = 16)
       val a = sh.select(col("doc_id"), col("simhash"))
       val b = sh.select(col("doc_id").as("doc_id_b"), col("simhash").as("simhash_b"))
-      a.join(b, col("doc_id_b") === col("doc_id") + 10000)
+      a.join(b, col("doc_id_b") === col("doc_id") + 100000000)
         .select(col("doc_id"), col("simhash"),
           Dedup.hammingDistance(col("simhash"), col("simhash_b"), 16).as("hamming"))
         .orderBy("doc_id")
@@ -167,7 +167,7 @@ object LlmDedup extends QueryPack {
     // Duplicate CLUSTERS: near-dup pairs chained into components — the
     // step after pair discovery in a real dedup pipeline (doc A ~ B and
     // B ~ C must collapse to ONE survivor even when A !~ C directly).
-    // Corpus plants two near-dup generations (a → a+10000 → a+20000);
+    // Corpus plants two near-dup generations (a → a+100000000 → a+200000000);
     // edges are Jaccard-verified pairs; components via min-label
     // propagation (IterativeFixpoint.connectedComponents); the oracle
     // recomputes reachability with a recursive CTE.
@@ -175,19 +175,19 @@ object LlmDedup extends QueryPack {
       s"""WITH RECURSIVE corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 10000, text || ' zz9' FROM documents WHERE doc_id < 40
+         |  SELECT doc_id + 100000000, text || ' zz9' FROM documents WHERE doc_id < 40
          |  UNION ALL
-         |  SELECT doc_id + 20000, text || ' zz9 zz9' FROM documents WHERE doc_id < 20
+         |  SELECT doc_id + 200000000, text || ' zz9 zz9' FROM documents WHERE doc_id < 20
          |),
          |grams AS (
          |  SELECT doc_id, unnest(list_distinct($grams3Sql)) AS g FROM corpus
          |),
          |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
          |cands AS (
-         |  SELECT doc_id AS id_a, doc_id + 10000 AS id_b
+         |  SELECT doc_id AS id_a, doc_id + 100000000 AS id_b
          |  FROM documents WHERE doc_id < 40
          |  UNION ALL
-         |  SELECT doc_id + 10000, doc_id + 20000
+         |  SELECT doc_id + 100000000, doc_id + 200000000
          |  FROM documents WHERE doc_id < 20
          |),
          |inter AS (
@@ -214,16 +214,16 @@ object LlmDedup extends QueryPack {
       val d = s.table("documents").select("doc_id", "text")
       val corpus = d
         .union(d.where(col("doc_id") < 40)
-          .select((col("doc_id") + 10000).as("doc_id"),
+          .select((col("doc_id") + 100000000).as("doc_id"),
             concat(col("text"), lit(" zz9")).as("text")))
         .union(d.where(col("doc_id") < 20)
-          .select((col("doc_id") + 20000).as("doc_id"),
+          .select((col("doc_id") + 200000000).as("doc_id"),
             concat(col("text"), lit(" zz9 zz9")).as("text")))
       val cands = d.where(col("doc_id") < 40)
-        .select(col("doc_id").as("id_a"), (col("doc_id") + 10000).as("id_b"))
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000000).as("id_b"))
         .union(d.where(col("doc_id") < 20)
-          .select((col("doc_id") + 10000).as("id_a"),
-            (col("doc_id") + 20000).as("id_b")))
+          .select((col("doc_id") + 100000000).as("id_a"),
+            (col("doc_id") + 200000000).as("id_b")))
       val edges = Dedup.jaccardPairs(corpus, "doc_id", "text", cands, shingleLen = 3)
         .where(col("jaccard") >= 0.5)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -239,7 +239,7 @@ object LlmDedup extends QueryPack {
     // survives. One explode + one window partitioned by the span
     // fingerprint (md5, so 100 TB of text shuffles 32-byte keys, not
     // span bodies) + one per-doc aggregate. The planted near-dup docs
-    // (id+10000, suffix-only edit) lose every full span to their
+    // (id+100000000, suffix-only edit) lose every full span to their
     // originals; the originals keep everything.
     q("q_dedup_spans",
       s"""WITH corpus AS ($nearCorpusSql),

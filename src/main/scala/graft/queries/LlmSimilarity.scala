@@ -44,6 +44,43 @@ object LlmSimilarity extends QueryPack {
          |  THEN ${1 << b} ELSE 0 END)""".stripMargin
     }.mkString("(", " + ", ")")
 
+  /** DuckDB replica of the ADAPTIVE banded bucket
+    * (SimilaritySearch.bandedNearDupPairs): band `k` draws hyperplanes
+    * from seed block k·64, the bit width is round(log2(n/64)) floored at
+    * 4 — the same formula as SimilaritySearch.autoBits, computed by a
+    * scalar subquery so the oracle follows the corpus size.
+    */
+  private def bucketDynSql(v: String, band: Int) =
+    // `||` stays at line ENDS: this fragment nests inside two more
+    // stripMargin strings, each of which would eat a leading pipe
+    s"""list_sum(list_transform(
+       |  range(0, (SELECT GREATEST(4, CAST(round(log2(count(*) / 64.0)) AS INT))
+       |            FROM embeddings)),
+       |  b -> CASE WHEN list_sum(list_transform(range(1, 65),
+       |    i -> CASE WHEN CAST(('0x' || substr(md5(CAST(b + ${band * 64} AS VARCHAR) ||
+       |                 ':' || (i-1)::VARCHAR),1,15)) AS BIGINT) % 2 = 0
+       |         THEN CAST($v[i] AS DOUBLE) ELSE -CAST($v[i] AS DOUBLE) END)) > 0.0
+       |    THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END))""".stripMargin
+
+  /** Banded candidate-pair CTE body over `embeddings` (2 bands). */
+  private val bandedCandSql =
+    s"""bset AS (SELECT vec_id, embedding,
+       |    ${bucketDynSql("embedding", 0)} AS b0,
+       |    ${bucketDynSql("embedding", 1)} AS b1
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bset a JOIN bset b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+       |  UNION
+       |  SELECT a.vec_id, b.vec_id
+       |  FROM bset a JOIN bset b ON a.b1 = b.b1 AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(${cosSql("ea.embedding", "eb.embedding")}, 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.id_a
+       |  JOIN embeddings eb ON eb.vec_id = c.id_b)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     // Norms — sanity anchor for all downstream vector math.
     q("q_embed_norm",
@@ -156,17 +193,16 @@ object LlmSimilarity extends QueryPack {
         .orderBy("qid")
     },
 
-    // Embedding near-dup pairs above a cosine threshold, LSH-pruned.
+    // Embedding near-dup pairs above a cosine threshold, pruned by
+    // ADAPTIVE banded LSH (bit width follows the corpus so buckets stay
+    // ~64 rows — candidate pairs linear in n at every SF; two bands buy
+    // the recall back).
     q("q_embed_neardup",
-      s"""SELECT id_a, id_b, cos FROM (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
-         |  FROM (SELECT *, ${bucketSql("embedding")} AS bucket FROM embeddings) a
-         |  JOIN (SELECT *, ${bucketSql("embedding")} AS bucket FROM embeddings) b
-         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |) WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin) { s =>
-      SimilaritySearch.nearDupPairs(s.table("embeddings"), "vec_id", "embedding",
-        threshold = 0.3, nBits = 4)
+      s"""WITH $bandedCandSql
+         |SELECT id_a, id_b, cos FROM scored
+         |WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin) { s =>
+      SimilaritySearch.bandedNearDupPairs(s.table("embeddings"), "vec_id",
+        "embedding", threshold = 0.3)
         .orderBy("id_a", "id_b")
     },
 
@@ -179,19 +215,13 @@ object LlmSimilarity extends QueryPack {
     // the identical shape runs over ivfTopK's trained cells instead).
     // One bucketed self-join (never all-pairs) + one anti-join.
     q("q_dedup_semantic",
-      s"""SELECT vec_id, CAST(label AS INT) AS label FROM embeddings
-         |WHERE vec_id NOT IN (
-         |  SELECT id_b FROM (
-         |    SELECT b.vec_id AS id_b,
-         |      round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
-         |    FROM (SELECT *, ${bucketSql("embedding")} AS bucket FROM embeddings) a
-         |    JOIN (SELECT *, ${bucketSql("embedding")} AS bucket FROM embeddings) b
-         |      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |  ) WHERE cos >= 0.5)
+      s"""WITH $bandedCandSql
+         |SELECT vec_id, CAST(label AS INT) AS label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id_b FROM scored WHERE cos >= 0.5)
          |ORDER BY vec_id""".stripMargin) { s =>
       val e = s.table("embeddings")
-      val dropped = SimilaritySearch.nearDupPairs(e, "vec_id", "embedding",
-        threshold = 0.5, nBits = 4)
+      val dropped = SimilaritySearch.bandedNearDupPairs(e, "vec_id",
+        "embedding", threshold = 0.5)
         .select(col("id_b").as("vec_id")).distinct()
       e.join(dropped, Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label").cast("int").as("label"))

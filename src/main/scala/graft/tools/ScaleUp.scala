@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale the driver's TPC-H-ish testdata by an integer factor, preserving
+  * foreign-key structure, for large-SF bench passes (the driver only ships
+  * sf0.001/0.01/0.1).
+  *
+  * Each fact/dim table is replicated `factor` times; copy `i` offsets every
+  * key column by `i * (max key + 1)` so keys stay dense and disjoint, and
+  * FK columns co-rotate with their parent (copy i of lineitem references
+  * copy i of orders/part/supplier) so join fan-outs and selectivities match
+  * the original distribution — the same shape TPC-H dbgen produces at a
+  * higher SF. Tiny dims (region, nation) are kept as-is, like TPC-H.
+  *
+  * Text/embedding tables get a per-copy perturbation (a copy-suffix token on
+  * `text`, hash-noise on `embedding`) so dedup/ANN queries see the same
+  * WITHIN-copy duplicate structure instead of every row having factor-1
+  * exact clones across copies.
+  *
+  * Usage: ScaleUp <srcDir> <destDir> [factor=10]
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dest = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def load(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+
+    /** Cross-join with copy ids 0..factor-1 and offset `keys` by
+      * copy * (max+1) of each key's own domain — or by a fixed `stride`
+      * when the bench queries reserve id ranges above the base ids
+      * (documents: the dedup oracles plant near/exact dups at
+      * doc_id + 10000/20000, so copies must stay far clear of both the
+      * base range and every copy's planted range). */
+    def replicate(df: DataFrame, keys: Seq[String],
+        stride: Option[Long] = None): DataFrame = {
+      val maxes = if (keys.isEmpty) Map.empty[String, Long] else {
+        val row = df.agg(keys.map(k => max(col(k)).as(k)).head,
+                         keys.map(k => max(col(k)).as(k)).tail: _*).head()
+        keys.map(k => k -> stride.getOrElse(row.getAs[Any](k) match {
+          case l: Long => l + 1L
+          case i: Int  => i.toLong + 1L
+        })).toMap
+      }
+      val copies = spark.range(factor).withColumnRenamed("id", "__copy")
+      keys.foldLeft(df.crossJoin(broadcast(copies))) { (acc, k) =>
+        acc.withColumn(k, (col(k) + col("__copy") * lit(maxes(k))).cast(df.schema(k).dataType))
+      }
+    }
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.drop("__copy").write.mode("overwrite").parquet(s"$dest/$name.parquet")
+      println(s"[scaleup] $name done")
+    }
+
+    // Tiny dims: copy through unchanged.
+    Seq("region", "nation").foreach(n => write(load(n), n))
+
+    write(replicate(load("customer"), Seq("c_custkey")), "customer")
+    write(replicate(load("supplier"), Seq("s_suppkey")), "supplier")
+    write(replicate(load("part"), Seq("p_partkey")), "part")
+    write(replicate(load("orders"), Seq("o_orderkey", "o_custkey")), "orders")
+    write(replicate(load("lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    write(replicate(load("events"), Seq("event_id", "user_id")), "events")
+
+    // documents: offset doc_id; suffix a copy token so cross-copy rows are
+    // not exact/near duplicates of each other (within-copy dup structure is
+    // what dedup queries should measure).
+    write(
+      replicate(load("documents"), Seq("doc_id"), stride = Some(10000000L))
+        .withColumn("text",
+          when(col("__copy") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" c"), col("__copy"))))
+        .withColumn("n_chars", length(col("text")).cast("long")),
+      "documents")
+
+    // embeddings: offset vec_id; add deterministic per-(row, copy, dim)
+    // noise so copies don't collapse into identical LSH buckets / tied
+    // neighbor lists.
+    write(
+      replicate(load("embeddings"), Seq("vec_id"))
+        .withColumn("embedding",
+          when(col("__copy") === 0, col("embedding")).otherwise(
+            zip_with(
+              col("embedding"),
+              transform(sequence(lit(0), size(col("embedding")) - 1),
+                i => sin(col("vec_id") * 31 + col("__copy") * 17 + i) * lit(0.01f)),
+              (v, n) => (v + n).cast("float")))),
+      "embeddings")
+
+    spark.stop()
+  }
+}

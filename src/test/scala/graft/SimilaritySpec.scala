@@ -43,6 +43,43 @@ class SimilaritySpec extends SparkSpecBase {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("bandedNearDupPairs: adaptive bits bound buckets, bands keep recall") {
+    // 8192 base vectors (64-dim, deterministic pseudo-gaussian) + 200
+    // planted near-dups (tiny perturbation → cos ≈ 0.999). At this size
+    // autoBits = round(log2(8192/64)) = 7: buckets average 64 rows, so
+    // the within-bucket self-join stays linear-in-n where a pinned
+    // 4-bit bucketing is already quadratic-in-bucket.
+    assert(SimilaritySearch.autoBits(1000) == 4) // the sf0.01 gate shape
+    assert(SimilaritySearch.autoBits(8192) == 7)
+    assert(SimilaritySearch.autoBits(20000) == 8)
+    def gauss(seed: Long, i: Int): Float = {
+      // Box-Muller over two md5-derived uniforms — deterministic and
+      // well-mixed (multiplicative hashes leave adjacent keys correlated)
+      def u(tag: String) = (graft.functions.HashFunctions
+        .md5LongLocal(s"$tag:$seed:$i") & ((1L << 53) - 1)).toDouble /
+        (1L << 53).toDouble
+      (math.sqrt(-2.0 * math.log(u("a") + 1e-12)) *
+        math.cos(2.0 * math.Pi * u("b"))).toFloat
+    }
+    val base = (0L until 8192L).map(s =>
+      (s, Array.tabulate(64)(i => gauss(s, i))))
+    val plants = (0L until 200L).map { s =>
+      val v = base(s.toInt)._2
+      (100000L + s, v.zipWithIndex.map { case (x, i) =>
+        x + 0.02f * gauss(s + 500000L, i) })
+    }
+    val df = (base ++ plants).toDF("vec_id", "embedding")
+    val pairs = SimilaritySearch.bandedNearDupPairs(
+      df, "vec_id", "embedding", threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = (0L until 200L).count(s => pairs.contains((s, 100000L + s)))
+    // candidate recall at cos .999 (p_agree ≈ 0.99): 1-(1-p^7)^2 ≈ 0.997
+    assert(found >= 180, s"banded LSH found only $found/200 planted pairs")
+    // false-pair volume stays bounded: random 64-dim pairs essentially
+    // never clear cos 0.95, so the output is ~the planted set
+    assert(pairs.size <= 400, s"unexpected pair volume: ${pairs.size}")
+  }
+
   test("multimodal generic digest path: deterministic features, streamed batches") {
     val assets = Multimodal.demoAssets(spark, "/root/testdata/sf0.001")
     val f1 = Multimodal.decodeFeatures(assets).orderBy("asset_id")
