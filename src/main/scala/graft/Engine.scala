@@ -2566,7 +2566,24 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       "intervalstyle" -> ("postgres", "Sets the display format for interval values."),
       "lock_timeout" -> ("0", "Sets the maximum allowed duration of any wait for a lock."),
       "query_mode" -> ("auto", "Selects batch/local execution mode for queries."),
+      // Reference planner GUCs (src/common/src/session_config/mod.rs) —
+      // accepted so reference scripts run unchanged (the nexmark suite
+      // issues `SET rw_force_two_phase_agg = true` etc.). Advisory here:
+      // Catalyst already provides the behavior each knob forces (every
+      // aggregate plans two-phase with a map-side partial;
+      // RewriteDistinctAggregates performs the distinct split; CBO/AQE
+      // reorder joins), so accepting-and-reporting is the faithful
+      // rendering, same as the reference treating them as hints its
+      // optimizer may fold away.
+      "rw_batch_enable_lookup_join" -> ("true", "Enables index lookup joins in batch queries (advisory: CREATE INDEX point-lookup rewrites apply when eligible)."),
+      "rw_batch_enable_sort_agg" -> ("true", "Enables sort-based aggregation in batch queries (advisory: Catalyst picks hash vs sort aggregate)."),
+      "rw_enable_join_ordering" -> ("true", "Enables join reordering (advisory: Catalyst CBO/AQE reorder)."),
+      "rw_enable_share_plan" -> ("true", "Enables common sub-plan sharing (advisory: Catalyst reuses exchanges/subqueries)."),
+      "rw_enable_two_phase_agg" -> ("true", "Enables two-phase aggregation (always on here: Spark aggregates plan a map-side partial)."),
+      "rw_force_split_distinct_agg" -> ("false", "Forces the distinct-aggregate split rewrite (advisory: RewriteDistinctAggregates splits whenever distinct aggregates appear)."),
+      "rw_force_two_phase_agg" -> ("false", "Forces two-phase aggregation (always satisfied: Spark aggregates plan a map-side partial)."),
       "rw_implicit_flush" -> ("false", "Flushes stream jobs after every DML statement, so reads observe the write."),
+      "rw_streaming_enable_delta_join" -> ("true", "Enables delta joins for streaming MVs (advisory: the chain planner takes the delta-join path whenever the shape allows)."),
       "search_path" -> ("\"$user\", public", "Sets the schema search order for names that are not schema-qualified."),
       "server_encoding" -> ("UTF8", "Sets the server (database) character set encoding."),
       "server_version" -> ("14.0", "Shows the server version."),

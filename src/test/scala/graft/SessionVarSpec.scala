@@ -61,6 +61,20 @@ class SessionVarSpec extends SparkSpecBase {
     assert(e.execute("SHOW application_name").head().getString(0) == "")
   }
 
+  test("reference planner GUCs accept the nexmark suite's SET statements") {
+    val e = new Engine(spark, tmpDir("plannerguc"))
+    // the reference's own benchmark scripts issue these before queries
+    // (ci/scripts/sql/nexmark/q15-two-phase.sql) — they must not error
+    e.execute("SET rw_force_split_distinct_agg = true")
+    e.execute("SET rw_force_two_phase_agg = true")
+    e.execute("SET rw_streaming_enable_delta_join = false")
+    assert(e.execute("SHOW rw_force_two_phase_agg").head().getString(0) == "true")
+    e.execute("RESET rw_force_two_phase_agg")
+    assert(e.execute("SHOW rw_force_two_phase_agg").head().getString(0) == "false")
+    // still an error for genuinely unknown names (PG semantics)
+    intercept[Exception] { e.execute("SET rw_no_such_knob = 1") }
+  }
+
   test("SET TIME ZONE applies to the Spark session and validates the zone") {
     val e = new Engine(spark, tmpDir("vars-tz"))
     val before = spark.conf.get("spark.sql.session.timeZone")

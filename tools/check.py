@@ -7,7 +7,7 @@ rowcount / column names / dtypes / cell values (exact; NaN==NaN).
 
 Usage: python3 tools/check.py [sfdir] [outdir]
 """
-import sys, json, math, datetime
+import sys, json, math, datetime, os
 
 import duckdb
 
@@ -43,8 +43,13 @@ def main():
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
+        # driver testdata is one file per table; ScaleUp output (sf1
+        # scale passes) is a Spark directory of part files — glob it
+        p = f"{SFDIR}/{t}.parquet"
+        if os.path.isdir(p):
+            p += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SFDIR}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     oracle = json.load(open(f"{OUTDIR}/oracle_sql.json"))
     try:
