@@ -19,7 +19,7 @@ object TpchLike extends QueryPack {
     q("q3_shipping_priority",
       s"""SELECT l_orderkey, revenue, o_orderdate FROM (
          |  SELECT l.l_orderkey,
-         |    ${dsumSql("l.l_extendedprice * (1 - l.l_discount)", 6)} AS revenue,
+         |    ${dsumSql(drevSql("l.l_extendedprice", "l.l_discount"), 6)} AS revenue,
          |    o.o_orderdate
          |  FROM customer c
          |  JOIN orders o ON c.c_custkey = o.o_custkey
@@ -37,7 +37,7 @@ object TpchLike extends QueryPack {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(l("l_orderkey"), o("o_orderdate"))
-        .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount")), 6).as("revenue"))
+        .agg(dsum(drev(l("l_extendedprice"), l("l_discount")), 6).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -46,7 +46,7 @@ object TpchLike extends QueryPack {
     // Q5: local-supplier volume — 6-way star join, region filter.
     q("q5_local_supplier",
       s"""SELECT n.n_name,
-         |  ${dsumSql("l.l_extendedprice * (1 - l.l_discount)", 6)} AS revenue
+         |  ${dsumSql(drevSql("l.l_extendedprice", "l.l_discount"), 6)} AS revenue
          |FROM region r
          |JOIN nation n ON n.n_regionkey = r.r_regionkey
          |JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -70,13 +70,13 @@ object TpchLike extends QueryPack {
           sup("s_suppkey") === l("l_suppkey") &&
             sup("s_nationkey") === n("n_nationkey"))
         .groupBy(n("n_name"))
-        .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount")), 6).as("revenue"))
+        .agg(dsum(drev(l("l_extendedprice"), l("l_discount")), 6).as("revenue"))
         .orderBy("n_name")
     },
 
     // Q6: forecast-revenue — pure pushdown scan + global agg.
     q("q6_forecast_revenue",
-      s"""SELECT ${dsumSql("l_extendedprice * l_discount", 6)} AS revenue
+      s"""SELECT ${dsumSql(s"${dmoneySql("l_extendedprice")} * CAST(l_discount AS DECIMAL(4,2))", 6)} AS revenue
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -87,14 +87,15 @@ object TpchLike extends QueryPack {
           && col("l_shipdate") < lit("1997-01-01 00:00:00").cast(TimestampType)
           && col("l_discount").between(0.05, 0.07)
           && col("l_quantity") < 24)
-        .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"))
+        .agg(dsum(dmoney(col("l_extendedprice")) *
+          col("l_discount").cast(DecimalType(4, 2)), 6).as("revenue"))
     },
 
     // Q10: returned-item reporting — top 20 customers by lost revenue.
     q("q10_returned_items",
       s"""SELECT c_custkey, c_name, revenue, n_name FROM (
          |  SELECT c.c_custkey, c.c_name, n.n_name,
-         |    ${dsumSql("l.l_extendedprice * (1 - l.l_discount)", 6)} AS revenue
+         |    ${dsumSql(drevSql("l.l_extendedprice", "l.l_discount"), 6)} AS revenue
          |  FROM customer c
          |  JOIN orders o ON o.o_custkey = c.c_custkey
          |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -114,7 +115,7 @@ object TpchLike extends QueryPack {
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(c("c_custkey"), c("c_name"), n("n_name"))
-        .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount")), 6).as("revenue"))
+        .agg(dsum(drev(l("l_extendedprice"), l("l_discount")), 6).as("revenue"))
         .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
@@ -124,8 +125,8 @@ object TpchLike extends QueryPack {
     q("q14_promo_effect",
       s"""SELECT
          |  100.0 * ${dsumSql(
-             "CASE WHEN p.p_type = 'ECONOMY' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 6)}
-         |    / ${dsumSql("l.l_extendedprice * (1 - l.l_discount)", 6)} AS promo_revenue
+             s"CASE WHEN p.p_type = 'ECONOMY' THEN ${drevSql("l.l_extendedprice", "l.l_discount")} ELSE CAST(0 AS DECIMAL(18,4)) END", 6)}
+         |    / ${dsumSql(drevSql("l.l_extendedprice", "l.l_discount"), 6)} AS promo_revenue
          |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
          |WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
          |  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin) { s =>
@@ -133,10 +134,11 @@ object TpchLike extends QueryPack {
         .where(col("l_shipdate") >= lit("1996-03-01 00:00:00").cast(TimestampType)
           && col("l_shipdate") < lit("1996-04-01 00:00:00").cast(TimestampType))
       val p = s.table("part")
-      val rev = l("l_extendedprice") * (lit(1) - l("l_discount"))
+      val rev = drev(l("l_extendedprice"), l("l_discount"))
       l.join(broadcast(p), p("p_partkey") === l("l_partkey"))
         .agg((lit(100.0) *
-          dsum(when(p("p_type") === "ECONOMY", rev).otherwise(0.0), 6) /
+          dsum(when(p("p_type") === "ECONOMY", rev)
+            .otherwise(lit(0).cast(DecimalType(18, 4))), 6) /
           dsum(rev, 6)).as("promo_revenue"))
     },
 
@@ -145,7 +147,7 @@ object TpchLike extends QueryPack {
     q("q7_nation_volume",
       s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
          |  CAST(extract(year FROM l.l_shipdate) AS INT) AS yr,
-         |  ${dsumSql("l.l_extendedprice * (1 - l.l_discount)", 6)} AS volume
+         |  ${dsumSql(drevSql("l.l_extendedprice", "l.l_discount"), 6)} AS volume
          |FROM lineitem l
          |JOIN orders o ON o.o_orderkey = l.l_orderkey
          |JOIN customer c ON c.c_custkey = o.o_custkey
@@ -172,7 +174,7 @@ object TpchLike extends QueryPack {
         .where(col("cnk") =!= col("snk"))
         .groupBy(col("cust_nation"), col("supp_nation"),
           year(l("l_shipdate")).as("yr"))
-        .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount")), 6).as("volume"))
+        .agg(dsum(drev(l("l_extendedprice"), l("l_discount")), 6).as("volume"))
         .orderBy("cust_nation", "supp_nation", "yr")
     },
 
@@ -203,7 +205,7 @@ object TpchLike extends QueryPack {
     // Q19-like: OR-ed multi-branch predicate (brand × size × quantity
     // bands) — disjunctive pushdown exercise.
     q("q19_disjunctive",
-      s"""SELECT ${dsumSql("l.l_extendedprice * (1 - l.l_discount)", 6)} AS revenue
+      s"""SELECT ${dsumSql(drevSql("l.l_extendedprice", "l.l_discount"), 6)} AS revenue
          |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
          |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
          |       AND l.l_quantity BETWEEN 1 AND 11)
@@ -222,7 +224,7 @@ object TpchLike extends QueryPack {
           l("l_quantity").between(20, 30))
       l.join(broadcast(p), p("p_partkey") === l("l_partkey"))
         .where(cond)
-        .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount")), 6).as("revenue"))
+        .agg(dsum(drev(l("l_extendedprice"), l("l_discount")), 6).as("revenue"))
     },
 
     // Q2-like: cheapest-supplier-per-nation (min-by over a join, the

@@ -44,11 +44,11 @@ object TpchLike2 extends QueryPack {
     // revenue per year; conditional share over an 8-way star join.
     q("q8_market_share",
       s"""SELECT yr,
-         |  ${dsumSql("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END", 6)}
+         |  ${dsumSql("CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END", 6)}
          |    / ${dsumSql("volume", 6)} AS mkt_share
          |FROM (
          |  SELECT CAST(extract(year FROM o.o_orderdate) AS INT) AS yr,
-         |    l.l_extendedprice * (1 - l.l_discount) AS volume,
+         |    ${drevSql("l.l_extendedprice", "l.l_discount")} AS volume,
          |    n2.n_name AS nation
          |  FROM lineitem l
          |  JOIN part p ON p.p_partkey = l.l_partkey
@@ -70,7 +70,7 @@ object TpchLike2 extends QueryPack {
       val sup = s.table("supplier")
       val n2 = s.table("nation")
         .select(col("n_nationkey").as("snk"), col("n_name").as("nation"))
-      val vol = l("l_extendedprice") * (lit(1) - l("l_discount"))
+      val vol = drev(l("l_extendedprice"), l("l_discount"))
       l.join(broadcast(p), p("p_partkey") === l("l_partkey"))
         .join(o, o("o_orderkey") === l("l_orderkey"))
         .join(c, c("c_custkey") === o("o_custkey"))
@@ -79,7 +79,8 @@ object TpchLike2 extends QueryPack {
         .join(sup, sup("s_suppkey") === l("l_suppkey"))
         .join(broadcast(n2), col("snk") === sup("s_nationkey"))
         .groupBy(year(o("o_orderdate")).as("yr"))
-        .agg((dsum(when(col("nation") === "NATION_3", vol).otherwise(0.0), 6) /
+        .agg((dsum(when(col("nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast(DecimalType(18, 4))), 6) /
           dsum(vol, 6)).as("mkt_share"))
         .orderBy("yr")
     },
@@ -91,8 +92,9 @@ object TpchLike2 extends QueryPack {
          |FROM (
          |  SELECT n.n_name AS nation,
          |    CAST(extract(year FROM o.o_orderdate) AS INT) AS yr,
-         |    l.l_extendedprice * (1 - l.l_discount)
-         |      - 0.1 * p.p_retailprice * l.l_quantity AS amount
+         |    ${drevSql("l.l_extendedprice", "l.l_discount")}
+         |      - CAST(0.1 AS DECIMAL(2,1)) * ${dmoneySql("p.p_retailprice")}
+         |        * ${dmoneySql("l.l_quantity")} AS amount
          |  FROM lineitem l
          |  JOIN part p ON p.p_partkey = l.l_partkey
          |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -106,8 +108,9 @@ object TpchLike2 extends QueryPack {
       val sup = s.table("supplier")
       val o = s.table("orders")
       val n = s.table("nation")
-      val amount = l("l_extendedprice") * (lit(1) - l("l_discount")) -
-        lit(0.1) * p("p_retailprice") * l("l_quantity")
+      val amount = drev(l("l_extendedprice"), l("l_discount")) -
+        lit(BigDecimal("0.1")).cast(DecimalType(2, 1)) *
+          dmoney(p("p_retailprice")) * dmoney(l("l_quantity"))
       l.join(broadcast(p), p("p_partkey") === l("l_partkey"))
         .join(sup, sup("s_suppkey") === l("l_suppkey"))
         .join(o, o("o_orderkey") === l("l_orderkey"))
@@ -121,9 +124,9 @@ object TpchLike2 extends QueryPack {
     // total (scalar subquery over the same derived view; no collect —
     // the threshold rides a broadcast cross join).
     q("q11_important_parts",
-      """WITH v AS (
+      s"""WITH v AS (
         |  SELECT l.l_partkey,
-        |    SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS val
+        |    SUM(CAST(${drevSql("l.l_extendedprice", "l.l_discount")} AS DECIMAL(18,6))) AS val
         |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
         |  WHERE s.s_nationkey < 5
         |  GROUP BY l.l_partkey)
@@ -134,7 +137,7 @@ object TpchLike2 extends QueryPack {
       val sup = s.table("supplier").where(col("s_nationkey") < 5)
       val v = l.join(sup, sup("s_suppkey") === l("l_suppkey"))
         .groupBy(l("l_partkey"))
-        .agg(sum((l("l_extendedprice") * (lit(1) - l("l_discount")))
+        .agg(sum(drev(l("l_extendedprice"), l("l_discount"))
           .cast(DecimalType(18, 6))).as("val"))
       val threshold = v.agg((sum(col("val")) * lit(0.001)).as("thr"))
       v.join(broadcast(threshold))
@@ -166,9 +169,9 @@ object TpchLike2 extends QueryPack {
     // Q15: top supplier — revenue view consumed twice (join + scalar MAX);
     // equality on the exact DECIMAL value, cast to DOUBLE only on output.
     q("q15_top_supplier",
-      """WITH revenue AS (
+      s"""WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
-        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_rev
+        |    SUM(CAST(${drevSql("l_extendedprice", "l_discount")} AS DECIMAL(18,6))) AS total_rev
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -181,7 +184,7 @@ object TpchLike2 extends QueryPack {
         .where(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampType)
           && col("l_shipdate") < lit("1996-04-01 00:00:00").cast(TimestampType))
         .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .agg(sum(drev(col("l_extendedprice"), col("l_discount"))
           .cast(DecimalType(18, 6))).as("total_rev"))
       val best = revenue.agg(max(col("total_rev")).as("best_rev"))
       val sup = s.table("supplier")
@@ -228,8 +231,11 @@ object TpchLike2 extends QueryPack {
          |JOIN part p ON p.p_partkey = l.l_partkey
          |JOIN (SELECT l_partkey AS ak,
          |        0.2 * ${davgSql("l_quantity")} AS avg_qty
-         |      FROM lineitem GROUP BY l_partkey) a ON a.ak = p.p_partkey
+         |      FROM lineitem GROUP BY l_partkey) a ON a.ak = l.l_partkey
          |WHERE p.p_brand = 'Brand#3' AND l.l_quantity < a.avg_qty""".stripMargin) { s =>
+      // oracle joins `a` on l.l_partkey (equivalent through the p=l
+      // equality): DuckDB routes the p_partkey spelling into an
+      // inequality-join plan that spills without bound at sf1
       val l = s.table("lineitem")
       val p = s.table("part").where(col("p_brand") === "Brand#3")
       val avgQ = s.table("lineitem")

@@ -56,4 +56,47 @@ package object queries {
 
   def davgSql(expr: String, scale: Int = 2): String =
     s"(${dsumSql(expr, scale)} / COUNT($expr))"
+
+  /** Exact decimal factors for PRODUCT sums. [[dsum]]'s per-row cast is
+    * deterministic per engine but the two engines round a near-half-way
+    * DOUBLE PRODUCT at scale 6 differently (Spark expands the exact
+    * decimal, DuckDB scales in double space) — at millions of rows a few
+    * boundary rows surface as a last-ulp sum mismatch. Casting each 2dp
+    * FACTOR first is unambiguous (a 2dp double is never half-way at 2dp),
+    * and the decimal product is then EXACT on both engines.
+    */
+  def dmoney(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  def dmoneySql(e: String): String = s"CAST(($e) AS DECIMAL(12,2))"
+
+  /** (1 − rate) as an exact decimal factor. */
+  def drate1m(c: Column): Column =
+    lit(1).cast(DecimalType(4, 2)) - c.cast(DecimalType(4, 2))
+
+  def drate1mSql(e: String): String =
+    s"(CAST(1 AS DECIMAL(4,2)) - CAST(($e) AS DECIMAL(4,2)))"
+
+  /** (1 + rate) as an exact decimal factor. */
+  def drate1p(c: Column): Column =
+    lit(1).cast(DecimalType(4, 2)) + c.cast(DecimalType(4, 2))
+
+  def drate1pSql(e: String): String =
+    s"(CAST(1 AS DECIMAL(4,2)) + CAST(($e) AS DECIMAL(4,2)))"
+
+  /** The TPC-H revenue expression price × (1 − discount), exact. */
+  def drev(price: Column, disc: Column): Column = dmoney(price) * drate1m(disc)
+
+  def drevSql(p: String, d: String): String =
+    s"(${dmoneySql(p)} * ${drate1mSql(d)})"
+
+  /** [[dsum]] that stays DECIMAL on output: when the sum × 10^scale can
+    * exceed 2^53 (q1's corpus-wide 6dp sums at SF ≥ 1), the final
+    * decimal→double cast itself rounds the last bit differently across
+    * engines — emitting the exact decimal removes the cast entirely.
+    */
+  def dsumExact(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
+
+  def dsumExactSql(expr: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,$scale))) AS DECIMAL(38,$scale))"
 }

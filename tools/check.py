@@ -42,6 +42,10 @@ def cell_eq(a, b):
 def main():
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # large-SF runs (ScaleUp sf1): bound DuckDB's memory so heavy oracle
+    # joins spill to disk instead of tripping the container OOM killer
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # driver testdata is one file per table; ScaleUp output (sf1
         # scale passes) is a Spark directory of part files — glob it
