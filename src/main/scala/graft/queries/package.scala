@@ -93,6 +93,13 @@ package object queries {
     * exceed 2^53 (q1's corpus-wide 6dp sums at SF ≥ 1), the final
     * decimal→double cast itself rounds the last bit differently across
     * engines — emitting the exact decimal removes the cast entirely.
+    *
+    * NOT for the gate surface: the driver's hash canonicalizes DECIMAL
+    * differently from DOUBLE (DuckDB's pandas bridge renders DECIMAL as
+    * float64 while Spark parquet keeps Decimal128), so a gate query that
+    * emits DECIMAL hash-mismatches even when every value is exactly equal
+    * (round-7 q1_agg regression). Use only in builder-side sf≥1 checks;
+    * OutputTypeEnvelopeSpec pins the gate surface to hash-stable types.
     */
   def dsumExact(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
