@@ -810,6 +810,31 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     */
   private val chainDepth = scala.collection.mutable.Map[String, Int]()
 
+  /** Chain edges: downstream MV → the upstream store(s) whose changelog
+    * it tails. Background compaction drains an upstream's transitive
+    * downstream set before expiring history (see
+    * [[maybeBackgroundCompact]]); populated at every chain-creation /
+    * chain-recovery site alongside [[chainDepth]].
+    */
+  private val chainUpstreams =
+    scala.collection.mutable.Map[String, Set[String]]()
+
+  /** All MVs that (transitively) tail `upName`'s changelog, shallowest
+    * first — the drain order that settles a whole chain in one pass.
+    */
+  private def downstreamOf(upName: String): Seq[String] = {
+    val out = scala.collection.mutable.Set[String]()
+    var frontier = Set(upName)
+    while (frontier.nonEmpty) {
+      val next = chainUpstreams.collect {
+        case (d, ups) if ups.exists(frontier) && !out(d) => d
+      }.toSet
+      out ++= next
+      frontier = next
+    }
+    out.toSeq.sortBy(chainDepth.getOrElse(_, 0))
+  }
+
   // --- temporal filter (reference: `WHERE ts > now() - interval`,
   // src/stream/src/executor/now.rs + dynamic_filter.rs; plan rule
   // logical_optimization.rs:275-285 "Push down filter with now"). A
@@ -912,6 +937,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       pk, Some(query), streaming = true, "update", down.nBuckets,
       chainedFrom = Some(upName), chainFrontier = Some(frontier)))
     chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
+    chainUpstreams(name) = Set(upName)
     jobs(name) = up.subscribeWithBackfill(down, mvs.checkpointDir(name),
       chainTransform(name, query, upName))
     val outCols = scala.util.Try(spark.sql(Engine.rewritePgSelect(
@@ -1001,6 +1027,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         f
       }
     chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
+    chainUpstreams(name) = Set(upName)
     if (!resume)
       catalog.save("mvs", name, DurableCatalog.MvEntry(
         pk, Some(query), streaming = true, "update", resultMv.nBuckets, over = Some(true),
@@ -1094,6 +1121,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       chainedFrom = Some(upName), chainFrontier = Some(frontier),
       chainAggGroups = Some(groupCols)))
     chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
+    chainUpstreams(name) = Set(upName)
     jobs(name) = startChainedAggJob(name, down, up, query, upName,
       groupCols, frontier)
     statusDf("CREATE MATERIALIZED VIEW (streaming agg chain)", name)
@@ -1178,6 +1206,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       chainJoinType = Some(joinKind)))
     chainDepth(name) = math.max(chainDepth.getOrElse(leftName, 0),
       chainDepth.getOrElse(rightName, 0)) + 1
+    chainUpstreams(name) = Set(leftName, rightName)
     val inc = new graft.streaming.IncrementalJoin(left, right, down,
       left.primaryKey, right.primaryKey, fn, joinKind)
     jobs(name) = startChainedJoinJob(name, inc, left, right, fL, fR)
@@ -1341,6 +1370,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       chainJoinType = Some("unionagg"), chainAggGroups = Some(groupCols)))
     chainDepth(name) = math.max(chainDepth.getOrElse(leftName, 0),
       chainDepth.getOrElse(rightName, 0)) + 1
+    chainUpstreams(name) = Set(leftName, rightName)
     val inc = new graft.streaming.IncrementalUnionAgg(left, right, down,
       groupCols, fn, chainJoinKeysFn(name, query, leftName, rightName) _)
     jobs(name) = startChainedUnionAggJob(name, inc, left, right, fL, fR)
@@ -1389,6 +1419,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       chainJoinType = Some("unionall")))
     chainDepth(name) = math.max(chainDepth.getOrElse(leftName, 0),
       chainDepth.getOrElse(rightName, 0)) + 1
+    chainUpstreams(name) = Set(leftName, rightName)
     val inc = new graft.streaming.IncrementalUnion(left, right, down,
       left.primaryKey, right.primaryKey, fn)
     jobs(name) = startChainedUnionJob(name, inc, left, right, fL, fR)
@@ -1443,6 +1474,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           throw new IllegalStateException(
             s"chained upstream $upName not yet recovered"))
         chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
+        chainUpstreams(name) = Set(upName)
         e.chainJoinType.filter(_.startsWith("changelog:")).foreach { t =>
           jobs(name) = startChangelogChainJob(name, mv, upMv, q,
             t.stripPrefix("changelog:"), e.chainFrontier.getOrElse(-1L))
@@ -1456,6 +1488,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             chainDepth(name) = math.max(
               chainDepth.getOrElse(upName, 0),
               chainDepth.getOrElse(rightName, 0)) + 1
+            chainUpstreams(name) = Set(upName, rightName)
             if (e.chainJoinType.contains("unionagg")) {
               val inc = new graft.streaming.IncrementalUnionAgg(
                 upMv, rightMv, mv,
@@ -1748,6 +1781,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       chainedFrom = Some(relName), chainFrontier = Some(frontier),
       chainJoinType = Some(s"changelog:$subName")))
     chainDepth(name) = chainDepth.getOrElse(relName, 0) + 1
+    chainUpstreams(name) = Set(relName)
     jobs(name) = startChangelogChainJob(name, down, up, selectSql, subName,
       frontier)
     statusDf("CREATE MATERIALIZED VIEW (changelog chain)", name)
@@ -2557,7 +2591,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       "application_name" -> ("", "Sets the application name to be reported in statistics and logs."),
       "batch_parallelism" -> ("0", "Sets the parallelism for batch queries (0 = adaptive)."),
       "changelog_retention_epochs" -> ("0", "Trailing changelog epochs retained past the compaction frontier (time travel below it errors)."),
-      "changelog_snapshot_interval" -> ("0", "Compact each store's changelog into a snapshot checkpoint every N published epochs at FLUSH (0 = only on explicit VACUUM)."),
+      "changelog_snapshot_interval" -> ("0", "Compact each store's changelog into a snapshot checkpoint once it grows N epochs past its newest snapshot - continuously in the background at epoch publish, and at every FLUSH (0 = only on explicit VACUUM)."),
       "client_encoding" -> ("UTF8", "Sets the client's character set encoding."),
       "client_min_messages" -> ("notice", "Sets the message levels that are sent to the client."),
       "datestyle" -> ("ISO, MDY", "Sets the display format for date and time values."),
@@ -2805,6 +2839,60 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       }
     }
   }
+
+  // --- continuous background compaction (reference: the compactor runs
+  // in the background, src/storage/compactor/ — not only at barriers).
+  // Every epoch publication enqueues a check; a store whose changelog
+  // has grown `changelog_snapshot_interval` epochs past its newest
+  // snapshot is compacted on a dedicated daemon thread WITHOUT waiting
+  // for a FLUSH, so an untended long-running MV's history stays bounded.
+  // The FLUSH-path quiescence contract is localized per store: before
+  // expiring, the task drains exactly this store's transitive DOWNSTREAM
+  // tails (they are the only readers of the epochs being expired), with
+  // the frontier capped at the epoch count captured before the drain —
+  // everything the drain delivers is at or below that cap, so a chained
+  // subscriber can never lose an unconsumed epoch. Subscription cursors
+  // re-pin the frontier at compaction time as on the FLUSH path.
+  private val compactorPending =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val compactorExec =
+    java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-background-compactor")
+        t.setDaemon(true)
+        t
+      })
+
+  private def maybeBackgroundCompact(name: String, epoch: Long): Unit = {
+    val interval =
+      varValue("changelog_snapshot_interval").toLongOption.getOrElse(0L)
+    if (interval <= 0) return
+    val quick = mvs.get(name).getOrElse(return)
+    if (epoch - quick.latestSnapshotEpoch < interval) return
+    if (!compactorPending.add(name)) return // a pass is already queued
+    compactorExec.submit(new Runnable {
+      def run(): Unit =
+        try {
+          mvs.get(name).foreach { mv =>
+            val latest0 = mv.latestChangelogBatchId
+            downstreamOf(name)
+              .foreach(d => jobs.get(d).foreach(_.processAllAvailable()))
+            val frontier = math.min(retentionFrontier(name), latest0)
+            if (frontier > mv.latestSnapshotEpoch) mv.compactTo(frontier)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // derived-data maintenance: safe to skip, retried on the
+            // next interval-crossing publication (or FLUSH/VACUUM)
+            System.err.println(
+              s"[graft] background compaction of $name skipped: " +
+                e.getMessage)
+        } finally compactorPending.remove(name)
+    })
+  }
+
+  // wire the enqueue into every store this catalog defines
+  mvs.onEpochPublished = maybeBackgroundCompact
 
   // --- subscriptions / cursors (reference: CREATE SUBSCRIPTION +
   // DECLARE … SUBSCRIPTION CURSOR + FETCH, handler/create_subscription.rs

@@ -55,6 +55,15 @@ final class MaterializedView(
     try f finally storeLock.readLock().unlock()
   }
 
+  /** Called after each epoch publication commits (batchId >= 0 merges
+    * only, post-rename) with the published epoch — the engine wires
+    * continuous background compaction here (the reference compacts in
+    * the background, not only at barriers). Runs on the maintenance
+    * thread, so implementations must only ENQUEUE work; the merge is
+    * already committed when it fires, so hook failures are swallowed.
+    */
+  @volatile var onEpochPublished: Long => Unit = _ => ()
+
   private def withWriteLock[T](f: => T): T = {
     storeLock.writeLock().lock()
     try f finally storeLock.writeLock().unlock()
@@ -432,7 +441,13 @@ final class MaterializedView(
     * atomic; expiry and root cleanup only delete data a committed
     * snapshot supersedes).
     */
-  def compactTo(frontier: Long): Unit = {
+  def compactTo(frontier: Long): Unit = synchronized {
+    // The monitor (shared with [[mergeStreamBatch]] and the ad-hoc merge
+    // branch) excludes concurrent root-level changelog appends for the
+    // whole snapshot+cleanup window: a root file appended between the
+    // snapshot's plan and the root sweep would be deleted without ever
+    // being folded into a snapshot. Epoch merges publish only NEW
+    // batch-N dirs above `frontier`, so they never conflict.
     if (frontier < 0 || frontier > latestChangelogBatchId) return
     writeSnapshot(frontier)
     expireChangelog(frontier)
@@ -762,7 +777,9 @@ final class MaterializedView(
       // 3. PUBLISH
       publishWal(batchId)
       graft.CrashPoints.hit("publish.done")
-    } else {
+      try onEpochPublished(batchId)
+      catch { case scala.util.control.NonFatal(_) => () }
+    } else synchronized {
       // ad-hoc merge outside a streaming epoch: no journal, so pin the
       // delta with a localCheckpoint before the storage its lineage may
       // read is rewritten; then a plain changelog append
@@ -921,11 +938,17 @@ final class MvCatalog(spark: SparkSession, baseDir: String) {
     */
   @volatile var defaultBuckets: Int = 32
 
+  /** Catalog-wide epoch-publication listener, fanned into every store
+    * this catalog defines — the engine's background-compaction enqueue.
+    */
+  @volatile var onEpochPublished: (String, Long) => Unit = (_, _) => ()
+
   def define(name: String, pk: Seq[String], nBuckets: Int = -1,
       bucketKeys: Seq[String] = Seq.empty): MaterializedView = {
     val buckets = if (nBuckets > 0) nBuckets else defaultBuckets
     val mv = new MaterializedView(spark, name, pk, s"$baseDir/$name/data",
       buckets, bucketKeys)
+    mv.onEpochPublished = e => onEpochPublished(name, e)
     // finish any epoch a crash stranded between journal and publication
     // (no-op unless the store carries WAL orphans)
     mv.recoverWal()

@@ -142,6 +142,45 @@ class SnapshotCompactionSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("history expired"))
   }
 
+  test("background compaction fires on epoch publish with NO FLUSH; chained MV stays exact") {
+    val e = new Engine(spark, tmpDir("compactbg"))
+    e.execute("SET changelog_snapshot_interval = 2")
+    e.execute("SET changelog_retention_epochs = 1")
+    e.execute("CREATE TABLE bg (k BIGINT PRIMARY KEY, g BIGINT, v BIGINT)")
+    e.execute("CREATE MATERIALIZED VIEW bg_agg (PRIMARY KEY (g)) AS " +
+      "SELECT g, count(*) AS n, sum(v) AS sv FROM bg GROUP BY g")
+    val mv = e.mvs.get("bg").get
+    // a continuously-running store: DML epochs publish, NOTHING flushes
+    (0 until 8).foreach(i =>
+      e.execute(s"INSERT INTO bg VALUES ($i, ${i % 2}, ${i * 10})"))
+    // the compactor is a background daemon — wait for it, bounded
+    val deadline = System.currentTimeMillis() + 60000
+    while (mv.snapshotEpochs.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(mv.snapshotEpochs.nonEmpty,
+      "changelog grew past the interval with no FLUSH and never compacted")
+    // untended-growth bound: live epoch dirs above the snapshot stay
+    // O(retained), not O(lifetime) — re-check after the last enqueue
+    // settles (publications after the compaction keep the tail short)
+    assert(mv.latestSnapshotEpoch >= mv.latestChangelogBatchId - 4,
+      s"snapshot ${mv.latestSnapshotEpoch} lags latest " +
+        s"${mv.latestChangelogBatchId} by more than interval+retention+1")
+    // current reads exact; history below the frontier expired loudly
+    assert(rows(e.table("bg")) ==
+      (0 until 8).map(i => (i.toLong, i * 10L)).toSet)
+    if (mv.latestSnapshotEpoch > 0) {
+      val ex = intercept[Exception](e.execute(
+        s"SELECT * FROM bg FOR SYSTEM_TIME AS OF ${mv.latestSnapshotEpoch - 1}"))
+      assert(ex.getMessage.contains("history expired"))
+    }
+    // the chained subscriber was drained BEFORE every expiry: exact now
+    e.execute("FLUSH")
+    val got = e.table("bg_agg")
+      .select(col("g"), col("n"), col("sv")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 4L, 120L), (1L, 4L, 160L)))
+  }
+
   test("retention fuzz: DML history under auto-compaction, AS-OF probes per epoch") {
     val e = new Engine(spark, tmpDir("compactf"))
     e.execute("SET changelog_snapshot_interval = 3")
