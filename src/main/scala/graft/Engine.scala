@@ -3353,7 +3353,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     // (reference: ColumnCatalog::row_id_column is_hidden — q13-by-row-id
     // joins on mod(_row_id, n)): a statement that names it binds views
     // WITH the column, every other statement gets the starred shape
-    val wantsRowId = stmt.contains(Engine.RowIdCol)
+    // SQL identifiers are case-insensitive and the probe must not fire
+    // on the name inside a string literal (WHERE s = '_row_id'):
+    // word-bounded match over the statement with quoted literals blanked
+    val wantsRowId = java.util.regex.Pattern
+      .compile(s"(?i)\\b${Engine.RowIdCol}\\b")
+      .matcher(stmt.replaceAll("'[^']*'", "''")).find()
     mvs.list.foreach { n =>
       if (java.util.regex.Pattern.compile(s"(?i)\\b$n\\b").matcher(stmt).find()) {
         val df =

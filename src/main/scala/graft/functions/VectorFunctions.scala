@@ -87,7 +87,11 @@ object VectorFunctions {
     * band's planes are independent (band 0 IS the unseeded bucketing).
     */
   def lshBucketSeeded(v: Column, nBits: Int, seedBase: Int,
-      dims: Int = 64): Column =
+      dims: Int = 64): Column = {
+    // Int bucket space: 31+ bits would overflow the (1 << b) weights and
+    // collide buckets silently (autoBits caps at 30 for the same reason)
+    require(nBits <= 30, s"lsh bucket width $nBits exceeds 30 bits")
     (0 until nBits).map(b => hyperplaneSign(v, seedBase + b, dims) * (1 << b))
       .reduce(_ + _).cast(IntegerType)
+  }
 }

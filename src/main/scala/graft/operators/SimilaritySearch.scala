@@ -77,16 +77,30 @@ object SimilaritySearch {
       .where(col("rank") <= k)
   }
 
+  /** IVF cell count for a corpus of `n` rows: ≈ √n — the standard
+    * billion-scale sizing (probe cost nprobe·n/cells = nprobe·√n,
+    * sublinear) — floored at 8 and capped at 4096 (past that the
+    * centroid broadcast and the per-iteration k-means shuffle dominate;
+    * at 100 TB shard the corpus and train per shard instead).
+    */
+  def autoCells(n: Long): Int =
+    math.min(4096L, math.max(8L,
+      math.round(math.sqrt(math.max(1L, n).toDouble)))).toInt
+
   /** IVF-style approximate top-k: a relational k-means coarse quantizer
     * partitions the corpus into cells; each query probes its `nprobe`
-    * nearest cells only. The standard billion-scale ANN layout (cells ≈
-    * √n at scale) — probe cost is corpus/k × nprobe.
+    * nearest cells only. The default cell count follows the corpus
+    * ([[autoCells]], from the cached footer count — no data scan);
+    * recall then rests on the corpus actually clustering (real
+    * embedding corpora do; on uniform noise expected recall is just the
+    * probed fraction nprobe/cells — IvfSpec pins both regimes).
     */
   def ivfTopK(
       data: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nCells: Int = 8, nprobe: Int = 2, iterations: Int = 3): DataFrame = {
-    val centroids = KMeans.fit(data, idCol, vecCol, nCells, iterations)
+      k: Int, nCells: Int = -1, nprobe: Int = 2, iterations: Int = 3): DataFrame = {
+    val cellCount = if (nCells > 0) nCells else autoCells(cachedRowCount(data))
+    val centroids = KMeans.fit(data, idCol, vecCol, cellCount, iterations)
     val cells = KMeans.assign(
       data.select(col(idCol).as("__id"), col(vecCol).as("__vec")), "__vec", centroids)
       .withColumn("__n", VectorFunctions.fastL2Norm(data.sparkSession, col("__vec")))
@@ -154,8 +168,43 @@ object SimilaritySearch {
     * cluster count with corpus size).
     */
   def autoBits(n: Long, target: Long = 64L): Int =
-    math.max(4, math.round(
-      math.log(math.max(1L, n).toDouble / target) / math.log(2.0)).toInt)
+    // capped at 30: lshBucketSeeded accumulates plane weights as Int
+    // powers of two, so 31+ bits would overflow/collide buckets — and
+    // 2^30 buckets already holds ~6.9e10 rows at the 64-row target
+    math.min(30, math.max(4, math.round(
+      math.log(math.max(1L, n).toDouble / target) / math.log(2.0)).toInt))
+
+  /** Exact corpus row count WITHOUT a data scan, for LSH width sizing.
+    *
+    * The oracle derives the same width from `count(*)`, so the width
+    * must come from an EXACT count — but a `data.count()` per
+    * invocation is a full-corpus scan before the real work starts. For
+    * plain parquet-backed frames the count is answered from file
+    * FOOTERS (parquet aggregate pushdown on a cloned session — one
+    * O(#files) metadata job, no row reads); any answer is cached by the
+    * frame's file set so repeated invocations over the same corpus
+    * (near-dup + SemDeDup over one table) run zero jobs. Non-file
+    * frames fall back to a real count — at warehouse scale pass
+    * `corpusSize` from table statistics instead.
+    */
+  private val countCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  def cachedRowCount(data: DataFrame): Long = {
+    val files = data.inputFiles
+    if (files.isEmpty) return data.count() // in-memory/test frames: tiny
+    val key = files.sorted.mkString("\n")
+    countCache.getOrElseUpdate(key, {
+      if (files.forall(_.endsWith(".parquet"))) {
+        // cloned session: V2 parquet + aggregate pushdown there only,
+        // so the session-wide source config never flips mid-flight
+        val s2 = data.sparkSession.newSession()
+        s2.conf.set("spark.sql.sources.useV1SourceList", "")
+        s2.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+        s2.read.parquet(files: _*).count()
+      } else data.count()
+    })
+  }
 
   /** Threshold near-dup pairs via BANDED adaptive LSH — the scale form
     * of [[nearDupPairs]]: the bit width grows with the corpus (bucket
@@ -170,8 +219,16 @@ object SimilaritySearch {
     */
   def bandedNearDupPairs(
       data: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      bands: Int = 2, targetBucket: Long = 64L, dims: Int = 64): DataFrame = {
-    val bits = autoBits(data.count(), targetBucket)
+      bands: Int = 2, targetBucket: Long = 64L, dims: Int = 64,
+      corpusSize: Long = -1L, nBits: Int = -1): DataFrame = {
+    // width precedence: explicit bits > explicit corpus size > cached
+    // footer count — never a per-invocation data scan. Keep whatever
+    // feeds this in lock-step with the oracle's count(*)-derived width.
+    val bits =
+      if (nBits > 0) nBits
+      else autoBits(
+        if (corpusSize >= 0) corpusSize else cachedRowCount(data),
+        targetBucket)
     val base = data.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
       .withColumn("__n",
         VectorFunctions.fastL2Norm(data.sparkSession, col("__vec")))

@@ -36,22 +36,33 @@ object ScaleUp {
 
     def load(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
 
-    /** Cross-join with copy ids 0..factor-1 and offset `keys` by
-      * copy * (max+1) of each key's own domain — or by a fixed `stride`
-      * when the bench queries reserve id ranges above the base ids
-      * (documents: the dedup oracles plant near/exact dups at
-      * doc_id + 10000/20000, so copies must stay far clear of both the
-      * base range and every copy's planted range). */
-    def replicate(df: DataFrame, keys: Seq[String],
-        stride: Option[Long] = None): DataFrame = {
-      val maxes = if (keys.isEmpty) Map.empty[String, Long] else {
-        val row = df.agg(keys.map(k => max(col(k)).as(k)).head,
-                         keys.map(k => max(col(k)).as(k)).tail: _*).head()
-        keys.map(k => k -> stride.getOrElse(row.getAs[Any](k) match {
-          case l: Long => l + 1L
-          case i: Int  => i.toLong + 1L
-        })).toMap
+    /** `max(key) + 1` of a table column — a PARENT table's key-domain
+      * stride. FK columns must offset by their parent's stride, not
+      * their own max: a child whose top parent key is unreferenced
+      * would otherwise co-rotate short and give copies ≥ 1 dangling or
+      * cross-copy FKs, silently skewing scaled join selectivity.
+      */
+    def domainStride(name: String, key: String): Long =
+      load(name).agg(max(col(key))).head().getAs[Any](0) match {
+        case l: Long => l + 1L
+        case i: Int  => i.toLong + 1L
       }
+
+    /** Cross-join with copy ids 0..factor-1 and offset each key by
+      * copy * stride. PKs stride by their own domain; FKs MUST pass the
+      * parent's stride via `strides`; fixed overrides serve tables whose
+      * bench queries reserve id ranges above the base ids (documents —
+      * see the plant-range note at the documents write below).
+      */
+    def replicate(df: DataFrame, keys: Seq[String],
+        strides: Map[String, Long] = Map.empty): DataFrame = {
+      val maxes = keys.map { k =>
+        k -> strides.getOrElse(k,
+          df.agg(max(col(k))).head().getAs[Any](0) match {
+            case l: Long => l + 1L
+            case i: Int  => i.toLong + 1L
+          })
+      }.toMap
       val copies = spark.range(factor).withColumnRenamed("id", "__copy")
       keys.foldLeft(df.crossJoin(broadcast(copies))) { (acc, k) =>
         acc.withColumn(k, (col(k) + col("__copy") * lit(maxes(k))).cast(df.schema(k).dataType))
@@ -66,19 +77,37 @@ object ScaleUp {
     // Tiny dims: copy through unchanged.
     Seq("region", "nation").foreach(n => write(load(n), n))
 
+    // FK strides come from the PARENT key domain so every copy's FKs land
+    // exactly on that copy's parent keys (dbgen-like density), regardless
+    // of whether the top parent key happens to be referenced.
+    val custStride = domainStride("customer", "c_custkey")
+    val suppStride = domainStride("supplier", "s_suppkey")
+    val partStride = domainStride("part", "p_partkey")
+    val orderStride = domainStride("orders", "o_orderkey")
+
     write(replicate(load("customer"), Seq("c_custkey")), "customer")
     write(replicate(load("supplier"), Seq("s_suppkey")), "supplier")
     write(replicate(load("part"), Seq("p_partkey")), "part")
-    write(replicate(load("orders"), Seq("o_orderkey", "o_custkey")), "orders")
+    write(replicate(load("orders"), Seq("o_orderkey", "o_custkey"),
+      Map("o_custkey" -> custStride)), "orders")
     write(replicate(load("lineitem"),
-      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+      Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      Map("l_orderkey" -> orderStride, "l_partkey" -> partStride,
+        "l_suppkey" -> suppStride)), "lineitem")
+    // events.user_id is its own id domain (0..n_users-1, not customer keys)
     write(replicate(load("events"), Seq("event_id", "user_id")), "events")
 
     // documents: offset doc_id; suffix a copy token so cross-copy rows are
     // not exact/near duplicates of each other (within-copy dup structure is
-    // what dedup queries should measure).
+    // what dedup queries should measure). The dedup oracles plant dups at
+    // doc_id + 1e8 (near) / + 2e8 (exact), so copies stride 10M and the
+    // factor is capped: copy 10+ would collide with the planted id ranges.
+    require(factor <= 10,
+      s"factor $factor would push documents copies into the planted-dup " +
+        "id ranges (+1e8/+2e8); raise the stride before raising the factor")
     write(
-      replicate(load("documents"), Seq("doc_id"), stride = Some(10000000L))
+      replicate(load("documents"), Seq("doc_id"),
+        Map("doc_id" -> 10000000L))
         .withColumn("text",
           when(col("__copy") === 0, col("text"))
             .otherwise(concat(col("text"), lit(" c"), col("__copy"))))

@@ -42,6 +42,40 @@ class IvfSpec extends SparkSpecBase {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("autoCells sizes cells ~sqrt(n); clustered corpus keeps recall at small nprobe") {
+    assert(SimilaritySearch.autoCells(100) == 10)
+    assert(SimilaritySearch.autoCells(1) == 8)          // floor
+    assert(SimilaritySearch.autoCells(1000000) == 1000) // √n
+    assert(SimilaritySearch.autoCells(Long.MaxValue) == 4096) // cap
+    // the regime autoCells is FOR: a corpus with real cluster structure.
+    // 16 tight blobs in 8-D, 64 points each → autoCells(1024)=32 cells,
+    // nprobe=2 probes ~6% of the corpus yet recall stays high because a
+    // query's true neighbors share its blob (and hence its cell).
+    def h(tag: String, s: Long, i: Int): Float =
+      (((graft.functions.HashFunctions.md5LongLocal(s"$tag:$s:$i") &
+        0xffffL).toDouble / 0xffffL) - 0.5).toFloat
+    val pts = (0L until 1024L).map { s =>
+      val blob = (s % 16).toInt
+      (s, Array.tabulate(8)(d =>
+        (if (d == blob % 8) 10f * (if (blob < 8) 1 else -1) else 0f) +
+          0.3f * h("n", s, d)))
+    }.toDF("vec_id", "embedding")
+    val qs = pts.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q"), col("embedding").as("qv"))
+    val bf = SimilaritySearch.bruteForceTopK(pts, "vec_id", "embedding",
+      qs, "q", "qv", k = 5)
+      .select("qid", "id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = SimilaritySearch.ivfTopK(pts, "vec_id", "embedding",
+      qs, "q", "qv", k = 5, nprobe = 2) // nCells defaulted: autoCells
+      .select("qid", "id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = bf.keys.toSeq.map(q =>
+      (ivf.getOrElse(q, Set.empty) intersect bf(q)).size.toDouble / bf(q).size)
+      .sum / bf.size
+    assert(recall >= 0.9, s"clustered-corpus recall=$recall at nprobe=2")
+  }
+
   test("quantize/dequantize bounds the reconstruction error") {
     val df = Seq((1L, Array(0.5f, -0.25f, 0.125f))).toDF("id", "v")
     val scale = 1.0 / 64
