@@ -61,18 +61,27 @@ def main():
     except Exception:
         verr = {}
     n_pass = n_fail = 0
+    # name -> record for the optional CHECK_JSON_OUT artifact (the sf1
+    # CORRECTNESS-style run): pass = cell-exact rows+columns match.
+    results = {}
+
+    def record(name, ok, spark_rows=None, oracle_rows=None, err=None):
+        results[name] = {"pass": ok, "spark_rows": spark_rows,
+                         "oracle_rows": oracle_rows, "err": err}
     # Errors for queries with no oracle entry (rows-only checks) would
     # otherwise be invisible to this loop — report them first.
     for name in sorted(set(verr) - set(oracle)):
         if ONLY and name not in ONLY:
             continue
         print(f"FAIL {name}: query errored (no oracle): {verr[name][:200]}")
+        record(name, False, err=verr[name][:500])
         n_fail += 1
     for name in sorted(oracle):
         if ONLY and name not in ONLY:
             continue
         if name in verr:
             print(f"FAIL {name}: query errored: {verr[name][:200]}")
+            record(name, False, err=verr[name][:500])
             n_fail += 1
             continue
         sql = oracle[name]
@@ -83,6 +92,7 @@ def main():
             srows = srel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
+            record(name, False, err=str(e)[:500])
             n_fail += 1
             continue
         try:
@@ -91,6 +101,7 @@ def main():
             orows = orel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record(name, False, err=str(e)[:500])
             n_fail += 1
             continue
 
@@ -98,6 +109,7 @@ def main():
         oidx = sorted(range(len(ocols)), key=lambda i: ocols[i])
         if [scols[i] for i in sidx] != [ocols[i] for i in oidx]:
             print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(ocols)}")
+            record(name, False, len(srows), len(orows), "column mismatch")
             n_fail += 1
             continue
         ok = True
@@ -107,6 +119,7 @@ def main():
             print(f"WARN {name}: dtypes {st} vs {ot}")
         if len(srows) != len(orows):
             print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
+            record(name, False, len(srows), len(orows), "rowcount mismatch")
             n_fail += 1
             continue
         for r, (sr, orow) in enumerate(zip(srows, orows)):
@@ -118,12 +131,20 @@ def main():
                 print(f"FAIL {name}: row {r} differs: {bad[:3]}")
                 ok = False
                 break
+        record(name, ok, len(srows), len(orows),
+               None if ok else "cell mismatch")
         if ok:
             print(f"PASS {name} ({len(srows)} rows)")
             n_pass += 1
         else:
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    out = os.environ.get("CHECK_JSON_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump({"sfdir": SFDIR, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {out}")
     sys.exit(1 if n_fail else 0)
 
 
