@@ -32,16 +32,20 @@ object LlmDedup extends QueryPack {
   /** DuckDB 60-bit md5 hash (HashFunctions.md5Long). */
   private def h60(e: String) = s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
 
-  /** DuckDB word-3-gram list (TextFunctions.wordNgrams(_, 3)). */
+  /** DuckDB word list (TextFunctions.tokens) — staged as its own CTE
+    * column `w` so the regex split runs ONCE per doc; inlining it into
+    * the per-shingle lambda (the old spelling) re-split the text per
+    * shingle, quadratic in words — 39 s of the 50k-doc oracle.
+    */
+  private val wordsSql =
+    """list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)"""
+
+  /** DuckDB word-3-gram list over a staged word-list column `w`
+    * (TextFunctions.wordNgrams(_, 3)). */
   private val grams3Sql =
-    """(CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
-      |                           t -> length(t) > 0)) >= 3
-      |  THEN list_transform(
-      |    range(1, len(list_filter(string_split_regex(text, '\s+'),
-      |                             t -> length(t) > 0)) - 1),
-      |    j -> array_to_string(list_slice(
-      |      list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0),
-      |      j, j + 2), ' '))
+    """(CASE WHEN len(w) >= 3
+      |  THEN list_transform(range(1, len(w) - 1),
+      |    j -> array_to_string(list_slice(w, j, j + 2), ' '))
       |  ELSE [] END)""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
@@ -70,15 +74,28 @@ object LlmDedup extends QueryPack {
     // over 64 members dropped as degenerate — same guard on both sides).
     q("q_dedup_minhash",
       s"""WITH corpus AS ($nearCorpusSql),
+         |words AS (SELECT doc_id, $wordsSql AS w FROM corpus),
+         |hashed AS (
+         |  -- one md5 per shingle, mixed per hash id with integer math
+         |  -- below (the Spark side's one-md5 + universal-hash layout;
+         |  -- md5 inside the 12-way transform is 12x the hashing cost
+         |  -- and dominates the oracle at 50k+ docs)
+         |  SELECT doc_id,
+         |    list_transform($grams3Sql, s -> ${h60("s")} % 2147483647) AS hs
+         |  FROM words WHERE len(w) >= 3
+         |),
          |sig AS (
          |  SELECT doc_id,
          |    list_transform(range(0, 12), i ->
-         |      list_aggregate(list_transform($grams3Sql,
-         |        s -> ((${h60("s")} % 2147483647) * (i * 2 + 1) + i * 409 + 7)
-         |             % 2147483647), 'min')) AS sg
-         |  FROM corpus WHERE len($grams3Sql) > 0
+         |      list_aggregate(list_transform(hs,
+         |        h -> (h * (i * 2 + 1) + i * 409 + 7) % 2147483647),
+         |        'min')) AS sg
+         |  FROM hashed
          |),
-         |banded AS (
+         |banded AS MATERIALIZED (
+         |  -- MATERIALIZED: referenced three times below; DuckDB inlines
+         |  -- CTEs by default, which would recompute the whole shingle+
+         |  -- hash chain per reference (40 s/pass at sf1)
          |  SELECT doc_id, b,
          |    array_to_string(list_slice(sg, b * 6 + 1, b * 6 + 6), ',') AS key
          |  FROM sig CROSS JOIN range(0, 2) r(b)
@@ -101,10 +118,11 @@ object LlmDedup extends QueryPack {
     // Exact n-gram Jaccard verification of the planted near-dup pairs.
     q("q_dedup_jaccard",
       s"""WITH corpus AS ($nearCorpusSql),
-         |grams AS (
-         |  SELECT doc_id, unnest(list_distinct($grams3Sql)) AS g FROM corpus
+         |words AS (SELECT doc_id, $wordsSql AS w FROM corpus),
+         |grams AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct($grams3Sql)) AS g FROM words
          |),
-         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+         |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
          |cands AS (SELECT doc_id AS id_a, doc_id + 100000000 AS id_b
          |          FROM documents WHERE doc_id < 30),
          |inter AS (
@@ -144,7 +162,7 @@ object LlmDedup extends QueryPack {
          |  FROM tok CROSS JOIN range(0, 16) r(b)
          |  GROUP BY doc_id, b, p
          |),
-         |sh AS (
+         |sh AS MATERIALIZED (
          |  SELECT doc_id,
          |    SUM(CASE WHEN sgn > 0 THEN p ELSE 0 END) AS simhash
          |  FROM bits GROUP BY doc_id
@@ -179,10 +197,11 @@ object LlmDedup extends QueryPack {
          |  UNION ALL
          |  SELECT doc_id + 200000000, text || ' zz9 zz9' FROM documents WHERE doc_id < 20
          |),
-         |grams AS (
-         |  SELECT doc_id, unnest(list_distinct($grams3Sql)) AS g FROM corpus
+         |words AS (SELECT doc_id, $wordsSql AS w FROM corpus),
+         |grams AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct($grams3Sql)) AS g FROM words
          |),
-         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+         |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
          |cands AS (
          |  SELECT doc_id AS id_a, doc_id + 100000000 AS id_b
          |  FROM documents WHERE doc_id < 40

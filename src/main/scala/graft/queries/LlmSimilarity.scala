@@ -64,11 +64,11 @@ object LlmSimilarity extends QueryPack {
 
   /** Banded candidate-pair CTE body over `embeddings` (2 bands). */
   private val bandedCandSql =
-    s"""bset AS (SELECT vec_id, embedding,
+    s"""bset AS MATERIALIZED (SELECT vec_id, embedding,
        |    ${bucketDynSql("embedding", 0)} AS b0,
        |    ${bucketDynSql("embedding", 1)} AS b1
        |  FROM embeddings),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM bset a JOIN bset b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
        |  UNION
