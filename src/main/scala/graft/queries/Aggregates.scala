@@ -19,8 +19,8 @@ object Aggregates extends QueryPack {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,
          |  ${dsumSql("l_extendedprice")} AS sum_base_price,
-         |  ${dsumSql(drevSql("l_extendedprice", "l_discount"), 6)} AS sum_disc_price,
-         |  ${dsumSql(s"${drevSql("l_extendedprice", "l_discount")} * ${drate1pSql("l_tax")}", 6)} AS sum_charge,
+         |  ${dsumMoneySql(drevSql("l_extendedprice", "l_discount"))} AS sum_disc_price,
+         |  ${dsumMoneySql(s"${drevSql("l_extendedprice", "l_discount")} * ${drate1pSql("l_tax")}")} AS sum_charge,
          |  ${davgSql("l_quantity")} AS avg_qty,
          |  ${davgSql("l_extendedprice")} AS avg_price,
          |  CAST(COUNT(*) AS BIGINT) AS count_order
@@ -34,8 +34,8 @@ object Aggregates extends QueryPack {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(drev(col("l_extendedprice"), col("l_discount")), 6).as("sum_disc_price"),
-          dsum(drev(col("l_extendedprice"), col("l_discount")) * drate1p(col("l_tax")), 6).as("sum_charge"),
+          dsumMoney(drev(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+          dsumMoney(drev(col("l_extendedprice"), col("l_discount")) * drate1p(col("l_tax"))).as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("count_order"))

@@ -106,4 +106,18 @@ package object queries {
 
   def dsumExactSql(expr: String, scale: Int = 2): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(18,$scale))) AS DECIMAL(38,$scale))"
+
+  /** [[dsum]] whose final decimal→double conversion stays EXACT at any
+    * realistic SF: the exact decimal sum is rounded to 2 dp IN DECIMAL
+    * SPACE (both engines round the same exact value half-up), so the
+    * emitted double needs only value×100 < 2⁵³ ≈ 9e13 — whereas a raw
+    * 6-dp sum crosses 2⁵³ around SF 1 and the two engines' conversions
+    * drift a last ulp (the CORRECTNESS_sf1 q1_agg find). Output stays
+    * DOUBLE (the gate's hash-stable envelope).
+    */
+  def dsumMoney(c: Column, scale: Int = 6): Column =
+    round(sum(c.cast(DecimalType(18, scale))), 2).cast(DoubleType)
+
+  def dsumMoneySql(expr: String, scale: Int = 6): String =
+    s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(18,$scale))), 2) AS DOUBLE)"
 }
