@@ -760,6 +760,101 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     }
   }
 
+  /** Dynamic-filter MV-on-MV eligibility (reference:
+    * src/stream/src/executor/dynamic_filter.rs + the planner rule that
+    * pairs a comparison-against-scalar-subquery with a DynamicFilter
+    * node, logical_optimization.rs): the query is a plain-column
+    * projection of ONE chain-subscribable relation whose WHERE is
+    * EXACTLY one comparison between a column and a scalar aggregate
+    * subquery over ONE OTHER chain-subscribable relation — the Nexmark
+    * q102 class. Maintained by [[graft.streaming.DynamicFilter]]: left
+    * rows are state (an internal `<name>__base` store of the projected
+    * rows), the scalar re-evaluates when the right side publishes an
+    * epoch, and a threshold move re-scans only the swept band
+    * (parquet-stats-pruned). Declared PK must be the left relation's PK
+    * passed through unaliased.
+    *
+    * Returns (lhs, rhs, valueCol-in-OUTPUT-names, op, colMap out→src).
+    */
+  private def chainableDynFilterUpstream(query: String, planned: DataFrame,
+      pk: Seq[String])
+      : Option[(String, String, String, String, Seq[(String, String)])] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val analyzed = planned.queryExecution.analyzed
+    val nodes = analyzed.collect { case n => n }
+    val filters = nodes.collect { case f: Filter => f }
+    val restPerRow = nodes.forall {
+      case _: Project | _: Filter | _: SubqueryAlias | _: View => true
+      case _: LeafNode => true
+      case _ => false
+    }
+    if (filters.length != 1 || !restPerRow) return None
+    def stripCast(e: Expression): Expression = e match {
+      case c: Cast => stripCast(c.child)
+      case x => x
+    }
+    def asDyn(l: Expression, r: Expression, op: String, flip: String)
+        : Option[(AttributeReference, String)] =
+      (stripCast(l), stripCast(r)) match {
+        case (a: AttributeReference, _: ScalarSubquery) => Some((a, op))
+        case (_: ScalarSubquery, a: AttributeReference) => Some((a, flip))
+        case _ => None
+      }
+    val cmp = filters.head.condition match {
+      case GreaterThan(l, r) => asDyn(l, r, ">", "<")
+      case GreaterThanOrEqual(l, r) => asDyn(l, r, ">=", "<=")
+      case LessThan(l, r) => asDyn(l, r, "<", ">")
+      case LessThanOrEqual(l, r) => asDyn(l, r, "<=", ">=")
+      case _ => None
+    }
+    val (attr, op) = cmp.getOrElse(return None)
+    // outer vs subquery relations, from a fresh parse (the analyzed
+    // plan's leaves no longer carry the user-facing names)
+    val parsed = scala.util.Try(
+      spark.sessionState.sqlParser.parsePlan(query)).getOrElse(return None)
+    val outerRels = scala.collection.mutable.ArrayBuffer[String]()
+    val subRels = scala.collection.mutable.ArrayBuffer[String]()
+    parsed.foreach { n =>
+      n match {
+        case r: UnresolvedRelation =>
+          outerRels += r.multipartIdentifier.last.toLowerCase
+        case _ =>
+      }
+      n.expressions.foreach(_.foreach {
+        case s: SubqueryExpression => s.plan.foreach {
+          case r: UnresolvedRelation =>
+            subRels += r.multipartIdentifier.last.toLowerCase
+          case _ =>
+        }
+        case _ =>
+      })
+    }
+    (outerRels.distinct.toSeq, subRels.distinct.toSeq) match {
+      case (Seq(lhs), Seq(rhs)) if lhs != rhs &&
+          chainableSourcePk(rhs).isDefined =>
+        val lhsPk = chainableSourcePk(lhs).getOrElse(return None)
+        // plain-column projection only: the state/result rows ARE the
+        // projected rows, so every output maps to one source column
+        val colMap: Seq[(String, String)] = analyzed match {
+          case Project(list, _) => list.map {
+            case a: AttributeReference => (a.name, a.name)
+            case Alias(a: AttributeReference, n) => (n, a.name)
+            case _ => return None
+          }
+          case _ => planned.columns.toSeq.map(c => (c, c))
+        }
+        val valueOut = colMap.collectFirst {
+          case (out, src) if src.equalsIgnoreCase(attr.name) => out
+        }.getOrElse(return None)
+        val pkOk = pk.toSet == lhsPk.toSet &&
+          lhsPk.forall(p => colMap.exists { case (o, s) => o == p && s == p })
+        if (pkOk) Some((lhs, rhs, valueOut, op, colMap)) else None
+      case _ => None
+    }
+  }
+
   /** The chained MV's transform over (a) the upstream snapshot at
     * subscribe time and (b) the upstream changelog stream: the defining
     * query re-targeted at the input DataFrame, with the changelog
@@ -1213,6 +1308,145 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     statusDf("CREATE MATERIALIZED VIEW (streaming join chain)", name)
   }
 
+  /** Evaluate the dynamic filter's scalar RHS against `rhsName`'s
+    * CURRENT store: the first scalar-subquery plan from a fresh parse
+    * of the defining query, with the rhs relation rebound to a PRIVATE
+    * temp view (never the shared bindMvTables name — this runs on the
+    * maintenance thread, racing engine statements). None ⇔ the scalar
+    * evaluates NULL (e.g. max over an empty rhs).
+    */
+  private def dynScalarEval(name: String, query: String,
+      rhsName: String): Option[Double] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+    val parsed = spark.sessionState.sqlParser.parsePlan(query)
+    var subPlan: Option[LogicalPlan] = None
+    parsed.foreach { n =>
+      n.expressions.foreach(_.foreach {
+        case s: SubqueryExpression if subPlan.isEmpty => subPlan = Some(s.plan)
+        case _ =>
+      })
+    }
+    subPlan.flatMap { p =>
+      val priv = s"__dynrhs_$name"
+      table(rhsName).createOrReplaceTempView(priv)
+      val rebound = p.transformUpWithSubqueries {
+        case r: UnresolvedRelation
+            if r.multipartIdentifier.last.equalsIgnoreCase(rhsName) =>
+          SubqueryAlias(rhsName, UnresolvedRelation(Seq(priv)))
+      }
+      org.apache.spark.sql.GraftPlans.ofRows(spark, rebound)
+        .collect().headOption.flatMap { row =>
+          if (row.isNullAt(0)) None
+          else Some(row.get(0) match {
+            case d: java.math.BigDecimal => d.doubleValue
+            case b: BigDecimal => b.doubleValue
+            case n: Number => n.doubleValue
+            case other => other.toString.toDouble
+          })
+        }
+    }
+  }
+
+  private def startChainedDynFilterJob(name: String,
+      dyn: graft.streaming.DynamicFilter, lhsUp: MaterializedView,
+      rhsUp: MaterializedView, fL: Long, fR: Long,
+      colMap: Seq[(String, String)], query: String, rhsName: String,
+      op: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.{Changelog, IncrementalJoin}
+    // NULL scalar ⇒ nothing qualifies (a comparison with NULL is never
+    // true), rendered as an infinity threshold so a later real value
+    // band-rescans exactly the re-qualifying range
+    val sentinel =
+      if (op == ">" || op == ">=") Double.PositiveInfinity
+      else Double.NegativeInfinity
+    IncrementalJoin.taggedUnion(
+        lhsUp.changelogStreamFrom(fL), rhsUp.changelogStreamFrom(fR))
+      .writeStream
+      .option("checkpointLocation", mvs.checkpointDir(name))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch0: DataFrame, id: Long) =>
+        val batch = // re-bind to the engine session (see IncrementalJoin)
+          if (batch0.sparkSession eq spark) batch0
+          else spark.createDataFrame(batch0.rdd, batch0.schema)
+        def side(prefix: String, tag: String): DataFrame = {
+          val cols = batch.columns.filter(_.startsWith(prefix))
+          batch.where(col(IncrementalJoin.SideCol) === tag)
+            .select(cols.map(c => col(c).as(c.stripPrefix(prefix))).toSeq: _*)
+        }
+        val l = side(IncrementalJoin.LPrefix, "L")
+        val r = side(IncrementalJoin.RPrefix, "R")
+        val proj = l.select(
+          colMap.map { case (out, src) => col(src).as(out) } ++
+            Seq(col(Changelog.OpCol), col(Changelog.SeqCol)): _*)
+        // the scalar re-reads only when the right side moved this epoch
+        val thr: Option[Double] =
+          if (r.isEmpty) None
+          else Some(dynScalarEval(name, query, rhsName).getOrElse(sentinel))
+        dyn.applyDelta(proj, thr, id)
+      }
+      .start()
+  }
+
+  /** CREATE MV for the dynamic-filter shape (see
+    * [[chainableDynFilterUpstream]]); `resume` re-wires after recovery
+    * (storage on disk, stream checkpoint dedups replayed epochs).
+    */
+  private def createChainedDynFilterMv(name: String, pk: Seq[String],
+      query: String, resume: Boolean = false,
+      resumeFrontiers: Option[(Long, Long)] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    bindMvTables(query)
+    val planned = spark.sql(Engine.rewritePgSelect(query))
+    val (lhsName, rhsName, valueCol, op, colMap) =
+      chainableDynFilterUpstream(query, planned, pk).getOrElse(
+        throw new IllegalStateException(
+          s"$name: dynamic-filter chain shape no longer derivable"))
+    val lhsUp = mvs.get(lhsName).getOrElse(throw new IllegalArgumentException(
+      s"chained upstream $lhsName is not registered"))
+    val rhsUp = mvs.get(rhsName).getOrElse(throw new IllegalArgumentException(
+      s"chained upstream $rhsName is not registered"))
+    if (!resume) {
+      jobs.get(lhsName).foreach(_.processAllAvailable())
+      jobs.get(rhsName).foreach(_.processAllAvailable())
+    }
+    // state copy of the PROJECTED upstream rows (the reference's
+    // dynamic_filter left state table); result bucketed by the lhs PK,
+    // matching the recovery-time binding for chainedFromRight entries
+    val state = mvs.define(s"${name}__base", pk)
+    val down = mvs.define(name, pk, bucketKeys = lhsUp.primaryKey)
+    val dyn = new graft.streaming.DynamicFilter(state, down, valueCol, op)
+    val (fL, fR) = resumeFrontiers.getOrElse {
+      lhsUp.withReadLock { rhsUp.withReadLock {
+        val fl = lhsUp.latestChangelogBatchId
+        val fr = rhsUp.latestChangelogBatchId
+        val snap = lhsUp.read()
+        if (snap.columns.nonEmpty) {
+          val projected = snap.select(
+            colMap.map { case (out, src) => col(src).as(out) }: _*)
+          // backfill = the first applyDelta: seeds the state copy and
+          // inserts the qualifying prefix under the current scalar
+          dyn.applyDelta(projected, dynScalarEval(name, query, rhsName))
+        }
+        (fl, fr)
+      } }
+    }
+    if (!resume)
+      catalog.save("mvs", name, DurableCatalog.MvEntry(
+        pk, Some(query), streaming = true, "update", down.nBuckets,
+        chainedFrom = Some(lhsName), chainFrontier = Some(fL),
+        chainedFromRight = Some(rhsName), chainFrontierRight = Some(fR),
+        chainJoinType = Some(s"dynfilter:$valueCol:$op")))
+    chainDepth(name) = math.max(chainDepth.getOrElse(lhsName, 0),
+      chainDepth.getOrElse(rhsName, 0)) + 1
+    chainUpstreams(name) = Set(lhsName, rhsName)
+    jobs(name) = startChainedDynFilterJob(name, dyn, lhsUp, rhsUp, fL, fR,
+      colMap, query, rhsName, op)
+    statusDf("CREATE MATERIALIZED VIEW (streaming dynamic-filter chain)", name)
+  }
+
   /** UNION ALL MV-on-MV eligibility: the query is a two-branch UNION
     * ALL whose branches are per-row over two DISTINCT streaming MVs.
     * UNION DISTINCT (a Distinct over the union) is not linear in its
@@ -1478,6 +1712,15 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         e.chainJoinType.filter(_.startsWith("changelog:")).foreach { t =>
           jobs(name) = startChangelogChainJob(name, mv, upMv, q,
             t.stripPrefix("changelog:"), e.chainFrontier.getOrElse(-1L))
+          return
+        }
+        e.chainJoinType.filter(_.startsWith("dynfilter:")).foreach { _ =>
+          // re-derives the shape from the persisted query, re-defines
+          // the __base state + result stores over their on-disk data,
+          // resumes the tagged-union job from the original frontiers
+          createChainedDynFilterMv(name, e.pk, q, resume = true,
+            resumeFrontiers = Some((e.chainFrontier.getOrElse(-1L),
+              e.chainFrontierRight.getOrElse(-1L))))
           return
         }
         jobs(name) = (e.chainedFromRight, e.chainAggGroups) match {
@@ -2150,6 +2393,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case Some((l, r, kind)) =>
         s"maintenance: $kind delta join of $l ⋈ $r " +
           "(Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB)"
+      case None => chainableDynFilterUpstream(query, result, pk) match {
+      case Some((l, r, v, op, _)) =>
+        s"maintenance: dynamic filter over $l ($v $op scalar of $r — " +
+          "band re-scan on threshold moves)"
       case None => chainableOverUpstream(query, result) match {
       case Some(up) =>
         s"maintenance: incremental over-window over $up " +
@@ -2176,7 +2423,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               "maintenance: one-shot batch materialization " +
                 "(no streaming upstreams)"
         }
-    } } } } } }
+    } } } } } } }
   }
 
   private val Describe =
@@ -4776,6 +5023,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               case Some((leftName, rightName, joinKind)) =>
                 createChainedJoinMv(name, pk, queryC, leftName, rightName,
                   joinKind)
+              case None => chainableDynFilterUpstream(queryC, result, pk) match {
+              case Some(_) =>
+                createChainedDynFilterMv(name, pk, queryC)
               case None => chainableOverUpstream(queryC, result) match {
               case Some(upName) =>
                 createChainedOverMv(name, pk, queryC, upName)
@@ -4807,7 +5057,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
                     s"MATERIALIZED VIEW $name to update")
                 refreshMaterializedView(name, pk, result,
                   queryText = Some(query)).read()
-            } } } } } } }
+            } } } } } } } }
           }
         case None if SqlFrontend.isRecursiveCte(statement) =>
           SqlFrontend.executeRecursive(spark, statement)

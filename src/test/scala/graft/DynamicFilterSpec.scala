@@ -16,6 +16,7 @@ class DynamicFilterSpec extends SparkSpecBase {
     val lhs = cat.define(s"${tag}_lhs", Seq("id"), nBuckets = 4)
     val res = cat.define(s"${tag}_res", Seq("id"), nBuckets = 4)
     new DynamicFilter(lhs, res, "v", op)
+  // (see the SQL-level chain tests at the bottom of this suite)
   }
 
   private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
@@ -142,5 +143,95 @@ class DynamicFilterSpec extends SparkSpecBase {
     // falling threshold after recovery still emits the band correctly
     f2.applyDelta(Seq.empty[(Long, Double)].toDF("id", "v"), Some(1.0))
     assert(ids(f2.read()) == Seq(1L, 2L))
+  }
+
+  // ---- SQL-level chain: `CREATE MV … WHERE col ⊙ (SELECT agg FROM r)`
+  // maintains as a streaming dynamic filter (round 8; previously the
+  // loud batch-refresh fence). The q102 class.
+
+  private def dmvRows(e: Engine): Set[(Long, Long)] =
+    e.table("dmv").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("SQL chain: scalar-subquery comparison maintains continuously, both sides live") {
+    val dir = tmpDir("dynsql")
+    val e = new Engine(spark, dir)
+    e.execute("CREATE TABLE dfl (k BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("CREATE TABLE dfr (rk BIGINT PRIMARY KEY, x BIGINT)")
+    e.execute("INSERT INTO dfl VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+    e.execute("INSERT INTO dfr VALUES (1, 25)")
+    e.execute("FLUSH")
+    val plan = e.execute("EXPLAIN CREATE MATERIALIZED VIEW dmv " +
+      "(PRIMARY KEY (k)) AS SELECT k, v FROM dfl " +
+      "WHERE v > (SELECT max(x) FROM dfr)").collect().map(_.getString(0))
+    assert(plan.exists(_.contains("dynamic filter")), plan.toSeq)
+    e.execute("CREATE MATERIALIZED VIEW dmv (PRIMARY KEY (k)) AS " +
+      "SELECT k, v FROM dfl WHERE v > (SELECT max(x) FROM dfr)")
+    assert(e.streamingJob("dmv").nonEmpty,
+      "scalar-subquery comparison must chain, not fence")
+    e.execute("FLUSH")
+    assert(dmvRows(e) == Set(3L -> 30L, 4L -> 40L)) // backfill under t=25
+
+    // threshold RISES: the swept band (25, 35] retracts k=3
+    e.execute("INSERT INTO dfr VALUES (2, 35)")
+    e.execute("FLUSH")
+    assert(dmvRows(e) == Set(4L -> 40L))
+
+    // left side moves under the standing threshold
+    e.execute("INSERT INTO dfl VALUES (5, 36), (6, 5)")
+    e.execute("UPDATE dfl SET v = 50 WHERE k = 2")
+    e.execute("DELETE FROM dfl WHERE k = 4")
+    e.execute("FLUSH")
+    assert(dmvRows(e) == Set(5L -> 36L, 2L -> 50L))
+
+    // threshold FALLS: the swept band re-qualifies
+    e.execute("DELETE FROM dfr WHERE rk = 2")
+    e.execute("FLUSH")
+    assert(dmvRows(e) == Set(5L -> 36L, 2L -> 50L, 3L -> 30L))
+
+    // rhs emptied: NULL scalar — a comparison with NULL is never true
+    e.execute("DELETE FROM dfr WHERE rk = 1")
+    e.execute("FLUSH")
+    assert(dmvRows(e).isEmpty, "null scalar must retract everything")
+
+    // scalar returns: everything above it re-enters
+    e.execute("INSERT INTO dfr VALUES (3, 15)")
+    e.execute("FLUSH")
+    assert(dmvRows(e) == Set(2L -> 50L, 3L -> 30L, 5L -> 36L))
+
+    // restart: recovery re-wires the chain; post-restart DML stays exact
+    Seq("dmv").foreach(n => e.streamingJob(n).foreach(_.stop()))
+    val e2 = new Engine(spark.newSession(), dir)
+    e2.execute("INSERT INTO dfl VALUES (7, 16)")
+    e2.execute("INSERT INTO dfr VALUES (4, 35)")
+    e2.execute("FLUSH")
+    assert(e2.table("dmv").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set(2L -> 50L, 5L -> 36L))
+    Seq("dmv").foreach(n => e2.streamingJob(n).foreach(_.stop()))
+  }
+
+  test("SQL chain: flipped/aliased comparison and the <= comparator") {
+    val dir = tmpDir("dynsql2")
+    val e = new Engine(spark, dir)
+    e.execute("CREATE TABLE gfl (k BIGINT PRIMARY KEY, price BIGINT, tag STRING)")
+    e.execute("CREATE TABLE gfr (rk BIGINT PRIMARY KEY, x BIGINT)")
+    e.execute("INSERT INTO gfl VALUES (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'c')")
+    e.execute("INSERT INTO gfr VALUES (1, 4), (2, 6)")
+    e.execute("FLUSH")
+    // scalar on the LEFT of the comparison (flips <= to >=), aliased
+    // value column, avg scalar
+    e.execute("CREATE MATERIALIZED VIEW gmv (PRIMARY KEY (k)) AS " +
+      "SELECT k, price AS p, tag FROM gfl " +
+      "WHERE (SELECT avg(x) * 4 FROM gfr) <= price")
+    assert(e.streamingJob("gmv").nonEmpty)
+    e.execute("FLUSH")
+    def rows = e.table("gmv").select("k", "p").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set(2L -> 20L, 3L -> 30L)) // avg=5 → threshold 20
+    e.execute("UPDATE gfr SET x = 10 WHERE rk = 2") // avg=7 → 28
+    e.execute("FLUSH")
+    assert(rows == Set(3L -> 30L))
+    e.streamingJob("gmv").foreach(_.stop())
   }
 }

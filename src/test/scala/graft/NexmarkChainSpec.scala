@@ -143,10 +143,14 @@ class NexmarkChainSpec extends SparkSpecBase {
   mv("m_q102_join", "(id, auction)",
     s"""SELECT $A.id, $A.item_name, m_q102_counts.auction, m_q102_counts.bid_count
        |FROM $A JOIN m_q102_counts ON $A.id = m_q102_counts.auction""".stripMargin)
-  mv("m_q102", "(id)",
-    s"""SELECT id, item_name, bid_count FROM m_q102_join
-       |WHERE bid_count >= (SELECT count(*) / count(DISTINCT auction) FROM $B)""".stripMargin,
-    chained = false)
+  // CHAINED since round 8: the comparison-against-scalar-subquery shape
+  // maintains as a streaming dynamic filter (the reference's
+  // DynamicFilter executor) — the per-auction counts are left state,
+  // the scalar re-reads when $B publishes, threshold moves re-scan only
+  // the swept band. PK = the upstream join MV's PK, passed through.
+  mv("m_q102", "(id, auction)",
+    s"""SELECT id, auction, item_name, bid_count FROM m_q102_join
+       |WHERE bid_count >= (SELECT count(*) / count(DISTINCT auction) FROM $B)""".stripMargin)
 
   // q103 / q104: IN / NOT IN grouped-HAVING subqueries (semi/anti) —
   // fenced (two streaming relations in one statement).
@@ -362,7 +366,7 @@ class NexmarkChainSpec extends SparkSpecBase {
     verifyShape("m_q18"))
   test("q101 shape: left join to aggregate MV (current highest bid)")(
     verifyShape("m_q101_max", "m_q101"))
-  test("q102 shape: HAVING vs scalar subquery — loud fence + refresh")(
+  test("q102 shape: scalar-subquery threshold — streaming dynamic filter")(
     verifyShape("m_q102_counts", "m_q102_join", "m_q102"))
   test("q103 shape: IN grouped-HAVING subquery — fence + refresh")(
     verifyShape("m_q103"))
