@@ -150,7 +150,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     // not vanish from the catalog
     def hiddenInternal(n: String): Boolean = {
       val bare = splitNs(n)._2
-      bare.endsWith("__base") || bare.contains("__casc") ||
+      bare.endsWith("__base") || bare.endsWith("__keys") ||
+      bare.contains("__casc") ||
         bare.endsWith("__sinkq")
     }
     // the hidden `_row_id` PK stays out of the catalog column listing
@@ -855,6 +856,89 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     }
   }
 
+  /** Dynamic-SET filter eligibility — the IN / NOT IN sibling of
+    * [[chainableDynFilterUpstream]] (Nexmark q103/q104: `WHERE id
+    * [NOT] IN (SELECT auction FROM bid GROUP BY auction HAVING …)`).
+    * Same outer envelope (plain-column projection of one
+    * chain-subscribable relation, single-Filter, one other
+    * chain-subscribable relation inside the subquery); the filter is a
+    * single [NOT] IN over a one-column subquery. The reference plans
+    * this as a streaming semi/anti join against the subquery's
+    * arrangement; here the subquery's key set is maintained as state
+    * and its per-epoch diff drives row membership (see
+    * [[createChainedDynSetMv]]).
+    *
+    * Returns (lhs, rhs, attr-in-OUTPUT-names, negated, colMap out→src).
+    */
+  private def chainableDynSetUpstream(query: String, planned: DataFrame,
+      pk: Seq[String])
+      : Option[(String, String, String, Boolean, Seq[(String, String)])] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val analyzed = planned.queryExecution.analyzed
+    val nodes = analyzed.collect { case n => n }
+    val filters = nodes.collect { case f: Filter => f }
+    val restPerRow = nodes.forall {
+      case _: Project | _: Filter | _: SubqueryAlias | _: View => true
+      case _: LeafNode => true
+      case _ => false
+    }
+    if (filters.length != 1 || !restPerRow) return None
+    def stripCast(e: Expression): Expression = e match {
+      case c: Cast => stripCast(c.child)
+      case x => x
+    }
+    val (attr0, negated) = filters.head.condition match {
+      case Not(InSubquery(Seq(v), _)) => (stripCast(v), true)
+      case InSubquery(Seq(v), _) => (stripCast(v), false)
+      case _ => return None
+    }
+    val attr = attr0 match {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    val parsed = scala.util.Try(
+      spark.sessionState.sqlParser.parsePlan(query)).getOrElse(return None)
+    val outerRels = scala.collection.mutable.ArrayBuffer[String]()
+    val subRels = scala.collection.mutable.ArrayBuffer[String]()
+    parsed.foreach { n =>
+      n match {
+        case r: UnresolvedRelation =>
+          outerRels += r.multipartIdentifier.last.toLowerCase
+        case _ =>
+      }
+      n.expressions.foreach(_.foreach {
+        case s: SubqueryExpression => s.plan.foreach {
+          case r: UnresolvedRelation =>
+            subRels += r.multipartIdentifier.last.toLowerCase
+          case _ =>
+        }
+        case _ =>
+      })
+    }
+    (outerRels.distinct.toSeq, subRels.distinct.toSeq) match {
+      case (Seq(lhs), Seq(rhs)) if lhs != rhs &&
+          chainableSourcePk(rhs).isDefined =>
+        val lhsPk = chainableSourcePk(lhs).getOrElse(return None)
+        val colMap: Seq[(String, String)] = analyzed match {
+          case Project(list, _) => list.map {
+            case a: AttributeReference => (a.name, a.name)
+            case Alias(a: AttributeReference, n) => (n, a.name)
+            case _ => return None
+          }
+          case _ => planned.columns.toSeq.map(c => (c, c))
+        }
+        val attrOut = colMap.collectFirst {
+          case (out, src) if src.equalsIgnoreCase(attr.name) => out
+        }.getOrElse(return None)
+        val pkOk = pk.toSet == lhsPk.toSet &&
+          lhsPk.forall(p => colMap.exists { case (o, s) => o == p && s == p })
+        if (pkOk) Some((lhs, rhs, attrOut, negated, colMap)) else None
+      case _ => None
+    }
+  }
+
   /** The chained MV's transform over (a) the upstream snapshot at
     * subscribe time and (b) the upstream changelog stream: the defining
     * query re-targeted at the input DataFrame, with the changelog
@@ -1349,6 +1433,127 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     }
   }
 
+  /** Evaluate the dynamic-set filter's subquery against `rhsName`'s
+    * CURRENT store: one column renamed to `attrOut`, NULLs kept (the
+    * NOT-IN null rule needs them). Same private-view discipline as
+    * [[dynScalarEval]].
+    */
+  private def dynSetEval(name: String, query: String, rhsName: String,
+      attrOut: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.functions.col
+    val parsed = spark.sessionState.sqlParser.parsePlan(query)
+    var subPlan: Option[LogicalPlan] = None
+    parsed.foreach { n =>
+      n.expressions.foreach(_.foreach {
+        case s: SubqueryExpression if subPlan.isEmpty => subPlan = Some(s.plan)
+        case _ =>
+      })
+    }
+    val p = subPlan.getOrElse(throw new IllegalStateException(
+      s"$name: IN-subquery plan no longer derivable"))
+    val priv = s"__dynrhs_$name"
+    table(rhsName).createOrReplaceTempView(priv)
+    val rebound = p.transformUpWithSubqueries {
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.last.equalsIgnoreCase(rhsName) =>
+        SubqueryAlias(rhsName, UnresolvedRelation(Seq(priv)))
+    }
+    val df = org.apache.spark.sql.GraftPlans.ofRows(spark, rebound)
+    df.select(col(df.columns.head).as(attrOut))
+  }
+
+  private def startChainedDynSetJob(name: String,
+      dyn: graft.streaming.DynamicSetFilter, lhsUp: MaterializedView,
+      rhsUp: MaterializedView, fL: Long, fR: Long,
+      colMap: Seq[(String, String)], query: String, rhsName: String,
+      attrOut: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.{Changelog, IncrementalJoin}
+    IncrementalJoin.taggedUnion(
+        lhsUp.changelogStreamFrom(fL), rhsUp.changelogStreamFrom(fR))
+      .writeStream
+      .option("checkpointLocation", mvs.checkpointDir(name))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch0: DataFrame, id: Long) =>
+        val batch =
+          if (batch0.sparkSession eq spark) batch0
+          else spark.createDataFrame(batch0.rdd, batch0.schema)
+        def side(prefix: String, tag: String): DataFrame = {
+          val cols = batch.columns.filter(_.startsWith(prefix))
+          batch.where(col(IncrementalJoin.SideCol) === tag)
+            .select(cols.map(c => col(c).as(c.stripPrefix(prefix))).toSeq: _*)
+        }
+        val l = side(IncrementalJoin.LPrefix, "L")
+        val r = side(IncrementalJoin.RPrefix, "R")
+        val proj = l.select(
+          colMap.map { case (out, src) => col(src).as(out) } ++
+            Seq(col(Changelog.OpCol), col(Changelog.SeqCol)): _*)
+        val keys =
+          if (r.isEmpty) None
+          else Some(dynSetEval(name, query, rhsName, attrOut))
+        dyn.applyDelta(proj, keys, id)
+      }
+      .start()
+  }
+
+  /** CREATE MV for the dynamic-SET filter shape (see
+    * [[chainableDynSetUpstream]]); `resume` re-wires after recovery.
+    */
+  private def createChainedDynSetMv(name: String, pk: Seq[String],
+      query: String, resume: Boolean = false,
+      resumeFrontiers: Option[(Long, Long)] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    bindMvTables(query)
+    val planned = spark.sql(Engine.rewritePgSelect(query))
+    val (lhsName, rhsName, attrOut, negated, colMap) =
+      chainableDynSetUpstream(query, planned, pk).getOrElse(
+        throw new IllegalStateException(
+          s"$name: dynamic-set chain shape no longer derivable"))
+    val lhsUp = mvs.get(lhsName).getOrElse(throw new IllegalArgumentException(
+      s"chained upstream $lhsName is not registered"))
+    val rhsUp = mvs.get(rhsName).getOrElse(throw new IllegalArgumentException(
+      s"chained upstream $rhsName is not registered"))
+    if (!resume) {
+      jobs.get(lhsName).foreach(_.processAllAvailable())
+      jobs.get(rhsName).foreach(_.processAllAvailable())
+    }
+    val state = mvs.define(s"${name}__base", pk)
+    val keys = mvs.define(s"${name}__keys", Seq(attrOut))
+    val down = mvs.define(name, pk, bucketKeys = lhsUp.primaryKey)
+    val dyn = new graft.streaming.DynamicSetFilter(
+      state, keys, down, attrOut, negated)
+    val (fL, fR) = resumeFrontiers.getOrElse {
+      lhsUp.withReadLock { rhsUp.withReadLock {
+        val fl = lhsUp.latestChangelogBatchId
+        val fr = rhsUp.latestChangelogBatchId
+        val snap = lhsUp.read()
+        if (snap.columns.nonEmpty) {
+          val projected = snap.select(
+            colMap.map { case (out, src) => col(src).as(out) }: _*)
+          dyn.applyDelta(projected,
+            Some(dynSetEval(name, query, rhsName, attrOut)))
+        }
+        (fl, fr)
+      } }
+    }
+    if (!resume)
+      catalog.save("mvs", name, DurableCatalog.MvEntry(
+        pk, Some(query), streaming = true, "update", down.nBuckets,
+        chainedFrom = Some(lhsName), chainFrontier = Some(fL),
+        chainedFromRight = Some(rhsName), chainFrontierRight = Some(fR),
+        chainJoinType = Some(
+          s"dynset:$attrOut:${if (negated) "notin" else "in"}")))
+    chainDepth(name) = math.max(chainDepth.getOrElse(lhsName, 0),
+      chainDepth.getOrElse(rhsName, 0)) + 1
+    chainUpstreams(name) = Set(lhsName, rhsName)
+    jobs(name) = startChainedDynSetJob(name, dyn, lhsUp, rhsUp, fL, fR,
+      colMap, query, rhsName, attrOut)
+    statusDf("CREATE MATERIALIZED VIEW (streaming dynamic-set chain)", name)
+  }
+
   private def startChainedDynFilterJob(name: String,
       dyn: graft.streaming.DynamicFilter, lhsUp: MaterializedView,
       rhsUp: MaterializedView, fL: Long, fR: Long,
@@ -1719,6 +1924,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           // the __base state + result stores over their on-disk data,
           // resumes the tagged-union job from the original frontiers
           createChainedDynFilterMv(name, e.pk, q, resume = true,
+            resumeFrontiers = Some((e.chainFrontier.getOrElse(-1L),
+              e.chainFrontierRight.getOrElse(-1L))))
+          return
+        }
+        e.chainJoinType.filter(_.startsWith("dynset:")).foreach { _ =>
+          createChainedDynSetMv(name, e.pk, q, resume = true,
             resumeFrontiers = Some((e.chainFrontier.getOrElse(-1L),
               e.chainFrontierRight.getOrElse(-1L))))
           return
@@ -2397,6 +2608,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case Some((l, r, v, op, _)) =>
         s"maintenance: dynamic filter over $l ($v $op scalar of $r — " +
           "band re-scan on threshold moves)"
+      case None => chainableDynSetUpstream(query, result, pk) match {
+      case Some((l, r, v, neg, _)) =>
+        s"maintenance: dynamic ${if (neg) "anti-" else ""}set filter " +
+          s"over $l ($v ${if (neg) "NOT IN" else "IN"} keys of $r — " +
+          "entering/leaving key diff flips membership)"
       case None => chainableOverUpstream(query, result) match {
       case Some(up) =>
         s"maintenance: incremental over-window over $up " +
@@ -2423,7 +2639,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               "maintenance: one-shot batch materialization " +
                 "(no streaming upstreams)"
         }
-    } } } } } } }
+    } } } } } } } }
   }
 
   private val Describe =
@@ -5026,6 +5242,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               case None => chainableDynFilterUpstream(queryC, result, pk) match {
               case Some(_) =>
                 createChainedDynFilterMv(name, pk, queryC)
+              case None => chainableDynSetUpstream(queryC, result, pk) match {
+              case Some(_) =>
+                createChainedDynSetMv(name, pk, queryC)
               case None => chainableOverUpstream(queryC, result) match {
               case Some(upName) =>
                 createChainedOverMv(name, pk, queryC, upName)
@@ -5057,7 +5276,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
                     s"MATERIALIZED VIEW $name to update")
                 refreshMaterializedView(name, pk, result,
                   queryText = Some(query)).read()
-            } } } } } } } }
+            } } } } } } } } }
           }
         case None if SqlFrontend.isRecursiveCte(statement) =>
           SqlFrontend.executeRecursive(spark, statement)
@@ -5069,7 +5288,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             jobs.remove(name).foreach(_.stop())
             temporalFilters.remove(name)
             mvs.drop(name)
-            mvs.drop(s"${name}__base") // OVER-window MV's base table, if any
+            mvs.drop(s"${name}__base") // OVER-window / dyn-filter state
+            mvs.drop(s"${name}__keys") // dyn-set filter's key-set state
             catalog.delete("mvs", name)
             // the bindMvTables temp view must die with the definition, or
             // the dropped MV stays silently queryable with stale data
@@ -5100,7 +5320,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             // MATERIALIZED VIEWS lists only real MVs (reference
             // handler/show.rs filters by relation kind)
             showListing(mvs.list.filterNot(n => n.endsWith("__base") ||
-              n.contains("__casc") || n.endsWith("__sinkq") ||
+              n.endsWith("__keys") || n.contains("__casc") ||
+              n.endsWith("__sinkq") ||
               tableSchemas.contains(n))).toDF("name")
           case ShowCreate(kind, name) => showCreate(kind, name)
           case ShowSources() =>
@@ -5295,7 +5516,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             // steps, AS-query sink MVs, OVER-window base copies
             import spark.implicits._
             mvs.list.filter(n => n.endsWith("__base") ||
-              n.contains("__casc") || n.endsWith("__sinkq")).toDF("name")
+              n.endsWith("__keys") || n.contains("__casc") ||
+              n.endsWith("__sinkq")).toDF("name")
           case ExplainAnalyze(rest) =>
             // reference: handler/explain_analyze.rs — run the query to
             // completion, then render the FINAL physical plan (post-AQE)

@@ -173,3 +173,134 @@ final class DynamicFilter(
 
   def read(): DataFrame = resultMv.read()
 }
+
+/** Streaming dynamic-SET filter: maintain `SELECT … FROM l WHERE l.k
+  * [NOT] IN (SELECT key FROM r …)` continuously — the IN/NOT-IN sibling
+  * of [[DynamicFilter]] (reference: the planner turns these into
+  * streaming semi/anti joins against the subquery's arrangement;
+  * src/stream/src/executor/hash_join.rs LeftSemi/LeftAnti). Here the
+  * subquery's key set is state (`keysMv`, PK = the key column) and each
+  * right-side epoch re-evaluates it; the per-epoch ENTERING/LEAVING key
+  * diff drives exactly the left rows whose membership flips — never a
+  * full re-join.
+  *
+  * SQL null semantics are honored: a left row with a NULL key never
+  * qualifies under either mode, and a NULL inside the subquery's key
+  * set makes NOT IN empty (x NOT IN (…, NULL) is never true). The
+  * null-presence flag lives in a side file; transitions emit the
+  * retract-all / re-qualify-all diffs, and because every right-side
+  * epoch re-evaluates the set against current state, a replay after a
+  * crash between the result commit and the keys commit self-heals on
+  * the next evaluation.
+  */
+final class DynamicSetFilter(
+    lhsMv: MaterializedView,
+    keysMv: MaterializedView,
+    resultMv: MaterializedView,
+    attrCol: String,
+    negated: Boolean) {
+
+  private val spark = resultMv.spark
+  private val hasNullPath = Paths.get(s"${resultMv.targetDir}.dynset_hasnull")
+
+  private def hasNullFlag: Boolean =
+    Files.exists(hasNullPath) &&
+      new String(Files.readAllBytes(hasNullPath)).trim == "1"
+
+  private def setHasNull(b: Boolean): Unit = {
+    Files.createDirectories(hasNullPath.getParent)
+    Files.write(hasNullPath, (if (b) "1" else "0").getBytes)
+  }
+
+  private def orEmpty(df: DataFrame, shape: DataFrame): DataFrame =
+    if (df.columns.nonEmpty) df else shape.where(lit(false))
+
+  /** One epoch: the left delta (changelog ops over the projected row
+    * shape) plus, when the right side published this epoch, the freshly
+    * evaluated key set (single column named `attrCol`, may contain a
+    * NULL row). None = right side untouched, the standing set applies.
+    */
+  def applyDelta(lhsDelta: DataFrame, newKeys0: Option[DataFrame],
+      batchId: Long = -1L): Unit = {
+    lhsMv.merge(lhsDelta)
+    if (batchId >= 0) {
+      val epochDir = Paths.get(resultMv.changelogLocation, s"batch-$batchId")
+      if (Files.exists(epochDir)) {
+        // committed replay: re-apply the result verbatim; the key-set
+        // state self-heals on the next right-side evaluation (class doc)
+        resultMv.merge(spark.read.parquet(epochDir.toString), batchId)
+        return
+      }
+    }
+    val kAttr = col(attrCol)
+    val hadNull = hasNullFlag
+    val newKeys = newKeys0.map(_.select(kAttr).localCheckpoint())
+    val newHasNull = newKeys.map(k => !k.where(kAttr.isNull).isEmpty)
+      .getOrElse(hadNull)
+    val cleanNew = newKeys.map(_.where(kAttr.isNotNull).distinct())
+    val kShape = cleanNew.getOrElse(lhsDelta.select(kAttr))
+    val kStore = orEmpty(keysMv.read(), kShape).select(kAttr)
+    val testKeys = cleanNew.getOrElse(kStore)
+
+    // 1. delta rows: deletes always propagate; adds re-test membership
+    //    under the epoch's effective set (NULL left keys never qualify)
+    val hasOps = lhsDelta.columns.contains(Changelog.OpCol)
+    val d = if (hasOps) lhsDelta else Changelog.ofInserts(lhsDelta)
+    val dels = d.where(!Changelog.isAdd(col(Changelog.OpCol)))
+    val adds0 = d.where(Changelog.isAdd(col(Changelog.OpCol)) && kAttr.isNotNull)
+    val adds =
+      if (!negated) adds0.join(testKeys, Seq(attrCol), "left_semi")
+      else if (newHasNull) adds0.where(lit(false))
+      else adds0.join(testKeys, Seq(attrCol), "left_anti")
+
+    // 2. set moved: entering/leaving keys flip exactly the stored rows
+    //    that reference them (plus NOT IN's null-flag transitions)
+    val rowShape = d.drop(Changelog.OpCol, Changelog.SeqCol)
+    val stored = orEmpty(lhsMv.read(), rowShape).where(kAttr.isNotNull)
+    val resultStored = orEmpty(resultMv.read(), rowShape)
+    def flagged(df: DataFrame, op: Int) = df
+      .withColumn(Changelog.OpCol, lit(op))
+      .withColumn(Changelog.SeqCol, lit(Long.MaxValue))
+    val diffOut: Option[DataFrame] = cleanNew.map { nk =>
+      val entering = nk.except(kStore)
+      val leaving = kStore.except(nk)
+      val (ins, del) =
+        if (!negated)
+          (stored.join(entering, Seq(attrCol), "left_semi"),
+            resultStored.join(leaving, Seq(attrCol), "left_semi"))
+        else (hadNull, newHasNull) match {
+          case (false, true) => // set gained a NULL: NOT IN is never true
+            (stored.where(lit(false)), resultStored)
+          case (true, false) => // NULL gone: everything outside the set returns
+            (stored.join(nk, Seq(attrCol), "left_anti"),
+              resultStored.where(lit(false)))
+          case (_, true) => // still poisoned: nothing qualifies, nothing stored
+            (stored.where(lit(false)), resultStored.where(lit(false)))
+          case (false, false) =>
+            (stored.join(leaving, Seq(attrCol), "left_semi"),
+              resultStored.join(entering, Seq(attrCol), "left_semi"))
+        }
+      flagged(ins, Changelog.Insert).unionByName(flagged(del, Changelog.Delete))
+    }
+
+    val out = diffOut.fold(adds.unionByName(dels))(
+      adds.unionByName(dels).unionByName(_))
+    // result commits FIRST (its epoch dir is the replay guard), then the
+    // key-set state — a crash in between self-heals (class doc)
+    resultMv.merge(out, batchId)
+    cleanNew.foreach { nk =>
+      val keysDelta =
+        flagged(nk.except(kStore), Changelog.Insert)
+          .unionByName(flagged(kStore.except(nk), Changelog.Delete))
+      keysMv.merge(keysDelta, batchId)
+      setHasNull(newHasNull)
+    }
+    newKeys.foreach(k => k.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ =>
+    })
+  }
+
+  def read(): DataFrame = resultMv.read()
+}

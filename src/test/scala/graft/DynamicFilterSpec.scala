@@ -211,6 +211,67 @@ class DynamicFilterSpec extends SparkSpecBase {
     Seq("dmv").foreach(n => e2.streamingJob(n).foreach(_.stop()))
   }
 
+  test("SQL chain: IN / NOT IN grouped-HAVING subqueries maintain as dynamic-set filters") {
+    val dir = tmpDir("dynset")
+    val e = new Engine(spark, dir)
+    e.execute("CREATE TABLE sfa (id BIGINT PRIMARY KEY, item STRING)")
+    e.execute("CREATE TABLE sfb (bk BIGINT PRIMARY KEY, auction BIGINT)")
+    e.execute("INSERT INTO sfa VALUES (1,'a'), (2,'b'), (3,'c')")
+    e.execute("INSERT INTO sfb VALUES (10,1),(11,1),(12,1),(13,2)")
+    e.execute("FLUSH")
+    // the Nexmark q103 shape — previously the loud fence
+    e.execute("CREATE MATERIALIZED VIEW smv (PRIMARY KEY (id)) AS " +
+      "SELECT id, item FROM sfa WHERE id IN " +
+      "(SELECT auction FROM sfb GROUP BY auction HAVING count(*) >= 2)")
+    assert(e.streamingJob("smv").nonEmpty,
+      "IN grouped-HAVING subquery must chain, not fence")
+    e.execute("FLUSH")
+    def rows(mv: String, eng: Engine = e): Set[Long] =
+      eng.table(mv).select("id").collect().map(_.getLong(0)).toSet
+    assert(rows("smv") == Set(1L)) // only auction 1 clears HAVING
+    // a key ENTERS the set: its rows flip in
+    e.execute("INSERT INTO sfb VALUES (14, 2)")
+    e.execute("FLUSH")
+    assert(rows("smv") == Set(1L, 2L))
+    // a key LEAVES (count falls under the HAVING): its rows retract
+    e.execute("DELETE FROM sfb WHERE bk = 10 OR bk = 11")
+    e.execute("FLUSH")
+    assert(rows("smv") == Set(2L))
+    // left-side DML re-tests against the standing set
+    e.execute("INSERT INTO sfa VALUES (4, 'd')")
+    e.execute("UPDATE sfa SET item = 'bb' WHERE id = 2")
+    e.execute("FLUSH")
+    assert(rows("smv") == Set(2L))
+
+    // NOT IN twin (q104) incl. SQL's null poisoning rule
+    e.execute("CREATE TABLE sfc (ck BIGINT PRIMARY KEY, key BIGINT)")
+    e.execute("INSERT INTO sfc VALUES (1, 2)")
+    e.execute("FLUSH")
+    e.execute("CREATE MATERIALIZED VIEW amv (PRIMARY KEY (id)) AS " +
+      "SELECT id, item FROM sfa WHERE id NOT IN (SELECT key FROM sfc)")
+    assert(e.streamingJob("amv").nonEmpty)
+    e.execute("FLUSH")
+    assert(rows("amv") == Set(1L, 3L, 4L))
+    // a NULL inside the set: x NOT IN (…, NULL) is never true
+    e.execute("INSERT INTO sfc VALUES (2, NULL)")
+    e.execute("FLUSH")
+    assert(rows("amv").isEmpty, "null in a NOT IN set must empty the result")
+    // the NULL leaves and a real key arrives: membership recovers
+    e.execute("DELETE FROM sfc WHERE ck = 2")
+    e.execute("INSERT INTO sfc VALUES (3, 1)")
+    e.execute("FLUSH")
+    assert(rows("amv") == Set(3L, 4L))
+
+    // restart: both chains re-wire from their dynset: entries
+    Seq("smv", "amv").foreach(n => e.streamingJob(n).foreach(_.stop()))
+    val e2 = new Engine(spark.newSession(), dir)
+    e2.execute("INSERT INTO sfb VALUES (15, 4), (16, 4)")
+    e2.execute("FLUSH")
+    assert(rows("smv", e2) == Set(2L, 4L))
+    assert(rows("amv", e2) == Set(3L, 4L))
+    Seq("smv", "amv").foreach(n => e2.streamingJob(n).foreach(_.stop()))
+  }
+
   test("SQL chain: flipped/aliased comparison and the <= comparator") {
     val dir = tmpDir("dynsql2")
     val e = new Engine(spark, dir)

@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions.col
   * flips).
   *
   * Where a reference query is one statement the chain planner cannot
-  * take whole (multi-way join + agg, scalar subqueries, LIMIT), it is
-  * decomposed into an MV-on-MV stack the way a reference user layers
-  * mv-on-mv (docs/dev/src/design/mv-on-mv.md); shapes outside the
-  * incremental envelope (IN/NOT IN subqueries, streaming LIMIT) pin
+  * take whole (multi-way join + agg, LIMIT), it is decomposed into an
+  * MV-on-MV stack the way a reference user layers mv-on-mv
+  * (docs/dev/src/design/mv-on-mv.md). Scalar-subquery comparisons and
+  * IN/NOT-IN subqueries chain as dynamic (set) filters since round 8;
+  * shapes still outside the incremental envelope (streaming LIMIT) pin
   * the LOUD batch-refresh fence instead — `expectChained = false`
   * asserts the planner's decision stays explicit either way.
   *
@@ -152,16 +153,17 @@ class NexmarkChainSpec extends SparkSpecBase {
     s"""SELECT id, auction, item_name, bid_count FROM m_q102_join
        |WHERE bid_count >= (SELECT count(*) / count(DISTINCT auction) FROM $B)""".stripMargin)
 
-  // q103 / q104: IN / NOT IN grouped-HAVING subqueries (semi/anti) —
-  // fenced (two streaming relations in one statement).
+  // q103 / q104: IN / NOT IN grouped-HAVING subqueries — CHAINED since
+  // round 8 as streaming dynamic-SET filters (the reference's semi/anti
+  // join against the subquery arrangement): the key set is state, each
+  // right-side epoch re-evaluates it, and the entering/leaving key diff
+  // flips exactly the auctions whose membership changed.
   mv("m_q103", "(id)",
     s"""SELECT id, item_name FROM $A WHERE id IN (
-       |  SELECT auction FROM $B GROUP BY auction HAVING count(*) >= 4)""".stripMargin,
-    chained = false)
+       |  SELECT auction FROM $B GROUP BY auction HAVING count(*) >= 4)""".stripMargin)
   mv("m_q104", "(id)",
     s"""SELECT id, item_name FROM $A WHERE id NOT IN (
-       |  SELECT auction FROM $B GROUP BY auction HAVING count(*) < 4)""".stripMargin,
-    chained = false)
+       |  SELECT auction FROM $B GROUP BY auction HAVING count(*) < 4)""".stripMargin)
 
   // q105: top bid counts with LIMIT — streaming LIMIT is fenced.
   mv("m_q105", "(id)",
@@ -368,9 +370,9 @@ class NexmarkChainSpec extends SparkSpecBase {
     verifyShape("m_q101_max", "m_q101"))
   test("q102 shape: scalar-subquery threshold — streaming dynamic filter")(
     verifyShape("m_q102_counts", "m_q102_join", "m_q102"))
-  test("q103 shape: IN grouped-HAVING subquery — fence + refresh")(
+  test("q103 shape: IN grouped-HAVING subquery — streaming dynamic-set filter")(
     verifyShape("m_q103"))
-  test("q104 shape: NOT IN grouped-HAVING subquery — fence + refresh")(
+  test("q104 shape: NOT IN grouped-HAVING subquery — streaming dynamic anti-set filter")(
     verifyShape("m_q104"))
   test("q105 shape: bid-count top-N with LIMIT — fence + refresh")(
     verifyShape("m_q105"))
