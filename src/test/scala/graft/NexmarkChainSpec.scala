@@ -136,9 +136,8 @@ class NexmarkChainSpec extends SparkSpecBase {
     s"""SELECT $A.id, $A.item_name, m_q101_max.auction, m_q101_max.max_price
        |FROM $A LEFT JOIN m_q101_max ON $A.id = m_q101_max.auction""".stripMargin)
 
-  // q102: auctions with at-least-average bid count — the scalar
-  // subquery over a second streaming relation is OUTSIDE the
-  // incremental envelope → loud batch-refresh fence on the final hop.
+  // q102: auctions with at-least-average bid count — decomposed into a
+  // counts hop, a delta join, and the final scalar-subquery comparison.
   mv("m_q102_counts", "(auction)",
     s"SELECT auction, count(*) AS bid_count FROM $B GROUP BY auction")
   mv("m_q102_join", "(id, auction)",
