@@ -1491,10 +1491,20 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         val proj = l.select(
           colMap.map { case (out, src) => col(src).as(out) } ++
             Seq(col(Changelog.OpCol), col(Changelog.SeqCol)): _*)
+        // key-set eval pinned under the rhs READ lock and materialized
+        // there (localCheckpoint) — same bucket-rewrite race as the
+        // scalar eval above, but the frame is consumed lazily downstream
         val keys =
           if (r.isEmpty) None
-          else Some(dynSetEval(name, query, rhsName, attrOut))
+          else Some(rhsUp.withReadLock(
+            dynSetEval(name, query, rhsName, attrOut).localCheckpoint()))
         dyn.applyDelta(proj, keys, id)
+        keys.foreach(_.queryExecution.logical match {
+          // free the pinned key set promptly (one per right-side epoch)
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(false)
+          case _ =>
+        })
       }
       .start()
   }
@@ -1586,10 +1596,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         val proj = l.select(
           colMap.map { case (out, src) => col(src).as(out) } ++
             Seq(col(Changelog.OpCol), col(Changelog.SeqCol)): _*)
-        // the scalar re-reads only when the right side moved this epoch
+        // the scalar re-reads only when the right side moved this epoch;
+        // under the rhs READ lock — the eval runs on the maintenance
+        // thread while the rhs's own merges rewrite its buckets, and an
+        // unpinned read can hit a just-deleted file mid-footer-merge
         val thr: Option[Double] =
           if (r.isEmpty) None
-          else Some(dynScalarEval(name, query, rhsName).getOrElse(sentinel))
+          else Some(rhsUp.withReadLock(
+            dynScalarEval(name, query, rhsName)).getOrElse(sentinel))
         dyn.applyDelta(proj, thr, id)
       }
       .start()
