@@ -296,7 +296,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * exposed so callers can await/stop them (the reference's
     * SHOW/DROP stream-job surface).
     */
-  private val jobs = scala.collection.mutable.Map[String, StreamingQuery]()
+  // concurrent: read by the background-compactor daemon while the
+  // engine thread mutates during CREATE/DROP (advice r8)
+  private val jobs = scala.collection.concurrent.TrieMap[String, StreamingQuery]()
 
   def streamingJob(name: String): Option[StreamingQuery] = jobs.get(name)
 
@@ -671,12 +673,38 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         case a: AttributeReference => a.name
         case _ => return None
       }
-    if (groupNames.isEmpty || groupNames.toSet != pk.toSet) return None
-    if (!groupNames.forall(planned.columns.contains)) return None
+    val recomputeCols: Seq[String] =
+      if (groupNames.nonEmpty && groupNames.toSet == pk.toSet &&
+          groupNames.forall(planned.columns.contains))
+        groupNames // plain grouped aggregate: touched groups = group keys
+      else if (groupNames.contains("session_window") &&
+          !planned.columns.contains("session_window")) {
+        // SESSION windows (reference: the SESSION frame,
+        // src/frontend/src/expr/window_function.rs session semantics):
+        // grouping = plain attrs + the SessionWindowing rule's generated
+        // `session_window` attribute. Gap-merge is NOT per-group
+        // incremental — a delta row can merge/split its key's whole
+        // session chain — so the recompute partitions on the PLAIN attr
+        // group cols only: every touched key's sessions recompute whole
+        // (IncrementalAgg retracts all old session rows of the touched
+        // keys and re-emits). PK must cover the attrs plus the
+        // window-derived output cols that identify a session row.
+        val attrCols = groupNames.filterNot(_ == "session_window")
+        if (attrCols.isEmpty || !attrCols.forall(pk.contains) ||
+            !pk.forall(planned.columns.contains)) return None
+        attrCols
+      } else if (groupNames.isEmpty) {
+        // GLOBAL aggregate: the single-group materialized-input path
+        // (reference: simple_agg.rs:43 — min/max/percentile keep their
+        // input rows as state and re-derive per barrier). One output
+        // row; any declared PK over the output columns identifies it.
+        if (!pk.forall(planned.columns.contains)) return None
+        Seq.empty
+      } else return None
     referencedRelations(query) match {
       case Seq(up) =>
         Some(up).filter(n => chainableSourcePk(n).isDefined)
-          .map(n => (n, groupNames))
+          .map(n => (n, recomputeCols))
       case _ => None
     }
   }
@@ -796,11 +824,17 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case c: Cast => stripCast(c.child)
       case x => x
     }
+    // CORRELATED subqueries (outer refs into the left relation) cannot
+    // chain: the dynamic-filter maintenance evaluates the subplan
+    // standalone, where an outer reference is unresolvable — they must
+    // keep the batch-refresh fence (advice r8)
     def asDyn(l: Expression, r: Expression, op: String, flip: String)
         : Option[(AttributeReference, String)] =
       (stripCast(l), stripCast(r)) match {
-        case (a: AttributeReference, _: ScalarSubquery) => Some((a, op))
-        case (_: ScalarSubquery, a: AttributeReference) => Some((a, flip))
+        case (a: AttributeReference, s: ScalarSubquery)
+            if s.outerAttrs.isEmpty => Some((a, op))
+        case (s: ScalarSubquery, a: AttributeReference)
+            if s.outerAttrs.isEmpty => Some((a, flip))
         case _ => None
       }
     val cmp = filters.head.condition match {
@@ -889,9 +923,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case c: Cast => stripCast(c.child)
       case x => x
     }
+    // correlated IN-subqueries (ListQuery with outer refs) keep the
+    // batch-refresh fence — see the ScalarSubquery guard in
+    // [[chainableDynFilterUpstream]] (advice r8)
     val (attr0, negated) = filters.head.condition match {
-      case Not(InSubquery(Seq(v), _)) => (stripCast(v), true)
-      case InSubquery(Seq(v), _) => (stripCast(v), false)
+      case Not(InSubquery(Seq(v), l)) if l.outerAttrs.isEmpty =>
+        (stripCast(v), true)
+      case InSubquery(Seq(v), l) if l.outerAttrs.isEmpty =>
+        (stripCast(v), false)
       case _ => return None
     }
     val attr = attr0 match {
@@ -987,7 +1026,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   /** FLUSH ordering for chained MVs: depth 0 = fed by sources/DML,
     * depth n+1 = tails a depth-n MV's changelog.
     */
-  private val chainDepth = scala.collection.mutable.Map[String, Int]()
+  private val chainDepth = scala.collection.concurrent.TrieMap[String, Int]()
 
   /** Chain edges: downstream MV → the upstream store(s) whose changelog
     * it tails. Background compaction drains an upstream's transitive
@@ -996,7 +1035,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * chain-recovery site alongside [[chainDepth]].
     */
   private val chainUpstreams =
-    scala.collection.mutable.Map[String, Set[String]]()
+    scala.collection.concurrent.TrieMap[String, Set[String]]()
 
   /** All MVs that (transitively) tail `upName`'s changelog, shallowest
     * first — the drain order that settles a whole chain in one pass.
@@ -1530,7 +1569,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       jobs.get(lhsName).foreach(_.processAllAvailable())
       jobs.get(rhsName).foreach(_.processAllAvailable())
     }
-    val state = mvs.define(s"${name}__base", pk)
+    // the base state store is bucketed by the MEMBERSHIP key (not the
+    // PK): a set-move repair then reads only the entering/leaving keys'
+    // buckets (readTouched) — O(Δkeys) per right-side epoch instead of
+    // O(left store). Merge stays PK-correct: the upstream changelog is
+    // retraction-complete (UpdateDelete old image / UpdateInsert new),
+    // so a key-moving row deletes from its old bucket and lands in the
+    // new one.
+    val state = mvs.define(s"${name}__base", pk, bucketKeys = Seq(attrOut))
     val keys = mvs.define(s"${name}__keys", Seq(attrOut))
     val down = mvs.define(name, pk, bucketKeys = lhsUp.primaryKey)
     val dyn = new graft.streaming.DynamicSetFilter(
@@ -1664,6 +1710,130 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     jobs(name) = startChainedDynFilterJob(name, dyn, lhsUp, rhsUp, fL, fR,
       colMap, query, rhsName, op)
     statusDf("CREATE MATERIALIZED VIEW (streaming dynamic-filter chain)", name)
+  }
+
+  /** Streaming global TopN eligibility (reference:
+    * src/stream/src/executor/top_n/top_n_plain.rs:79 — the reference
+    * streams `ORDER BY … LIMIT k` with all input rows as state plus a
+    * top-k cache): the query is a plain-column projection of ONE
+    * chain-subscribable relation under ONE global Sort + Limit, every
+    * sort key a plain OUTPUT column, LIMIT a positive literal, no
+    * OFFSET, and the declared PK = the upstream PK passed through
+    * unaliased. Maintained by [[graft.streaming.IncrementalTopN]].
+    *
+    * Returns (upstream, k, (outCol, asc, nullsFirst) per sort key,
+    * colMap out→src).
+    */
+  private def chainableTopNUpstream(query: String, planned: DataFrame,
+      pk: Seq[String])
+      : Option[(String, Int, Seq[(String, Boolean, Boolean)],
+        Seq[(String, String)])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val analyzed = planned.queryExecution.analyzed
+    val nodes = analyzed.collect { case n => n }
+    val glimits = nodes.collect { case g: GlobalLimit => g }
+    val sorts = nodes.collect { case s: Sort => s }
+    val offsets = nodes.collect { case o: Offset => o }
+    val restPerRow = nodes.forall {
+      case _: GlobalLimit | _: LocalLimit | _: Sort => true
+      case _: Project | _: SubqueryAlias | _: View => true
+      case _: LeafNode => true
+      case _ => false
+    }
+    if (glimits.length != 1 || sorts.length != 1 || offsets.nonEmpty ||
+        !restPerRow) return None
+    val k = glimits.head.limitExpr match {
+      case Literal(v: Int, _) if v > 0 => v
+      case _ => return None
+    }
+    val sort = sorts.head
+    if (!sort.global) return None
+    // the OUTPUT mapping reads the top-level Project under the
+    // limit/sort spine only — the bound relation's own view expansion
+    // may carry inner Projects of its own
+    def stripSpine(p: LogicalPlan): LogicalPlan = p match {
+      case GlobalLimit(_, c) => stripSpine(c)
+      case LocalLimit(_, c) => stripSpine(c)
+      case s: Sort => stripSpine(s.child)
+      case other => other
+    }
+    val colMap: Seq[(String, String)] = stripSpine(analyzed) match {
+      case Project(list, _) => list.map {
+        case a: AttributeReference => (a.name, a.name)
+        case Alias(a: AttributeReference, n) => (n, a.name)
+        case _ => return None
+      }
+      case _ => planned.columns.toSeq.map(c => (c, c))
+    }
+    // sort keys resolve at OUTPUT scope (Sort above the Project)
+    val ordering: Seq[(String, Boolean, Boolean)] = sort.order.map { so =>
+      val name = so.child match {
+        case a: AttributeReference if planned.columns.contains(a.name) => a.name
+        case _ => return None
+      }
+      (name, so.direction == Ascending, so.nullOrdering == NullsFirst)
+    }
+    referencedRelations(query) match {
+      case Seq(up) =>
+        val upPk = chainableSourcePk(up).getOrElse(return None)
+        val pkOk = pk.toSet == upPk.toSet &&
+          upPk.forall(p => colMap.exists { case (o, s) => o == p && s == p })
+        if (pkOk) Some((up, k, ordering, colMap)) else None
+      case _ => None
+    }
+  }
+
+  /** CREATE MV for the streaming global TopN shape (see
+    * [[chainableTopNUpstream]]); `resume` re-wires after recovery.
+    */
+  private def createChainedTopNMv(name: String, pk: Seq[String],
+      query: String, resume: Boolean = false,
+      resumeFrontier: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    bindMvTables(query)
+    val planned = spark.sql(Engine.rewritePgSelect(query))
+    val (upName, k, ordering, colMap) =
+      chainableTopNUpstream(query, planned, pk).getOrElse(
+        throw new IllegalStateException(
+          s"$name: top-n chain shape no longer derivable"))
+    val up = mvs.get(upName).getOrElse(throw new IllegalArgumentException(
+      s"chained upstream $upName is not registered"))
+    if (!resume) jobs.get(upName).foreach(_.processAllAvailable())
+    val state = mvs.define(s"${name}__base", pk)
+    val down = mvs.define(name, pk)
+    val inc = new graft.streaming.IncrementalTopN(state, down, k, ordering, pk)
+    val frontier = resumeFrontier.getOrElse {
+      up.withReadLock {
+        val f = up.latestChangelogBatchId
+        val snap = up.read()
+        if (snap.columns.nonEmpty)
+          inc.applyDelta(snap.select(
+            colMap.map { case (out, src) => col(src).as(out) }: _*))
+        f
+      }
+    }
+    if (!resume)
+      catalog.save("mvs", name, DurableCatalog.MvEntry(
+        pk, Some(query), streaming = true, "update", down.nBuckets,
+        chainedFrom = Some(upName), chainFrontier = Some(frontier),
+        chainJoinType = Some(s"topn:$k")))
+    chainDepth(name) = chainDepth.getOrElse(upName, 0) + 1
+    chainUpstreams(name) = Set(upName)
+    jobs(name) = up.changelogStreamFrom(frontier).writeStream
+      .option("checkpointLocation", mvs.checkpointDir(name))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch0: DataFrame, id: Long) =>
+        val batch =
+          if (batch0.sparkSession eq spark) batch0
+          else spark.createDataFrame(batch0.rdd, batch0.schema)
+        inc.applyDelta(batch.select(
+          colMap.map { case (out, src) => col(src).as(out) } ++
+            Seq(col(graft.streaming.Changelog.OpCol),
+              col(graft.streaming.Changelog.SeqCol)): _*), id)
+      }
+      .start()
+    statusDf("CREATE MATERIALIZED VIEW (streaming top-n chain)", name)
   }
 
   /** UNION ALL MV-on-MV eligibility: the query is a two-branch UNION
@@ -1946,6 +2116,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           createChainedDynSetMv(name, e.pk, q, resume = true,
             resumeFrontiers = Some((e.chainFrontier.getOrElse(-1L),
               e.chainFrontierRight.getOrElse(-1L))))
+          return
+        }
+        e.chainJoinType.filter(_.startsWith("topn:")).foreach { _ =>
+          createChainedTopNMv(name, e.pk, q, resume = true,
+            resumeFrontier = Some(e.chainFrontier.getOrElse(-1L)))
           return
         }
         jobs(name) = (e.chainedFromRight, e.chainAggGroups) match {
@@ -2627,6 +2802,10 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         s"maintenance: dynamic ${if (neg) "anti-" else ""}set filter " +
           s"over $l ($v ${if (neg) "NOT IN" else "IN"} keys of $r — " +
           "entering/leaving key diff flips membership)"
+      case None => chainableTopNUpstream(query, result, pk) match {
+      case Some((up, k, _, _)) =>
+        s"maintenance: streaming top-$k over $up " +
+          "(boundary-pruned recompute, full TakeOrdered refill on deletes)"
       case None => chainableOverUpstream(query, result) match {
       case Some(up) =>
         s"maintenance: incremental over-window over $up " +
@@ -2653,7 +2832,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               "maintenance: one-shot batch materialization " +
                 "(no streaming upstreams)"
         }
-    } } } } } } } }
+    } } } } } } } } }
   }
 
   private val Describe =
@@ -3068,7 +3247,11 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       "application_name" -> ("", "Sets the application name to be reported in statistics and logs."),
       "batch_parallelism" -> ("0", "Sets the parallelism for batch queries (0 = adaptive)."),
       "changelog_retention_epochs" -> ("0", "Trailing changelog epochs retained past the compaction frontier (time travel below it errors)."),
-      "changelog_snapshot_interval" -> ("0", "Compact each store's changelog into a snapshot checkpoint once it grows N epochs past its newest snapshot - continuously in the background at epoch publish, and at every FLUSH (0 = only on explicit VACUUM)."),
+      // non-zero DEFAULT (the reference compacts by default —
+      // src/storage/compactor/ runs unattended): an untended long-running
+      // MV under default config keeps its changelog bounded at ~64 epochs
+      // past the newest snapshot. 0 is the explicit opt-out.
+      "changelog_snapshot_interval" -> ("64", "Compact each store's changelog into a snapshot checkpoint once it grows N epochs past its newest snapshot - continuously in the background at epoch publish, and at every FLUSH (0 = opt out; compaction then only on explicit VACUUM)."),
       "client_encoding" -> ("UTF8", "Sets the client's character set encoding."),
       "client_min_messages" -> ("notice", "Sets the message levels that are sent to the client."),
       "datestyle" -> ("ISO, MDY", "Sets the display format for date and time values."),
@@ -3309,10 +3492,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     if (interval <= 0) return
     mvs.list.foreach { n =>
       mvs.get(n).foreach { mv =>
-        val frontier = retentionFrontier(n)
-        if (frontier > mv.latestSnapshotEpoch &&
-            mv.latestChangelogBatchId - mv.latestSnapshotEpoch >= interval)
-          mv.compactTo(frontier)
+        compactionGate.synchronized {
+          val frontier = retentionFrontier(n)
+          if (frontier > mv.latestSnapshotEpoch &&
+              mv.latestChangelogBatchId - mv.latestSnapshotEpoch >= interval)
+            mv.compactTo(frontier)
+        }
       }
     }
   }
@@ -3354,8 +3539,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             val latest0 = mv.latestChangelogBatchId
             downstreamOf(name)
               .foreach(d => jobs.get(d).foreach(_.processAllAvailable()))
-            val frontier = math.min(retentionFrontier(name), latest0)
-            if (frontier > mv.latestSnapshotEpoch) mv.compactTo(frontier)
+            // frontier re-read + expiry under the gate: a cursor
+            // declared after the drain cannot lose epochs (advice r8)
+            compactionGate.synchronized {
+              val frontier = math.min(retentionFrontier(name), latest0)
+              if (frontier > mv.latestSnapshotEpoch) mv.compactTo(frontier)
+            }
           }
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -3375,8 +3564,13 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
   // DECLARE … SUBSCRIPTION CURSOR + FETCH, handler/create_subscription.rs
   // and session/cursor_manager.rs): a pull-based reader over an MV's
   // epoch-published changelog. The cursor holds only a frontier batch id.
-  private val subscriptions = scala.collection.mutable.Map[String, String]()
-  private val cursors = scala.collection.mutable.Map[String, (String, Long)]()
+  // concurrent (compactor-read, see jobs above); NEW cursor pins are
+  // additionally serialized against frontier computation through
+  // `compactionGate` so a compaction can never expire epochs a cursor
+  // declared mid-pass still needs (advice r8)
+  private val subscriptions = scala.collection.concurrent.TrieMap[String, String]()
+  private val cursors = scala.collection.concurrent.TrieMap[String, (String, Long)]()
+  private val compactionGate = new Object
 
   private val CreateSubscription =
     """(?is)\s*CREATE\s+SUBSCRIPTION\s+(\w+)\s+FROM\s+(\w+)\s*(?:WITH\s*\(.*?\))?\s*;?\s*""".r
@@ -5259,6 +5453,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
               case None => chainableDynSetUpstream(queryC, result, pk) match {
               case Some(_) =>
                 createChainedDynSetMv(name, pk, queryC)
+              case None => chainableTopNUpstream(queryC, result, pk) match {
+              case Some(_) =>
+                createChainedTopNMv(name, pk, queryC)
               case None => chainableOverUpstream(queryC, result) match {
               case Some(upName) =>
                 createChainedOverMv(name, pk, queryC, upName)
@@ -5290,7 +5487,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
                     s"MATERIALIZED VIEW $name to update")
                 refreshMaterializedView(name, pk, result,
                   queryText = Some(query)).read()
-            } } } } } } } } }
+            } } } } } } } } } }
           }
         case None if SqlFrontend.isRecursiveCte(statement) =>
           SqlFrontend.executeRecursive(spark, statement)
@@ -5713,16 +5910,22 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
             val mv = mvs.get(mvName).get
             val mode = Option(mode0).map(
               _.trim.toLowerCase.replaceAll("\\s+", "")).getOrElse("")
-            val pos =
-              if (mode == "full" || mode.startsWith("sincebegin")) -1L
-              else if (mode.isEmpty || mode.startsWith("sincenow"))
-                mv.latestChangelogBatchId
-              else {
-                val ms = mode.stripPrefix("since").takeWhile(_.isDigit).toLong
-                mv.epochCommitTimes.filter(_._2 < ms)
-                  .map(_._1).sorted.lastOption.getOrElse(-1L)
-              }
-            cursors(cur) = (sub, pos)
+            // pin under the compaction gate: a compactor pass that
+            // already computed its frontier must not expire epochs this
+            // brand-new cursor still needs (advice r8)
+            val pos = compactionGate.synchronized {
+              val p =
+                if (mode == "full" || mode.startsWith("sincebegin")) -1L
+                else if (mode.isEmpty || mode.startsWith("sincenow"))
+                  mv.latestChangelogBatchId
+                else {
+                  val ms = mode.stripPrefix("since").takeWhile(_.isDigit).toLong
+                  mv.epochCommitTimes.filter(_._2 < ms)
+                    .map(_._1).sorted.lastOption.getOrElse(-1L)
+                }
+              cursors(cur) = (sub, p)
+              p
+            }
             catalog.save("cursors", cur, DurableCatalog.CursorEntry(sub, pos))
             statusDf("DECLARE CURSOR", cur)
           case DeclareQueryCursor(cur, query) =>

@@ -182,16 +182,29 @@ final class DynamicFilter(
   * subquery's key set is state (`keysMv`, PK = the key column) and each
   * right-side epoch re-evaluates it; the per-epoch ENTERING/LEAVING key
   * diff drives exactly the left rows whose membership flips — never a
-  * full re-join.
+  * full re-join. Membership flips derive from the POST-merge base state
+  * (the base's current key IS the membership truth), so an epoch that
+  * carries BOTH a left-side key move and a right-side set move resolves
+  * each row once, correctly — a pre-epoch result snapshot would emit a
+  * stale high-seq delete that outranks the delta's own re-insert. When
+  * the base store is bucketed by the membership key, a set-move repair
+  * reads only the entering/leaving keys' buckets
+  * ([[MaterializedView.readTouched]]) — O(Δkeys), never O(left store).
   *
-  * SQL null semantics are honored: a left row with a NULL key never
-  * qualifies under either mode, and a NULL inside the subquery's key
-  * set makes NOT IN empty (x NOT IN (…, NULL) is never true). The
-  * null-presence flag lives in a side file; transitions emit the
-  * retract-all / re-qualify-all diffs, and because every right-side
-  * epoch re-evaluates the set against current state, a replay after a
-  * crash between the result commit and the keys commit self-heals on
-  * the next evaluation.
+  * SQL null semantics are honored: a NULL inside the subquery's key set
+  * makes NOT IN never true (x NOT IN (…, NULL)); a NULL left key never
+  * qualifies under IN, and under NOT IN qualifies exactly when the
+  * effective key set is EMPTY (x NOT IN (∅) is TRUE even for NULL x —
+  * the vacuous universal). Empty↔non-empty transitions retract /
+  * re-qualify the stored NULL-key rows like any other membership flip.
+  *
+  * Durability: the key-set delta and the null-presence flag commit as
+  * sidecars INSIDE the result MV's atomically-renamed epoch dir
+  * (`_keys_delta/`, `_dynset_hasnull`), so result and membership state
+  * publish in one atomic unit; a committed-epoch replay re-applies all
+  * three, healing a crash that landed between the result commit and the
+  * key-set merge. The side file is only a read cache of the last
+  * committed flag.
   */
 final class DynamicSetFilter(
     lhsMv: MaterializedView,
@@ -226,9 +239,19 @@ final class DynamicSetFilter(
     if (batchId >= 0) {
       val epochDir = Paths.get(resultMv.changelogLocation, s"batch-$batchId")
       if (Files.exists(epochDir)) {
-        // committed replay: re-apply the result verbatim; the key-set
-        // state self-heals on the next right-side evaluation (class doc)
+        // committed replay: re-apply the result verbatim, PLUS the
+        // key-set delta and null flag committed in the same atomic
+        // rename — a crash between the result commit and the keysMv
+        // merge heals here with the exact commit-time set (keysMv's own
+        // epoch guard makes the re-merge idempotent)
         resultMv.merge(spark.read.parquet(epochDir.toString), batchId)
+        val kd = epochDir.resolve("_keys_delta")
+        if (Files.exists(kd)) {
+          keysMv.merge(spark.read.parquet(kd.toString), batchId)
+          val hn = epochDir.resolve("_dynset_hasnull")
+          if (Files.exists(hn))
+            setHasNull(new String(Files.readAllBytes(hn)).trim == "1")
+        }
         return
       }
     }
@@ -241,65 +264,108 @@ final class DynamicSetFilter(
     val kShape = cleanNew.getOrElse(lhsDelta.select(kAttr))
     val kStore = orEmpty(keysMv.read(), kShape).select(kAttr)
     val testKeys = cleanNew.getOrElse(kStore)
+    // the NOT IN ∅ rule needs emptiness of the effective set (no keys,
+    // no null) — two tiny jobs over the key set, negated mode only
+    lazy val oldEmpty = !hadNull && kStore.isEmpty
+    lazy val newEmpty =
+      !newHasNull && cleanNew.map(_.isEmpty).getOrElse(kStore.isEmpty)
 
     // 1. delta rows: deletes always propagate; adds re-test membership
-    //    under the epoch's effective set (NULL left keys never qualify)
+    //    under the epoch's effective set. NULL-key adds qualify only
+    //    under NOT IN with an empty effective set.
     val hasOps = lhsDelta.columns.contains(Changelog.OpCol)
     val d = if (hasOps) lhsDelta else Changelog.ofInserts(lhsDelta)
     val dels = d.where(!Changelog.isAdd(col(Changelog.OpCol)))
     val adds0 = d.where(Changelog.isAdd(col(Changelog.OpCol)) && kAttr.isNotNull)
     val adds =
       if (!negated) adds0.join(testKeys, Seq(attrCol), "left_semi")
-      else if (newHasNull) adds0.where(lit(false))
-      else adds0.join(testKeys, Seq(attrCol), "left_anti")
+      else {
+        val nn =
+          if (newHasNull) adds0.where(lit(false))
+          else adds0.join(testKeys, Seq(attrCol), "left_anti")
+        val nulls = d.where(Changelog.isAdd(col(Changelog.OpCol)) && kAttr.isNull)
+        if (newEmpty) nn.unionByName(nulls) else nn
+      }
 
     // 2. set moved: entering/leaving keys flip exactly the stored rows
-    //    that reference them (plus NOT IN's null-flag transitions)
+    //    that reference them. Both flip directions derive from the
+    //    POST-merge base (see class doc) and read only the flipped
+    //    keys' buckets; the poisoning / emptiness transitions that are
+    //    inherently whole-state (retract-all, re-qualify-all) read full.
     val rowShape = d.drop(Changelog.OpCol, Changelog.SeqCol)
-    val stored = orEmpty(lhsMv.read(), rowShape).where(kAttr.isNotNull)
-    val resultStored = orEmpty(resultMv.read(), rowShape)
+    def storedOf(keys: DataFrame): DataFrame =
+      orEmpty(lhsMv.readTouched(keys), rowShape)
+        .where(kAttr.isNotNull).join(keys, Seq(attrCol), "left_semi")
     def flagged(df: DataFrame, op: Int) = df
       .withColumn(Changelog.OpCol, lit(op))
       .withColumn(Changelog.SeqCol, lit(Long.MaxValue))
-    val diffOut: Option[DataFrame] = cleanNew.map { nk =>
-      val entering = nk.except(kStore)
-      val leaving = kStore.except(nk)
+    val keysAndDiff: Option[(DataFrame, DataFrame, Seq[DataFrame])] =
+      cleanNew.map { nk =>
+      val entering = nk.except(kStore).localCheckpoint()
+      val leaving = kStore.except(nk).localCheckpoint()
+      lazy val storedAll = orEmpty(lhsMv.read(), rowShape).where(kAttr.isNotNull)
+      // all NULL-key base rows live in one bucket: hash(null) prunes
+      lazy val storedNulls = {
+        val nullKey = spark.range(1)
+          .select(lit(null).cast(kShape.schema.head.dataType).as(attrCol))
+        orEmpty(lhsMv.readTouched(nullKey), rowShape).where(kAttr.isNull)
+      }
+      val none = rowShape.where(lit(false))
       val (ins, del) =
-        if (!negated)
-          (stored.join(entering, Seq(attrCol), "left_semi"),
-            resultStored.join(leaving, Seq(attrCol), "left_semi"))
+        if (!negated) (storedOf(entering), storedOf(leaving))
         else (hadNull, newHasNull) match {
-          case (false, true) => // set gained a NULL: NOT IN is never true
-            (stored.where(lit(false)), resultStored)
-          case (true, false) => // NULL gone: everything outside the set returns
-            (stored.join(nk, Seq(attrCol), "left_anti"),
-              resultStored.where(lit(false)))
-          case (_, true) => // still poisoned: nothing qualifies, nothing stored
-            (stored.where(lit(false)), resultStored.where(lit(false)))
+          case (false, true) => // set gained a NULL: NOT IN is never true;
+            // retract everything that qualified under the old set
+            (none, storedAll.join(kStore, Seq(attrCol), "left_anti")
+              .unionByName(if (oldEmpty) storedNulls else none))
+          case (true, false) => // NULL gone: everything outside the set
+            // returns (incl. NULL keys when the new set is empty)
+            (storedAll.join(nk, Seq(attrCol), "left_anti")
+              .unionByName(if (newEmpty) storedNulls else none), none)
+          case (_, true) => // still poisoned: nothing qualifies or is stored
+            (none, none)
           case (false, false) =>
-            (stored.join(leaving, Seq(attrCol), "left_semi"),
-              resultStored.join(entering, Seq(attrCol), "left_semi"))
+            val insN = if (newEmpty && !oldEmpty) storedNulls else none
+            val delN = if (oldEmpty && !newEmpty) storedNulls else none
+            (storedOf(leaving).unionByName(insN),
+              storedOf(entering).unionByName(delN))
         }
-      flagged(ins, Changelog.Insert).unionByName(flagged(del, Changelog.Delete))
+      val diff =
+        flagged(ins, Changelog.Insert).unionByName(flagged(del, Changelog.Delete))
+      val keysDelta = flagged(entering, Changelog.Insert)
+        .unionByName(flagged(leaving, Changelog.Delete))
+      (keysDelta, diff, Seq(entering, leaving))
     }
 
-    val out = diffOut.fold(adds.unionByName(dels))(
-      adds.unionByName(dels).unionByName(_))
-    // result commits FIRST (its epoch dir is the replay guard), then the
-    // key-set state — a crash in between self-heals (class doc)
-    resultMv.merge(out, batchId)
-    cleanNew.foreach { nk =>
-      val keysDelta =
-        flagged(nk.except(kStore), Changelog.Insert)
-          .unionByName(flagged(kStore.except(nk), Changelog.Delete))
-      keysMv.merge(keysDelta, batchId)
+    val out = keysAndDiff.fold(adds.unionByName(dels))(kd =>
+      adds.unionByName(dels).unionByName(kd._2))
+    // the key-set delta and null flag ride INSIDE the result epoch dir:
+    // result + membership state publish in one atomic rename
+    resultMv.merge(out, batchId,
+      sidecar =
+        if (batchId >= 0 && keysAndDiff.isDefined)
+          Map("_dynset_hasnull" -> (if (newHasNull) "1" else "0"))
+        else Map.empty,
+      sidecarDf =
+        if (batchId >= 0) keysAndDiff.map(kd => Map("_keys_delta" -> kd._1))
+          .getOrElse(Map.empty)
+        else Map.empty)
+    keysAndDiff.foreach { case (keysDelta, _, _) =>
+      if (batchId >= 0) {
+        // merge the COMMITTED bytes — identical on replay, no lineage
+        // into the keys store it is about to rewrite
+        val kd = Paths.get(resultMv.changelogLocation, s"batch-$batchId")
+          .resolve("_keys_delta")
+        keysMv.merge(spark.read.parquet(kd.toString), batchId)
+      } else keysMv.merge(keysDelta)
       setHasNull(newHasNull)
     }
-    newKeys.foreach(k => k.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(false)
-      case _ =>
-    })
+    (newKeys.toSeq ++ keysAndDiff.toSeq.flatMap(_._3))
+      .foreach(_.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ =>
+      })
   }
 
   def read(): DataFrame = resultMv.read()

@@ -76,6 +76,30 @@ final class IncrementalAgg(
     // borrowed base, its own maintenance job rewrites the bucket files
     // this recompute reads — the lock pins a consistent file set
     baseMv.withReadLock {
+    // GLOBAL aggregate (no GROUP BY): ONE group, always touched — the
+    // reference's simple_agg with materialized-input state (reference:
+    // src/stream/src/executor/simple_agg.rs:43 — min/max/percentile
+    // keep their input rows in a state table and re-derive per
+    // barrier). The base rows ARE that state; every epoch recomputes
+    // the single output row over them and republishes a
+    // retraction-complete U-/U+ pair (two rows on the wire, O(state)
+    // read — the same asymptotics as the reference's retraction path).
+    if (groupCols.isEmpty) {
+      val base = baseMv.read()
+      if (base.columns.isEmpty) return
+      val recomputed = aggFn(base)
+      val old = aggMv.read()
+      val retractions =
+        (if (old.columns.isEmpty) recomputed.where(lit(false))
+         else old.select(recomputed.columns.map(col): _*))
+        .withColumn(Changelog.OpCol, lit(Changelog.UpdateDelete))
+        .withColumn(Changelog.SeqCol, lit(0L))
+      val upserts = recomputed
+        .withColumn(Changelog.OpCol, lit(Changelog.UpdateInsert))
+        .withColumn(Changelog.SeqCol, lit(1L))
+      aggMv.merge(upserts.unionByName(retractions), batchId)
+      return
+    }
     // direct mode: group columns are plain input columns, so delta rows
     // carry their group keys and the base semi-join prunes BEFORE the
     // aggregate. Generate mode (group keys born inside the query's

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Streaming global TopN: maintain `SELECT … FROM up ORDER BY … LIMIT k`
+  * continuously (reference: src/stream/src/executor/top_n/
+  * top_n_plain.rs:79 — the TopN executor keeps ALL input rows in a
+  * sorted state table plus a top-n cache; retractions refill the cache
+  * by range-scanning the state just past the old boundary).
+  *
+  * Spark rendering: the input rows are a [[MaterializedView]] (the
+  * state table analog — parquet with per-row-group column stats), the
+  * current top-k IS the result MV (≤ k rows, driver-collectable by
+  * construction). Per epoch:
+  *
+  *   1. FAST PATH — if the delta has no row that could touch the top
+  *      (no delete/update of a current top-k PK, no insert ordering at
+  *      or above the current k-th row's first sort key, and the top is
+  *      full), publish an empty epoch: O(delta) work, state untouched.
+  *   2. PRUNED RECOMPUTE — otherwise re-derive the top-k from the
+  *      region `first-key ⪰ old k-th value` (non-strict, ties ride
+  *      along; NULLs included when they sort first). The region read
+  *      prunes on parquet row-group stats of the first sort column —
+  *      the analog of the reference's bounded range refill. If the
+  *      region no longer holds k rows (deletes ate into it), fall back
+  *      to a full `TakeOrdered` over the state — O(n) scan, k-heap,
+  *      never a sort-the-world.
+  *   3. Publish retraction-complete U-/U+ (old top rows as
+  *      UpdateDelete seq 0, new top as UpdateInsert seq 1) so further
+  *      MVs chain off the result.
+  *
+  * Epoch replay re-applies the committed delta verbatim (same guard as
+  * [[DynamicFilter]]); the top-k is re-derived from durable state, so
+  * no sidecar is needed.
+  */
+final class IncrementalTopN(
+    baseMv: MaterializedView,
+    resultMv: MaterializedView,
+    k: Int,
+    // (output column, ascending, nullsFirst) per ORDER BY key
+    ordering: Seq[(String, Boolean, Boolean)],
+    pk: Seq[String]) {
+
+  require(k > 0, "LIMIT must be positive")
+  require(ordering.nonEmpty, "top-n requires an ORDER BY")
+
+  private val spark = resultMv.spark
+
+  private def sortCols = ordering.map { case (c, asc, nf) =>
+    (asc, nf) match {
+      case (true, true) => col(c).asc_nulls_first
+      case (true, false) => col(c).asc_nulls_last
+      case (false, true) => col(c).desc_nulls_first
+      case (false, false) => col(c).desc_nulls_last
+    }
+  }
+
+  private val (firstCol, firstAsc, firstNullsFirst) = ordering.head
+
+  def applyDelta(delta0: DataFrame, batchId: Long = -1L): Unit = {
+    // re-bind to the engine session (foreachBatch hands a clone)
+    val delta =
+      if (delta0.sparkSession eq spark) delta0
+      else spark.createDataFrame(delta0.rdd, delta0.schema)
+    baseMv.merge(delta)
+    if (batchId >= 0) {
+      val epochDir = Paths.get(resultMv.changelogLocation, s"batch-$batchId")
+      if (Files.exists(epochDir)) {
+        resultMv.merge(spark.read.parquet(epochDir.toString), batchId)
+        return
+      }
+    }
+    val hasOps = delta.columns.contains(Changelog.OpCol)
+    val d = if (hasOps) delta else Changelog.ofInserts(delta)
+    val rowSchema = d.drop(Changelog.OpCol, Changelog.SeqCol).schema
+
+    baseMv.withReadLock {
+      val oldTop: Array[Row] = {
+        val r = resultMv.read()
+        if (r.columns.isEmpty) Array.empty[Row]
+        else r.select(rowSchema.fieldNames.map(col).toSeq: _*).collect()
+      }
+      val oldDf = spark.createDataFrame(
+        java.util.Arrays.asList(oldTop: _*), rowSchema)
+      // the old k-th boundary on the FIRST sort key: the worst in-top
+      // value (max under asc, min under desc); None = top not full or a
+      // NULL boundary — both disable pruning, never correctness
+      val boundary: Option[Any] =
+        if (oldTop.length < k) None
+        else {
+          val agg = oldDf.agg(
+            (if (firstAsc) max(col(firstCol)) else min(col(firstCol)))
+              .as("b"),
+            count(when(col(firstCol).isNull, 1)).as("nulls")).collect().head
+          if (agg.get(1).asInstanceOf[Long] > 0 || agg.isNullAt(0)) None
+          else Some(agg.get(0))
+        }
+      def regionOf(t: Any) = {
+        val cmp = if (firstAsc) col(firstCol) <= lit(t) else col(firstCol) >= lit(t)
+        if (firstNullsFirst) cmp || col(firstCol).isNull else cmp
+      }
+      // ---- fast path: can this delta touch the top at all?
+      val pkOfTop: Column = oldTop.map(r =>
+          pk.map(p => col(p) <=> lit(r.getAs[Any](p))).reduce(_ && _))
+        .foldLeft(lit(false))(_ || _)
+      val touchCond: Column = {
+        val addTouch = boundary match {
+          case Some(t) => regionOf(t)
+          case None => lit(true) // top not full: every add can enter
+        }
+        (Changelog.isAdd(col(Changelog.OpCol)) && addTouch) || pkOfTop
+      }
+      val untouched = oldTop.length == k && d.where(touchCond).isEmpty
+      if (untouched) {
+        // publish the (empty) epoch: downstream frontiers + replay guard
+        resultMv.merge(d.limit(0), batchId)
+      } else {
+        val base = baseMv.read()
+        val full = if (base.columns.isEmpty) oldDf.limit(0) else base
+        val pruned = boundary match {
+          case Some(t) => full.where(regionOf(t))
+          case None => full
+        }
+        var newTop = pruned.orderBy(sortCols: _*).limit(k).collect()
+        if (newTop.length < k && boundary.isDefined)
+          // the boundary region emptied below k (deletes): full refill
+          newTop = full.orderBy(sortCols: _*).limit(k).collect()
+        val newDf = spark.createDataFrame(
+          java.util.Arrays.asList(newTop: _*), rowSchema)
+        val out = newDf
+          .withColumn(Changelog.OpCol, lit(Changelog.UpdateInsert))
+          .withColumn(Changelog.SeqCol, lit(1L))
+          .unionByName(oldDf
+            .withColumn(Changelog.OpCol, lit(Changelog.UpdateDelete))
+            .withColumn(Changelog.SeqCol, lit(0L)))
+        resultMv.merge(out, batchId)
+      }
+    }
+  }
+
+  def read(): DataFrame = resultMv.read()
+}

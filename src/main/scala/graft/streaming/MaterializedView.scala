@@ -716,10 +716,16 @@ final class MaterializedView(
     * readers); only meaningful with an epoch (`batchId >= 0`).
     */
   def merge(delta: DataFrame, batchId: Long = -1L,
-      sidecar: Map[String, String] = Map.empty): Unit = {
-    require(sidecar.isEmpty || batchId >= 0,
+      sidecar: Map[String, String] = Map.empty,
+      // DataFrame-valued sidecars: parquet SUBDIRS of the epoch dir
+      // (underscore-prefixed → invisible to every changelog reader),
+      // committed in the same atomic rename as the delta. Used by
+      // operators whose auxiliary state must move in lock-step with the
+      // published epoch (DynamicSetFilter's key-set delta).
+      sidecarDf: Map[String, DataFrame] = Map.empty): Unit = {
+    require((sidecar.isEmpty && sidecarDf.isEmpty) || batchId >= 0,
       "sidecar state requires an epoch (batchId >= 0)")
-    require(sidecar.keys.forall(_.startsWith("_")),
+    require((sidecar.keys ++ sidecarDf.keys).forall(_.startsWith("_")),
       "sidecar names must be underscore-prefixed (hidden from readers)")
     // committed end-to-end already (journal → storage → publish): a
     // replayed micro-batch / retried DML has nothing left to do
@@ -759,6 +765,9 @@ final class MaterializedView(
         norm0.write.mode("overwrite").parquet(tmp.toString)
         sidecar.foreach { case (fname, content) =>
           Files.write(tmp.resolve(fname), content.getBytes)
+        }
+        sidecarDf.foreach { case (fname, df) =>
+          df.write.mode("overwrite").parquet(tmp.resolve(fname).toString)
         }
         try Files.move(tmp, wal,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)

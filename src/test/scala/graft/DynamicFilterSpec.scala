@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{Changelog, DynamicFilter, MvCatalog}
+import graft.streaming.{Changelog, DynamicFilter, DynamicSetFilter, MvCatalog}
 
 /** Streaming dynamic filter: `l.v > (SELECT max(b) FROM r)` maintained
   * continuously — rows flip in/out of the result as the scalar moves
@@ -270,6 +270,199 @@ class DynamicFilterSpec extends SparkSpecBase {
     assert(rows("smv", e2) == Set(2L, 4L))
     assert(rows("amv", e2) == Set(3L, 4L))
     Seq("smv", "amv").foreach(n => e2.streamingJob(n).foreach(_.stop()))
+  }
+
+  // ---- dynamic-set operator edges (advice r8): combined-batch key
+  // moves, NOT IN ∅ with NULL left keys, replay atomicity of the
+  // key-set state, and the bucket-pruned set-move repair.
+
+  private def mkSetFilter(tag: String, negated: Boolean,
+      buckets: Int = 4): (DynamicSetFilter,
+      graft.streaming.MaterializedView, graft.streaming.MaterializedView) = {
+    val cat = new MvCatalog(spark, tmpDir(tag))
+    val lhs = cat.define(s"${tag}_lhs", Seq("id"), nBuckets = buckets,
+      bucketKeys = Seq("k"))
+    val keys = cat.define(s"${tag}_keys", Seq("k"), nBuckets = buckets)
+    val res = cat.define(s"${tag}_res", Seq("id"), nBuckets = buckets)
+    (new DynamicSetFilter(lhs, keys, res, "k", negated), res, keys)
+  }
+
+  private def setIds(mv: graft.streaming.MaterializedView): Set[Long] =
+    if (mv.read().columns.isEmpty) Set.empty
+    else mv.read().select("id").as[Long].collect().toSet
+
+  private val emptyDelta = Seq.empty[(Long, Long)].toDF("id", "k")
+
+  test("dynamic-set: one batch carrying a left key move AND a set move " +
+      "keeps a row that lands on a surviving key") {
+    val (f, res, _) = mkSetFilter("dsmov", negated = false)
+    f.applyDelta(Seq((10L, 1L), (11L, 2L)).toDF("id", "k"),
+      Some(Seq(1L, 2L).toDF("k")), batchId = 0L)
+    assert(setIds(res) == Set(10L, 11L))
+    // one micro-batch: row 10 moves key 1 → 2 (UD+UI) while key 1
+    // LEAVES the set — the post-merge key (2, still in set) is the
+    // membership truth; a pre-epoch-result-derived delete would win the
+    // seq tie and silently drop the row
+    val moved = Seq(
+      (10L, 1L, Changelog.UpdateDelete, 0L),
+      (10L, 2L, Changelog.UpdateInsert, 1L)).toDF(
+      "id", "k", Changelog.OpCol, Changelog.SeqCol)
+    f.applyDelta(moved, Some(Seq(2L).toDF("k")), batchId = 1L)
+    assert(setIds(res) == Set(10L, 11L),
+      "row moved onto a surviving key must stay in the result")
+  }
+
+  test("dynamic-set NOT IN: combined batch with the mirrored entering-key move") {
+    val (f, res, _) = mkSetFilter("dsmovn", negated = true)
+    // empty set: both rows qualify (x NOT IN ∅)
+    f.applyDelta(Seq((10L, 1L), (11L, 2L)).toDF("id", "k"),
+      Some(Seq.empty[Long].toDF("k")), batchId = 0L)
+    assert(setIds(res) == Set(10L, 11L))
+    // row 10 moves key 1 → 3 while key 1 ENTERS the set: its new key is
+    // outside the set, so it must stay
+    val moved = Seq(
+      (10L, 1L, Changelog.UpdateDelete, 0L),
+      (10L, 3L, Changelog.UpdateInsert, 1L)).toDF(
+      "id", "k", Changelog.OpCol, Changelog.SeqCol)
+    f.applyDelta(moved, Some(Seq(1L).toDF("k")), batchId = 1L)
+    assert(setIds(res) == Set(10L, 11L),
+      "NOT IN row moved off an entering key must stay in the result")
+  }
+
+  test("dynamic-set NOT IN: empty set qualifies NULL left keys (x NOT IN ∅ is TRUE)") {
+    val (f, res, _) = mkSetFilter("dsnull", negated = true)
+    val rows = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("id", "k")
+    // set ∅: ALL rows qualify, including the NULL key (SQL's vacuous
+    // universal — DuckDB/Postgres return the row)
+    f.applyDelta(rows, Some(Seq.empty[Long].toDF("k")), batchId = 0L)
+    assert(setIds(res) == Set(1L, 2L, 3L))
+    // set becomes {5}: key-5 row leaves AND the NULL row leaves (the
+    // set is non-empty, NULL NOT IN {5} is unknown)
+    f.applyDelta(emptyDelta, Some(Seq(5L).toDF("k")), batchId = 1L)
+    assert(setIds(res) == Set(3L))
+    // set empties again: everything returns, NULL included
+    f.applyDelta(emptyDelta, Some(Seq.empty[Long].toDF("k")), batchId = 2L)
+    assert(setIds(res) == Set(1L, 2L, 3L))
+    // the set gains ONLY a NULL: poisoned — nothing qualifies
+    f.applyDelta(emptyDelta, Some(Seq(Option.empty[Long]).toDF("k")),
+      batchId = 3L)
+    assert(setIds(res) == Set.empty[Long])
+    // NULL leaves, set empty again: all three return
+    f.applyDelta(emptyDelta, Some(Seq.empty[Long].toDF("k")), batchId = 4L)
+    assert(setIds(res) == Set(1L, 2L, 3L))
+  }
+
+  test("dynamic-set: a committed-epoch replay re-applies result AND key-set " +
+      "state — a moved RHS between crash and replay cannot tear them apart") {
+    val (f, res, keys) = mkSetFilter("dsrep", negated = false)
+    f.applyDelta(Seq((1L, 5L), (2L, 7L)).toDF("id", "k"),
+      Some(Seq(5L).toDF("k")), batchId = 0L)
+    assert(setIds(res) == Set(1L))
+    // epoch 1 commits set {7}
+    f.applyDelta(emptyDelta, Some(Seq(7L).toDF("k")), batchId = 1L)
+    assert(setIds(res) == Set(2L))
+    def keySet = keys.read().select("k").as[Long].collect().toSet
+    assert(keySet == Set(7L))
+    // crash/replay of epoch 1 with a MOVED rhs ({5} again): the
+    // committed epoch must win — result and key-set state stay at the
+    // commit-time set {7}, healed from the epoch-dir sidecar
+    f.applyDelta(emptyDelta, Some(Seq(5L).toDF("k")), batchId = 1L)
+    assert(setIds(res) == Set(2L))
+    assert(keySet == Set(7L),
+      "replay must restore the COMMIT-TIME key set, not the moved one")
+    // the move lands once, at the NEXT epoch
+    f.applyDelta(emptyDelta, Some(Seq(5L).toDF("k")), batchId = 2L)
+    assert(setIds(res) == Set(1L))
+    assert(keySet == Set(5L))
+  }
+
+  test("dynamic-set: a set-move repair reads only the flipped keys' buckets") {
+    val (f, res, _) = mkSetFilter("dsprune", negated = false, buckets = 16)
+    // 4000 base rows over 16 keys; the set starts EMPTY (result empty,
+    // so the epoch-1 numbers below are dominated by the base read)
+    val rows = (0 until 4000).map(i => (i.toLong, (i % 16).toLong))
+    f.applyDelta(rows.toDF("id", "k"),
+      Some(Seq.empty[Long].toDF("k")), batchId = 0L)
+    assert(setIds(res).isEmpty)
+    // one key enters: the repair must read the entering key's bucket
+    // (≤ a few keys' worth under hash collisions), never the whole
+    // 4000-row base store
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      f.applyDelta(emptyDelta, Some(Seq(0L).toDF("k")), batchId = 1L)
+      Thread.sleep(1500) // listener bus is async
+      // pruned: one bucket of the base (250 rows + collisions) + the
+      // 250-row epoch delta read back from the journal + small key-set
+      // reads; an un-pruned repair reads ≥4000 from the base alone
+      assert(read.get < 2500,
+        s"set-move repair read ${read.get} records — not bucket-pruned")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(setIds(res).size == 250)
+  }
+
+  test("SQL chain: correlated subqueries keep the loud batch-refresh fence") {
+    val dir = tmpDir("dyncorr")
+    val e = new Engine(spark, dir)
+    e.execute("CREATE TABLE cfl (k BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("CREATE TABLE cfr (rk BIGINT PRIMARY KEY, k2 BIGINT, x BIGINT)")
+    e.execute("INSERT INTO cfl VALUES (1, 10), (2, 20), (3, 30)")
+    e.execute("INSERT INTO cfr VALUES (1, 1, 15), (2, 2, 15), (3, 3, 40)")
+    e.execute("FLUSH")
+    // correlated scalar subquery: the RHS references the outer row — the
+    // dynamic-filter chain cannot evaluate it standalone, so the planner
+    // must fence (advice r8: round 8 misclassified this shape and threw)
+    e.execute("CREATE MATERIALIZED VIEW cmv (PRIMARY KEY (k)) AS " +
+      "SELECT k, v FROM cfl WHERE v > " +
+      "(SELECT max(x) FROM cfr WHERE cfr.k2 = cfl.k)")
+    assert(e.streamingJob("cmv").isEmpty,
+      "correlated scalar subquery must take the batch-refresh fence")
+    assert(e.table("cmv").select("k").as[Long].collect().toSet == Set(2L))
+    // correlated IN-subquery: same rule for the dynamic-set shape
+    e.execute("CREATE MATERIALIZED VIEW cmv2 (PRIMARY KEY (k)) AS " +
+      "SELECT k, v FROM cfl WHERE k IN " +
+      "(SELECT k2 FROM cfr WHERE cfr.x > cfl.v)")
+    assert(e.streamingJob("cmv2").isEmpty,
+      "correlated IN subquery must take the batch-refresh fence")
+    e.execute("INSERT INTO cfl VALUES (4, 5)")
+    e.execute("INSERT INTO cfr VALUES (4, 4, 1)")
+    e.execute("FLUSH")
+    e.execute("REFRESH MATERIALIZED VIEW cmv")
+    assert(e.table("cmv").select("k").as[Long].collect().toSet == Set(2L, 4L))
+  }
+
+  test("SQL chain: NOT IN over an empty subquery returns NULL-key rows " +
+      "(batch-compared)") {
+    val dir = tmpDir("dynsqlnull")
+    val e = new Engine(spark, dir)
+    e.execute("CREATE TABLE nfl (id BIGINT PRIMARY KEY, k BIGINT)")
+    e.execute("CREATE TABLE nfr (rk BIGINT PRIMARY KEY, k BIGINT)")
+    e.execute("INSERT INTO nfl VALUES (1, 5), (2, NULL), (3, 7)")
+    e.execute("FLUSH")
+    val sql = "SELECT id, k FROM nfl WHERE k NOT IN (SELECT k FROM nfr)"
+    e.execute(s"CREATE MATERIALIZED VIEW nmv (PRIMARY KEY (id)) AS $sql")
+    assert(e.streamingJob("nmv").nonEmpty)
+    e.execute("FLUSH")
+    def got = e.table("nmv").select("id").as[Long].collect().toSet
+    def want = e.execute(sql).select("id").as[Long].collect().toSet
+    assert(want == Set(1L, 2L, 3L), "batch oracle: x NOT IN ∅ is TRUE")
+    assert(got == want)
+    // set becomes non-empty: NULL-key row 2 and the matching key leave
+    e.execute("INSERT INTO nfr VALUES (1, 5)")
+    e.execute("FLUSH")
+    assert(got == want && got == Set(3L))
+    // set empties again: all return, NULL-key row included
+    e.execute("DELETE FROM nfr WHERE rk = 1")
+    e.execute("FLUSH")
+    assert(got == want && got == Set(1L, 2L, 3L))
+    e.streamingJob("nmv").foreach(_.stop())
   }
 
   test("SQL chain: flipped/aliased comparison and the <= comparator") {

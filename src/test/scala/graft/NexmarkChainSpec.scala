@@ -164,11 +164,13 @@ class NexmarkChainSpec extends SparkSpecBase {
     s"""SELECT id, item_name FROM $A WHERE id NOT IN (
        |  SELECT auction FROM $B GROUP BY auction HAVING count(*) < 4)""".stripMargin)
 
-  // q105: top bid counts with LIMIT — streaming LIMIT is fenced.
+  // q105: top bid counts with LIMIT — CHAINED since round 9: a global
+  // ORDER BY … LIMIT k maintains as a streaming TopN (the reference's
+  // top_n_plain executor): the upstream rows are state, the current
+  // top-k re-derives from the boundary-pruned region per touching epoch.
   mv("m_q105", "(id)",
     """SELECT id, item_name, bid_count FROM m_q102_join
-      |ORDER BY bid_count DESC, id LIMIT 5""".stripMargin,
-    chained = false)
+      |ORDER BY bid_count DESC, id LIMIT 5""".stripMargin)
 
   // q21: channel_id extraction (CASE + regexp over url).
   mv("m_q21", "(bid_id)",
@@ -373,7 +375,7 @@ class NexmarkChainSpec extends SparkSpecBase {
     verifyShape("m_q103"))
   test("q104 shape: NOT IN grouped-HAVING subquery — streaming dynamic anti-set filter")(
     verifyShape("m_q104"))
-  test("q105 shape: bid-count top-N with LIMIT — fence + refresh")(
+  test("q105 shape: bid-count top-N with LIMIT — streaming TopN chain")(
     verifyShape("m_q105"))
   test("q21 shape: channel_id extraction projection chain")(
     verifyShape("m_q21"))

@@ -114,11 +114,14 @@ class NexmarkChainSpec2 extends SparkSpecBase {
       |  FROM m2_q6_join) WHERE rn <= 1)""".stripMargin)
 
   // q106: global MIN over the per-auction winning bids — a group-less
-  // aggregate stacked on a retractable-max chain.
+  // aggregate stacked on a retractable-max chain. CHAINED since round 9
+  // through IncrementalAgg's single-group materialized-input path (the
+  // reference's simple_agg): the upstream rows are state, every epoch
+  // re-derives the one output row and publishes U-/U+.
   mv("m2_q106_max", "(id)",
     "SELECT id, max(price) AS final FROM m2_q6_join GROUP BY id")
   mv("m2_q106", "(min_final)",
-    "SELECT min(final) AS min_final FROM m2_q106_max", chained = false)
+    "SELECT min(final) AS min_final FROM m2_q106_max")
 
   // q13 / q13-non-lookup-cond: bids enriched through a
   // `FOR SYSTEM_TIME AS OF PROCTIME()` lookup against a static side
@@ -133,14 +136,16 @@ class NexmarkChainSpec2 extends SparkSpecBase {
        |FROM $B JOIN $S FOR SYSTEM_TIME AS OF PROCTIME()
        |  ON mod($B.auction, 8) = $S.key AND $S.key % 4 != 1""".stripMargin)
 
-  // session-window variant: gap merging is not a per-row or
-  // touched-group chain shape — the planner must take the LOUD
-  // batch-refresh fence, never silently go stale.
+  // session-window variant — CHAINED since round 9: gap merging is not
+  // per-(group,window) incremental (one delta row can merge/split its
+  // key's whole session chain), so the recompute partitions on the
+  // PLAIN attr group key only: a touched bidder's sessions recompute
+  // whole, old session rows retract, merged/split boundaries re-emit
+  // (the reference's SESSION window over its materialized state).
   mv("m2_qsess", "(bidder, sess_start)",
     s"""SELECT bidder, session_window(dt, '1 hour').start AS sess_start,
        |  count(*) AS n, sum(price) AS sum_price
-       |FROM $B GROUP BY bidder, session_window(dt, '1 hour')""".stripMargin,
-    chained = false)
+       |FROM $B GROUP BY bidder, session_window(dt, '1 hour')""".stripMargin)
 
   // q12: per-bidder bid counts over the TUMBLE TVF — the window TVF
   // inside a chained MV (group keys born inside the window assignment →
@@ -162,14 +167,15 @@ class NexmarkChainSpec2 extends SparkSpecBase {
        |GROUP BY auction, window_start""".stripMargin)
 
   // q107: GLOBAL approx percentiles in the reference's ordered-set
-  // spelling — a group-less sketch aggregate is not delta-computable
-  // and has no group keys to prune a recompute to → the loud fence.
+  // spelling — CHAINED since round 9: a group-less aggregate routes
+  // through the single-group materialized-input path (the input rows
+  // are the state; the sketch re-derives over them per epoch, exactly
+  // like the reference's materialized-input agg state).
   mv("m2_q107", "(p50)",
     s"""SELECT approx_percentile(0.5, 0.01) WITHIN GROUP (ORDER BY price) AS p50,
        |  approx_percentile(0.9, 0.01) WITHIN GROUP (ORDER BY price) AS p90,
        |  approx_percentile(0.99, 0.01) WITHIN GROUP (ORDER BY price) AS p99
-       |FROM $B""".stripMargin,
-    chained = false)
+       |FROM $B""".stripMargin)
 
   // q108: the same sketch PER AUCTION — grouped, so the touched-group
   // recompute chains it (group sizes sit far under the sketch's
@@ -302,19 +308,19 @@ class NexmarkChainSpec2 extends SparkSpecBase {
     verifyShape("m2_q5r"))
   test("q6 shape: fused group top-1 + ROWS-framed running aggregate")(
     verifyShape("m2_q6_join", "m2_q6_top1", "m2_q6"))
-  test("q106 shape: global min over chained max — fence + refresh")(
+  test("q106 shape: global min over chained max — single-group chain")(
     verifyShape("m2_q106_max", "m2_q106"))
   test("q13 shape: PROCTIME lookup join on a mod() key")(
     verifyShape("m2_q13"))
   test("q13-non-lookup-cond shape: extra side conjunct")(
     verifyShape("m2_q13nl"))
-  test("session-window shape: gap merge takes the loud fence")(
+  test("session-window shape: touched-key gap-merge recompute chains")(
     verifyShape("m2_qsess"))
   test("q12 shape: TUMBLE TVF inside a chained aggregate")(
     verifyShape("m2_q12"))
   test("q5-many-windows shape: HOP TVF at 12 windows per row")(
     verifyShape("m2_q5mw"))
-  test("q107 shape: global approx_percentile — fence + refresh")(
+  test("q107 shape: global approx_percentile — single-group chain")(
     verifyShape("m2_q107"))
   test("q108 shape: grouped approx_percentile chains")(
     verifyShape("m2_q108"))

@@ -1,0 +1,99 @@
+package graft
+
+/** Streaming global TopN chain: `CREATE MV … ORDER BY x LIMIT k`
+  * maintains incrementally (reference: src/stream/src/executor/top_n/
+  * top_n_plain.rs — the reference streams LIMIT; round 8 fenced it).
+  * Exercises the boundary fast path, the pruned re-scan, the
+  * delete-forced full refill, demotion of a top row by UPDATE, ties at
+  * the boundary, and restart recovery.
+  */
+class StreamingTopNChainSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sql =
+    "SELECT k, v, tag FROM tn ORDER BY v DESC, k LIMIT 3"
+
+  private def got(e: Engine): Seq[(Long, Long)] =
+    e.table("tmv").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  private def want(e: Engine): Seq[(Long, Long)] =
+    e.execute(sql).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  test("ORDER BY … LIMIT chains: inserts, demotions, delete-refill, ties, restart") {
+    val dir = tmpDir("topnchain")
+    val e = new Engine(spark, dir)
+    e.execute("CREATE TABLE tn (k BIGINT PRIMARY KEY, v BIGINT, tag STRING)")
+    e.execute("INSERT INTO tn VALUES (1, 10, 'a'), (2, 50, 'b'), (3, 30, 'c'), " +
+      "(4, 40, 'd'), (5, 20, 'e')")
+    e.execute("FLUSH")
+    val plan = e.execute("EXPLAIN CREATE MATERIALIZED VIEW tmv " +
+      s"(PRIMARY KEY (k)) AS $sql").collect().map(_.getString(0))
+    assert(plan.exists(_.contains("streaming top-3")), plan.toSeq)
+    e.execute(s"CREATE MATERIALIZED VIEW tmv (PRIMARY KEY (k)) AS $sql")
+    assert(e.streamingJob("tmv").nonEmpty,
+      "ORDER BY … LIMIT must chain, not fence")
+    e.execute("FLUSH")
+    assert(got(e) == Seq(2L -> 50L, 3L -> 30L, 4L -> 40L))
+
+    // below-boundary insert: the fast path publishes an empty epoch
+    e.execute("INSERT INTO tn VALUES (6, 5, 'f')")
+    e.execute("FLUSH")
+    assert(got(e) == want(e) && got(e) == Seq(2L -> 50L, 3L -> 30L, 4L -> 40L))
+
+    // boundary TIE (v = 30, k = 7 loses the tiebreak to k = 3): stays out
+    e.execute("INSERT INTO tn VALUES (7, 30, 'g')")
+    e.execute("FLUSH")
+    assert(got(e) == want(e) && got(e) == Seq(2L -> 50L, 3L -> 30L, 4L -> 40L))
+
+    // above-boundary insert enters, evicting the old 3rd
+    e.execute("INSERT INTO tn VALUES (8, 45, 'h')")
+    e.execute("FLUSH")
+    assert(got(e) == want(e) && got(e) == Seq(2L -> 50L, 4L -> 40L, 8L -> 45L))
+
+    // UPDATE demotes the current max below everything: refill from state
+    e.execute("UPDATE tn SET v = 1 WHERE k = 2")
+    e.execute("FLUSH")
+    assert(got(e) == want(e) && got(e) == Seq(3L -> 30L, 4L -> 40L, 8L -> 45L))
+
+    // DELETE two of the top three: the boundary region goes under k —
+    // the full TakeOrdered refill promotes the tied 30s (3 wins over 7
+    // on the tiebreak, both fit)
+    e.execute("DELETE FROM tn WHERE k = 4 OR k = 8")
+    e.execute("FLUSH")
+    assert(got(e) == want(e) && got(e) == Seq(3L -> 30L, 5L -> 20L, 7L -> 30L))
+
+    // restart: the chain re-wires from its topn: catalog entry
+    e.streamingJob("tmv").foreach(_.stop())
+    val e2 = new Engine(spark.newSession(), dir)
+    assert(e2.streamingJob("tmv").nonEmpty, "recovery must re-wire the chain")
+    e2.execute("INSERT INTO tn VALUES (9, 60, 'i')")
+    e2.execute("UPDATE tn SET v = 2 WHERE k = 3")
+    e2.execute("FLUSH")
+    assert(e2.table("tmv").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ==
+      Seq(5L -> 20L, 7L -> 30L, 9L -> 60L))
+    e2.streamingJob("tmv").foreach(_.stop())
+  }
+
+  test("top-n over a table smaller than k stays exact as it grows and shrinks") {
+    val e = new Engine(spark, tmpDir("topnsmall"))
+    e.execute("CREATE TABLE sm (k BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("INSERT INTO sm VALUES (1, 100)")
+    e.execute("FLUSH")
+    e.execute("CREATE MATERIALIZED VIEW smv (PRIMARY KEY (k)) AS " +
+      "SELECT k, v FROM sm ORDER BY v, k LIMIT 4")
+    assert(e.streamingJob("smv").nonEmpty)
+    e.execute("FLUSH")
+    def rows = e.table("smv").select("k").as[Long].collect().toSet
+    assert(rows == Set(1L))
+    e.execute("INSERT INTO sm VALUES (2, 50), (3, 75)")
+    e.execute("FLUSH")
+    assert(rows == Set(1L, 2L, 3L)) // still under k: everything shows
+    e.execute("DELETE FROM sm WHERE k = 1")
+    e.execute("FLUSH")
+    assert(rows == Set(2L, 3L))
+    e.streamingJob("smv").foreach(_.stop())
+  }
+}
