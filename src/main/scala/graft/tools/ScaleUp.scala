@@ -100,14 +100,18 @@ object ScaleUp {
     // documents: offset doc_id; suffix a copy token so cross-copy rows are
     // not exact/near duplicates of each other (within-copy dup structure is
     // what dedup queries should measure). The dedup oracles plant dups at
-    // doc_id + 1e8 (near) / + 2e8 (exact), so copies stride 10M and the
-    // factor is capped: copy 10+ would collide with the planted id ranges.
-    require(factor <= 10,
-      s"factor $factor would push documents copies into the planted-dup " +
-        "id ranges (+1e8/+2e8); raise the stride before raising the factor")
+    // doc_id + 1e8 (near) / + 2e8 (exact), so every copy must stay under
+    // 1e8: factor ≤ 10 keeps the historical 10M stride (the cached sf1
+    // corpus layout); larger factors stride by the actual doc_id domain,
+    // and the cap becomes factor × stride < 1e8.
+    val docStride =
+      if (factor <= 10) 10000000L else domainStride("documents", "doc_id")
+    require(factor * docStride < 100000000L,
+      s"factor $factor x stride $docStride would push documents copies " +
+        "into the planted-dup id ranges (+1e8/+2e8)")
     write(
       replicate(load("documents"), Seq("doc_id"),
-        Map("doc_id" -> 10000000L))
+        Map("doc_id" -> docStride))
         .withColumn("text",
           when(col("__copy") === 0, col("text"))
             .otherwise(concat(col("text"), lit(" c"), col("__copy"))))

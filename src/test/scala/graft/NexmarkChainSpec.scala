@@ -168,8 +168,8 @@ class NexmarkChainSpec extends SparkSpecBase {
   // ORDER BY … LIMIT k maintains as a streaming TopN (the reference's
   // top_n_plain executor): the upstream rows are state, the current
   // top-k re-derives from the boundary-pruned region per touching epoch.
-  mv("m_q105", "(id)",
-    """SELECT id, item_name, bid_count FROM m_q102_join
+  mv("m_q105", "(id, auction)",
+    """SELECT id, auction, item_name, bid_count FROM m_q102_join
       |ORDER BY bid_count DESC, id LIMIT 5""".stripMargin)
 
   // q21: channel_id extraction (CASE + regexp over url).

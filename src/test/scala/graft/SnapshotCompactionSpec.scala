@@ -181,6 +181,23 @@ class SnapshotCompactionSpec extends SparkSpecBase {
     assert(got == Set((0L, 4L, 120L), (1L, 4L, 160L)))
   }
 
+  test("DEFAULT config compacts unattended: 64-epoch interval, no SET, no FLUSH") {
+    // round-9 directive: changelog_snapshot_interval defaults to 64 (the
+    // reference compacts by default) — an untended long-running MV under
+    // stock config must not grow its changelog forever
+    val e = new Engine(spark, tmpDir("compactdef"))
+    e.execute("CREATE TABLE dg (k BIGINT PRIMARY KEY, v BIGINT)")
+    val mv = e.mvs.get("dg").get
+    // batched inserts, one epoch each, crossing the default interval
+    (0 until 66).foreach(i => e.execute(s"INSERT INTO dg VALUES ($i, $i)"))
+    val deadline = System.currentTimeMillis() + 120000
+    while (mv.snapshotEpochs.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(mv.snapshotEpochs.nonEmpty,
+      "66 epochs under DEFAULT config never compacted")
+    assert(rows(e.table("dg")) == (0 until 66).map(i => (i.toLong, i.toLong)).toSet)
+  }
+
   test("retention fuzz: DML history under auto-compaction, AS-OF probes per epoch") {
     val e = new Engine(spark, tmpDir("compactf"))
     e.execute("SET changelog_snapshot_interval = 3")
