@@ -99,8 +99,22 @@ object SimilaritySearch {
       data: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nCells: Int = -1, nprobe: Int = 2, iterations: Int = 3): DataFrame = {
-    val cellCount = if (nCells > 0) nCells else autoCells(cachedRowCount(data))
-    val centroids = KMeans.fit(data, idCol, vecCol, cellCount, iterations)
+    val n = cachedRowCount(data)
+    val cellCount = if (nCells > 0) nCells else autoCells(n)
+    // faiss-style train-set cap: the coarse quantizer trains on ≤256
+    // vectors per centroid (deterministic id-hash sample), so index
+    // BUILD cost scales with cells·256·d·iters instead of n·d·iters —
+    // at 10⁸ rows the full-corpus fit would dominate the whole query.
+    // The full corpus is still assigned exactly once after training;
+    // past ~256 points/cell extra training data does not move the
+    // centroids (the standard IVF training regime).
+    val trainCap = 256L * cellCount
+    val train =
+      if (n > trainCap * 2)
+        data.where(pmod(hash(col(idCol)),
+          lit(math.max(1L, n / trainCap))) === 0)
+      else data
+    val centroids = KMeans.fit(train, idCol, vecCol, cellCount, iterations)
     val cells = KMeans.assign(
       data.select(col(idCol).as("__id"), col(vecCol).as("__vec")), "__vec", centroids)
       .withColumn("__n", VectorFunctions.fastL2Norm(data.sparkSession, col("__vec")))
