@@ -59,7 +59,7 @@ final class DurableCatalog(warehouseDir: String) {
   def list[A <: AnyRef: Manifest](kind: String): Seq[(String, A)] = {
     val dir = root.resolve(kind)
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
+    else FsList.list(dir).iterator
       .filter(_.getFileName.toString.endsWith(".json"))
       .map { p =>
         val name = p.getFileName.toString.stripSuffix(".json")

@@ -1712,22 +1712,33 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     statusDf("CREATE MATERIALIZED VIEW (streaming dynamic-filter chain)", name)
   }
 
+  /** The trailing `ORDER BY … LIMIT k` of a top-n defining query —
+    * stripping it leaves the PER-ROW query the delta maintenance
+    * replays (the chain's state rows). The envelope guarantees the tail
+    * is plain identifiers + directions + a literal limit, so the text
+    * form is unambiguous.
+    */
+  private val TopNTail =
+    """(?is)\s+ORDER\s+BY\s+[\w"\s,.]+?(?:\s+(?:ASC|DESC|NULLS\s+(?:FIRST|LAST)))*\s+LIMIT\s+\d+\s*;?\s*$""".r
+
   /** Streaming global TopN eligibility (reference:
     * src/stream/src/executor/top_n/top_n_plain.rs:79 — the reference
     * streams `ORDER BY … LIMIT k` with all input rows as state plus a
-    * top-k cache): the query is a plain-column projection of ONE
-    * chain-subscribable relation under ONE global Sort + Limit, every
-    * sort key a plain OUTPUT column, LIMIT a positive literal, no
-    * OFFSET, and the declared PK = the upstream PK passed through
-    * unaliased. Maintained by [[graft.streaming.IncrementalTopN]].
+    * top-k cache): the query is a per-row (deterministic
+    * projection/filter) transform of ONE chain-subscribable relation
+    * under ONE global Sort + Limit, every sort key a plain OUTPUT
+    * column, LIMIT a positive literal, no OFFSET, and the declared PK =
+    * the upstream PK passed through unaliased. The maintenance replays
+    * the tail-stripped query over each delta (filters and computed
+    * columns apply themselves per row — exactly the per-row chain
+    * rule), then [[graft.streaming.IncrementalTopN]] maintains the cut.
     *
     * Returns (upstream, k, (outCol, asc, nullsFirst) per sort key,
-    * colMap out→src).
+    * tail-stripped per-row query).
     */
   private def chainableTopNUpstream(query: String, planned: DataFrame,
       pk: Seq[String])
-      : Option[(String, Int, Seq[(String, Boolean, Boolean)],
-        Seq[(String, String)])] = {
+      : Option[(String, Int, Seq[(String, Boolean, Boolean)], String)] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical._
     val analyzed = planned.queryExecution.analyzed
@@ -1737,19 +1748,20 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val offsets = nodes.collect { case o: Offset => o }
     val restPerRow = nodes.forall {
       case _: GlobalLimit | _: LocalLimit | _: Sort => true
-      case _: Project | _: SubqueryAlias | _: View => true
+      case _: Project | _: Filter | _: SubqueryAlias | _: View => true
       case _: LeafNode => true
       case _ => false
     }
     if (glimits.length != 1 || sorts.length != 1 || offsets.nonEmpty ||
         !restPerRow) return None
+    if (!nodes.forall(_.expressions.forall(_.deterministic))) return None
     val k = glimits.head.limitExpr match {
       case Literal(v: Int, _) if v > 0 => v
       case _ => return None
     }
     val sort = sorts.head
     if (!sort.global) return None
-    // the OUTPUT mapping reads the top-level Project under the
+    // the PK pass-through check reads the top-level Project under the
     // limit/sort spine only — the bound relation's own view expansion
     // may carry inner Projects of its own
     def stripSpine(p: LogicalPlan): LogicalPlan = p match {
@@ -1758,13 +1770,12 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case s: Sort => stripSpine(s.child)
       case other => other
     }
-    val colMap: Seq[(String, String)] = stripSpine(analyzed) match {
-      case Project(list, _) => list.map {
-        case a: AttributeReference => (a.name, a.name)
-        case Alias(a: AttributeReference, n) => (n, a.name)
-        case _ => return None
-      }
-      case _ => planned.columns.toSeq.map(c => (c, c))
+    val passThrough: Set[String] = stripSpine(analyzed) match {
+      case Project(list, _) => list.collect {
+        case a: AttributeReference => a.name
+        case Alias(a: AttributeReference, n) if n == a.name => a.name
+      }.toSet
+      case _ => planned.columns.toSet
     }
     // sort keys resolve at OUTPUT scope (Sort above the Project)
     val ordering: Seq[(String, Boolean, Boolean)] = sort.order.map { so =>
@@ -1774,12 +1785,15 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       }
       (name, so.direction == Ascending, so.nullOrdering == NullsFirst)
     }
+    // the per-row replay needs the ORDER BY/LIMIT tail gone from the
+    // TEXT (the envelope makes the tail unambiguous); no strip → fence
+    val stripped = TopNTail.replaceAllIn(query, "")
+    if (stripped == query) return None
     referencedRelations(query) match {
       case Seq(up) =>
         val upPk = chainableSourcePk(up).getOrElse(return None)
-        val pkOk = pk.toSet == upPk.toSet &&
-          upPk.forall(p => colMap.exists { case (o, s) => o == p && s == p })
-        if (pkOk) Some((up, k, ordering, colMap)) else None
+        val pkOk = pk.toSet == upPk.toSet && upPk.forall(passThrough)
+        if (pkOk) Some((up, k, ordering, stripped)) else None
       case _ => None
     }
   }
@@ -1793,7 +1807,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     import org.apache.spark.sql.functions.col
     bindMvTables(query)
     val planned = spark.sql(Engine.rewritePgSelect(query))
-    val (upName, k, ordering, colMap) =
+    val (upName, k, ordering, strippedQuery) =
       chainableTopNUpstream(query, planned, pk).getOrElse(
         throw new IllegalStateException(
           s"$name: top-n chain shape no longer derivable"))
@@ -1803,13 +1817,15 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val state = mvs.define(s"${name}__base", pk)
     val down = mvs.define(name, pk)
     val inc = new graft.streaming.IncrementalTopN(state, down, k, ordering, pk)
+    // the delta path replays the tail-stripped PER-ROW query over each
+    // slice (filters/computed columns apply themselves; op/seq carried
+    // through) — the same transform the per-row chain uses
+    val perRow = chainTransform(name, strippedQuery, upName) _
     val frontier = resumeFrontier.getOrElse {
       up.withReadLock {
         val f = up.latestChangelogBatchId
         val snap = up.read()
-        if (snap.columns.nonEmpty)
-          inc.applyDelta(snap.select(
-            colMap.map { case (out, src) => col(src).as(out) }: _*))
+        if (snap.columns.nonEmpty) inc.applyDelta(perRow(snap))
         f
       }
     }
@@ -1827,10 +1843,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         val batch =
           if (batch0.sparkSession eq spark) batch0
           else spark.createDataFrame(batch0.rdd, batch0.schema)
-        inc.applyDelta(batch.select(
-          colMap.map { case (out, src) => col(src).as(out) } ++
-            Seq(col(graft.streaming.Changelog.OpCol),
-              col(graft.streaming.Changelog.SeqCol)): _*), id)
+        inc.applyDelta(perRow(batch), id)
       }
       .start()
     statusDf("CREATE MATERIALIZED VIEW (streaming top-n chain)", name)
@@ -2594,8 +2607,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     // replaces buckets the new write touches, and a shrink would leave
     // stale high-bucket dirs double-counting every read
     if (java.nio.file.Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(dir).iterator().asScala.toSeq
+      FsList.list(dir)
         .filter(_.getFileName.toString.startsWith("__bucket="))
         .foreach(p => org.apache.commons.io.FileUtils
           .deleteDirectory(p.toFile))

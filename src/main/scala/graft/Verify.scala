@@ -30,9 +30,12 @@ object Verify {
   } + "\""
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
 
   /** Run ONE query and dump it; on failure, empty the query dir, write the
     * `_error.txt` marker, and return the error message. Package-visible so

@@ -59,7 +59,7 @@ final class DynamicFilter(
     if (!Files.exists(dir)) None
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
+      graft.FsList.list(dir).iterator
         .flatMap { p =>
           p.getFileName.toString.stripPrefix("batch-").toLongOption
             .map(id => (id, p.resolve("_threshold")))

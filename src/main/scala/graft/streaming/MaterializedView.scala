@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 
+import graft.FsList
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -130,7 +132,7 @@ final class MaterializedView(
     if (!Files.exists(dir)) -1L
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
+      FsList.list(dir).iterator
         .flatMap(p => p.getFileName.toString.stripPrefix("batch-").toLongOption)
         .foldLeft(-1L)(math.max)
     }
@@ -214,7 +216,7 @@ final class MaterializedView(
       (spark.emptyDataFrame, math.max(frontier, afterBatchId))
     else {
       import scala.jdk.CollectionConverters._
-      val dirs = Files.list(dir).iterator().asScala
+      val dirs = FsList.list(dir).iterator
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("batch-") &&
           n.stripPrefix("batch-").toLongOption.exists(_ > afterBatchId))
@@ -252,7 +254,7 @@ final class MaterializedView(
     if (!Files.exists(dir)) Nil
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
+      FsList.list(dir).iterator
         .flatMap { p =>
           p.getFileName.toString.stripPrefix("batch-").toLongOption
             .map((_, commitMsOf(p)))
@@ -286,7 +288,7 @@ final class MaterializedView(
       if (!Files.exists(dir)) None
       else {
         import scala.jdk.CollectionConverters._
-        Files.list(dir).iterator().asScala
+        FsList.list(dir).iterator
           .filter(p => Files.isRegularFile(p) &&
             p.getFileName.toString.endsWith(".parquet"))
           .map(p => Files.getLastModifiedTime(p).toMillis)
@@ -327,14 +329,14 @@ final class MaterializedView(
       s"$name: no changelog — nothing to travel to")
     val entries =
       if (!Files.exists(dir)) Nil
-      else Files.list(dir).iterator().asScala.toSeq
+      else FsList.list(dir).iterator.toSeq
     val floor = snap.getOrElse(-1L) // replay strictly above the snapshot
     val epochDirs = entries
       .flatMap(p => p.getFileName.toString.stripPrefix("batch-").toLongOption
         .map((_, p)))
       .filter { case (id, _) => id > floor && id <= epoch }
     val expired = epochDirs.filter { case (_, p) =>
-      !Files.list(p).iterator().asScala.exists(f =>
+      !FsList.list(p).iterator.exists(f =>
         f.getFileName.toString.endsWith(".parquet"))
     }
     require(expired.isEmpty,
@@ -394,7 +396,7 @@ final class MaterializedView(
     if (!Files.exists(snapshotsRoot)) Nil
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(snapshotsRoot).iterator().asScala
+      FsList.list(snapshotsRoot).iterator
         .flatMap(p =>
           p.getFileName.toString.stripPrefix("snapshot-").toLongOption)
         .toSeq.sorted
@@ -455,7 +457,7 @@ final class MaterializedView(
     val dir = Paths.get(changelogDir)
     if (Files.exists(dir)) {
       import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
+      FsList.list(dir).iterator
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet"))
         .toSeq.foreach(Files.delete)
@@ -493,14 +495,14 @@ final class MaterializedView(
     val dir = Paths.get(changelogDir)
     if (Files.exists(dir)) {
       import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
+      FsList.list(dir).iterator
         .filter { p =>
           val n = p.getFileName.toString
           n.startsWith("batch-") &&
             n.stripPrefix("batch-").toLongOption.exists(_ <= upToBatchId)
         }
         .toSeq.foreach { epochDir =>
-          Files.list(epochDir).iterator().asScala.toSeq
+          FsList.list(epochDir).iterator.toSeq
             .filterNot(_.getFileName.toString.startsWith("_"))
             .foreach(deleteRecursively)
         }
@@ -601,7 +603,7 @@ final class MaterializedView(
     if (!Files.exists(walRoot)) -1L
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(walRoot).iterator().asScala
+      FsList.list(walRoot).iterator
         .flatMap(p => p.getFileName.toString.stripPrefix("epoch-").toLongOption)
         .foldLeft(-1L)(math.max)
     }
@@ -650,7 +652,7 @@ final class MaterializedView(
     // the committed history it derives from is intact
     if (Files.exists(snapshotsRoot)) {
       import scala.jdk.CollectionConverters._
-      Files.list(snapshotsRoot).iterator().asScala.toSeq
+      FsList.list(snapshotsRoot).iterator.toSeq
         .filter(_.getFileName.toString.startsWith(".tmp-"))
         .foreach(deleteRecursively)
     }
@@ -659,7 +661,7 @@ final class MaterializedView(
 
   private def recoverWalEpochs(): Unit = {
     import scala.jdk.CollectionConverters._
-    val entries = Files.list(walRoot).iterator().asScala.toSeq
+    val entries = FsList.list(walRoot).iterator.toSeq
     entries.filter(_.getFileName.toString.startsWith(".tmp-"))
       .foreach(deleteRecursively)
     entries
@@ -869,7 +871,7 @@ final class MaterializedView(
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      FsList.walk(p).reverse.foreach(Files.delete)
     }
 
   /** Start the MV maintenance job over a streaming source. Update mode

@@ -408,6 +408,61 @@ class DynamicFilterSpec extends SparkSpecBase {
     assert(setIds(res).size == 250)
   }
 
+  test("dynamic-set model fuzz: random key moves + set moves (incl. NULL and " +
+      "empty sets) stay exact in both modes across epochs") {
+    for (negated <- Seq(false, true); seed <- Seq(11, 42, 77)) {
+      val r = new scala.util.Random(seed * (if (negated) 31 else 7))
+      val (f, res, _) = mkSetFilter(s"dsfz${if (negated) "n" else "p"}$seed",
+        negated)
+      val rows = scala.collection.mutable.Map[Long, Option[Long]]()
+      var curSet: Set[Long] = Set.empty
+      var curNull = false
+      var nextId = 0L
+      def randKey(): Option[Long] =
+        if (r.nextInt(10) == 0) None else Some(r.nextInt(8).toLong)
+      // epoch 0 always evaluates the set (the engine's backfill does too)
+      for (epoch <- 0 until 14) {
+        val ops = scala.collection.mutable.ArrayBuffer[(Long, Option[Long], Int, Long)]()
+        var seq = 0L
+        for (_ <- 0 until r.nextInt(4)) r.nextInt(3) match {
+          case 0 =>
+            nextId += 1; val k = randKey(); rows(nextId) = k
+            ops += ((nextId, k, Changelog.Insert, { seq += 1; seq }))
+          case 1 if rows.nonEmpty =>
+            val id = rows.keys.toSeq(r.nextInt(rows.size))
+            val nu = randKey()
+            ops += ((id, rows(id), Changelog.UpdateDelete, { seq += 1; seq }))
+            ops += ((id, nu, Changelog.UpdateInsert, { seq += 1; seq }))
+            rows(id) = nu
+          case 2 if rows.nonEmpty =>
+            val id = rows.keys.toSeq(r.nextInt(rows.size))
+            ops += ((id, rows.remove(id).get, Changelog.Delete, { seq += 1; seq }))
+          case _ =>
+        }
+        val setMove = epoch == 0 || r.nextInt(2) == 0
+        val newKeys =
+          if (!setMove) None
+          else {
+            curSet = (0 until r.nextInt(5)).map(_ => r.nextInt(8).toLong).toSet
+            curNull = r.nextInt(5) == 0
+            val ks = curSet.toSeq.map(Option(_)) ++
+              (if (curNull) Seq(Option.empty[Long]) else Nil)
+            Some(ks.toDF("k"))
+          }
+        val delta = ops.toSeq.toDF("id", "k", Changelog.OpCol, Changelog.SeqCol)
+        f.applyDelta(delta, newKeys, batchId = epoch.toLong)
+        def qualifies(k: Option[Long]): Boolean =
+          if (!negated) k.exists(curSet.contains)
+          else if (curNull) false
+          else k.map(!curSet.contains(_)).getOrElse(curSet.isEmpty)
+        val want = rows.collect { case (id, k) if qualifies(k) => id }.toSet
+        assert(setIds(res) == want,
+          s"negated=$negated seed=$seed epoch=$epoch set=$curSet null=$curNull " +
+            s"rows=${rows.toMap}")
+      }
+    }
+  }
+
   test("SQL chain: correlated subqueries keep the loud batch-refresh fence") {
     val dir = tmpDir("dyncorr")
     val e = new Engine(spark, dir)

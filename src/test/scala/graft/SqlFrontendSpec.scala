@@ -1078,8 +1078,9 @@ class SqlFrontendSpec extends SparkSpecBase {
     e2.streamingJob("ch_a").foreach(_.stop())
     e2.streamingJob("ch_b").foreach(_.stop())
 
-    // a stateful transform over a streaming MV does NOT silently chain —
-    // it materializes as a batch-refresh MV (documented boundary)
+    // a GLOBAL aggregate over a streaming MV chains since round 9
+    // (IncrementalAgg's single-group materialized-input path — the
+    // reference's simple_agg) and advances with its upstream
     val e3 = new Engine(spark, tmpDir("mvchainsql3"))
     val src3 = tmpDir("mvchainsql3-src")
     Seq((1L, 2.0)).toDF("id", "v").write.mode("append").parquet(src3)
@@ -1089,9 +1090,15 @@ class SqlFrontendSpec extends SparkSpecBase {
     e3.execute("FLUSH")
     e3.execute("CREATE MATERIALIZED VIEW agg_b (PRIMARY KEY (n)) AS " +
       "SELECT count(*) AS n, sum(v) AS sv FROM agg_a")
-    assert(e3.streamingJob("agg_b").isEmpty, "stateful MV-on-MV must not chain")
-    assert(e3.table("agg_b").count() == 1)
-    e3.streamingJob("agg_a").foreach(_.stop())
+    assert(e3.streamingJob("agg_b").nonEmpty,
+      "global aggregate MV-on-MV must chain (single-group path)")
+    assert(e3.table("agg_b").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 2.0)))
+    Seq((2L, 3.0)).toDF("id", "v").write.mode("append").parquet(src3)
+    e3.execute("FLUSH")
+    assert(e3.table("agg_b").as[(Long, Double)].collect().toSeq ==
+      Seq((2L, 5.0)), "global aggregate did not advance with its upstream")
+    Seq("agg_a", "agg_b").foreach(n => e3.streamingJob(n).foreach(_.stop()))
   }
 
   test("SQL aggregate MV-on-MV: grouped agg chains, emptied groups delete, restart re-wires") {

@@ -77,6 +77,39 @@ class StreamingTopNChainSpec extends SparkSpecBase {
     e2.streamingJob("tmv").foreach(_.stop())
   }
 
+  test("filtered + computed-column top-n: WHERE and expressions ride the per-row replay") {
+    val dir = tmpDir("topnfilter")
+    val e = new Engine(spark, dir)
+    e.execute("CREATE TABLE tf (k BIGINT PRIMARY KEY, v BIGINT, tag STRING)")
+    e.execute("INSERT INTO tf VALUES (1, 10, 'a'), (2, 50, 'x'), (3, 30, 'a'), " +
+      "(4, 40, 'b'), (5, 20, 'b')")
+    e.execute("FLUSH")
+    val q = "SELECT k, v * 2 AS dv, tag FROM tf WHERE tag <> 'x' " +
+      "ORDER BY dv DESC, k LIMIT 2"
+    e.execute(s"CREATE MATERIALIZED VIEW fmv (PRIMARY KEY (k)) AS $q")
+    assert(e.streamingJob("fmv").nonEmpty,
+      "filtered ORDER BY … LIMIT must chain, not fence")
+    e.execute("FLUSH")
+    def got = e.table("fmv").select("k", "dv").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    def want = e.execute(q).select("k", "dv").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == want && got == Seq(3L -> 60L, 4L -> 80L)) // 2 filtered out
+    // a filtered-out row updates INTO the filter and takes the top
+    e.execute("UPDATE tf SET tag = 'a' WHERE k = 2")
+    e.execute("FLUSH")
+    assert(got == want && got == Seq(2L -> 100L, 4L -> 80L))
+    // the top row updates OUT of the filter: evicted, next-best refills
+    e.execute("UPDATE tf SET tag = 'x' WHERE k = 2")
+    e.execute("FLUSH")
+    assert(got == want && got == Seq(3L -> 60L, 4L -> 80L))
+    // computed sort key follows a value update
+    e.execute("UPDATE tf SET v = 100 WHERE k = 5")
+    e.execute("FLUSH")
+    assert(got == want && got == Seq(4L -> 80L, 5L -> 200L))
+    e.streamingJob("fmv").foreach(_.stop())
+  }
+
   test("top-n over a table smaller than k stays exact as it grows and shrinks") {
     val e = new Engine(spark, tmpDir("topnsmall"))
     e.execute("CREATE TABLE sm (k BIGINT PRIMARY KEY, v BIGINT)")
