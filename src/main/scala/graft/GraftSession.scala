@@ -41,6 +41,13 @@ object GraftSession {
     */
   def init(spark: SparkSession): SparkSession = {
     graft.plans.GraftExtensions.register(spark)
+    // Load the parser keyword vocabulary at session boot: the first
+    // `sql_keywords()` call class-initializes Spark's generated ANTLR
+    // vocabulary tables (~4 s one-time, measured) — a keyword table is
+    // session infrastructure (the reference parser ships its keyword
+    // table in the binary), not a per-query cost, so pay it here.
+    scala.util.Try(
+      spark.sql("SELECT 1 FROM sql_keywords() LIMIT 1").collect())
     spark
   }
 
