@@ -1719,7 +1719,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     * form is unambiguous.
     */
   private val TopNTail =
-    """(?is)\s+ORDER\s+BY\s+[\w"\s,.]+?(?:\s+(?:ASC|DESC|NULLS\s+(?:FIRST|LAST)))*\s+LIMIT\s+\d+\s*;?\s*$""".r
+    """(?is)\s+ORDER\s+BY\s+[\w"\s,.]+?(?:\s+(?:ASC|DESC|NULLS\s+(?:FIRST|LAST)))*\s+LIMIT\s+\d+(?:\s+OFFSET\s+\d+)?\s*;?\s*$""".r
 
   /** Streaming global TopN eligibility (reference:
     * src/stream/src/executor/top_n/top_n_plain.rs:79 — the reference
@@ -1738,7 +1738,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     */
   private def chainableTopNUpstream(query: String, planned: DataFrame,
       pk: Seq[String])
-      : Option[(String, Int, Seq[(String, Boolean, Boolean)], String)] = {
+      : Option[(String, Int, Int, Seq[(String, Boolean, Boolean)], String)] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical._
     val analyzed = planned.queryExecution.analyzed
@@ -1747,18 +1747,24 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val sorts = nodes.collect { case s: Sort => s }
     val offsets = nodes.collect { case o: Offset => o }
     val restPerRow = nodes.forall {
-      case _: GlobalLimit | _: LocalLimit | _: Sort => true
+      case _: GlobalLimit | _: LocalLimit | _: Sort | _: Offset => true
       case _: Project | _: Filter | _: SubqueryAlias | _: View => true
       case _: LeafNode => true
       case _ => false
     }
-    if (glimits.length != 1 || sorts.length != 1 || offsets.nonEmpty ||
+    if (glimits.length != 1 || sorts.length != 1 || offsets.length > 1 ||
         !restPerRow) return None
     if (!nodes.forall(_.expressions.forall(_.deterministic))) return None
     val k = glimits.head.limitExpr match {
       case Literal(v: Int, _) if v > 0 => v
       case _ => return None
     }
+    // OFFSET o: the maintenance keeps the top (o + k) and emits the k
+    // visible rows (the reference TopN executor's offset mode)
+    val off = offsets.headOption.map(_.offsetExpr match {
+      case Literal(v: Int, _) if v >= 0 => v
+      case _ => return None
+    }).getOrElse(0)
     val sort = sorts.head
     if (!sort.global) return None
     // the PK pass-through check reads the top-level Project under the
@@ -1767,6 +1773,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     def stripSpine(p: LogicalPlan): LogicalPlan = p match {
       case GlobalLimit(_, c) => stripSpine(c)
       case LocalLimit(_, c) => stripSpine(c)
+      case Offset(_, c) => stripSpine(c)
       case s: Sort => stripSpine(s.child)
       case other => other
     }
@@ -1793,7 +1800,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       case Seq(up) =>
         val upPk = chainableSourcePk(up).getOrElse(return None)
         val pkOk = pk.toSet == upPk.toSet && upPk.forall(passThrough)
-        if (pkOk) Some((up, k, ordering, stripped)) else None
+        if (pkOk) Some((up, k, off, ordering, stripped)) else None
       case _ => None
     }
   }
@@ -1807,7 +1814,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     import org.apache.spark.sql.functions.col
     bindMvTables(query)
     val planned = spark.sql(Engine.rewritePgSelect(query))
-    val (upName, k, ordering, strippedQuery) =
+    val (upName, k, off, ordering, strippedQuery) =
       chainableTopNUpstream(query, planned, pk).getOrElse(
         throw new IllegalStateException(
           s"$name: top-n chain shape no longer derivable"))
@@ -1816,7 +1823,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     if (!resume) jobs.get(upName).foreach(_.processAllAvailable())
     val state = mvs.define(s"${name}__base", pk)
     val down = mvs.define(name, pk)
-    val inc = new graft.streaming.IncrementalTopN(state, down, k, ordering, pk)
+    val inc = new graft.streaming.IncrementalTopN(state, down, k, ordering,
+      pk, off)
     // the delta path replays the tail-stripped PER-ROW query over each
     // slice (filters/computed columns apply themselves; op/seq carried
     // through) — the same transform the per-row chain uses
@@ -2815,7 +2823,7 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
           s"over $l ($v ${if (neg) "NOT IN" else "IN"} keys of $r — " +
           "entering/leaving key diff flips membership)"
       case None => chainableTopNUpstream(query, result, pk) match {
-      case Some((up, k, _, _)) =>
+      case Some((up, k, _, _, _)) =>
         s"maintenance: streaming top-$k over $up " +
           "(boundary-pruned recompute, full TakeOrdered refill on deletes)"
       case None => chainableOverUpstream(query, result) match {

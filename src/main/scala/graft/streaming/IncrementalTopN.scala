@@ -42,9 +42,15 @@ final class IncrementalTopN(
     k: Int,
     // (output column, ascending, nullsFirst) per ORDER BY key
     ordering: Seq[(String, Boolean, Boolean)],
-    pk: Seq[String]) {
+    pk: Seq[String],
+    // LIMIT k OFFSET o: maintain the top (o + k), emit rows o+1 … o+k
+    // (the reference TopN executor's offset mode). The visible result
+    // holds only the k emitted rows, so the boundary fast path is
+    // unavailable — every epoch re-derives via TakeOrdered(o + k).
+    offset: Int = 0) {
 
   require(k > 0, "LIMIT must be positive")
+  require(offset >= 0, "OFFSET must be non-negative")
   require(ordering.nonEmpty, "top-n requires an ORDER BY")
 
   private val spark = resultMv.spark
@@ -89,7 +95,7 @@ final class IncrementalTopN(
       // value (max under asc, min under desc); None = top not full or a
       // NULL boundary — both disable pruning, never correctness
       val boundary: Option[Any] =
-        if (oldTop.length < k) None
+        if (offset > 0 || oldTop.length < k) None
         else {
           val agg = oldDf.agg(
             (if (firstAsc) max(col(firstCol)) else min(col(firstCol)))
@@ -113,7 +119,9 @@ final class IncrementalTopN(
         }
         (Changelog.isAdd(col(Changelog.OpCol)) && addTouch) || pkOfTop
       }
-      val untouched = oldTop.length == k && d.where(touchCond).isEmpty
+      val untouched =
+        (if (offset > 0) d.isEmpty
+         else oldTop.length == k && d.where(touchCond).isEmpty)
       if (untouched) {
         // publish the (empty) epoch: downstream frontiers + replay guard
         resultMv.merge(d.limit(0), batchId)
@@ -124,10 +132,11 @@ final class IncrementalTopN(
           case Some(t) => full.where(regionOf(t))
           case None => full
         }
-        var newTop = pruned.orderBy(sortCols: _*).limit(k).collect()
-        if (newTop.length < k && boundary.isDefined)
-          // the boundary region emptied below k (deletes): full refill
-          newTop = full.orderBy(sortCols: _*).limit(k).collect()
+        var newTop = pruned.orderBy(sortCols: _*).limit(offset + k).collect()
+        if (newTop.length < offset + k && boundary.isDefined)
+          // the boundary region emptied below the cut (deletes): refill
+          newTop = full.orderBy(sortCols: _*).limit(offset + k).collect()
+        newTop = newTop.drop(offset)
         val newDf = spark.createDataFrame(
           java.util.Arrays.asList(newTop: _*), rowSchema)
         val out = newDf

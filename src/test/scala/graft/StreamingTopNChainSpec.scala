@@ -110,6 +110,32 @@ class StreamingTopNChainSpec extends SparkSpecBase {
     e.streamingJob("fmv").foreach(_.stop())
   }
 
+  test("LIMIT k OFFSET o: the visible window slides as rows enter and leave above it") {
+    val dir = tmpDir("topnoffset")
+    val e = new Engine(spark, dir)
+    e.execute("CREATE TABLE toff (k BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("INSERT INTO toff VALUES (1, 10), (2, 50), (3, 30), (4, 40), (5, 20)")
+    e.execute("FLUSH")
+    val q = "SELECT k, v FROM toff ORDER BY v DESC, k LIMIT 2 OFFSET 1"
+    e.execute(s"CREATE MATERIALIZED VIEW omv (PRIMARY KEY (k)) AS $q")
+    assert(e.streamingJob("omv").nonEmpty, "LIMIT … OFFSET must chain")
+    e.execute("FLUSH")
+    def got = e.table("omv").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    def want = e.execute(q).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == want && got == Seq(3L -> 30L, 4L -> 40L)) // 50 hidden by offset
+    // a new global max pushes everything down one: 50 becomes visible
+    e.execute("INSERT INTO toff VALUES (6, 99)")
+    e.execute("FLUSH")
+    assert(got == want && got == Seq(2L -> 50L, 4L -> 40L))
+    // deleting the hidden top row slides the window back up
+    e.execute("DELETE FROM toff WHERE k = 6")
+    e.execute("FLUSH")
+    assert(got == want && got == Seq(3L -> 30L, 4L -> 40L))
+    e.streamingJob("omv").foreach(_.stop())
+  }
+
   test("top-n over a table smaller than k stays exact as it grows and shrinks") {
     val e = new Engine(spark, tmpDir("topnsmall"))
     e.execute("CREATE TABLE sm (k BIGINT PRIMARY KEY, v BIGINT)")
