@@ -2806,6 +2806,9 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         s"maintenance: incremental per-row chain over $up " +
           s"(Δ(query) = query(Δ$up))"
       case None => chainableAggUpstream(query, result, pk) match {
+      case Some((up, gcols)) if gcols.isEmpty =>
+        s"maintenance: incremental global aggregate over $up " +
+          "(single-group materialized-input recompute)"
       case Some((up, gcols)) =>
         s"maintenance: incremental grouped aggregate over $up " +
           s"(touched-group recompute, groups = ${gcols.mkString(", ")})"
