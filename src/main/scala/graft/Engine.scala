@@ -690,7 +690,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
         // keys and re-emits). PK must cover the attrs plus the
         // window-derived output cols that identify a session row.
         val attrCols = groupNames.filterNot(_ == "session_window")
+        // pk must STRICTLY contain attrCols: a PK of just the plain
+        // attrs (e.g. PRIMARY KEY (bidder) for GROUP BY bidder,
+        // session_window(...)) would collapse a key's distinct session
+        // rows into one stored row on merge — at least one extra
+        // window-derived output column is required to identify the
+        // session (advice r9)
         if (attrCols.isEmpty || !attrCols.forall(pk.contains) ||
+            pk.toSet == attrCols.toSet ||
             !pk.forall(planned.columns.contains)) return None
         attrCols
       } else if (groupNames.isEmpty) {
@@ -1784,10 +1791,18 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       }.toSet
       case _ => planned.columns.toSet
     }
-    // sort keys resolve at OUTPUT scope (Sort above the Project)
+    // sort keys resolve at OUTPUT scope (Sort above the Project) — and
+    // must BE output attributes by exprId, not merely share a name: a
+    // qualified sort over a shadowed input column (`SELECT k, x AS v
+    // FROM t ORDER BY t.v`) resolves to an added-missing INPUT attr
+    // that the analyzer strips with a top Project; a name check would
+    // chain it and IncrementalTopN would silently order by the alias
+    // instead (advice r9). Fence on exprId mismatch.
+    val outAttrs = analyzed.output
     val ordering: Seq[(String, Boolean, Boolean)] = sort.order.map { so =>
       val name = so.child match {
-        case a: AttributeReference if planned.columns.contains(a.name) => a.name
+        case a: AttributeReference =>
+          outAttrs.find(_.exprId == a.exprId).getOrElse(return None).name
         case _ => return None
       }
       (name, so.direction == Ascending, so.nullOrdering == NullsFirst)
@@ -3324,14 +3339,21 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       "schemas", "functions", "connections", "views", "cursors",
       "processlist", "parameters", "internal")
 
-  private val sessionVars = scala.collection.mutable.Map[String, String]()
+  // TrieMap, not mutable.Map: the background compactor thread reads
+  // config through varValue (changelog_snapshot_interval & co.) while
+  // the session thread SETs — the last cross-thread plain map from the
+  // r8 advice sweep (r9 "what's wrong #5")
+  private val sessionVars =
+    new scala.collection.concurrent.TrieMap[String, String]()
 
   /** Instance-wide defaults set by `ALTER SYSTEM SET` (reference
     * handler/alter_system.rs; PG's postgresql.auto.conf layer): they sit
     * between a session's own SETs and the boot defaults, durable across
-    * restarts.
+    * restarts. Concurrent for the same compactor-vs-session reason as
+    * [[sessionVars]].
     */
-  private val systemDefaults = scala.collection.mutable.Map[String, String]()
+  private val systemDefaults =
+    new scala.collection.concurrent.TrieMap[String, String]()
 
   private def defaultOf(name: String): String =
     systemDefaults.getOrElse(name, varDefaults(name)._1)

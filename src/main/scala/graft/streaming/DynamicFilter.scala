@@ -257,6 +257,29 @@ final class DynamicSetFilter(
     }
     val kAttr = col(attrCol)
     val hadNull = hasNullFlag
+    // The base store is bucketed by hash(attrCol) and Spark's hash() is
+    // TYPE-sensitive: a type-coerced subquery key (e.g. a BIGINT
+    // count() against an INT left column — the analyzer casts the left
+    // side, and the chain classifier strips that Cast) would hash into
+    // the wrong buckets and a set-move repair would silently miss
+    // stored rows. Narrow every key frame handed to readTouched to the
+    // LEFT column's type; a key that does not survive the round-trip
+    // (out of range / truncating) can match no stored row under SQL
+    // coercion — both sides widen to the common type — so dropping it
+    // is exact, and the semi-join after readTouched re-checks equality
+    // so a wrapped cast can never create a false flip. (advice r9)
+    val lhsType = lhsDelta.schema(attrCol).dataType
+    def toBaseType(keys: DataFrame): DataFrame = {
+      val kt = keys.schema.head.dataType
+      if (kt == lhsType) keys
+      else {
+        // try_cast, not cast: ANSI mode throws on narrowing overflow,
+        // and an out-of-range key is exactly the "matches nothing" case
+        val narrowed = kAttr.try_cast(lhsType)
+        keys.where(kAttr.isNull || (narrowed.cast(kt) <=> kAttr))
+          .select(narrowed.as(attrCol))
+      }
+    }
     val newKeys = newKeys0.map(_.select(kAttr).localCheckpoint())
     val newHasNull = newKeys.map(k => !k.where(kAttr.isNull).isEmpty)
       .getOrElse(hadNull)
@@ -293,9 +316,11 @@ final class DynamicSetFilter(
     //    keys' buckets; the poisoning / emptiness transitions that are
     //    inherently whole-state (retract-all, re-qualify-all) read full.
     val rowShape = d.drop(Changelog.OpCol, Changelog.SeqCol)
-    def storedOf(keys: DataFrame): DataFrame =
-      orEmpty(lhsMv.readTouched(keys), rowShape)
-        .where(kAttr.isNotNull).join(keys, Seq(attrCol), "left_semi")
+    def storedOf(keys: DataFrame): DataFrame = {
+      val bk = toBaseType(keys)
+      orEmpty(lhsMv.readTouched(bk), rowShape)
+        .where(kAttr.isNotNull).join(bk, Seq(attrCol), "left_semi")
+    }
     def flagged(df: DataFrame, op: Int) = df
       .withColumn(Changelog.OpCol, lit(op))
       .withColumn(Changelog.SeqCol, lit(Long.MaxValue))
@@ -307,7 +332,7 @@ final class DynamicSetFilter(
       // all NULL-key base rows live in one bucket: hash(null) prunes
       lazy val storedNulls = {
         val nullKey = spark.range(1)
-          .select(lit(null).cast(kShape.schema.head.dataType).as(attrCol))
+          .select(lit(null).cast(lhsType).as(attrCol))
         orEmpty(lhsMv.readTouched(nullKey), rowShape).where(kAttr.isNull)
       }
       val none = rowShape.where(lit(false))

@@ -106,7 +106,10 @@ object ScaleUp {
     // and the cap becomes factor × stride < 1e8.
     val docStride =
       if (factor <= 10) 10000000L else domainStride("documents", "doc_id")
-    require(factor * docStride < 100000000L,
+    // last copy spans [(factor-1)*stride, (factor-1)*stride + stride), so
+    // the exclusive upper bound is factor*stride — which may EQUAL 1e8
+    // (factor=10 × the historical 10M stride lands exactly on it)
+    require(factor * docStride <= 100000000L,
       s"factor $factor x stride $docStride would push documents copies " +
         "into the planted-dup id ranges (+1e8/+2e8)")
     write(

@@ -543,4 +543,94 @@ class DynamicFilterSpec extends SparkSpecBase {
     assert(rows == Set(3L -> 30L))
     e.streamingJob("gmv").foreach(_.stop())
   }
+
+  // ---- mixed-width membership keys (advice r9): the base store is
+  // bucketed by hash(INT k) while the subquery evaluates to BIGINT —
+  // Spark's hash() is type-sensitive, so the set-move repair must cast
+  // the key frames to the base type before readTouched or it reads the
+  // wrong buckets and silently misses stored rows.
+
+  test("dynamic-set mixed-width: BIGINT subquery keys against an INT left " +
+      "column flip the right rows (bucket hash must cast first)") {
+    val cat = new MvCatalog(spark, tmpDir("dsmix"))
+    val lhs = cat.define("dsmix_lhs", Seq("id"), nBuckets = 16,
+      bucketKeys = Seq("k"))
+    val keys = cat.define("dsmix_keys", Seq("k"), nBuckets = 16)
+    val res = cat.define("dsmix_res", Seq("id"), nBuckets = 16)
+    val f = new DynamicSetFilter(lhs, keys, res, "k", negated = false)
+    val noDelta = Seq.empty[(Long, Int)].toDF("id", "k")
+    // 64 base rows over 32 INT membership keys
+    f.applyDelta((0 until 64).map(i => (i.toLong, i % 32)).toDF("id", "k"),
+      Some(Seq.empty[Long].toDF("k")), batchId = 0L)
+    assert(setIds(res).isEmpty)
+    // 8 BIGINT keys enter: every key's stored rows must flip in
+    f.applyDelta(noDelta, Some((0L until 8L).toDF("k")), batchId = 1L)
+    assert(setIds(res) ==
+      (0 until 64).filter(_ % 32 < 8).map(_.toLong).toSet,
+      "entering BIGINT keys must reach the INT-hashed buckets")
+    // 6 of them leave again (the mirrored direction)
+    f.applyDelta(noDelta, Some(Seq(0L, 1L).toDF("k")), batchId = 2L)
+    assert(setIds(res) ==
+      (0 until 64).filter(_ % 32 < 2).map(_.toLong).toSet)
+    // an out-of-int-range BIGINT key can match no stored row: dropped
+    // from the repair frames without error, result unchanged
+    f.applyDelta(noDelta, Some(Seq(0L, 1L, 5000000000L).toDF("k")),
+      batchId = 3L)
+    assert(setIds(res) ==
+      (0 until 64).filter(_ % 32 < 2).map(_.toLong).toSet)
+  }
+
+  test("dynamic-set mixed-width NOT IN: an out-of-range BIGINT key keeps the " +
+      "set NON-empty for NULL rows yet matches nothing") {
+    val cat = new MvCatalog(spark, tmpDir("dsmixn"))
+    val lhs = cat.define("dsmixn_lhs", Seq("id"), nBuckets = 4,
+      bucketKeys = Seq("k"))
+    val keys = cat.define("dsmixn_keys", Seq("k"), nBuckets = 4)
+    val res = cat.define("dsmixn_res", Seq("id"), nBuckets = 4)
+    val f = new DynamicSetFilter(lhs, keys, res, "k", negated = true)
+    val noDelta = Seq.empty[(Long, Option[Int])].toDF("id", "k")
+    f.applyDelta(Seq((1L, Some(5)), (2L, Option.empty[Int]), (3L, Some(7)))
+      .toDF("id", "k"), Some(Seq.empty[Long].toDF("k")), batchId = 0L)
+    assert(setIds(res) == Set(1L, 2L, 3L)) // NOT IN ∅ is TRUE, NULL incl.
+    // set {5e9}: no INT row matches (5 ≠ 5e9 under BIGINT coercion) but
+    // the set IS non-empty — the NULL-key row leaves, the others stay
+    f.applyDelta(noDelta, Some(Seq(5000000000L).toDF("k")), batchId = 1L)
+    assert(setIds(res) == Set(1L, 3L),
+      "out-of-range key: non-empty set semantics for NULL rows")
+    // set {5}: key-5 row leaves, NULL stays out
+    f.applyDelta(noDelta, Some(Seq(5L).toDF("k")), batchId = 2L)
+    assert(setIds(res) == Set(3L))
+    // set empties: all return
+    f.applyDelta(noDelta, Some(Seq.empty[Long].toDF("k")), batchId = 3L)
+    assert(setIds(res) == Set(1L, 2L, 3L))
+  }
+
+  test("SQL chain: type-coerced IN (INT column, BIGINT subquery) chains and " +
+      "stays exact across set moves") {
+    val dir = tmpDir("dynmixsql")
+    val e = new Engine(spark, dir)
+    e.execute("CREATE TABLE mfa (id INT PRIMARY KEY, item STRING)")
+    e.execute("CREATE TABLE mfb (bk BIGINT PRIMARY KEY, auction BIGINT)")
+    e.execute("INSERT INTO mfa VALUES (1,'a'),(2,'b'),(3,'c')")
+    e.execute("INSERT INTO mfb VALUES (10,1),(11,1),(12,3)")
+    e.execute("FLUSH")
+    e.execute("CREATE MATERIALIZED VIEW mmv (PRIMARY KEY (id)) AS " +
+      "SELECT id, item FROM mfa WHERE id IN " +
+      "(SELECT auction FROM mfb GROUP BY auction HAVING count(*) >= 2)")
+    assert(e.streamingJob("mmv").nonEmpty,
+      "a coercion Cast on the probe side must not block the chain")
+    e.execute("FLUSH")
+    def got = e.table("mmv").select("id").as[Int].collect().toSet
+    assert(got == Set(1))
+    // key 3 enters the BIGINT set: the INT-bucketed base rows must flip
+    // in (pre-fix, hash(BIGINT 3) picked a wrong bucket and missed them)
+    e.execute("INSERT INTO mfb VALUES (13, 3)")
+    e.execute("FLUSH")
+    assert(got == Set(1, 3))
+    // key 1 leaves
+    e.execute("DELETE FROM mfb WHERE bk = 10")
+    e.execute("FLUSH")
+    assert(got == Set(3))
+    e.streamingJob("mmv").foreach(_.stop())
+  }
 }

@@ -155,4 +155,62 @@ class StreamingTopNChainSpec extends SparkSpecBase {
     assert(rows == Set(2L, 3L))
     e.streamingJob("smv").foreach(_.stop())
   }
+
+  test("a qualified sort over a shadowed input column fences (exprId check)") {
+    // ORDER BY sh.v resolves to the INPUT column v (added-missing, then
+    // stripped by a top Project) while the OUTPUT carries an alias v =
+    // x. A by-name sort-key check would chain this and IncrementalTopN
+    // would silently order by the alias — the exprId check fences it
+    // and the batch refresh keeps the input-column ordering (advice r9).
+    val e = new Engine(spark, tmpDir("topnshadow"))
+    e.execute("CREATE TABLE sh (k BIGINT PRIMARY KEY, x BIGINT, v BIGINT)")
+    e.execute("INSERT INTO sh VALUES (1, 5, 30), (2, 9, 10), (3, 1, 20)")
+    e.execute("FLUSH")
+    val sql = "SELECT k, x AS v FROM sh ORDER BY sh.v LIMIT 2"
+    e.execute(s"CREATE MATERIALIZED VIEW shmv (PRIMARY KEY (k)) AS $sql")
+    assert(e.streamingJob("shmv").isEmpty,
+      "shadowed sort column must take the batch-refresh fence")
+    // batch semantics: ordered by INPUT v (10, 20) → rows 2 and 3,
+    // output v carries x's values
+    assert(e.table("shmv").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set(2L -> 9L, 3L -> 1L))
+    // the unshadowed spelling (ORDER BY the output alias) still chains
+    e.execute("CREATE MATERIALIZED VIEW shmv2 (PRIMARY KEY (k)) AS " +
+      "SELECT k, x AS w FROM sh ORDER BY w LIMIT 2")
+    assert(e.streamingJob("shmv2").nonEmpty,
+      "an output-alias sort key must still chain")
+    e.execute("FLUSH")
+    assert(e.table("shmv2").select("k").as[Long].collect().toSet == Set(1L, 3L))
+    e.streamingJob("shmv2").foreach(_.stop())
+  }
+
+  test("a session-window MV whose PK omits the window columns fences") {
+    // PRIMARY KEY (bidder) over GROUP BY bidder, session_window(...)
+    // would collapse a bidder's distinct session rows into one stored
+    // row on merge — eligibility now requires the PK to STRICTLY
+    // contain the plain group attrs (advice r9)
+    val e = new Engine(spark, tmpDir("sesspk"))
+    e.execute("CREATE TABLE sb (id BIGINT PRIMARY KEY, bidder BIGINT, " +
+      "price BIGINT, dt TIMESTAMP)")
+    e.execute("INSERT INTO sb VALUES " +
+      "(1, 7, 10, TIMESTAMP '2024-01-01 01:00:00'), " +
+      "(2, 7, 20, TIMESTAMP '2024-01-01 01:30:00'), " +
+      "(3, 7, 30, TIMESTAMP '2024-01-01 05:00:00')") // two sessions
+    e.execute("FLUSH")
+    e.execute("CREATE MATERIALIZED VIEW sessbad (PRIMARY KEY (bidder)) AS " +
+      "SELECT bidder, session_window(dt, '1 hour').start AS sess_start, " +
+      "count(*) AS n FROM sb GROUP BY bidder, session_window(dt, '1 hour')")
+    assert(e.streamingJob("sessbad").isEmpty,
+      "session MV with a window-less PK must fence, not collapse sessions")
+    // the correct PK spelling chains
+    e.execute("CREATE MATERIALIZED VIEW sessok (PRIMARY KEY (bidder, sess_start)) AS " +
+      "SELECT bidder, session_window(dt, '1 hour').start AS sess_start, " +
+      "count(*) AS n FROM sb GROUP BY bidder, session_window(dt, '1 hour')")
+    assert(e.streamingJob("sessok").nonEmpty, "windowed PK must chain")
+    e.execute("INSERT INTO sb VALUES (4, 7, 40, TIMESTAMP '2024-01-01 05:15:00')")
+    e.execute("FLUSH")
+    assert(e.table("sessok").select("n").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 2L))
+    e.streamingJob("sessok").foreach(_.stop())
+  }
 }
