@@ -23,6 +23,13 @@ object GraftSession {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
     .config("spark.sql.parquet.filterPushdown", "true")
+    // Vector hot path (r10, guide §4): rewrite the HOF dot/distance fold
+    // patterns to the codegen'd DotProduct/L2DistanceSq loops. Engine
+    // vector semantics are truncate-to-shorter + skip-null-elements;
+    // every in-repo pattern instance runs over fixed-width non-null
+    // embedding arrays where the two formulations are bit-identical
+    // (NativeVectorRewrite scaladoc).
+    .config("spark.graft.rewriteHofDot", "true")
     // Driver testdata writes events.ts as TIMESTAMP(NANOS), which Spark's
     // vectorized reader rejects; read as long and convert in Tables.df.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

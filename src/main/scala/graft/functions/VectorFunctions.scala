@@ -48,6 +48,17 @@ object VectorFunctions {
     sqrt(aggregate(zip_with(toDoubleVec(a), toDoubleVec(b),
       (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
 
+  /** SQUARED L2 distance through the native codegen'd loop when
+    * registered (same sequential fold as the HOF form — bit-identical
+    * on equal-length non-null arrays), else the HOF fold. Orders the
+    * same as [[l2Distance]] (sqrt is monotone) — use for argmin/rank.
+    */
+  def fastL2DistSq(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_l2distsq"))
+      call_function("graft_l2distsq", a, b)
+    else aggregate(zip_with(toDoubleVec(a), toDoubleVec(b),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
   /** Sign bit (0/1) of the dot product with a deterministic pseudo-random
     * hyperplane derived from `seed` — the random-hyperplane LSH primitive.
     * Plane component i for seed s is ±1 from the parity of md5(s:i); the

@@ -100,9 +100,14 @@ object Dedup {
     // Optimizer barrier: CollapseProject would inline the signature
     // expression into every downstream operator (filter, generate), and
     // nested-lambda inlining re-evaluates the md5 stage once per hash
-    // index — observed 12× slowdown. The RDD round-trip pins "compute the
-    // signature exactly once per row" into the physical plan.
-    val sig = df.sparkSession.createDataFrame(sig0.rdd, sig0.schema)
+    // index — observed 12× slowdown. localCheckpoint (lazy) pins
+    // "compute the signature exactly once per row" into the physical
+    // plan as a LogicalRDD of INTERNAL rows — the old `.rdd` round-trip
+    // paid a full decode to external Rows (boxed arrays) plus a
+    // re-encode per row (guide §1.4's rdd-conversion tax), and broke
+    // column pruning the same way. Materializes only (id, 12×long) per
+    // row, far smaller than the corpus.
+    val sig = sig0.localCheckpoint(false)
       .where(size(col("__sig")) > 0)
     // band key = joined hash slice; explode → shuffle on (band, key).
     val banded = sig.select(col("__id"),
@@ -139,9 +144,15 @@ object Dedup {
     val candIds = candidates.select(col("id_a").as("__cid"))
       .union(candidates.select(col("id_b").as("__cid"))).distinct()
     val sub = df.join(candIds, col(idCol) === col("__cid"), "left_semi")
+    // Three consumers below (sizes, ga, gb) would each re-run the
+    // corpus scan + semi-join + n-gram explode; checkpoint (lazy,
+    // internal rows) computes the shingle table once. Its size is
+    // O(candidate-member docs × doc length) — candidates ≪ corpus by
+    // construction, and MEMORY_AND_DISK spills rather than OOMs.
     val grams = sub.select(col(idCol).as("__id"),
       explode(array_distinct(
         TextFunctions.wordNgrams(col(textCol), shingleLen))).as("g"))
+      .localCheckpoint(false)
     val sizes = grams.groupBy("__id").agg(count(lit(1)).as("sz"))
     val ga = grams.select(col("__id").as("id_a"), col("g"))
     val gb = grams.select(col("__id").as("id_b"), col("g"))

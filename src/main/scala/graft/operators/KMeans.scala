@@ -45,16 +45,27 @@ object KMeans {
     centroids
   }
 
-  /** Assign each row its nearest centroid (broadcast argmin). */
+  /** Assign each row its nearest centroid (broadcast argmin).
+    *
+    * The centroid set is packed into ONE broadcast row and the argmin is
+    * a per-row array_min over (distance, cluster_id) structs — struct
+    * ordering IS (dist asc, cluster_id asc), the same tie-break as the
+    * previous window formulation, which expanded every row k ways and
+    * shuffled n·k rows on a per-row id just to rank them (guide §2.4:
+    * remove shuffles outright). The squared distance orders identically
+    * to the distance (sqrt is monotone) and skips the per-row sqrt.
+    */
   def assign(data: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__aid").orderBy(col("__dist").asc, col("cluster_id").asc)
-    val withId = data.withColumn("__aid", monotonically_increasing_id())
-    withId.join(broadcast(centroids))
-      .withColumn("__dist",
-        VectorFunctions.l2Distance(col(vecCol), col("centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__dist", "__rn", "centroid", "__aid")
+    val packed = centroids.agg(
+      array_sort(collect_list(struct(col("cluster_id"), col("centroid"))))
+        .as("__cents"))
+    val best = array_min(transform(col("__cents"), c =>
+      struct(
+        VectorFunctions.fastL2DistSq(data.sparkSession,
+          col(vecCol), c.getField("centroid")).as("d"),
+        c.getField("cluster_id").as("cluster_id"))))
+    data.join(broadcast(packed))
+      .withColumn("cluster_id", best.getField("cluster_id"))
+      .drop("__cents")
   }
 }

@@ -86,6 +86,82 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 }
 
+/** Squared L2 distance Σ(aᵢ−bᵢ)² — the k-means/IVF probe hot loop.
+  * Same sequential left-to-right double fold as the HOF formulation
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, +)`, so values
+  * are bit-identical on equal-length arrays with non-null elements
+  * (the embedding invariant); same edge semantics as [[DotProduct]]
+  * otherwise (truncate to shorter, skip null elements).
+  */
+case class L2DistanceSq(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_l2distsq expects array<float|double>, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (arrA, arrB) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(arrA.numElements(), arrB.numElements())
+    val (ta, tb) = (elemType(left), elemType(right))
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arrA.isNullAt(i) && !arrB.isNullAt(i)) {
+        val x = if (ta == FloatType) arrA.getFloat(i).toDouble else arrA.getDouble(i)
+        val y = if (tb == FloatType) arrB.getFloat(i).toDouble else arrB.getDouble(i)
+        val d = x - y
+        sum += d * d
+      }
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getA = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val getB = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $d = ((double) $a.$getA($i)) - ((double) $b.$getB($i));
+         |    $sum += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2DistanceSq =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_l2distsq"
+}
+
 /** Session extension wiring (spark.sql.extensions=graft.plans.GraftExtensions)
   * plus a programmatic hook for already-built sessions.
   */
@@ -104,8 +180,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
     (children: Seq[Expression]) => DotProduct(children(0), children(1)))
 
+  val l2DistSqFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_l2distsq"),
+    new ExpressionInfo(classOf[L2DistanceSq].getName, "graft_l2distsq"),
+    (children: Seq[Expression]) => L2DistanceSq(children(0), children(1)))
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     dotFunction,
+    l2DistSqFunction,
     (FunctionIdentifier("graft_gcd"),
       new ExpressionInfo(classOf[Gcd].getName, "graft_gcd"),
       (children: Seq[Expression]) => Gcd(children(0), children(1))),

@@ -272,19 +272,22 @@ object Advanced extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { s =>
       // the "exact" reference side runs at accuracy 40000 — rank error
       // n/40000 (≈15 rows at sf0.1) is far inside the 2% value-space
-      // bound, and it avoids percentile()'s buffer-everything sort
+      // bound, and it avoids percentile()'s buffer-everything sort.
+      // ONE sketch per accuracy queried at all three quantiles (array
+      // form) instead of six independent sketches: identical answers
+      // (same accuracy ⇒ the same QuantileSummaries state; the three
+      // separate sketches were byte-identical copies), 3× less sketch
+      // insertion/merge work per row (guide §1.2 "per-task work").
       s.table("lineitem").groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("e50"),
-          percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("e25"),
-          percentile_approx(col("l_extendedprice"), lit(0.75), lit(10000)).as("e75"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(40000)).as("x50"),
-          percentile_approx(col("l_extendedprice"), lit(0.25), lit(40000)).as("x25"),
-          percentile_approx(col("l_extendedprice"), lit(0.75), lit(40000)).as("x75"))
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("e"),
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(40000)).as("x"))
         .select(col("l_returnflag"), col("n"),
-          ((abs(col("e50") - col("x50")) / col("x50") <= 0.02) &&
-            (abs(col("e25") - col("x25")) / col("x25") <= 0.02) &&
-            (abs(col("e75") - col("x75")) / col("x75") <= 0.02)).as("ok"))
+          ((abs(col("e").getItem(1) - col("x").getItem(1)) / col("x").getItem(1) <= 0.02) &&
+            (abs(col("e").getItem(0) - col("x").getItem(0)) / col("x").getItem(0) <= 0.02) &&
+            (abs(col("e").getItem(2) - col("x").getItem(2)) / col("x").getItem(2) <= 0.02)).as("ok"))
         .orderBy("l_returnflag")
     },
 

@@ -306,10 +306,17 @@ object LlmText extends QueryPack {
           explode(TextFunctions.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term")
         .agg(count(lit(1)).cast("bigint").as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).cast("bigint").as("df"))
+      // df = rows per term IN tf — a window count over tf, not a
+      // tf⋈tf self-join: the join spelling re-ran the corpus explode +
+      // tf aggregation per side (2 Generates, 2 two-phase aggs in the
+      // r9 plan; guide §2.4 — two operations keyed the same way share
+      // one pass). Window COUNT without ORDER BY is the whole-partition
+      // count, exactly the old df.
+      val wdf = Window.partitionBy("term")
       val n = s.table("documents").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-      tf.join(df, "term").crossJoin(broadcast(n))
+      tf.withColumn("df", count(lit(1)).over(wdf).cast("bigint"))
+        .crossJoin(broadcast(n))
         .withColumn("score", col("tf") * log(col("n").cast("double") / col("df")))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)

@@ -77,13 +77,28 @@ object Subqueries extends QueryPack {
         |                / COUNT(*))
         |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { s =>
-      s.sql(
-        """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem l1
-          |WHERE l_orderkey < 2000 AND l_quantity > (
-          |  SELECT 1.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-          |                / COUNT(*))
-          |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
-          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      // Decorrelated by hand WITH a semi-join pre-filter (guide §3.2):
+      // Spark's own decorrelation aggregates ALL of lineitem by
+      // l_partkey before joining the tiny l_orderkey<2000 probe side —
+      // at 100 TB that is a full-fact-table aggregate consulted for a
+      // few hundred groups. Restricting the aggregate's input to the
+      // probe's partkeys first is result-identical: only those groups
+      // are ever consulted, every probe partkey has a group (its own
+      // rows are in l2), and l_partkey is non-null — so inner join ≡
+      // the decorrelated outer join + null-rejecting comparison.
+      val l1 = s.table("lineitem").where(col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_partkey")
+      val keys = l1.select("l_partkey").distinct()
+      val thr = s.table("lineitem")
+        .select("l_partkey", "l_quantity")
+        .join(broadcast(keys), Seq("l_partkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg((lit(1.5) * (sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DoubleType) / count(lit(1)))).as("__thr"))
+      l1.join(thr, "l_partkey")
+        .where(col("l_quantity") > col("__thr"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
     },
 
     // NOT IN with non-null domain (anti join with null check).

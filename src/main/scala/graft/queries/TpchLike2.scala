@@ -135,10 +135,16 @@ object TpchLike2 extends QueryPack {
         |ORDER BY value DESC, l_partkey""".stripMargin) { s =>
       val l = s.table("lineitem")
       val sup = s.table("supplier").where(col("s_nationkey") < 5)
+      // v feeds BOTH the output filter and the threshold aggregate —
+      // without a barrier the lineitem⋈supplier join + aggregation runs
+      // twice (two full subtrees in the r9 plan). Checkpoint (lazy,
+      // internal rows) computes it once; v is one row per partkey, tiny
+      // next to the fact table (the oracle's MATERIALIZED CTE analog).
       val v = l.join(sup, sup("s_suppkey") === l("l_suppkey"))
         .groupBy(l("l_partkey"))
         .agg(sum(drev(l("l_extendedprice"), l("l_discount"))
           .cast(DecimalType(18, 6))).as("val"))
+        .localCheckpoint(false)
       val threshold = v.agg((sum(col("val")) * lit(0.001)).as("thr"))
       v.join(broadcast(threshold))
         .where(col("val") > col("thr"))
@@ -186,6 +192,9 @@ object TpchLike2 extends QueryPack {
         .groupBy(col("l_suppkey").as("supplier_no"))
         .agg(sum(drev(col("l_extendedprice"), col("l_discount"))
           .cast(DecimalType(18, 6))).as("total_rev"))
+        // consumed twice (join side + scalar MAX) — checkpoint so the
+        // filtered lineitem aggregation runs once, not per consumer
+        .localCheckpoint(false)
       val best = revenue.agg(max(col("total_rev")).as("best_rev"))
       val sup = s.table("supplier")
       sup.join(revenue, sup("s_suppkey") === col("supplier_no"))
