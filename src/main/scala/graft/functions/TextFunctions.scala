@@ -18,15 +18,26 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Let-bind an array expression through a single-element `transform`
+    * so it evaluates ONCE per row no matter how many times the body
+    * references it — Catalyst expressions are trees, not DAGs, and the
+    * HOF consumers here are CodegenFallback (no codegen-level common-
+    * subexpression elimination), so every textual reuse of a split
+    * re-runs the regex over the document (the wordNgrams O(words²)
+    * lesson, measured 2.5×).
+    */
+  private def bound(arr: Column)(body: Column => Column): Column =
+    transform(array(arr), body).getItem(0)
+
   /** BPE-ish subword count estimate: word/number/punctuation pieces plus a
     * length penalty for long words (≈ GPT-style `words + extra pieces`).
     */
-  def tokenEstimate(text: Column): Column = {
-    val pieces = filter(split(text, "[^A-Za-z0-9]+"), t => length(t) > 0)
-    (size(pieces) +
-      aggregate(pieces, lit(0),
-        (acc, w) => acc + floor(length(w) / 5).cast(IntegerType))).cast(LongType)
-  }
+  def tokenEstimate(text: Column): Column =
+    bound(filter(split(text, "[^A-Za-z0-9]+"), t => length(t) > 0)) { pieces =>
+      (size(pieces) +
+        aggregate(pieces, lit(0),
+          (acc, w) => acc + floor(length(w) / 5).cast(IntegerType))).cast(LongType)
+    }
 
   /** Word n-grams joined with single spaces (empty array when too short).
     *
@@ -59,8 +70,7 @@ object TextFunctions {
       .otherwise(0.0)
 
   /** Mean token length (0 when no tokens). */
-  def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  def meanTokenLen(text: Column): Column = bound(tokens(text)) { toks =>
     when(size(toks) > 0,
       aggregate(toks, lit(0L), (acc, t) => acc + length(t))
         .cast(DoubleType) / size(toks))
@@ -76,8 +86,7 @@ object TextFunctions {
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
   /** Stopword ratio against the English list (quality signal). */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column): Column = bound(tokens(text)) { toks =>
     when(size(toks) > 0,
       hitCount(toks, enStop).cast(DoubleType) / size(toks))
       .otherwise(0.0)
@@ -86,21 +95,35 @@ object TextFunctions {
   /** Composite quality score in [0,1]: length sweet-spot, moderate mean
     * word length, some stopwords, low punctuation noise. The individual
     * signals mirror common LLM-corpus heuristics (Gopher/C4 rules).
+    * The token array is bound ONCE for the word-length and stopword
+    * signals (the inlined spelling re-split the document per signal).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = bound(tokens(text)) { toks =>
+    // toks is a lambda VARIABLE: evaluated once per row however many
+    // times the body references it. The whole score lives inside the
+    // binding so the addition keeps the ORIGINAL association
+    // ((len+word)+stop)+punct — double addition is order-sensitive and
+    // the oracle hash is exact.
     val lenScore = least(length(text).cast(DoubleType) / 500.0, lit(1.0))
-    val mwl = meanTokenLen(text)
+    val mwl = when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast(DoubleType) / size(toks))
+      .otherwise(0.0)
     val wordScore = when(mwl.between(3.0, 10.0), 1.0).otherwise(0.5)
-    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val stopR = when(size(toks) > 0,
+      hitCount(toks, enStop).cast(DoubleType) / size(toks))
+      .otherwise(0.0)
+    val stopScore = least(stopR * 5.0, lit(1.0))
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
     round((lenScore + wordScore + stopScore + punctScore) / 4.0, 6)
   }
 
   /** Stopword-profile language ID over {en,de,fr,es}, 'und' (undetermined)
     * when no list scores a hit. Deterministic tie-break by language order.
+    * One tokenization per row (bound) — the inlined spelling re-split the
+    * document once per language list.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
+  def langId(text: Column): Column = bound(tokens(lower(text))) { toks =>
     val en = hitCount(toks, enStop)
     val de = hitCount(toks, deStop)
     val fr = hitCount(toks, frStop)

@@ -79,13 +79,23 @@ object NexmarkLike extends QueryPack {
         |       CAST(count(DISTINCT user_id) FILTER (WHERE value >= 500) AS BIGINT)
         |         AS hi_bidders
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin) { s =>
-      s.table("events")
-        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
-        .agg(count(lit(1)).as("total_bids"),
-          count(when(col("value") < 500, 1)).as("rank1_bids"),
-          count(when(col("value") >= 500, 1)).as("rank2_bids"),
-          countDistinct(col("user_id")).as("total_bidders"),
-          countDistinct(when(col("value") >= 500, col("user_id")))
+      // Manual two-phase distinct (guide §2.3 "aggregate before you
+      // shuffle"): Spark plans the two DISTINCT aggregates as a 3-way
+      // Expand (every event row tripled before the partial aggregate).
+      // Grouping by (day, user) first computes the same counts off 1×
+      // the rows; the second phase counts users per day. count(CASE…)
+      // with no ELSE skips nulls exactly like FILTER.
+      val perUser = s.table("events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+        .agg(count(lit(1)).as("__n"),
+          count(when(col("value") < 500, 1)).as("__n_lo"),
+          count(when(col("value") >= 500, 1)).as("__n_hi"))
+      perUser.groupBy("day")
+        .agg(sum(col("__n")).as("total_bids"),
+          sum(col("__n_lo")).as("rank1_bids"),
+          sum(col("__n_hi")).as("rank2_bids"),
+          count(when(col("user_id").isNotNull, 1)).as("total_bidders"),
+          count(when(col("user_id").isNotNull && col("__n_hi") > 0, 1))
             .as("hi_bidders"))
         .orderBy("day")
     },
@@ -105,16 +115,34 @@ object NexmarkLike extends QueryPack {
         |       CAST(count(DISTINCT user_id) FILTER (WHERE value < 500) AS BIGINT)
         |         AS rank1_bidders
         |FROM events GROUP BY 1, 2 ORDER BY channel, day""".stripMargin) { s =>
-      s.table("events")
+      // Manual two-phase distinct + NUMERIC minute max. The r9 plan was
+      // a 3-way Expand (rows tripled for the two DISTINCTs) feeding four
+      // SortAggregates — max over the 'HH:mm' STRING forces the
+      // sort-based aggregate (string buffers are immutable). Grouping by
+      // (channel, day, user) first reads 1× the rows, and max over
+      // minute-of-day as an INT keeps every phase a HashAggregate;
+      // 'HH:mm' is zero-padded so its lexicographic max IS the numeric
+      // max, re-rendered identically by format_string at the end.
+      val perUser = s.table("events")
         .groupBy(col("event_type").as("channel"),
-          date_format(col("ts"), "yyyy-MM-dd").as("day"))
-        .agg(max(date_format(col("ts"), "HH:mm")).as("max_minute"),
-          count(lit(1)).as("total_bids"),
-          count(when(col("value") < 500, 1)).as("rank1_bids"),
-          count(when(col("value") >= 500, 1)).as("rank2_bids"),
-          countDistinct(col("user_id")).as("total_bidders"),
-          countDistinct(when(col("value") < 500, col("user_id")))
+          date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+        .agg(max(hour(col("ts")) * 60 + minute(col("ts"))).as("__mm"),
+          count(lit(1)).as("__n"),
+          count(when(col("value") < 500, 1)).as("__n_lo"),
+          count(when(col("value") >= 500, 1)).as("__n_hi"))
+      perUser.groupBy("channel", "day")
+        .agg(max(col("__mm")).as("__mmax"),
+          sum(col("__n")).as("total_bids"),
+          sum(col("__n_lo")).as("rank1_bids"),
+          sum(col("__n_hi")).as("rank2_bids"),
+          count(when(col("user_id").isNotNull, 1)).as("total_bidders"),
+          count(when(col("user_id").isNotNull && col("__n_lo") > 0, 1))
             .as("rank1_bidders"))
+        .select(col("channel"), col("day"),
+          format_string("%02d:%02d", expr("__mmax div 60"),
+            col("__mmax") % lit(60)).as("max_minute"),
+          col("total_bids"), col("rank1_bids"), col("rank2_bids"),
+          col("total_bidders"), col("rank1_bidders"))
         .orderBy("channel", "day")
     },
 
