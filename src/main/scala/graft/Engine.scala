@@ -1836,7 +1836,14 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
     val up = mvs.get(upName).getOrElse(throw new IllegalArgumentException(
       s"chained upstream $upName is not registered"))
     if (!resume) jobs.get(upName).foreach(_.processAllAvailable())
-    val state = mvs.define(s"${name}__base", pk)
+    // cluster the state by the sort keys within each bucket file (r10):
+    // the boundary-region read (`first key ⪰ old k-th`) prunes on
+    // parquet row-group stats, which on unsorted buckets exclude almost
+    // nothing — sorted files give the read the reference's
+    // sorted-state-table locality (asc/desc is irrelevant to min/max
+    // stats)
+    val state = mvs.define(s"${name}__base", pk,
+      sortWithinBuckets = ordering.map(_._1))
     val down = mvs.define(name, pk)
     val inc = new graft.streaming.IncrementalTopN(state, down, k, ordering,
       pk, off)

@@ -48,6 +48,115 @@ final class IncrementalAgg(
     l.join(k, groupCols.map(c => l(c) <=> k(c)).reduce(_ && _), "left_semi")
   }
 
+  // ---- O(Δ) value state for delta-computable GLOBAL aggregates ----
+  // (see ValueStateAgg — r10: a chained `SELECT count(*), sum(v)` epoch
+  // folds the delta into exact accumulators instead of re-scanning the
+  // whole base state). Crash contract mirrors DynamicFilter's
+  // threshold: the folded state commits as an `_aggstate` sidecar
+  // INSIDE the atomically-renamed epoch dir (authoritative), with a
+  // side FILE cache that survives changelog retention; the recompute
+  // fallback deletes the cache BEFORE publishing so no stale state can
+  // be resurrected.
+
+  private val statePath =
+    java.nio.file.Paths.get(s"${aggMv.targetDir}.aggstate")
+  private var memState: Option[(Seq[ValueStateAgg.Slot], Array[Any])] = None
+
+  private def invalidateValueState(): Unit = {
+    memState = None
+    java.nio.file.Files.deleteIfExists(statePath)
+  }
+
+  /** Committed state: decided SOLELY by the newest published epoch when
+    * any epoch dirs exist (a recompute-published epoch carries no
+    * sidecar and must yield None — older sidecars are stale); the side
+    * file only answers when retention/compaction removed every epoch.
+    */
+  private def committedState(spec: Seq[ValueStateAgg.Slot]): Option[Array[Any]] = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(aggMv.changelogLocation)
+    val newest =
+      if (!Files.exists(dir)) None
+      else graft.FsList.list(dir).iterator
+        .flatMap(p => p.getFileName.toString.stripPrefix("batch-")
+          .toLongOption.map(_ -> p))
+        .toSeq.sortBy(-_._1).headOption.map(_._2)
+    val fromEpochs = newest.map { p =>
+      val sc = p.resolve("_aggstate")
+      if (Files.exists(sc))
+        ValueStateAgg.parse(new String(Files.readAllBytes(sc), "UTF-8"))
+      else None
+    }
+    fromEpochs.getOrElse {
+      if (Files.exists(statePath))
+        ValueStateAgg.parse(new String(Files.readAllBytes(statePath), "UTF-8"))
+      else None
+    }.filter(_.length == ValueStateAgg.cells(spec))
+  }
+
+  /** Try the O(Δ) path; true = epoch fully handled (published or a
+    * committed replay). False falls through to the materialized-input
+    * recompute, which is always correct.
+    */
+  private def valueStateApply(delta: DataFrame, batchId: Long): Boolean = {
+    import java.nio.file.{Files, Paths}
+    // chained MVs only: their upstream changelog is retraction-complete
+    // (published U-/U+ pairs); a source-owned base can receive plain
+    // PK-overwriting upserts a ±fold cannot account
+    if (ownsBase || batchId < 0) return false
+    if (!delta.columns.contains(Changelog.OpCol)) return false
+    val baseFrame = baseMv.read()
+    if (baseFrame.columns.isEmpty) return false
+    val shaped = aggFn(baseFrame.where(lit(false)))
+    val agg = ValueStateAgg.globalAggOf(shaped.queryExecution.analyzed)
+      .getOrElse(return false)
+    val spec = ValueStateAgg.slotsOf(agg).getOrElse(return false)
+    // replay of a committed epoch: its sidecar state is authoritative;
+    // an epoch committed by the recompute fallback has none — drop state
+    val epochDir = Paths.get(aggMv.changelogLocation, s"batch-$batchId")
+    if (Files.exists(epochDir)) {
+      val sc = epochDir.resolve("_aggstate")
+      if (Files.exists(sc))
+        ValueStateAgg.parse(new String(Files.readAllBytes(sc), "UTF-8"))
+          .foreach(st => memState = Some(spec -> st))
+      else invalidateValueState()
+      return true
+    }
+    def dropOps(d: DataFrame) = d.drop(Changelog.OpCol, Changelog.SeqCol)
+    val state = memState.filter(_._1 == spec).map(_._2)
+      .orElse(committedState(spec)) match {
+      case Some(st) =>
+        val ins = ValueStateAgg.stateOf(
+          aggFn(dropOps(delta.where(Changelog.isAdd(col(Changelog.OpCol))))),
+          spec).getOrElse(return false)
+        val del = ValueStateAgg.stateOf(
+          aggFn(dropOps(delta.where(!Changelog.isAdd(col(Changelog.OpCol))))),
+          spec).getOrElse(return false)
+        ValueStateAgg.fold(st, ins, del)
+      case None =>
+        // bootstrap: ONE O(state) pass over the post-merge base (the
+        // upstream already merged this epoch's delta), then O(Δ) forever
+        ValueStateAgg.stateOf(aggFn(baseMv.read()), spec).getOrElse(return false)
+    }
+    val recomputed = ValueStateAgg.outputOf(shaped, spec, state)
+      .getOrElse(return false)
+    val old = aggMv.read()
+    val retractions =
+      (if (old.columns.isEmpty) recomputed.where(lit(false))
+       else old.select(recomputed.columns.map(col): _*))
+      .withColumn(Changelog.OpCol, lit(Changelog.UpdateDelete))
+      .withColumn(Changelog.SeqCol, lit(0L))
+    val upserts = recomputed
+      .withColumn(Changelog.OpCol, lit(Changelog.UpdateInsert))
+      .withColumn(Changelog.SeqCol, lit(1L))
+    aggMv.merge(upserts.unionByName(retractions), batchId,
+      sidecar = Map("_aggstate" -> ValueStateAgg.render(state)))
+    memState = Some(spec -> state)
+    Files.createDirectories(statePath.getParent)
+    Files.write(statePath, ValueStateAgg.render(state).getBytes("UTF-8"))
+    true
+  }
+
   /** Apply one changelog/upsert delta to the base table and bring the
     * aggregate MV up to date (deleting groups that emptied out).
     * `batchId >= 0` publishes the aggregate delta as that changelog
@@ -85,8 +194,16 @@ final class IncrementalAgg(
     // retraction-complete U-/U+ pair (two rows on the wire, O(state)
     // read — the same asymptotics as the reference's retraction path).
     if (groupCols.isEmpty) {
+      // O(Δ) value-state fold when every aggregate is delta-computable
+      // exactly (count / integral-or-decimal sum / integral avg — see
+      // ValueStateAgg); min/max/percentile/sketch and float sums keep
+      // the materialized-input recompute below
+      if (valueStateApply(delta, batchId)) return
       val base = baseMv.read()
       if (base.columns.isEmpty) return
+      // no stale value state may survive an epoch this path publishes
+      // (deleted BEFORE the merge so a crash window replays consistently)
+      invalidateValueState()
       val recomputed = aggFn(base)
       val old = aggMv.read()
       val retractions =

@@ -109,19 +109,30 @@ final class IncrementalTopN(
         if (firstNullsFirst) cmp || col(firstCol).isNull else cmp
       }
       // ---- fast path: can this delta touch the top at all?
-      val pkOfTop: Column = oldTop.map(r =>
-          pk.map(p => col(p) <=> lit(r.getAs[Any](p))).reduce(_ && _))
-        .foldLeft(lit(false))(_ || _)
-      val touchCond: Column = {
-        val addTouch = boundary match {
-          case Some(t) => regionOf(t)
-          case None => lit(true) // top not full: every add can enter
-        }
-        (Changelog.isAdd(col(Changelog.OpCol)) && addTouch) || pkOfTop
+      val addTouch = boundary match {
+        case Some(t) => regionOf(t)
+        case None => lit(true) // top not full: every add can enter
       }
+      // "delta hits a current top-k PK" test: literal OR-fold for small
+      // tops (one job), broadcast semi-join past 64 rows — a LIMIT 10000
+      // top made the fold a 10k-term predicate (codegen/analysis blowup,
+      // r9 review #3)
+      def deltaTouches: Boolean =
+        if (oldTop.length <= 64) {
+          val pkOfTop: Column = oldTop.map(r =>
+              pk.map(p => col(p) <=> lit(r.getAs[Any](p))).reduce(_ && _))
+            .foldLeft(lit(false))(_ || _)
+          !d.where((Changelog.isAdd(col(Changelog.OpCol)) && addTouch) ||
+            pkOfTop).isEmpty
+        } else {
+          val topPks = broadcast(oldDf.select(pk.map(col): _*))
+          !d.where(Changelog.isAdd(col(Changelog.OpCol)) && addTouch).isEmpty ||
+            !d.join(topPks, pk.map(p => d(p) <=> topPks(p)).reduce(_ && _),
+              "left_semi").isEmpty
+        }
       val untouched =
         (if (offset > 0) d.isEmpty
-         else oldTop.length == k && d.where(touchCond).isEmpty)
+         else oldTop.length == k && !deltaTouches)
       if (untouched) {
         // publish the (empty) epoch: downstream frontiers + replay guard
         resultMv.merge(d.limit(0), batchId)
@@ -137,12 +148,24 @@ final class IncrementalTopN(
           // the boundary region emptied below the cut (deletes): refill
           newTop = full.orderBy(sortCols: _*).limit(offset + k).collect()
         newTop = newTop.drop(offset)
-        val newDf = spark.createDataFrame(
-          java.util.Arrays.asList(newTop: _*), rowSchema)
-        val out = newDf
+        // publish only the DIFF (r9 review #4: full old-top U- + full
+        // new-top U+ was k rows of downstream churn per touching epoch).
+        // Both sides are driver-local (≤ offset+k rows): a PK-keyed map
+        // finds dropped rows (U-), entering rows (U+), and value changes
+        // (U-/U+ pair); unchanged rows publish nothing. Merge semantics
+        // are unchanged — the pairs are the minimal subset of the old
+        // full republication.
+        val rowPk = (r: Row) => pk.map(p => r.getAs[Any](p)).toIndexedSeq
+        val oldByPk = oldTop.map(r => rowPk(r) -> r).toMap
+        val newByPk = newTop.map(r => rowPk(r) -> r).toMap
+        val retract = oldTop.filter(r => !newByPk.get(rowPk(r)).contains(r))
+        val insert = newTop.filter(r => !oldByPk.get(rowPk(r)).contains(r))
+        val out = spark.createDataFrame(
+            java.util.Arrays.asList(insert: _*), rowSchema)
           .withColumn(Changelog.OpCol, lit(Changelog.UpdateInsert))
           .withColumn(Changelog.SeqCol, lit(1L))
-          .unionByName(oldDf
+          .unionByName(spark.createDataFrame(
+              java.util.Arrays.asList(retract: _*), rowSchema)
             .withColumn(Changelog.OpCol, lit(Changelog.UpdateDelete))
             .withColumn(Changelog.SeqCol, lit(0L)))
         resultMv.merge(out, batchId)

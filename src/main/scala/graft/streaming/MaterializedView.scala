@@ -31,7 +31,16 @@ final class MaterializedView(
     pk: Seq[String],
     val targetDir: String,
     val nBuckets: Int = 32,
-    val bucketKeys: Seq[String] = Seq.empty) {
+    val bucketKeys: Seq[String] = Seq.empty,
+    // Physical CLUSTERING within each bucket's files (r10): rows are
+    // sorted by these columns on every bucket rewrite, so parquet
+    // row-group min/max stats become selective for range predicates on
+    // them — the IncrementalTopN boundary-region read's layout backing
+    // (the reference's TopN state table is sort-ordered for the same
+    // bounded range refill). Order inside a store file is semantically
+    // irrelevant (PK resolution happens before the write), so this is
+    // layout-only.
+    val sortWithinBuckets: Seq[String] = Seq.empty) {
 
   private val bucketCol = "__bucket"
 
@@ -851,11 +860,16 @@ final class MaterializedView(
         // dynamic partition overwrite rewrites exactly the buckets
         // present in the output; buckets whose last row was deleted
         // produce nothing and are removed explicitly below
-        if (nonEmpty.nonEmpty)
-          pinned.repartition(col(bucketCol))
-            .write.mode("overwrite")
+        if (nonEmpty.nonEmpty) {
+          val oneFilePerBucket = pinned.repartition(col(bucketCol))
+          val clustered =
+            if (sortWithinBuckets.isEmpty) oneFilePerBucket
+            else oneFilePerBucket.sortWithinPartitions(
+              (bucketCol +: sortWithinBuckets).map(col): _*)
+          clustered.write.mode("overwrite")
             .partitionBy(bucketCol)
             .parquet(targetDir)
+        }
         graft.CrashPoints.hit("storage.buckets")
         (affected.toSet -- nonEmpty).foreach { b =>
           deleteRecursively(Paths.get(targetDir, s"$bucketCol=$b"))
@@ -955,10 +969,11 @@ final class MvCatalog(spark: SparkSession, baseDir: String) {
   @volatile var onEpochPublished: (String, Long) => Unit = (_, _) => ()
 
   def define(name: String, pk: Seq[String], nBuckets: Int = -1,
-      bucketKeys: Seq[String] = Seq.empty): MaterializedView = {
+      bucketKeys: Seq[String] = Seq.empty,
+      sortWithinBuckets: Seq[String] = Seq.empty): MaterializedView = {
     val buckets = if (nBuckets > 0) nBuckets else defaultBuckets
     val mv = new MaterializedView(spark, name, pk, s"$baseDir/$name/data",
-      buckets, bucketKeys)
+      buckets, bucketKeys, sortWithinBuckets)
     mv.onEpochPublished = e => onEpochPublished(name, e)
     // finish any epoch a crash stranded between journal and publication
     // (no-op unless the store carries WAL orphans)

@@ -156,6 +156,95 @@ class StreamingTopNChainSpec extends SparkSpecBase {
     e.streamingJob("smv").foreach(_.stop())
   }
 
+  test("LIMIT 1000 epochs publish O(changes), not the full top (r10)") {
+    val dir = tmpDir("topn1k")
+    val e = new Engine(spark, dir)
+    e.execute("CREATE TABLE tn1k (k BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("INSERT INTO tn1k SELECT id, id * 7 % 3000 FROM range(0, 3000)")
+    e.execute("FLUSH")
+    val sql1k = "SELECT k, v FROM tn1k ORDER BY v DESC, k LIMIT 1000"
+    // k = 1000: the touched-top test takes the broadcast-semi-join arm
+    // (the old literal OR-fold was a 1000-term predicate) and must
+    // complete without analysis/codegen blowup
+    e.execute(s"CREATE MATERIALIZED VIEW tmv1k (PRIMARY KEY (k)) AS $sql1k")
+    assert(e.streamingJob("tmv1k").nonEmpty)
+    e.execute("FLUSH")
+    // one row enters the top: the published epoch must carry the DIFF
+    // (1 U+ for the entering row + 1 U- for the evicted), not 1000+1000
+    e.execute("INSERT INTO tn1k VALUES (900001, 999999)")
+    e.execute("FLUSH")
+    val gotRows = e.table("tmv1k").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantRows = e.execute(sql1k).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotRows == wantRows, "k=1000 chain diverged from batch")
+    assert(gotRows.contains(900001L -> 999999L))
+    val clog = {
+      val hits = graft.FsList.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString == "data.changelog" &&
+          p.getParent.getFileName.toString.contains("tmv1k") &&
+          !p.getParent.getFileName.toString.contains("__base"))
+      assert(hits.nonEmpty, "result changelog dir not found")
+      hits.head
+    }
+    val newest = graft.FsList.list(clog)
+      .flatMap(p => p.getFileName.toString.stripPrefix("batch-")
+        .toLongOption.map(_ -> p))
+      .maxBy(_._1)._2
+    val published = spark.read.parquet(newest.toString).count()
+    assert(published <= 4,
+      s"touching epoch published $published rows — expected the O(changes) " +
+        "diff, not the full top republication")
+    e.streamingJob("tmv1k").foreach(_.stop())
+  }
+
+  test("boundary-region read prunes on the sort-clustered base (r10)") {
+    import graft.streaming.MvCatalog
+    import org.apache.spark.sql.functions.{col, lit}
+    // small parquet row groups so bucket files carry MANY of them — the
+    // unit the sort-clustered layout lets the region read skip (at real
+    // scale files are GBs with 128 MB row groups; default-config local
+    // files are single-row-group and unprunable by construction)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 16 * 1024)
+    try {
+      val cat = new MvCatalog(spark, tmpDir("topnprune"))
+      // the TopN base layout: pk buckets, SORTED by the sort key within
+      // each bucket file (what createChainedTopNMv now defines)
+      val sorted = cat.define("tp_sorted", Seq("k"), nBuckets = 4,
+        sortWithinBuckets = Seq("v"))
+      val rows = spark.range(0, 60000).toDF("k")
+        .withColumn("v", col("k") * 17 % 60000)
+      sorted.merge(rows)
+      def regionRead(mv: graft.streaming.MaterializedView): Long = {
+        val read = new java.util.concurrent.atomic.AtomicLong
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          // the IncrementalTopN boundary-region shape: first key ⪰ old
+          // k-th (here the top-5 boundary of v DESC)
+          val top = mv.read().where(col("v") >= lit(59995L))
+            .orderBy(col("v").desc, col("k")).limit(5).collect()
+          assert(top.length == 5)
+          Thread.sleep(1500) // listener bus is async
+          read.get()
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      val prunedRead = regionRead(sorted)
+      assert(prunedRead < 15000,
+        s"region read over the sorted layout read $prunedRead of 60000 " +
+          "records — row-group stats are not pruning")
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+    }
+  }
+
   test("a qualified sort over a shadowed input column fences (exprId check)") {
     // ORDER BY sh.v resolves to the INPUT column v (added-missing, then
     // stripped by a top Project) while the OUTPUT carries an alias v =
