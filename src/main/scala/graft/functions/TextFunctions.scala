@@ -98,22 +98,29 @@ object TextFunctions {
     * The token array is bound ONCE for the word-length and stopword
     * signals (the inlined spelling re-split the document per signal).
     */
-  def qualityScore(text: Column): Column = bound(tokens(text)) { toks =>
-    // toks is a lambda VARIABLE: evaluated once per row however many
-    // times the body references it. The whole score lives inside the
-    // binding so the addition keeps the ORIGINAL association
+  def qualityScore(text: Column): Column = {
+    // the two token signals ride ONE binding as a struct (2 getField
+    // references ⇒ the tokenizer runs twice per row — down from ~9
+    // textual expansions in the inlined spelling); the length and
+    // punctuation signals stay OUTSIDE the (interpreted) lambda where
+    // they whole-stage-codegen. Addition keeps the ORIGINAL association
     // ((len+word)+stop)+punct — double addition is order-sensitive and
     // the oracle hash is exact.
+    val tok = bound(tokens(text)) { toks =>
+      val mwl = when(size(toks) > 0,
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+          .cast(DoubleType) / size(toks))
+        .otherwise(0.0)
+      val sr = when(size(toks) > 0,
+        hitCount(toks, enStop).cast(DoubleType) / size(toks))
+        .otherwise(0.0)
+      struct(
+        when(mwl.between(3.0, 10.0), 1.0).otherwise(0.5).as("ws"),
+        least(sr * 5.0, lit(1.0)).as("ss"))
+    }
     val lenScore = least(length(text).cast(DoubleType) / 500.0, lit(1.0))
-    val mwl = when(size(toks) > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-        .cast(DoubleType) / size(toks))
-      .otherwise(0.0)
-    val wordScore = when(mwl.between(3.0, 10.0), 1.0).otherwise(0.5)
-    val stopR = when(size(toks) > 0,
-      hitCount(toks, enStop).cast(DoubleType) / size(toks))
-      .otherwise(0.0)
-    val stopScore = least(stopR * 5.0, lit(1.0))
+    val wordScore = tok.getField("ws")
+    val stopScore = tok.getField("ss")
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
     round((lenScore + wordScore + stopScore + punctScore) / 4.0, 6)
   }
