@@ -1302,6 +1302,34 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       spark, strip(full.queryExecution.analyzed))
   }
 
+  /** Multiset-exactness of `name`'s published changelog epochs: true
+    * when every image in an epoch is a true before/after row — DML
+    * epochs (exact U-/U+ pairs), a plain MV republishing its source's
+    * transition log, per-row chains republishing an exact feed 1:1, and
+    * agg chains (one true old/new pair per touched group, regardless of
+    * their own upstream). Join / union / dynamic-filter / TopN / OVER
+    * chains publish PK-RESOLUTION deltas — an epoch may carry several
+    * images per PK, with phantom or arbitrarily-chosen retract images
+    * that only a PK-keyed merge resolves correctly — so feeds passing
+    * through them are NOT exact. Gates the ValueStateAgg ±fold (which
+    * consumes deltas as multisets); the touched-group recompute only
+    * needs the touched KEYS and stays correct on any feed.
+    */
+  private def exactChangelogFeed(name: String): Boolean =
+    catalog.load[DurableCatalog.TableEntry]("tables", name) match {
+      case Some(_) => true
+      case None => catalog.load[DurableCatalog.MvEntry]("mvs", name) match {
+        case Some(e) if e.streaming && !e.over.contains(true) &&
+            e.chainedFromRight.isEmpty && e.chainJoinType.isEmpty =>
+          if (e.chainAggGroups.isDefined) true
+          else e.chainedFrom match {
+            case Some(up) => exactChangelogFeed(up)
+            case None => true // plain MV over a source: the log itself
+          }
+        case _ => false
+      }
+    }
+
   /** Tail `up`'s changelog and maintain the chained aggregate MV via
     * touched-group recompute ([[graft.streaming.IncrementalAgg]] with a
     * borrowed base: the upstream maintains its own storage). Each epoch
@@ -1317,7 +1345,8 @@ final class Engine(val spark: SparkSession, warehouseDir: String) {
       // group keys born inside the query (agg over explode): derive a
       // delta's touched groups by replaying the query on the delta
       // slice — HAVING stripped so threshold-crossing groups are seen
-      keysOf = Some(chainAggKeysFn(name, query, upName)))
+      keysOf = Some(chainAggKeysFn(name, query, upName)),
+      exactFeed = exactChangelogFeed(upName))
     up.changelogStreamFrom(frontier).writeStream
       .option("checkpointLocation", mvs.checkpointDir(name))
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))

@@ -23,13 +23,12 @@ object GraftSession {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
     .config("spark.sql.parquet.filterPushdown", "true")
-    // Vector hot path (r10, guide §4): rewrite the HOF dot/distance fold
-    // patterns to the codegen'd DotProduct/L2DistanceSq loops. Engine
-    // vector semantics are truncate-to-shorter + skip-null-elements;
-    // every in-repo pattern instance runs over fixed-width non-null
-    // embedding arrays where the two formulations are bit-identical
-    // (NativeVectorRewrite scaladoc).
-    .config("spark.graft.rewriteHofDot", "true")
+    // Vector hot path: VectorFunctions emits the codegen'd
+    // DotProduct/L2DistanceSq loops directly (r11), so the session-wide
+    // HOF rewrite opt-in (`spark.graft.rewriteHofDot`, r10) is no longer
+    // defaulted on — a user's raw aggregate(zip_with(...)) SQL keeps
+    // exact Spark HOF edge semantics (NULL on ragged/null-element
+    // arrays) unless they opt in themselves (ADVICE r10).
     // Driver testdata writes events.ts as TIMESTAMP(NANOS), which Spark's
     // vectorized reader rejects; read as long and convert in Tables.df.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -14,8 +14,24 @@ object VectorFunctions {
   /** Promote array<float> → array<double>. */
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast(DoubleType))
 
-  /** Dot product (sequential left fold, higher-order functions). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — the codegen'd [[graft.plans.DotProduct]] loop
+    * (registered by GraftExtensions on every engine session). Same
+    * value as the HOF fold it replaced on equal-length non-null
+    * float/double arrays: both promote per element and accumulate
+    * doubles left-to-right. Engine vector semantics on the edges:
+    * truncate to the shorter length, skip null elements. Emitting the
+    * native expression HERE (r11) instead of flipping the session-wide
+    * `spark.graft.rewriteHofDot` rewrite keeps graft semantics confined
+    * to graft's own function surface — a user's raw
+    * `aggregate(zip_with(...))` SQL keeps exact Spark HOF semantics
+    * (ADVICE r10).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The HOF formulation of [[dot]] — kept for sessions without the
+    * graft function registry.
+    */
+  def hofDot(a: Column, b: Column): Column =
     aggregate(zip_with(toDoubleVec(a), toDoubleVec(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 
@@ -26,7 +42,7 @@ object VectorFunctions {
     */
   def fastDot(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
     if (spark.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
-    else dot(a, b)
+    else hofDot(a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
@@ -43,10 +59,11 @@ object VectorFunctions {
     when(denom > 0.0, dot(a, b) / denom).otherwise(0.0)
   }
 
-  /** Euclidean (L2) distance. */
+  /** Euclidean (L2) distance — native squared-distance loop (same
+    * sequential double fold as the HOF form it replaced; see [[dot]]).
+    */
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(toDoubleVec(a), toDoubleVec(b),
-      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+    sqrt(call_function("graft_l2distsq", a, b))
 
   /** SQUARED L2 distance through the native codegen'd loop when
     * registered (same sequential fold as the HOF form — bit-identical
@@ -68,8 +85,10 @@ object VectorFunctions {
   def hyperplaneSign(v: Column, seed: Int, dims: Int): Column = {
     val signs = Array.tabulate(dims)(i =>
       if (HashFunctions.md5LongLocal(s"$seed:$i") % 2 == 0) 1.0 else -1.0)
-    val planed = zip_with(toDoubleVec(v), typedlit(signs.toSeq), (x, s) => x * s)
-    when(aggregate(planed, lit(0.0), (acc, x) => acc + x) > 0.0, 1).otherwise(0)
+    // dot(v, plane) through the native loop — the plane is a literal
+    // array<double>, so this is one codegen'd fold per bit, not an
+    // interpreted zip_with + aggregate pair
+    when(dot(v, typedlit(signs.toSeq)) > 0.0, 1).otherwise(0)
   }
 
   /** Unit-normalize a vector (zero vectors pass through unchanged). */

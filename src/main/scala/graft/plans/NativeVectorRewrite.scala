@@ -24,8 +24,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *  - both sides are the SAME expression (the `dot(a, a)` norm pattern —
   *    lengths trivially equal) with provably non-null elements, or
   *  - the session opted in via `spark.graft.rewriteHofDot=true`
-  *    (GraftSession default since round 10), accepting graft's
-  *    truncate-and-skip-null vector semantics.
+  *    (explicit opt-in; since round 11 no longer the session default —
+  *    VectorFunctions emits the native expressions directly, so only a
+  *    user's hand-written HOF SQL is governed by this flag), accepting
+  *    graft's truncate-and-skip-null vector semantics.
   * Everything else keeps the exact HOF semantics; callers wanting the
   * native loop unconditionally use `graft_dot` directly.
   *

